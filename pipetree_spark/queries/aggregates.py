@@ -1,0 +1,352 @@
+"""Aggregation queries (SURVEY §2.4).
+
+Spark physical path: partial (map-side) + final hash aggregation with
+sort-agg fallback — free from Catalyst. Float sums use the exact-decimal
+policy from :mod:`pipetree_spark.exact`; float *statistics* (stddev/corr)
+are taken over small-magnitude columns and rounded, which keeps the
+round-boundary flip probability negligible (see exact.py docstring).
+
+Reference note: the reference (pipetree/pipetree, an ML pipeline
+orchestrator — SURVEY §0: /root/reference is empty) has no aggregation
+operators; this family is the north-star extension surface [SURVEY §2.0].
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipetree_spark.catalog import load_table
+from pipetree_spark.exact import davg_sql, dec, dsum, dsum_sql
+from pipetree_spark.queries import declare
+
+SHIP_CUTOFF = "2000-12-01 00:00:00"
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-style pricing summary (SURVEY §7 phase 1).
+
+    Exercises scan → filter (pushed to parquet) → hash groupBy →
+    exact-decimal aggregation → sort. At 100 TB this is a pure
+    map-side-combine + 6-group final agg: minimal shuffle, no skew risk.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit(SHIP_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price, scale=6, precision=24).alias("sum_disc_price"),
+            dsum(charge, scale=6, precision=24).alias("sum_charge"),
+            (dsum("l_quantity") / F.count("*")).alias("avg_qty"),
+            (dsum("l_extendedprice") / F.count("*")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_SQL = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {dsum_sql('l_quantity')} AS sum_qty,
+  {dsum_sql('l_extendedprice')} AS sum_base_price,
+  {dsum_sql('l_extendedprice * (1 - l_discount)', 6, 24)} AS sum_disc_price,
+  {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6, 24)} AS sum_charge,
+  {dsum_sql('l_quantity')} / COUNT(*) AS avg_qty,
+  {dsum_sql('l_extendedprice')} / COUNT(*) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{SHIP_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+declare("q_agg_groupby", oracle=PRICING_SUMMARY_SQL, tags=("agg", "bench"))(pricing_summary)
+
+
+@declare(
+    "q_agg_global",
+    oracle=f"""
+SELECT
+  COUNT(*) AS n_rows,
+  {dsum_sql('l_quantity')} AS sum_qty,
+  MIN(l_extendedprice) AS min_price,
+  MAX(l_extendedprice) AS max_price,
+  COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+""",
+    tags=("agg",),
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-key) aggregate: single final group, map-side partials."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count("*").alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@declare(
+    "q_agg_having",
+    oracle=f"""
+SELECT l_suppkey,
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 6, 24)} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY l_suppkey
+HAVING {dsum_sql('l_extendedprice * (1 - l_discount)', 6, 24)} > 1000000.0
+""",
+    tags=("agg",),
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.groupBy("l_suppkey")
+        .agg(
+            dsum(revenue, scale=6, precision=24).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .filter(F.col("revenue") > 1000000.0)
+    )
+
+
+@declare(
+    "q_agg_distinct",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       CAST(SUM(DISTINCT l_quantity) AS DOUBLE) AS sum_distinct_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg", "bench"),
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct aggregation (expand + two-phase agg in Spark).
+
+    ``sum(DISTINCT l_quantity)`` is exact: quantities are small integral
+    doubles, so the distinct-set sum is order-independent.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.sum_distinct(F.col("l_quantity")).alias("sum_distinct_qty"),
+    )
+
+
+@declare("q_agg_approx_cd", oracle=None, tags=("agg", "approx"))
+def q_agg_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate count-distinct — rows-only check
+    (approximate result has no exact oracle; SURVEY §2.4)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+@declare(
+    "q_agg_rollup",
+    oracle=f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       COUNT(*) AS n_rows,
+       {dsum_sql('l_extendedprice')} AS sum_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    tags=("agg",),
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup hierarchy with grouping_id; keys coalesced to 'ALL' so the
+    subtotal rows are null-free for hashing."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_rows"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "n_rows",
+            "sum_price",
+        )
+    )
+
+
+@declare(
+    "q_agg_cube",
+    oracle=f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid,
+       COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS sum_total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    tags=("agg",),
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("sum_total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "gid",
+            "n_orders",
+            "sum_total",
+        )
+    )
+
+
+@declare(
+    "q_agg_gsets",
+    oracle=f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n_rows,
+       {dsum_sql('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+    tags=("agg",),
+)
+def q_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via the SQL entry point (Engine.sql path)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gsets_v")
+    return spark.sql(
+        f"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n_rows,
+               {dsum_sql('l_quantity')} AS sum_qty
+        FROM lineitem_gsets_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@declare(
+    "q_agg_pivot",
+    oracle="""
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+FROM events
+GROUP BY user_id
+""",
+    tags=("agg", "events"),
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type → columns (explicit value list ⇒ single pass,
+    no distinct-values pre-query — the scale-safe form)."""
+    e = load_table(spark, sf_dir, "events")
+    df = e.groupBy("user_id").pivot("event_type", EVENT_TYPES).agg(F.count(F.lit(1)))
+    # pivot yields NULL for absent combinations; oracle COUNT(CASE) yields 0
+    return df.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in EVENT_TYPES],
+    )
+
+
+@declare(
+    "q_agg_collect",
+    oracle="""
+SELECT n.n_name AS nation,
+       list_sort(list(s.s_suppkey)) AS supp_keys,
+       COUNT(*) AS n_supps
+FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+    tags=("agg",),
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array agg — MUST be sorted: collect_list order is nondeterministic
+    under parallel execution (SURVEY §2.4)."""
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.array_sort(F.collect_list("s_suppkey")).alias("supp_keys"),
+            F.count("*").alias("n_supps"),
+        )
+    )
+
+
+@declare(
+    "q_agg_stats",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       ROUND(STDDEV_SAMP(l_discount), 6) AS sd_disc,
+       ROUND(VAR_SAMP(l_tax), 6) AS var_tax,
+       ROUND(CORR(l_discount, l_tax), 6) AS corr_disc_tax
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg",),
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates. Taken over small-magnitude columns
+    (discount/tax ∈ [0, 0.1]) so accumulation-order drift (~1e-12 abs)
+    sits far from the round(6) boundary (5e-7)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("sd_disc"),
+        F.round(F.var_samp("l_tax"), 6).alias("var_tax"),
+        F.round(F.corr("l_discount", "l_tax"), 6).alias("corr_disc_tax"),
+    )
+
+
+@declare(
+    "q_agg_percentile",
+    oracle="""
+SELECT l_returnflag,
+       MEDIAN(l_extendedprice) AS median_price,
+       QUANTILE_CONT(l_quantity, 0.25) AS q25_qty,
+       QUANTILE_CONT(l_quantity, 0.90) AS q90_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg",),
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — both engines use the
+    p*(n-1) continuous-quantile convention on identical doubles)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.median("l_extendedprice").alias("median_price"),
+        F.percentile("l_quantity", F.lit(0.25)).alias("q25_qty"),
+        F.percentile("l_quantity", F.lit(0.90)).alias("q90_qty"),
+    )

@@ -1,0 +1,170 @@
+"""Local clone of the driver's t2 correctness loop (SURVEY §5.3.1).
+
+Runs each declared query in Spark AND its oracle SQL in DuckDB on the
+same sf dir, then compares row-count + column names + order-insensitive
+values (exact equality; floats must match bit-for-bit, which the
+exact-decimal policy in pipetree_spark.exact is designed to guarantee).
+
+Gate rule: a query may only stay declared if it passes here at sf0.01.
+
+Usage:
+    python tools/check_parity.py                 # all declared queries
+    python tools/check_parity.py q_agg_groupby   # subset
+    python tools/check_parity.py --sf /root/testdata/sf0.001 --tol 0
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import math
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pipetree_spark.catalog import TABLES, table_path  # noqa: E402
+from pipetree_spark.queries import load_registry  # noqa: E402
+from pipetree_spark.session import get_spark  # noqa: E402
+
+
+def canon_val(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, (list, tuple)):
+        return tuple(canon_val(x) for x in v)
+    if hasattr(v, "tolist"):  # numpy scalar/array
+        return canon_val(v.tolist())
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, float):
+        return v
+    if type(v).__name__ == "Decimal":
+        return float(v)
+    return v
+
+
+def canon_result(col_names, rows):
+    order = sorted(range(len(col_names)), key=lambda i: col_names[i])
+    cols = [col_names[i] for i in order]
+    data = [tuple(canon_val(row[i]) for i in order) for row in rows]
+    data.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return cols, data
+
+
+def values_close(a, b, tol):
+    if isinstance(a, float) and isinstance(b, (float, int)):
+        if math.isnan(a) and isinstance(b, float) and math.isnan(b):
+            return True
+        return a == b or abs(a - b) <= tol * max(1.0, abs(a), abs(b))
+    if isinstance(a, tuple) and isinstance(b, tuple) and len(a) == len(b):
+        return all(values_close(x, y, tol) for x, y in zip(a, b))
+    return a == b
+
+
+def compare(spark_cols, spark_rows, ora_cols, ora_rows, tol=0.0):
+    problems = []
+    if spark_cols != ora_cols:
+        problems.append(f"columns differ: spark={spark_cols} oracle={ora_cols}")
+        return problems
+    if len(spark_rows) != len(ora_rows):
+        problems.append(f"row count differs: spark={len(spark_rows)} oracle={len(ora_rows)}")
+        return problems
+    n_bad = 0
+    for i, (sr, orr) in enumerate(zip(spark_rows, ora_rows)):
+        if sr == orr:
+            continue
+        if values_close(sr, orr, tol):
+            continue
+        n_bad += 1
+        if n_bad <= 3:
+            problems.append(f"row {i} differs:\n    spark : {sr}\n    oracle: {orr}")
+    if n_bad > 3:
+        problems.append(f"... {n_bad} differing rows total")
+    return problems
+
+
+def run_oracle(con, sql):
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    return cols, cur.fetchall()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*", help="query names (default: all declared)")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--tol", type=float, default=0.0, help="relative float tolerance (0 = driver-strict)")
+    ap.add_argument("--tag", default=None, help="only queries with this tag")
+    args = ap.parse_args()
+
+    registry = load_registry()
+    names = args.names or sorted(registry)
+    if args.tag:
+        names = [n for n in names if args.tag in registry[n].tags]
+    unknown = [n for n in names if n not in registry]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}")
+
+    spark = get_spark("parity-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(args.sf, t)}')")
+
+    n_pass = n_fail = n_rows_only = 0
+    failures = []
+    for name in names:
+        q = registry[name]
+        t0 = time.perf_counter()
+        try:
+            sdf = q.fn(spark, args.sf)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as exc:  # noqa: BLE001
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name:24s} spark error: {type(exc).__name__}: {exc}")
+            continue
+        if q.oracle is None:
+            n_rows_only += 1
+            print(f"rows  {name:24s} {len(srows)} rows (no oracle — rows-only) [{time.perf_counter()-t0:.1f}s]")
+            continue
+        try:
+            ocols, orows = run_oracle(con, q.oracle)
+        except Exception as exc:  # noqa: BLE001
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name:24s} oracle error: {type(exc).__name__}: {exc}")
+            continue
+        sc, sr = canon_result(scols, [tuple(r) for r in srows])
+        oc, orr = canon_result(ocols, orows)
+        problems = compare(sc, sr, oc, orr, tol=args.tol)
+        dtime = time.perf_counter() - t0
+        if problems:
+            # diagnose: would it pass with loose tolerance?
+            loose = not compare(sc, sr, oc, orr, tol=1e-6)
+            n_fail += 1
+            failures.append(name)
+            tagnote = " [CLOSE: float drift only]" if loose else ""
+            print(f"FAIL  {name:24s} ({len(sr)} rows) [{dtime:.1f}s]{tagnote}")
+            for p in problems:
+                print(f"      {p}")
+        else:
+            n_pass += 1
+            print(f"PASS  {name:24s} ({len(sr)} rows) [{dtime:.1f}s]")
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only of {len(names)}")
+    if failures:
+        print("failing:", " ".join(failures))
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
