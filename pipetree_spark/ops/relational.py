@@ -1,0 +1,105 @@
+"""Relational operators Spark lacks natively (SURVEY §2.3, §4.3).
+
+Every op here states its shuffle keys and scale behavior in the
+docstring — the 100 TB discipline from SURVEY §2.12's design note.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    left_key: str,
+    how: str = "left",
+    direction: str = "backward",
+    suffix: str = "_r",
+) -> DataFrame:
+    """As-of join: for each left row (identified by unique ``left_key``),
+    attach the single latest right row at/before ``left_time``
+    (``direction='backward'``; 'forward' = earliest at/after) sharing the
+    ``on`` keys.
+
+    Spark has no ASOF JOIN (SURVEY §2.3). Rewrite: equi-join on ``on`` +
+    time-inequality filter, then ``row_number()==1`` per left row.
+    Shuffle: both sides hash-partition on ``on`` for the join, then one
+    more shuffle on ``left_key`` for the window — at scale prefer keys
+    where ``on ⊆ {left_key}``-colocated, or pre-bucket both sides on
+    ``on``. Right-side ties on ``right_time`` are broken by the remaining
+    right columns (ascending) to stay deterministic.
+    """
+    rcols = [c for c in right.columns if c not in on]
+    r = right
+    for c in rcols:
+        r = r.withColumnRenamed(c, c + suffix)
+    rt = right_time + suffix
+    if direction == "backward":
+        cond, order = F.col(rt) <= F.col(left_time), [F.col(rt).desc()]
+    else:
+        cond, order = F.col(rt) >= F.col(left_time), [F.col(rt).asc()]
+    order += [F.col(c + suffix).asc() for c in rcols if c != right_time]
+    matched = (
+        left.join(r, on=list(on), how="inner")
+        .filter(cond)
+        .withColumn("__rn", F.row_number().over(Window.partitionBy(left_key).orderBy(*order)))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if how == "left":
+        matched = left.join(matched, on=list(left.columns), how="left")
+    elif how != "inner":
+        raise ValueError(f"asof_join supports how='left'|'inner', got {how!r}")
+    return matched
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    lower: int,
+    upper: int,
+) -> DataFrame:
+    """Bounded interval join: right rows with ``right_time`` within
+    ``[left_time+lower, left_time+upper]``, sharing the equi keys ``on``.
+
+    Physical plan: sort-merge join on the equi keys with the range
+    predicate evaluated inside the join — NOT a cross join. At 100 TB the
+    equi key bounds the blow-up; for keyless range joins add a coarse
+    time-bucket equi key to both sides first (bucket width ≥ window).
+    """
+    cond = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in on]
+    lt, rt = F.col(f"l.{left_time}"), F.col(f"r.{right_time}")
+    cond += [rt >= lt + lower, rt <= lt + upper]
+    return left.alias("l").join(right.alias("r"), on=cond, how="inner")
+
+
+def topk_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Top-k rows per group via row_number; ``order_by`` MUST be a total
+    order (append a unique tie-break key) or results are nondeterministic
+    (SURVEY §2.5). One shuffle on the partition keys; rank filter is
+    evaluated before any downstream shuffle."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def salted(df: DataFrame, col: str, buckets: int, salt_col: str = "__salt") -> DataFrame:
+    """Add a deterministic salt column for two-phase skewed aggregation:
+    ``groupBy(key, salt)`` partial → ``groupBy(key)`` final. AQE fixes
+    join skew but not agg skew (SURVEY §4.3) — this is the agg-side tool."""
+    return df.withColumn(salt_col, F.pmod(F.xxhash64(F.col(col)), F.lit(buckets)))

@@ -1,1 +1,306 @@
-"""Placeholder — populated in a later phase."""
+"""Join queries (SURVEY §2.3).
+
+All equi-joins are one ``df.join`` — Catalyst+AQE pick the physical
+algorithm; the engine steers with explicit ``broadcast()`` for dims and
+``hint("merge")`` where a sort-merge is wanted. Non-equi (theta) joins
+plan as broadcast-nested-loop with the small side broadcast. Range and
+as-of joins use the ops-layer rewrites (ops/relational.py).
+
+Scale notes per query are in docstrings: the rule is "shuffle on the
+join key, broadcast dims, never cross-join unbounded sides".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipetree_spark.catalog import load_table
+from pipetree_spark.exact import dsum, dsum_sql
+from pipetree_spark.ops.relational import range_join
+from pipetree_spark.queries import declare
+
+
+@declare(
+    "q_join_inner",
+    oracle=f"""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_items,
+       {dsum_sql('l.l_extendedprice')} AS sum_price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+    tags=("join", "bench"),
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact inner equi-join (lineitem⋈orders on orderkey): both
+    sides shuffle on the key → SMJ/SHJ by AQE; agg is map-side-combined
+    after the join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_items"), dsum("l_extendedprice").alias("sum_price"))
+    )
+
+
+@declare(
+    "q_join_broadcast",
+    oracle=f"""
+SELECT r.r_name,
+       COUNT(*) AS n_customers,
+       {dsum_sql('c.c_acctbal')} AS sum_bal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+    tags=("join", "bench"),
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema dim joins with explicit broadcast: zero shuffle for
+    the joins (dims ship to every executor); only the final 5-group agg
+    shuffles. This is THE pattern for dim joins at 100 TB."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"), dsum("c_acctbal").alias("sum_bal"))
+    )
+
+
+@declare(
+    "q_join_smj",
+    oracle=f"""
+SELECT p.p_brand,
+       COUNT(*) AS n_items,
+       {dsum_sql('l.l_quantity')} AS sum_qty
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+    tags=("join",),
+)
+def q_join_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-merge join forced via hint — the spill-safe strategy for two
+    large sides whose key is also a downstream sort key."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").hint("merge")
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_items"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@declare(
+    "q_join_left",
+    oracle=f"""
+SELECT c.c_custkey,
+       COUNT(o.o_orderkey) AS n_orders,
+       COALESCE({dsum_sql('o.o_totalprice')}, 0.0) AS total_spend
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+""",
+    tags=("join",),
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: ~9% of customers have no orders (FIXTURES.md) so
+    null-extension is exercised; count(o_orderkey) counts non-nulls."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("total_spend"),
+        )
+    )
+
+
+@declare(
+    "q_join_right",
+    oracle="""
+SELECT c.c_nationkey,
+       COUNT(o.o_orderkey) AS n_orders,
+       COUNT(DISTINCT c.c_custkey) AS n_customers
+FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+""",
+    tags=("join",),
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.count_distinct("c_custkey").alias("n_customers"),
+        )
+    )
+
+
+@declare(
+    "q_join_full",
+    oracle="""
+SELECT COALESCE(cn.c_nationkey, sn.s_nationkey) AS nationkey,
+       COALESCE(cn.n_cust, -1) AS n_cust,
+       COALESCE(sn.n_supp, -1) AS n_supp
+FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer WHERE c_nationkey < 15 GROUP BY c_nationkey) cn
+FULL JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier WHERE s_nationkey > 10 GROUP BY s_nationkey) sn
+  ON cn.c_nationkey = sn.s_nationkey
+""",
+    tags=("join",),
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with manufactured one-sided keys (nation<15 vs
+    nation>10) so both null-extension directions occur."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cn = c.filter(F.col("c_nationkey") < 15).groupBy("c_nationkey").agg(F.count("*").alias("n_cust"))
+    sn = s.filter(F.col("s_nationkey") > 10).groupBy("s_nationkey").agg(F.count("*").alias("n_supp"))
+    return cn.join(sn, cn.c_nationkey == sn.s_nationkey, "full").select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(-1)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(-1)).alias("n_supp"),
+    )
+
+
+@declare(
+    "q_join_semi",
+    oracle="""
+SELECT c_custkey, c_nationkey
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+""",
+    tags=("join", "bench"),
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join — customers with ≥1 URGENT order; no right columns
+    leak, and the right side reduces to distinct keys before shuffling."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_nationkey")
+
+
+@declare(
+    "q_join_anti",
+    oracle="""
+SELECT c_custkey, c_nationkey
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+""",
+    tags=("join",),
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join — customers with no pending ('P') order. (Note:
+    every customer has ≥1 order in this testdata, so the unfiltered
+    anti-join would be empty — a uselessly weak check.)"""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_nationkey")
+
+
+@declare(
+    "q_join_cross",
+    oracle="""
+SELECT r.r_name, n.n_name
+FROM region r CROSS JOIN nation n
+""",
+    tags=("join",),
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded cross join (5×25). Cross joins are only ever legal on
+    bounded/dim inputs — the engine never cross-joins fact tables."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@declare(
+    "q_join_theta",
+    oracle="""
+SELECT c.c_custkey,
+       COUNT(*) AS n_richer_suppliers
+FROM customer c JOIN supplier s ON s.s_acctbal > c.c_acctbal
+WHERE c.c_custkey < 100
+GROUP BY c.c_custkey
+""",
+    tags=("join",),
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi theta join → broadcast-nested-loop with the bounded side
+    broadcast. Theta joins MUST have at least one bounded side; at scale
+    prefer banding the inequality into an equi band-key join."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        c.join(F.broadcast(s), s.s_acctbal > c.c_acctbal)
+        .groupBy("c_custkey")
+        .agg(F.count("*").alias("n_richer_suppliers"))
+    )
+
+
+@declare(
+    "q_join_range",
+    oracle="""
+SELECT a.user_id,
+       COUNT(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND (epoch_ns(b.ts) // 1000000000) >  (epoch_ns(a.ts) // 1000000000)
+ AND (epoch_ns(b.ts) // 1000000000) <= (epoch_ns(a.ts) // 1000000000) + 300
+GROUP BY a.user_id
+""",
+    tags=("join", "events"),
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join: event pairs of the same user within 5 minutes
+    (strictly later, ≤300 s). Uses the ops-layer range_join: SMJ on
+    user_id with the range condition inside the join. Times compared as
+    integer epoch seconds derived from the raw int64 ns — the only
+    representation both engines agree on exactly (SURVEY §1.2)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts_sec", "event_id")
+    pairs = range_join(e, e, on=["user_id"], left_time="ts_sec", right_time="ts_sec", lower=1, upper=300)
+    return pairs.groupBy(F.col("l.user_id").alias("user_id")).agg(F.count("*").alias("n_pairs"))
+
+
+@declare(
+    "q_join_asof",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       COALESCE(MAX(epoch_ns(c.ts) // 1000000000), -1) AS last_click_sec,
+       COUNT(c.user_id) AS n_prior_clicks
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id AND (epoch_ns(c.ts) // 1000000000) <= (epoch_ns(p.ts) // 1000000000)
+GROUP BY p.event_id
+""",
+    tags=("join", "events"),
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): each purchase ↔ latest click of the same
+    user at/before it. Declared in its aggregate form (MAX of prior
+    click times) which is SQL-oracle-expressible; the row-picking
+    rewrite lives in ops.relational.asof_join and is pytest-covered.
+    Shuffles both event slices on user_id only."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id"), F.col("ts_sec").alias("p_sec")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts_sec").alias("c_sec")
+    )
+    j = p.join(c, (p.user_id == c.c_user) & (c.c_sec <= p.p_sec), "left")
+    return j.groupBy("purchase_id").agg(
+        F.coalesce(F.max("c_sec"), F.lit(-1)).alias("last_click_sec"),
+        F.count("c_user").alias("n_prior_clicks"),
+    )

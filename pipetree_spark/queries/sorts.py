@@ -1,1 +1,90 @@
-"""Placeholder — populated in a later phase."""
+"""Sort / limit / top-k queries (SURVEY §2.6).
+
+The driver's value-hash is order-insensitive, so sort correctness is
+asserted via rank columns (the rank encodes the order), never via row
+order. Every ORDER BY carries a unique tie-break key — limits without a
+total order are nondeterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pipetree_spark.catalog import load_table
+from pipetree_spark.exact import dsum, dsum_sql
+from pipetree_spark.queries import declare
+
+
+@declare(
+    "q_sort_multi",
+    oracle="""
+SELECT * FROM (
+  SELECT ROW_NUMBER() OVER (ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC) AS rnk,
+         o_orderkey, o_orderstatus, o_totalprice
+  FROM orders
+) WHERE rnk <= 100
+""",
+    tags=("sort",),
+)
+def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column sort asserted through a global row_number rank.
+
+    Scale note: a global rank is inherently a single-reducer operation;
+    at 100 TB use zipWithIndex-style two-phase ranking or rank only
+    within partitions. Here the rank is immediately bounded to 100 rows,
+    which Spark plans as a filter after a windowed TakeOrdered-like scan.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(
+        F.col("o_orderstatus").asc(), F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 100)
+    )
+
+
+@declare(
+    "q_limit",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 50
+""",
+    tags=("sort",),
+)
+def q_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orderBy().limit() → TakeOrderedAndProject (per-partition top-k +
+    driver merge of k-sized heads — no global sort, scale-safe)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(50)
+    )
+
+
+@declare(
+    "q_topk_global",
+    oracle=f"""
+SELECT o_custkey, {dsum_sql('o_totalprice')} AS spend
+FROM orders
+GROUP BY o_custkey
+ORDER BY spend DESC, o_custkey ASC
+LIMIT 10
+""",
+    tags=("sort", "bench"),
+)
+def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k spenders: hash agg then TakeOrderedAndProject.
+    The exact-decimal spend makes the DESC comparison deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(dsum("o_totalprice").alias("spend"))
+        .orderBy(F.col("spend").desc(), F.col("o_custkey").asc())
+        .limit(10)
+    )
