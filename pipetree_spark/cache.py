@@ -1,0 +1,83 @@
+"""Content-addressed artifact cache (SURVEY §2.10, §4.3).
+
+Re-expresses the reference's core mechanism — artifacts identified by
+definition-hash + dependency-hash, skipped when already materialized
+(pipetree's incremental recomputation; /root/reference is empty so the
+concept citation is SURVEY §1.1 [PK]) — on Spark:
+
+- artifact  = parquet snapshot at ``<root>/<stage>/<key>/``
+- key       = sha256 over (canonical stage spec JSON, upstream keys,
+              format version) — definition hash + dependency hash
+- hit       = ``_SUCCESS`` marker exists → ``spark.read.parquet`` (cuts
+              the Spark lineage exactly like the reference's skip)
+- miss      = compute the stage DataFrame, write parquet, read back
+
+Paths go through the Hadoop FileSystem API, so ``file://`` and
+``s3a://`` roots use the same code (the reference's local vs S3
+artifact backends are a config switch here)."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+_FORMAT_VERSION = "1"
+
+
+def content_key(spec: dict, upstream_keys: list[str]) -> str:
+    """sha256(definition ⊕ dependencies): canonical-JSON the stage spec
+    (definition hash) and fold in upstream keys (dependency hash)."""
+    payload = json.dumps(
+        {"spec": spec, "upstream": list(upstream_keys), "v": _FORMAT_VERSION},
+        sort_keys=True,
+        separators=(",", ":"),
+        default=str,
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:32]
+
+
+class ArtifactCache:
+    """Durable, content-addressed materialization layer."""
+
+    def __init__(self, root: str):
+        self.root = root.rstrip("/")
+
+    def path(self, stage: str, key: str) -> str:
+        return f"{self.root}/{stage}/{key}"
+
+    # -- Hadoop FS plumbing (works for file:// and s3a:// alike) ---------
+    @staticmethod
+    def _fs(spark: SparkSession, path: str):
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        return jpath.getFileSystem(hconf), jpath
+
+    def has(self, spark: SparkSession, stage: str, key: str) -> bool:
+        fs, _ = self._fs(spark, self.path(stage, key))
+        marker = spark._jvm.org.apache.hadoop.fs.Path(self.path(stage, key) + "/_SUCCESS")
+        return bool(fs.exists(marker))
+
+    def load(self, spark: SparkSession, stage: str, key: str) -> DataFrame:
+        return spark.read.parquet(self.path(stage, key))
+
+    def materialize(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        stage: str,
+        key: str,
+        partition_by: list[str] | None = None,
+    ) -> DataFrame:
+        """Write the stage output as the artifact and return a frame that
+        READS it (lineage cut — downstream stages never recompute this).
+
+        ``partition_by`` lets hot stages lay out partition-pruned sinks
+        (SURVEY §4.2: partitioned artifacts make DPP fire downstream)."""
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.path(stage, key))
+        return self.load(spark, stage, key)

@@ -1,0 +1,214 @@
+"""Text-analysis & deduplication operators (SURVEY §2.12).
+
+All column expressions — JVM-side, codegen-friendly, no Python UDFs.
+Scale discipline: dedup ops state their blocking keys; the n² shingle
+join is only ever run inside blocks (lang × length bucket here; at
+100 TB add MinHash-LSH banding via :func:`minhash_pairs`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Heuristic per-language stopword profiles for the n-gram/stopword
+#: language-ID op. Tiny on purpose — a real deployment plugs in full
+#: profiles; the *operator* (broadcast map + overlap scoring) is what
+#: matters here.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("de", "le", "shi", "wo", "ni"),
+}
+
+
+def tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def normalized_text(text: Column | str) -> Column:
+    """Canonical form for exact dedup: lowercase, trimmed, whitespace
+    collapsed."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def text_hash(text: Column | str) -> Column:
+    """Portable content hash (md5 — present in both Spark and DuckDB)."""
+    return F.md5(normalized_text(text))
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles. Short texts (<n words) fall back to
+    a single whole-text shingle so every document has ≥1 shingle."""
+    w = tokens(text)
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]))
+    return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
+        F.array(F.concat_ws(" ", w))
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """|A∩B| / |A∪B| over distinct-element arrays, computed as
+    inter / (|A|+|B|-inter) — integer ratio, bit-identical across
+    engines (no rounding needed)."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(F.array_distinct(a)) + F.size(F.array_distinct(b)) - inter)
+
+
+def fingerprint(text: Column | str, n: int = 3) -> Column:
+    """Document fingerprint: min md5 over word shingles (a 1-permutation
+    MinHash — deterministic and portable)."""
+    return F.array_min(F.transform(word_shingles(text, n), F.md5))
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    """BPE-ish token count: runs of letters, runs of digits, or single
+    other non-space chars (portable RE2-style pattern)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)))
+
+
+def stopword_ratio(text: Column | str, stopwords: tuple[str, ...]) -> Column:
+    w = tokens(text)
+    hits = F.filter(w, lambda t: t.isin(*stopwords))
+    return F.size(hits) / F.size(w)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach standard quality-scoring features (length, token stats,
+    stopword ratio) — the pre-filter stage of a training-data pipeline."""
+    w = tokens(text_col)
+    n_tok = F.size(w)
+    return df.withColumns(
+        {
+            "n_tokens": n_tok,
+            "n_chars_nospace": F.length(F.regexp_replace(F.col(text_col), r"\s", "")),
+            "avg_token_len": F.length(F.regexp_replace(F.col(text_col), r"\s", "")) / n_tok,
+            "n_bpe_tokens": token_count_bpe(text_col),
+            "stopword_ratio_en": stopword_ratio(text_col, LANG_STOPWORDS["en"]),
+        }
+    )
+
+
+def lang_id_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: stopword-profile overlap score per language,
+    argmax → predicted lang (ties broken by language code order).
+    NOTE: this testdata's text is language-independent word salad, so
+    predictions are exercised for plumbing, not accuracy (see module
+    tests)."""
+    scores = F.array(
+        *[
+            F.struct(
+                stopword_ratio(text_col, sw).alias("score"), F.lit(lang).alias("lang")
+            )
+            for lang, sw in sorted(LANG_STOPWORDS.items())
+        ]
+    )
+    best = F.array_max(scores)
+    return df.withColumn("lang_pred", best["lang"]).withColumn("lang_score", best["score"])
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized-text hash, keeping the smallest key.
+    One shuffle on the 128-bit hash — uniform keys, no skew."""
+    hashed = df.withColumn("__h", text_hash(text_col))
+    keep = hashed.groupBy("__h").agg(F.min(key_col).alias(key_col))
+    return hashed.join(keep, on=["__h", key_col], how="left_semi").drop("__h")
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Shingle-Jaccard near-duplicate pairs inside blocking groups.
+
+    Shuffle: both sides on ``block_cols``; the quadratic self-join is
+    confined to each block. At 100 TB, block on (lang, length-bucket)
+    AND pre-filter candidates with MinHash-LSH (ops.text.minhash_pairs)
+    — this exact-Jaccard op then verifies only the LSH survivors.
+    """
+    sh = df.select(
+        *block_cols, F.col(key_col), word_shingles(text_col, n).alias("__sh")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    cond.append(F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
+    pairs = a.join(b, cond)
+    jac = jaccard(F.col("a.__sh"), F.col("b.__sh"))
+    return pairs.select(
+        F.col(f"a.{key_col}").alias("id_a"),
+        F.col(f"b.{key_col}").alias("id_b"),
+        jac.alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs at scale (pyspark.ml, seeded).
+
+    Pipeline: shingles → HashingTF sparse vectors → MinHashLSH
+    approxSimilarityJoin at distance (1 - threshold). Each stage is a
+    narrow map except the final bucket join, which shuffles on LSH band
+    hashes — the linear-ish scale path that replaces the n² self-join.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = df.select(F.col(key_col), word_shingles(text_col, n).alias("shingles"))
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    vecs = tf.transform(sh)
+    # MinHashLSH requires at least one non-zero entry per vector
+    vecs = vecs.filter(F.size("shingles") > 0)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=seed)
+    model = lsh.fit(vecs)
+    pairs = model.approxSimilarityJoin(vecs, vecs, 1.0 - jaccard_threshold, distCol="dist")
+    return (
+        pairs.filter(F.col(f"datasetA.{key_col}") < F.col(f"datasetB.{key_col}"))
+        .select(
+            F.col(f"datasetA.{key_col}").alias("id_a"),
+            F.col(f"datasetB.{key_col}").alias("id_b"),
+            (1.0 - F.col("dist")).alias("est_jaccard"),
+        )
+    )
+
+
+def simhash64(text: Column | str, n: int = 3) -> Column:
+    """64-bit SimHash over word shingles using xxhash64 bit votes.
+
+    Pure column expressions: for each bit position, sum ±1 votes across
+    shingle hashes, take the sign. Deterministic; Spark-side only (no
+    portable SQL oracle — xxhash64 is Spark-specific)."""
+    sh = word_shingles(text, n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    bits = [
+        F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i in range(63)
+    ]
+    out = F.lit(0)
+    for b in bits:
+        out = out.bitwiseOR(b)
+    return out

@@ -1,0 +1,149 @@
+"""Vector / similarity-search operators (SURVEY §2.12).
+
+Embeddings are ``array<float>`` columns. All math casts to double
+per-element first (float32 arithmetic differs across engines) and uses
+higher-order functions — JVM-side, no Python in the hot path.
+
+Float policy: these are short (64-element) unit-scale sums — absolute
+drift ~1e-15, so round(4) outputs are flip-safe (unlike money sums,
+which need the decimal path in exact.py).
+
+Scale path: brute-force kNN broadcasts the (small) query side over the
+corpus — linear in corpus size, the right baseline ≤ ~10⁷ vectors.
+Beyond that, :func:`lsh_bucket_ann` prunes candidates with seeded
+random-hyperplane buckets before the exact re-rank.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pipetree_spark.ops.relational import topk_per_group
+
+
+def _d(x: Column) -> Column:
+    return x.cast("double")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: _d(x) * _d(y)), F.lit(0.0), lambda s, v: s + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: _d(x) * _d(x)), F.lit(0.0), lambda s, v: s + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def l2_normalize(a: Column) -> Column:
+    n = l2_norm(a)
+    return F.transform(a, lambda x: _d(x) / n)
+
+
+def knn_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_key: str = "query_id",
+    corpus_key: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Plan: broadcast the query side (queries ≪ corpus), evaluate cosine
+    per (query, corpus) pair JVM-side, then topk_per_group. Rank on the
+    *rounded* cosine with the corpus key as tie-break so the result set
+    is deterministic under float ties (SURVEY §2.12).
+    """
+    q = queries.select(F.col(query_key), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(corpus_key), F.col(vec_col).alias("__cv"))
+    pairs = c.join(F.broadcast(q), F.col(query_key) != F.col(corpus_key))
+    scored = pairs.select(
+        query_key,
+        corpus_key,
+        F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits).alias("cos_sim"),
+    )
+    return topk_per_group(
+        scored,
+        partition_by=[query_key],
+        order_by=[F.col("cos_sim").desc(), F.col(corpus_key).asc()],
+        k=k,
+    )
+
+
+def centroids(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label centroid via posexplode → per-(label, dim) mean →
+    re-assembled array. Shuffles on (label, dim) — 64× the label
+    cardinality, uniform, skew-free at any scale."""
+    exploded = df.select(label_col, F.posexplode(vec_col).alias("dim", "val"))
+    means = exploded.groupBy(label_col, "dim").agg(F.avg(_d(F.col("val"))).alias("mean_val"))
+    return (
+        means.groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mean_val"))).alias("pairs"))
+        .select(label_col, F.transform("pairs", lambda p: p["mean_val"]).alias("centroid"))
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Seeded random hyperplanes for sign-LSH (deterministic across runs)."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit i = sign(v · plane_i). Pure column expr —
+    the planes ship as literals inside the plan (bytes, not a join)."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(vec_col, F.array(*[F.lit(float(p)) for p in plane]), lambda x, y: _d(x) * y),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucket_ann(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    dim: int = 64,
+    query_key: str = "query_id",
+    corpus_key: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate NN: sign-LSH bucket equi-join prunes candidates
+    (~corpus/2^planes per query), then exact cosine re-rank.
+
+    This is the 10⁹-vector shape: the bucket join is an equi shuffle
+    join (no broadcast needed), and recall/cost trades off via
+    ``n_planes`` (add multi-probe or repeated tables for higher recall).
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    q = queries.select(
+        F.col(query_key), F.col(vec_col).alias("__qv"), lsh_bucket(F.col(vec_col), planes).alias("__b")
+    )
+    c = corpus.select(
+        F.col(corpus_key), F.col(vec_col).alias("__cv"), lsh_bucket(F.col(vec_col), planes).alias("__b")
+    )
+    pairs = c.join(q, on="__b").filter(F.col(query_key) != F.col(corpus_key))
+    scored = pairs.select(
+        query_key, corpus_key, F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("cos_sim")
+    )
+    return topk_per_group(
+        scored,
+        partition_by=[query_key],
+        order_by=[F.col("cos_sim").desc(), F.col(corpus_key).asc()],
+        k=k,
+    )

@@ -1,0 +1,180 @@
+"""Pipeline orchestration layer — reference parity (SURVEY §2.10, §3.2).
+
+The reference (pipetree/pipetree [PK — SURVEY §0: /root/reference is
+empty]) is a DAG-of-stages orchestrator: JSON config → stages producing
+content-addressed artifacts, an arbiter that skips cached stages, and
+executor stages running arbitrary python. This module re-expresses that
+on Spark:
+
+- ``Pipeline.from_spec(dict)`` — declarative spec → DAG (cycle-checked)
+- stage types: ``source`` (catalog table), ``values`` (parameter rows —
+  the reference's parameter stage), ``sql`` (query over input views),
+  ``python`` (callable over input DataFrames — the executor stage),
+  ``grid`` (parameter grid fan-out: the sweep is DATA, a cross-joined
+  parameter frame, not a driver loop)
+- execution: topological walk; with an :class:`ArtifactCache`, each
+  stage's content key (spec + upstream keys) decides hit (read parquet,
+  lineage cut) vs miss (compute + materialize) — the reference's
+  incremental recomputation.
+
+The reference's remote executor control plane (SQS/EC2) is deliberately
+NOT ported: Spark's own scheduler replaces it (SURVEY §2.10 non-goal).
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from graphlib import CycleError, TopologicalSorter
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pipetree_spark.cache import ArtifactCache, content_key
+from pipetree_spark.catalog import DEFAULT_SF_DIR, load_table
+
+StageFn = Callable[[SparkSession, dict[str, DataFrame]], DataFrame]
+
+
+@dataclass
+class Stage:
+    name: str
+    fn: StageFn
+    inputs: list[str] = field(default_factory=list)
+    spec: dict = field(default_factory=dict)  # definition payload for hashing
+    materialize: bool = False  # durable artifact (vs flow-through)
+
+
+class Pipeline:
+    def __init__(self, stages: dict[str, Stage]):
+        self.stages = stages
+        self._order = self._toposort()
+
+    # -- construction -----------------------------------------------------
+    @classmethod
+    def from_spec(cls, spec: dict, sf_dir: str = DEFAULT_SF_DIR) -> "Pipeline":
+        """Build from a declarative dict (the reference's JSON config)."""
+        stages: dict[str, Stage] = {}
+        for name, s in spec["stages"].items():
+            kind = s["type"]
+            inputs = list(s.get("inputs", []))
+            materialize = bool(s.get("materialize", False))
+            if kind == "source":
+                table = s["table"]
+                fn = _source_fn(table, s.get("sf_dir", sf_dir))
+            elif kind == "values":
+                fn = _values_fn(s["columns"], s["rows"])
+            elif kind == "sql":
+                fn = _sql_fn(s["query"], inputs)
+            elif kind == "python":
+                fn = s["fn"]  # direct-API only; not JSON-serializable
+            elif kind == "grid":
+                fn = _values_fn(
+                    list(s["grid"].keys()),
+                    [list(combo) for combo in itertools.product(*s["grid"].values())],
+                )
+            else:
+                raise ValueError(f"unknown stage type {kind!r} for stage {name!r}")
+            stages[name] = Stage(
+                name=name,
+                fn=fn,
+                inputs=inputs,
+                spec={k: v for k, v in s.items() if k != "fn"} | {"name": name},
+                materialize=materialize,
+            )
+        return cls(stages)
+
+    def add_stage(
+        self,
+        name: str,
+        fn: StageFn,
+        inputs: list[str] | None = None,
+        spec: dict | None = None,
+        materialize: bool = False,
+    ) -> "Pipeline":
+        self.stages[name] = Stage(name, fn, list(inputs or []), spec or {"name": name}, materialize)
+        self._order = self._toposort()
+        return self
+
+    def _toposort(self) -> list[str]:
+        ts = TopologicalSorter({n: set(s.inputs) for n, s in self.stages.items()})
+        try:
+            order = list(ts.static_order())
+        except CycleError as e:
+            raise ValueError(f"pipeline has a cycle: {e.args[1]}") from e
+        missing = [i for s in self.stages.values() for i in s.inputs if i not in self.stages]
+        if missing:
+            raise ValueError(f"undefined stage inputs: {sorted(set(missing))}")
+        return order
+
+    # -- execution --------------------------------------------------------
+    def run(
+        self,
+        spark: SparkSession,
+        cache: ArtifactCache | None = None,
+        targets: list[str] | None = None,
+    ) -> dict[str, DataFrame]:
+        """Topological walk with skip-if-cached semantics.
+
+        Returns every stage's DataFrame. ``report`` of hits/misses from
+        the last run is on ``self.last_run_report``.
+        """
+        results: dict[str, DataFrame] = {}
+        keys: dict[str, str] = {}
+        report: dict[str, str] = {}
+        wanted = set(targets or self.stages)
+        needed = self._closure(wanted)
+        for name in self._order:
+            if name not in needed:
+                continue
+            stage = self.stages[name]
+            key = content_key(stage.spec, [keys[i] for i in stage.inputs])
+            keys[name] = key
+            if cache is not None and stage.materialize and cache.has(spark, name, key):
+                results[name] = cache.load(spark, name, key)
+                report[name] = "hit"
+                continue
+            df = stage.fn(spark, {i: results[i] for i in stage.inputs})
+            if cache is not None and stage.materialize:
+                df = cache.materialize(spark, df, name, key)
+                report[name] = "materialized"
+            else:
+                report[name] = "computed"
+            results[name] = df
+        self.last_run_report = report
+        return results
+
+    def _closure(self, targets: set[str]) -> set[str]:
+        out: set[str] = set()
+        frontier = list(targets)
+        while frontier:
+            n = frontier.pop()
+            if n in out:
+                continue
+            out.add(n)
+            frontier.extend(self.stages[n].inputs)
+        return out
+
+
+# -- stage-fn builders -----------------------------------------------------
+def _source_fn(table: str, sf_dir: str) -> StageFn:
+    def fn(spark: SparkSession, _inputs: dict[str, DataFrame]) -> DataFrame:
+        return load_table(spark, sf_dir, table)
+
+    return fn
+
+
+def _values_fn(columns: list[str], rows: list[list]) -> StageFn:
+    def fn(spark: SparkSession, _inputs: dict[str, DataFrame]) -> DataFrame:
+        return spark.createDataFrame([tuple(r) for r in rows], schema=list(columns))
+
+    return fn
+
+
+def _sql_fn(query: str, inputs: list[str]) -> StageFn:
+    def fn(spark: SparkSession, frames: dict[str, DataFrame]) -> DataFrame:
+        for name in inputs:
+            frames[name].createOrReplaceTempView(name)
+        return spark.sql(query)
+
+    return fn

@@ -50,6 +50,7 @@ def load_registry() -> dict[str, DeclaredQuery]:
         functions,
         joins,
         llm_ops,
+        pipelines,
         projections,
         setops,
         sorts,

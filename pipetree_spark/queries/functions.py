@@ -1,1 +1,210 @@
-"""Placeholder — populated in a later phase."""
+"""Scalar-function surface: string / date / math / array / map / JSON
+(SURVEY §2.8).
+
+Per-row scalar ops are IEEE/bit-identical across engines, so results are
+emitted raw except transcendentals (round 4). Dialect gotchas handled:
+- DuckDB ``regexp_replace`` needs the ``'g'`` flag to match Spark's
+  global replace.
+- Day-of-week: Spark ``weekday()`` is 0=Monday; DuckDB ``isodow`` is
+  1=Monday → normalize to 0=Monday on both sides.
+- Date-typed outputs are rendered as strings (both engines format the
+  same wall-clock value under the engine's pinned UTC session TZ).
+- DuckDB ``floor``/``sign`` return doubles/ints inconsistently with
+  Spark → explicit casts on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipetree_spark.catalog import load_table
+from pipetree_spark.queries import declare
+
+
+@declare(
+    "q_fn_string",
+    oracle="""
+SELECT p_partkey,
+       UPPER(p_type) AS type_upper,
+       LOWER(p_name) AS name_lower,
+       SUBSTRING(p_name, 1, 8) AS name_prefix,
+       CONCAT_WS('|', p_brand, p_type) AS brand_type,
+       LEN(string_split(p_type, ' ')) AS n_type_words,
+       LENGTH(p_name) AS name_len,
+       LPAD(p_brand, 12, '*') AS brand_padded,
+       REGEXP_REPLACE(p_type, ' ', '_', 'g') AS type_snake,
+       CAST(REGEXP_EXTRACT(p_brand, '#([0-9]+)', 1) AS INT) AS brand_num,
+       TRIM(CONCAT(' ', p_brand, ' ')) AS brand_trim
+FROM part
+""",
+    tags=("fn",),
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_type").alias("type_upper"),
+        F.lower("p_name").alias("name_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.size(F.split("p_type", " ")).alias("n_type_words"),
+        F.length("p_name").alias("name_len"),
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+        F.regexp_extract("p_brand", "#([0-9]+)", 1).cast("int").alias("brand_num"),
+        F.trim(F.concat(F.lit(" "), F.col("p_brand"), F.lit(" "))).alias("brand_trim"),
+    )
+
+
+@declare(
+    "q_fn_date",
+    oracle="""
+SELECT o_orderkey,
+       YEAR(o_orderdate) AS yr,
+       MONTH(o_orderdate) AS mo,
+       DAY(o_orderdate) AS dy,
+       QUARTER(o_orderdate) AS qtr,
+       STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       STRFTIME(CAST(o_orderdate AS DATE) + INTERVAL 7 DAY, '%Y-%m-%d') AS plus_week,
+       DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch0,
+       STRFTIME(LAST_DAY(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       CAST(DATE_PART('isodow', o_orderdate) AS INT) - 1 AS dow_mon0
+FROM orders
+""",
+    tags=("fn",),
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions, normalized to the 0=Monday convention
+    (SURVEY §2.8 dow gotcha)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dy"),
+        F.quarter(d).alias("qtr"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_add(d.cast("date"), 7), "yyyy-MM-dd").alias("plus_week"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias("days_since_epoch0"),
+        F.date_format(F.last_day(d.cast("date")), "yyyy-MM-dd").alias("month_end"),
+        F.weekday(d).alias("dow_mon0"),
+    )
+
+
+@declare(
+    "q_fn_math",
+    oracle="""
+SELECT p_partkey,
+       ABS(p_size - 25) AS size_dev,
+       CAST(FLOOR(p_retailprice * 0.1) AS BIGINT) AS price_floor,
+       CAST(CEIL(p_retailprice * 0.1) AS BIGINT) AS price_ceil,
+       ROUND(SQRT(p_retailprice), 4) AS price_sqrt,
+       CAST(POW(p_size, 2) AS DOUBLE) AS size_sq,
+       ROUND(EXP(p_size * 0.01), 4) AS size_exp,
+       ROUND(LN(p_retailprice), 4) AS price_ln,
+       ROUND(LOG10(p_retailprice), 4) AS price_log10,
+       CAST(SIGN(p_size - 25) AS INT) AS size_sign,
+       p_partkey % 7 AS key_mod7
+FROM part
+""",
+    tags=("fn",),
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.floor(F.col("p_retailprice") * 0.1).cast("bigint").alias("price_floor"),
+        F.ceil(F.col("p_retailprice") * 0.1).cast("bigint").alias("price_ceil"),
+        F.round(F.sqrt("p_retailprice"), 4).alias("price_sqrt"),
+        F.pow("p_size", F.lit(2)).cast("double").alias("size_sq"),
+        F.round(F.exp(F.col("p_size") * 0.01), 4).alias("size_exp"),
+        F.round(F.log("p_retailprice"), 4).alias("price_ln"),
+        F.round(F.log10("p_retailprice"), 4).alias("price_log10"),
+        F.signum(F.col("p_size") - 25).cast("int").alias("size_sign"),
+        F.pmod("p_partkey", F.lit(7)).alias("key_mod7"),
+    )
+
+
+@declare(
+    "q_fn_array",
+    oracle="""
+SELECT doc_id,
+       LEN(string_split(text, ' ')) AS n_words,
+       LEN(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+       list_sort(string_split(text, ' '))[1] AS first_word_sorted,
+       CAST(list_contains(string_split(text, ' '), 'join') AS INT) AS has_join,
+       ARRAY_TO_STRING(list_slice(string_split(text, ' '), 1, 5), ' ') AS first5
+FROM documents
+""",
+    tags=("fn", "text"),
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over tokenized text (explode/posexplode are
+    exercised by q_text_tf and q_vec_centroid)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+        F.element_at(F.array_sort(words), 1).alias("first_word_sorted"),
+        F.array_contains(words, "join").cast("int").alias("has_join"),
+        F.array_join(F.slice(words, 1, 5), " ").alias("first5"),
+    )
+
+
+@declare(
+    "q_fn_map",
+    oracle="""
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+       'n_click,n_view' AS map_keys_csv
+FROM events
+GROUP BY user_id
+""",
+    tags=("fn", "events"),
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round-trip: build a map from arrays, extract values and
+    keys back out. The oracle states the expected *values* directly
+    (DuckDB MAP element access semantics drift across versions, so the
+    map machinery runs Spark-side and is validated by its outputs)."""
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("c"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("v"),
+    )
+    m = F.map_from_arrays(F.array(F.lit("n_click"), F.lit("n_view")), F.array(F.col("c"), F.col("v")))
+    return agg.select(
+        "user_id",
+        F.element_at(m, "n_click").alias("n_click"),
+        F.element_at(m, "n_view").alias("n_view"),
+        F.array_join(F.map_keys(m), ",").alias("map_keys_csv"),
+    )
+
+
+@declare(
+    "q_fn_json",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY 1
+""",
+    tags=("fn", "events"),
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events props column (string JSON →
+    get_json_object; integer sums are exact)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select((k % 10).alias("k_bucket"), k.alias("k"))
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n_events"), F.sum("k").alias("sum_k"))
+    )

@@ -1,1 +1,327 @@
-"""Placeholder — populated in a later phase."""
+"""LLM-training-data pipeline queries (SURVEY §2.12): text analysis,
+dedup (exact / shingle-Jaccard / MinHash-LSH / SimHash), similarity
+search (brute force + LSH-bucketed ANN), multimodal binary columns.
+
+Backed by ops/text.py and ops/vector.py; rounding policy per ops module
+docstrings (short unit-scale sums → round(4); integer-ratio outputs
+emitted raw — both engines compute identical doubles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipetree_spark.catalog import load_table
+from pipetree_spark.ops import text as TX
+from pipetree_spark.ops import vector as VX
+from pipetree_spark.queries import declare
+
+# DuckDB twin of ops.text.word_shingles(n=3) over pre-split words `w`
+_SHINGLES_SQL = (
+    "CASE WHEN len(w) >= 3 THEN list_distinct(list_transform("
+    "generate_series(1, len(w)-2), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
+    " ELSE [array_to_string(w, ' ')] END"
+)
+_SQ_SUM = "list_sum(list_transform({v}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
+
+
+@declare(
+    "q_text_stats",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+FROM documents
+GROUP BY lang
+""",
+    tags=("text", "bench"),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (counts are exact ints)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.sum(F.size(TX.tokens("text"))).alias("sum_tokens"),
+    )
+
+
+@declare(
+    "q_text_tf",
+    oracle="""
+WITH words AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+counts AS (SELECT lang, word, COUNT(*) AS cnt FROM words GROUP BY 1, 2)
+SELECT * FROM (
+  SELECT lang, word, cnt,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS rnk
+  FROM counts
+) WHERE rnk <= 5
+""",
+    tags=("text",),
+)
+def q_text_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per language: explode → count → topk_per_group.
+    Agg-skew note: hot terms are handled by the partial-agg combine;
+    explode itself is narrow (no shuffle)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(TX.tokens("text")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pipetree_spark.ops.relational import topk_per_group
+
+    return topk_per_group(
+        counts, partition_by=["lang"], order_by=[F.col("cnt").desc(), F.col("word")], k=5
+    )
+
+
+@declare(
+    "q_text_quality",
+    oracle=r"""
+SELECT doc_id,
+       LEN(string_split(text, ' ')) AS n_tokens,
+       LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS n_chars_nospace,
+       CAST(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS DOUBLE)
+         / LEN(string_split(text, ' ')) AS avg_token_len,
+       LEN(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+       CAST(LEN(list_filter(string_split(text, ' '),
+                            w -> w IN ('the','and','of','to','in'))) AS DOUBLE)
+         / LEN(string_split(text, ' ')) AS stopword_ratio_en
+FROM documents
+""",
+    tags=("text",),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features (ops.text.quality_features): token
+    counts, BPE-ish regex token count, stopword ratio. Ratios are exact
+    integer quotients — emitted raw."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = TX.quality_features(d)
+    return feats.select(
+        "doc_id", "n_tokens", "n_chars_nospace", "avg_token_len", "n_bpe_tokens", "stopword_ratio_en"
+    )
+
+
+@declare(
+    "q_text_fingerprint",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       list_aggregate(list_transform({_SHINGLES_SQL}, s -> md5(s)), 'min') AS fp
+FROM t
+""",
+    tags=("text",),
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min-md5 over 3-word shingles (a
+    1-permutation MinHash — ops.text.fingerprint)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint("text").alias("fp"))
+
+
+@declare("q_text_langid", oracle=None, tags=("text", "approx"))
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic stopword-profile language ID (ops.text.lang_id_scores).
+    Rows-only: this corpus is language-independent word salad, so the
+    op's plumbing (broadcast profiles, argmax over score structs) is
+    what's exercised; accuracy is asserted on synthetic text in pytest."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.lang_id_scores(d).select("doc_id", "lang", "lang_pred", "lang_score")
+
+
+@declare(
+    "q_dedup_exact",
+    oracle=r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_md5,
+       MIN(doc_id) AS keeper,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+    tags=("dedup", "bench"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized-text hash, keep-smallest-key
+    (ops.text.exact_dedup semantics, declared in its groupBy form)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(TX.text_hash("text").alias("text_md5")).agg(
+        F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies")
+    )
+
+
+@declare(
+    "q_dedup_near",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, lang, {_SHINGLES_SQL} AS s
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+)
+SELECT a.doc_id AS id_a,
+       b.doc_id AS id_b,
+       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2
+""",
+    tags=("dedup",),
+)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup: shingle-Jaccard pairs within language blocks
+    (ops.text.near_dup_pairs). Jaccard is an integer ratio — exact
+    double, no rounding. At 100 TB this runs only on MinHash-LSH
+    survivor candidates (q_dedup_minhash is that pre-filter)."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.near_dup_pairs(d, threshold=0.2)
+
+
+@declare("q_dedup_minhash", oracle=None, tags=("dedup", "approx"))
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (pyspark.ml, seed=42) — the
+    linear-scale near-dup path. Hash-seeded ⇒ rows-only check; exact
+    agreement with shingle Jaccard is asserted in pytest."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.minhash_pairs(d, jaccard_threshold=0.2).select("id_a", "id_b")
+
+
+@declare("q_dedup_simhash", oracle=None, tags=("dedup", "approx"))
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (ops.text.simhash64 shape, reduced
+    width) — Spark xxhash64-based, no portable oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = TX.word_shingles("text", 3)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    bits = [
+        F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i in range(16)
+    ]
+    out = F.lit(0)
+    for b in bits:
+        out = out.bitwiseOR(b)
+    return d.select("doc_id", out.alias("simhash16"))
+
+
+@declare(
+    "q_vec_norm",
+    oracle=f"""
+SELECT vec_id,
+       ROUND(SQRT({_SQ_SUM.format(v='embedding')}), 4) AS l2,
+       LEN(embedding) AS dim,
+       ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS comp_sum
+FROM embeddings
+""",
+    tags=("vector",),
+)
+def q_vec_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2 norm + component sum via higher-order functions
+    (ops.vector.l2_norm) — JVM-side, no UDF."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")), F.lit(0.0), lambda s, v: s + v
+    )
+    return e.select(
+        "vec_id",
+        F.round(VX.l2_norm(F.col("embedding")), 4).alias("l2"),
+        F.size("embedding").alias("dim"),
+        F.round(comp_sum, 4).alias("comp_sum"),
+    )
+
+
+@declare(
+    "q_vec_cosine_knn",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         ROUND(
+           list_sum(list_transform(generate_series(1, 64),
+                                   i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+           / (SQRT({_SQ_SUM.format(v='qv')}) * SQRT({_SQ_SUM.format(v='cv')})), 4) AS cos_sim
+  FROM q JOIN c ON c.vec_id != q.query_id
+)
+SELECT * FROM (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+""",
+    tags=("vector", "bench"),
+)
+def q_vec_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 (ops.vector.knn_bruteforce): broadcast
+    queries × corpus, rank on rounded cosine with key tie-break."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return VX.knn_bruteforce(q, e, k=5).select("query_id", "vec_id", "cos_sim", "rnk")
+
+
+@declare(
+    "q_vec_centroid",
+    oracle="""
+SELECT label, i - 1 AS dim,
+       ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) AS mean_val
+FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)
+GROUP BY 1, 2
+""",
+    tags=("vector",),
+)
+def q_vec_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components via posexplode → (label, dim) mean
+    (ops.vector.centroids internals; array re-assembly is pytest-covered)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 4).alias("mean_val"))
+    )
+
+
+@declare("q_vec_ann_lsh", oracle=None, tags=("vector", "approx"))
+def q_vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (ops.vector.lsh_bucket_ann, seeded
+    hyperplanes): the 10⁹-vector scale path. Recall vs the exact kNN is
+    asserted in pytest; rows-only here."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return VX.lsh_bucket_ann(q, e, k=5, n_planes=4).select("query_id", "vec_id", "cos_sim", "rnk")
+
+
+@declare(
+    "q_mm_binary",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS byte_len,
+       md5(text) AS md5_hex,
+       lang AS meta_lang
+FROM documents
+""",
+    tags=("multimodal",),
+)
+def q_mm_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing over real data: text bytes as a
+    BinaryType payload + md5 content fingerprint + typed metadata struct
+    (ops/mm.py holds the decode/feature pipelines; binary payloads are
+    manufactured since testdata has no binary column — FIXTURES.md)."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    meta = F.struct(F.col("lang"), F.col("source"))
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).alias("byte_len"),
+        F.md5(payload).alias("md5_hex"),
+        meta.getField("lang").alias("meta_lang"),
+    )

@@ -1,0 +1,100 @@
+"""Orchestration-layer queries (SURVEY §2.10): the reference's own
+operator surface, declared through the Pipeline API so the driver
+grades the spec→DAG→execute path end-to-end. Cache/skip semantics are
+pytest-covered (tests/test_pipeline.py) — a durable cache has no SQL
+oracle."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pipetree_spark.exact import dsum, dsum_sql
+from pipetree_spark.pipeline import Pipeline
+from pipetree_spark.queries import declare
+
+
+@declare(
+    "q_pipe_param",
+    oracle=f"""
+SELECT CAST(p.max_disc AS DOUBLE) AS max_disc,
+       COUNT(*) AS n_items,
+       {dsum_sql('l.l_quantity')} AS sum_qty
+FROM (VALUES (0.02), (0.04), (0.06)) AS p(max_disc)
+JOIN lineitem l ON l.l_discount <= CAST(p.max_disc AS DOUBLE)
+GROUP BY 1
+""",
+    tags=("pipeline",),
+)
+def q_pipe_param(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameter stage + grid-search fan-out (the reference's sweep
+    concept): the sweep is DATA — a parameter frame cross-joined into
+    the aggregation, one Spark job for the whole grid, not a driver
+    loop over runs."""
+    spec = {
+        "stages": {
+            "lineitem": {"type": "source", "table": "lineitem"},
+            "params": {
+                "type": "values",
+                "columns": ["max_disc"],
+                "rows": [[0.02], [0.04], [0.06]],
+            },
+            "sweep": {
+                "type": "sql",
+                "inputs": ["lineitem", "params"],
+                "query": f"""
+                    SELECT p.max_disc,
+                           COUNT(*) AS n_items,
+                           {dsum_sql('l.l_quantity')} AS sum_qty
+                    FROM params p JOIN lineitem l ON l.l_discount <= p.max_disc
+                    GROUP BY p.max_disc
+                """,
+            },
+        }
+    }
+    return Pipeline.from_spec(spec, sf_dir=sf_dir).run(spark, targets=["sweep"])["sweep"]
+
+
+@declare(
+    "q_pipe_udfstage",
+    oracle=f"""
+SELECT l_linestatus,
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 6, 24)} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY l_linestatus
+""",
+    tags=("pipeline",),
+)
+def q_pipe_udfstage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executor stage — arbitrary python over upstream frames (the
+    reference's entire compute surface). The python stage computes the
+    per-row revenue with a vectorized pandas UDF, downstream SQL stage
+    aggregates it with the exact-decimal policy."""
+
+    @F.pandas_udf(T.DoubleType())
+    def revenue(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1.0 - disc)
+
+    def rev_stage(_spark: SparkSession, frames: dict[str, DataFrame]) -> DataFrame:
+        l = frames["lineitem"]
+        return l.select(
+            "l_linestatus", revenue("l_extendedprice", "l_discount").alias("rev")
+        )
+
+    pipe = Pipeline.from_spec(
+        {"stages": {"lineitem": {"type": "source", "table": "lineitem"}}}, sf_dir=sf_dir
+    )
+    pipe.add_stage("rev", rev_stage, inputs=["lineitem"], spec={"stage": "rev", "v": 1})
+    pipe.add_stage(
+        "agg",
+        lambda s, fr: fr["rev"]
+        .groupBy("l_linestatus")
+        .agg(dsum(F.col("rev"), scale=6, precision=24).alias("revenue"), F.count("*").alias("n_items")),
+        inputs=["rev"],
+        spec={"stage": "agg", "v": 1},
+    )
+    return pipe.run(spark, targets=["agg"])["agg"]

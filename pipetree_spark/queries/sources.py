@@ -1,1 +1,130 @@
-"""Placeholder — populated in a later phase."""
+"""Source / sink queries (SURVEY §2.1).
+
+The engine's connector surface is path-scheme config over the same code
+paths (file:// locally, s3a:// on a cluster — the reference's S3
+artifact-backend concept, SURVEY §2.10). CSV/JSON round-trips write to a
+scratch dir and read back with explicit schemas — fidelity is proven by
+aggregating the round-tripped frame against the oracle over the
+ORIGINAL table (doubles survive because both writers emit shortest
+round-trip representations).
+"""
+
+from __future__ import annotations
+
+import functools
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pipetree_spark.catalog import TABLES, load_table
+from pipetree_spark.exact import dsum, dsum_sql
+from pipetree_spark.queries import declare
+
+_SCRATCH = tempfile.gettempdir()
+
+
+@declare(
+    "q_src_scan",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, COUNT(*) AS n_rows FROM {t}" for t in TABLES
+    ),
+    tags=("source",),
+)
+def q_src_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan every table (incl. the ns-timestamp events conversion) and
+    count — the basic source-of-truth check for all ten connectors."""
+    frames = [
+        load_table(spark, sf_dir, t).agg(
+            F.lit(t).alias("table_name"), F.count("*").alias("n_rows")
+        )
+        for t in TABLES
+    ]
+    return functools.reduce(lambda a, b: a.unionByName(b), frames)
+
+
+@declare(
+    "q_src_events",
+    oracle="""
+SELECT COUNT(*) AS n_events,
+       MIN(epoch_ns(ts) // 1000000000) AS min_sec,
+       MAX(epoch_ns(ts) // 1000000000) AS max_sec,
+       STRFTIME(MIN(DATE_TRUNC('second', CAST(ts AS TIMESTAMP))), '%Y-%m-%d %H:%M:%S') AS min_ts_str,
+       COUNT(DISTINCT event_type) AS n_types
+FROM events
+""",
+    tags=("source", "events"),
+)
+def q_src_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ns-timestamp gotcha query (SURVEY §1.2): proves the int64-ns →
+    timestamp conversion agrees with DuckDB's native ns reader at both
+    epoch-second and formatted-string granularity."""
+    e = load_table(spark, sf_dir, "events")
+    return e.agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_sec").alias("min_sec"),
+        F.max("ts_sec").alias("max_sec"),
+        F.date_format(F.date_trunc("second", F.min("ts")), "yyyy-MM-dd HH:mm:ss").alias("min_ts_str"),
+        F.count_distinct("event_type").alias("n_types"),
+    )
+
+
+@declare(
+    "q_src_csv_roundtrip",
+    oracle=f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS sum_total
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("source",),
+)
+def q_src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink → source fidelity: write a projection, read it back with
+    an explicit schema, re-aggregate; must equal the oracle over the
+    original parquet."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    path = f"{_SCRATCH}/pipetree_spark_csv_roundtrip"
+    o.write.mode("overwrite").option("header", True).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("header", True).csv(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice").alias("sum_total")
+    )
+
+
+@declare(
+    "q_src_json_roundtrip",
+    oracle=f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       {dsum_sql('c_acctbal')} AS sum_bal
+FROM customer
+GROUP BY c_mktsegment
+""",
+    tags=("source",),
+)
+def q_src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink → source fidelity (same protocol as CSV)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    path = f"{_SCRATCH}/pipetree_spark_json_roundtrip"
+    c.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_mktsegment", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"), dsum("c_acctbal").alias("sum_bal")
+    )

@@ -1,1 +1,221 @@
-"""Placeholder — populated in a later phase."""
+"""Window-function queries (SURVEY §2.5).
+
+Determinism rules encoded here:
+- ntile / row_number / lag / lead / first / last need a TOTAL order →
+  every orderBy ends with a unique key tie-break.
+- rank / dense_rank / percent_rank / cume_dist are value-deterministic
+  under ties, so they keep the natural (possibly tying) sort key.
+- Windowed sums go through the exact-decimal cast like group aggs.
+
+Scale: one shuffle per distinct partitionBy clause; Spark evaluates all
+same-partitioning windows in a single WindowExec pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pipetree_spark.catalog import load_table
+from pipetree_spark.exact import dec
+from pipetree_spark.ops.relational import topk_per_group
+from pipetree_spark.queries import declare
+
+
+@declare(
+    "q_win_rownum",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+FROM orders
+""",
+    tags=("window", "bench"),
+)
+def q_win_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number per partition — the dedup-pick-one idiom."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return o.select("o_orderkey", "o_custkey", F.row_number().over(w).alias("rn"))
+
+
+@declare(
+    "q_win_rank",
+    oracle="""
+SELECT c_custkey,
+       RANK()         OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk,
+       DENSE_RANK()   OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drnk,
+       PERCENT_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS prnk,
+       CUME_DIST()    OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS cdist,
+       NTILE(4)       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS quart
+FROM customer
+""",
+    tags=("window",),
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank family. rank/dense/percent/cume are tie-stable; ntile is not,
+    so its order adds the unique custkey tie-break."""
+    c = load_table(spark, sf_dir, "customer")
+    w_val = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    w_tot = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        F.rank().over(w_val).alias("rnk"),
+        F.dense_rank().over(w_val).alias("drnk"),
+        F.percent_rank().over(w_val).alias("prnk"),
+        F.cume_dist().over(w_val).alias("cdist"),
+        F.ntile(4).over(w_tot).alias("quart"),
+    )
+
+
+@declare(
+    "q_win_laglead",
+    oracle="""
+SELECT event_id,
+       COALESCE((epoch_ns(ts) // 1000000000)
+                - LAG(epoch_ns(ts) // 1000000000)
+                  OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000000000, event_id), -1) AS gap_sec,
+       COALESCE(LEAD(event_type)
+                OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000000000, event_id), 'NONE') AS next_type
+FROM events
+""",
+    tags=("window", "events"),
+)
+def q_win_laglead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead per user ordered by (epoch sec, event_id) — inter-event
+    gaps, the sessionization building block."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    return e.select(
+        "event_id",
+        F.coalesce(F.col("ts_sec") - F.lag("ts_sec").over(w), F.lit(-1)).alias("gap_sec"),
+        F.coalesce(F.lead("event_type").over(w), F.lit("NONE")).alias("next_type"),
+    )
+
+
+@declare(
+    "q_win_running",
+    oracle="""
+SELECT o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders
+""",
+    tags=("window",),
+)
+def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum, unbounded-preceding frame, exact-decimal inside."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@declare(
+    "q_win_moving",
+    oracle="""
+SELECT o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER w AS DOUBLE) / COUNT(*) OVER w AS moving_avg
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+    tags=("window",),
+)
+def q_win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over a bounded 3-row frame — expressed as exact
+    decimal sum / count so both engines divide identical doubles."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(-2, 0)
+    return o.select(
+        "o_orderkey",
+        (F.sum(dec("o_totalprice")).over(w).cast("double") / F.count("*").over(w)).alias("moving_avg"),
+    )
+
+
+@declare(
+    "q_win_rangeframe",
+    oracle="""
+SELECT o_orderkey,
+       COUNT(*) OVER w AS n_in_band,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS band_spend
+FROM (SELECT *, CAST(FLOOR(o_totalprice) AS BIGINT) AS tp_long FROM orders)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY tp_long
+             RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
+""",
+    tags=("window",),
+)
+def q_win_rangeframe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a value axis (orders within $50k below current).
+    Order column is an integral BIGINT so both engines agree on the
+    frame boundary arithmetic exactly."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "tp_long", F.floor("o_totalprice").cast("long")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("tp_long").rangeBetween(-50000, 0)
+    return o.select(
+        "o_orderkey",
+        F.count("*").over(w).alias("n_in_band"),
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("band_spend"),
+    )
+
+
+@declare(
+    "q_win_firstlast",
+    oracle="""
+SELECT o_orderkey,
+       FIRST_VALUE(o_orderkey) OVER w AS first_order,
+       LAST_VALUE(o_orderkey)  OVER w AS last_order,
+       NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    tags=("window",),
+)
+def q_win_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value with an explicit full-partition frame —
+    last_value over the default frame is the classic silent bug, so the
+    frame is always spelled out. nth beyond partition size → NULL
+    (identical semantics both engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+@declare(
+    "q_topk_pergroup",
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+""",
+    tags=("window", "bench"),
+)
+def q_topk_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via the ops-layer topk_per_group."""
+    o = load_table(spark, sf_dir, "orders")
+    return topk_per_group(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        partition_by=["o_custkey"],
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+    ).select("o_custkey", "o_orderkey", "rnk")

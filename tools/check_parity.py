@@ -46,8 +46,10 @@ def canon_val(v):
         return v.isoformat()
     if isinstance(v, float):
         return v
-    if type(v).__name__ == "Decimal":
-        return float(v)
+    # Deliberately do NOT coerce Decimal → float: a Decimal in either
+    # result means an oracle (or query) emits a type the other side
+    # doesn't — the driver's hash may treat them differently, so the
+    # local gate must flag it.
     return v
 
 
