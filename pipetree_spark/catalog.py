@@ -146,10 +146,21 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+#: Memoized table frames per (session, sf_dir, table). A DataFrame is a
+#: reusable lazy plan — caching it avoids re-reading parquet footers and
+#: re-running analysis on every query construction (catalog metadata
+#: caching, same as a production metastore). Queries built on a cached
+#: frame still re-execute fully: new Dataset ⇒ new exchanges.
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a lazy DataFrame (events converted)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    cache_key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
+    if cache_key in _DF_CACHE:
+        return _DF_CACHE[cache_key]
     apply_runtime_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
@@ -159,6 +170,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
             .withColumn("ts_sec", F.expr("ts_ns div 1000000000"))
         )
+    _DF_CACHE[cache_key] = df
     return df
 
 

@@ -350,3 +350,41 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_quantity", F.lit(0.25)).alias("q25_qty"),
         F.percentile("l_quantity", F.lit(0.90)).alias("q90_qty"),
     )
+
+
+@declare(
+    "q_agg_events",
+    oracle=f"""
+SELECT user_id, event_type,
+       COUNT(*) AS n_events,
+       {dsum_sql('value')} AS sum_value
+FROM events
+GROUP BY user_id, event_type
+""",
+    tags=("agg", "events", "bench"),
+)
+def q_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASELINE.md's q_events_sessionish: events groupBy (user, type)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_events"), dsum("value").alias("sum_value")
+    )
+
+
+@declare(
+    "q_agg_distinct_global",
+    oracle="""
+SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps
+FROM lineitem
+""",
+    tags=("agg", "bench"),
+)
+def q_agg_distinct_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global two-column distinct count — BASELINE.md's q_distinct shape
+    (the grouped 3-distinct variant is q_agg_distinct)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+    )

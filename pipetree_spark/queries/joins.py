@@ -304,3 +304,39 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.max("c_sec"), F.lit(-1)).alias("last_click_sec"),
         F.count("c_user").alias("n_prior_clicks"),
     )
+
+
+@declare(
+    "q_join_3way",
+    oracle=f"""
+SELECT n.n_name,
+       COUNT(*) AS n_items,
+       {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6, 24)} AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+    tags=("join", "bench"),
+)
+def q_join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASELINE.md's q_join_3way: fact⋈fact⋈dim⋈dim + agg. The two fact
+    joins shuffle on their keys (SMJ/SHJ via AQE); nation broadcasts.
+    At 100 TB: lineitem/orders co-bucketed on orderkey makes the first
+    join shuffle-free (bucketed-sink recipe in pipeline cache layer)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum(revenue, scale=6, precision=24).alias("revenue"),
+        )
+    )
