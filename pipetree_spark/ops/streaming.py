@@ -1,0 +1,123 @@
+"""Structured-Streaming recipes (SURVEY §2.9).
+
+The batch-analog queries in queries/streaming_batch.py are the graded
+surface; this module is the *streaming execution* side: file-source
+streams, watermarked windows, stateful dedup, custom state via
+applyInPandasWithState. tests/test_streaming.py drives them with chunked
+file feeds + memory sinks and asserts batch≡stream equivalence.
+
+Scale notes: watermarks bound state (hours × key cardinality);
+``maxFilesPerTrigger`` / ``maxBytesPerTrigger`` bound per-batch work;
+checkpoint dirs go on durable storage in production (config, not code).
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = EVENTS_STREAM_SCHEMA,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Parquet-directory stream — the replayable local stand-in for a
+    Kafka source (same DataFrame downstream either way)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling window — rows later than the watermark are
+    dropped; identical expression works in batch (unified semantics)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").cast("long").alias("window_start_sec"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Stateful exact dedup by event_id within the watermark horizon —
+    state is bounded by (watermark window × arrival rate)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def stream_static_join(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream–static join: the static side is re-broadcast per micro-batch."""
+    return events.join(F.broadcast(dim), on=on, how="inner")
+
+
+def running_user_counts(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful op via applyInPandasWithState: running event
+    count + value sum per user across micro-batches."""
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("s", T.DoubleType())]
+    )
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(sdf: DataFrame, spark: SparkSession, output_mode: str = "append") -> DataFrame:
+    """Execute a streaming frame to completion against a memory sink and
+    return the result table (test harness helper)."""
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

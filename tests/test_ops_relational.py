@@ -1,0 +1,81 @@
+"""Unit tests for ops.relational on tiny literal frames with exact
+expected outputs (SURVEY §5.3.2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pipetree_spark.ops.relational import asof_join, range_join, salted, topk_per_group
+
+
+def _trades(spark):
+    return spark.createDataFrame(
+        [(1, "A", 100), (2, "A", 205), (3, "B", 150)], "trade_id long, sym string, t long"
+    )
+
+
+def _quotes(spark):
+    return spark.createDataFrame(
+        [("A", 90, 10.0), ("A", 100, 11.0), ("A", 200, 12.0), ("B", 160, 20.0)],
+        "sym string, t long, px double",
+    )
+
+
+def test_asof_backward(spark):
+    out = asof_join(
+        _trades(spark), _quotes(spark), on=["sym"], left_time="t", right_time="t",
+        left_key="trade_id",
+    ).collect()
+    picked = {r["trade_id"]: r["px_r"] for r in out}
+    # trade 1 @100: latest quote ≤100 is (A,100,11.0) — inclusive boundary
+    # trade 2 @205: latest quote ≤205 is (A,200,12.0)
+    # trade 3 @150: no B quote ≤150 → left join keeps row with null
+    assert picked == {1: 11.0, 2: 12.0, 3: None}
+
+
+def test_asof_forward_inner(spark):
+    out = asof_join(
+        _trades(spark), _quotes(spark), on=["sym"], left_time="t", right_time="t",
+        left_key="trade_id", direction="forward", how="inner",
+    ).collect()
+    picked = {r["trade_id"]: r["px_r"] for r in out}
+    # trade 1 @100: earliest A quote ≥100 is (A,100,11.0) — inclusive boundary
+    # trade 2 @205: no A quote ≥205 (max is 200) → dropped by inner
+    # trade 3 @150: earliest B quote ≥150 is (B,160,20.0)
+    assert picked == {1: 11.0, 3: 20.0}
+
+
+def test_asof_forward_drops_unmatched_inner(spark):
+    out = asof_join(
+        _trades(spark).filter(F.col("trade_id") == 2),
+        _quotes(spark),
+        on=["sym"], left_time="t", right_time="t", left_key="trade_id",
+        direction="forward", how="inner",
+    ).collect()
+    assert out == []  # no A quote at/after t=205
+
+
+def test_range_join_bounds(spark):
+    left = spark.createDataFrame([(1, "u", 100)], "id long, k string, t long")
+    right = spark.createDataFrame(
+        [("u", 100), ("u", 101), ("u", 400), ("u", 401), ("v", 150)], "k string, t long"
+    )
+    out = range_join(left, right, on=["k"], left_time="t", right_time="t", lower=1, upper=300)
+    ts = sorted(r["t"] for r in out.select(F.col("r.t")).collect())
+    assert ts == [101, 400]  # strictly after, within +300; (u,100) excluded, (v,*) excluded
+
+
+def test_topk_deterministic_under_ties(spark):
+    df = spark.createDataFrame(
+        [("g", 5, 1), ("g", 5, 2), ("g", 5, 3), ("g", 4, 4)], "g string, score long, id long"
+    )
+    out = topk_per_group(df, ["g"], [F.col("score").desc(), F.col("id")], k=2).collect()
+    assert [(r["id"], r["rnk"]) for r in sorted(out, key=lambda r: r["rnk"])] == [(1, 1), (2, 2)]
+
+
+def test_salted_stable_and_bounded(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    s1 = salted(df, "k", 8).collect()
+    s2 = salted(df, "k", 8).collect()
+    assert {r["k"]: r["__salt"] for r in s1} == {r["k"]: r["__salt"] for r in s2}
+    assert all(0 <= r["__salt"] < 8 for r in s1)

@@ -1,0 +1,56 @@
+"""The declaration gate (SURVEY §5.3.1): every declared query must
+hash-match its DuckDB oracle. Runs at sf0.001 for speed in the default
+suite; tools/check_parity.py runs the same loop at sf0.01 (the driver's
+grading scale) and is executed before every declaration change."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from check_parity import canon_result, compare, run_oracle  # noqa: E402
+
+from pipetree_spark.catalog import TABLES, table_path  # noqa: E402
+from pipetree_spark.queries import load_registry  # noqa: E402
+
+REGISTRY = load_registry()
+
+
+@pytest.fixture(scope="module")
+def oracle_con(sf_small):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_small, t)}')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(name, spark, sf_small, oracle_con):
+    q = REGISTRY[name]
+    sdf = q.fn(spark, sf_small)
+    srows = [tuple(r) for r in sdf.collect()]
+    if q.oracle is None:
+        assert len(srows) >= 0  # rows-only contract: runs and returns
+        return
+    ocols, orows = run_oracle(oracle_con, q.oracle)
+    sc, sr = canon_result(sdf.columns, srows)
+    oc, orr = canon_result(ocols, orows)
+    problems = compare(sc, sr, oc, orr, tol=0.0)
+    assert not problems, f"{name}: {problems[:3]}"
+
+
+def test_driver_contract_shape():
+    import __spark_entry__ as se
+
+    qs, osql = se.queries(), se.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) >= 75
+    assert all(callable(f) for f in qs.values())
+    assert all(isinstance(s, str) and s.strip() for s in osql.values())

@@ -1,0 +1,143 @@
+"""Cache / orchestration semantics (SURVEY §5.3.5) — the reference's
+core behavior: run-twice ⇒ skip; spec change ⇒ recompute; upstream
+change ⇒ downstream recompute (hash propagation); DAG validation."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pipetree_spark.cache import ArtifactCache, content_key
+from pipetree_spark.pipeline import Pipeline
+
+
+def _spec(sf_dir: str, where: str = "1=1") -> dict:
+    return {
+        "stages": {
+            "lineitem": {"type": "source", "table": "lineitem", "sf_dir": sf_dir},
+            "filtered": {
+                "type": "sql",
+                "inputs": ["lineitem"],
+                "materialize": True,
+                "query": f"SELECT l_returnflag, l_quantity FROM lineitem WHERE {where}",
+            },
+            "agg": {
+                "type": "sql",
+                "inputs": ["filtered"],
+                "materialize": True,
+                "query": "SELECT l_returnflag, COUNT(*) AS n FROM filtered GROUP BY 1",
+            },
+        }
+    }
+
+
+def test_run_twice_skips(spark, sf_small, tmp_path):
+    cache = ArtifactCache(str(tmp_path))
+    p1 = Pipeline.from_spec(_spec(sf_small))
+    r1 = p1.run(spark, cache=cache)
+    v1 = sorted(tuple(r) for r in r1["agg"].collect())
+    assert p1.last_run_report == {
+        "lineitem": "computed",
+        "filtered": "materialized",
+        "agg": "materialized",
+    }
+
+    p2 = Pipeline.from_spec(_spec(sf_small))
+    r2 = p2.run(spark, cache=cache)
+    assert p2.last_run_report["filtered"] == "hit"
+    assert p2.last_run_report["agg"] == "hit"
+    assert sorted(tuple(r) for r in r2["agg"].collect()) == v1
+
+
+def test_spec_change_recomputes_downstream_only(spark, sf_small, tmp_path):
+    cache = ArtifactCache(str(tmp_path))
+    Pipeline.from_spec(_spec(sf_small)).run(spark, cache=cache)
+
+    # change only the downstream agg stage → upstream stays a hit
+    spec = _spec(sf_small)
+    spec["stages"]["agg"]["query"] = (
+        "SELECT l_returnflag, COUNT(*) AS n, 1 AS extra FROM filtered GROUP BY 1"
+    )
+    p = Pipeline.from_spec(spec)
+    p.run(spark, cache=cache)
+    assert p.last_run_report["filtered"] == "hit"
+    assert p.last_run_report["agg"] == "materialized"
+
+
+def test_upstream_change_propagates(spark, sf_small, tmp_path):
+    cache = ArtifactCache(str(tmp_path))
+    Pipeline.from_spec(_spec(sf_small)).run(spark, cache=cache)
+
+    # change the upstream filter → dependency hash of agg changes too
+    p = Pipeline.from_spec(_spec(sf_small, where="l_quantity > 10"))
+    p.run(spark, cache=cache)
+    assert p.last_run_report["filtered"] == "materialized"
+    assert p.last_run_report["agg"] == "materialized"
+
+
+def test_targets_prune_unneeded_stages(spark, sf_small):
+    spec = _spec(sf_small)
+    spec["stages"]["unrelated"] = {
+        "type": "values",
+        "columns": ["x"],
+        "rows": [[1]],
+    }
+    p = Pipeline.from_spec(spec)
+    p.run(spark, targets=["filtered"])
+    assert "unrelated" not in p.last_run_report
+    assert "agg" not in p.last_run_report
+
+
+def test_grid_stage_cartesian(spark):
+    p = Pipeline.from_spec(
+        {
+            "stages": {
+                "grid": {"type": "grid", "grid": {"lr": [0.1, 0.2], "depth": [3, 5, 7]}}
+            }
+        }
+    )
+    rows = p.run(spark)["grid"].collect()
+    assert len(rows) == 6
+    assert {(r.lr, r.depth) for r in rows} == {
+        (lr, d) for lr in (0.1, 0.2) for d in (3, 5, 7)
+    }
+
+
+def test_python_stage_and_add_stage(spark, sf_small):
+    p = Pipeline.from_spec(
+        {"stages": {"orders": {"type": "source", "table": "orders", "sf_dir": sf_small}}}
+    )
+    p.add_stage(
+        "big",
+        lambda s, fr: fr["orders"].filter(F.col("o_totalprice") > 100000),
+        inputs=["orders"],
+    )
+    n_all = p.run(spark)["orders"].count()
+    n_big = p.run(spark)["big"].count()
+    assert 0 < n_big < n_all
+
+
+def test_dag_validation():
+    with pytest.raises(ValueError, match="cycle"):
+        Pipeline.from_spec(
+            {
+                "stages": {
+                    "a": {"type": "sql", "inputs": ["b"], "query": "SELECT 1"},
+                    "b": {"type": "sql", "inputs": ["a"], "query": "SELECT 1"},
+                }
+            }
+        )
+    with pytest.raises(ValueError, match="undefined"):
+        Pipeline.from_spec(
+            {"stages": {"a": {"type": "sql", "inputs": ["ghost"], "query": "SELECT 1"}}}
+        )
+    with pytest.raises(ValueError, match="unknown stage type"):
+        Pipeline.from_spec({"stages": {"a": {"type": "wat"}}})
+
+
+def test_content_key_properties():
+    k1 = content_key({"q": "SELECT 1"}, [])
+    assert k1 == content_key({"q": "SELECT 1"}, [])  # deterministic
+    assert k1 != content_key({"q": "SELECT 2"}, [])  # definition-sensitive
+    assert k1 != content_key({"q": "SELECT 1"}, ["up"])  # dependency-sensitive
