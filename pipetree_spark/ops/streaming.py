@@ -75,6 +75,36 @@ def stream_static_join(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     return events.join(F.broadcast(dim), on=on, how="inner")
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    watermark: str = "10 minutes",
+    bound_seconds: int = 300,
+) -> DataFrame:
+    """Stream–stream inner join: equi on ``key`` plus a time-range bound.
+
+    Both sides are watermarked so Spark can expire join state — without the
+    time bound the state store would grow without limit; with it, state per
+    key is bounded by (watermark + bound) × arrival rate.
+    """
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {bound_seconds} SECONDS"))
+        & (F.col("l.event_id") != F.col("r.event_id"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col(f"l.{key}").alias(key),
+        F.col("l.event_id").alias("l_event_id"),
+        F.col("r.event_id").alias("r_event_id"),
+        F.col("l.ts").alias("l_ts"),
+        F.col("r.ts").alias("r_ts"),
+    )
+
+
 def running_user_counts(events: DataFrame) -> DataFrame:
     """Arbitrary stateful op via applyInPandasWithState: running event
     count + value sum per user across micro-batches."""

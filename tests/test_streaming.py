@@ -1,0 +1,195 @@
+"""Streaming execution tests (SURVEY §2.9 / §5.3.4).
+
+Strategy: replay the events table (or synthetic rows) as a chunked
+parquet directory stream with ``maxFilesPerTrigger=1`` so multiple
+micro-batches fire, run to a memory sink with ``availableNow``, and
+assert against the batch-mode result of the same expression (Spark's
+unified semantics make batch the oracle for streaming).
+"""
+
+from __future__ import annotations
+
+import os
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pipetree_spark.catalog import load_table
+from pipetree_spark.ops import streaming as st
+
+
+def _write_chunks(spark, df, tmpdir, n_chunks=4, order_col="ts"):
+    """Write df as n_chunks single-file parquet pieces, ordered by
+    order_col across chunks, with increasing mtimes so the file source
+    replays them in time order."""
+    path = str(tmpdir)
+    ranked = df.withColumn("_b", F.ntile(n_chunks).over(Window.orderBy(order_col)))
+    base = None
+    for i in range(1, n_chunks + 1):
+        chunk_dir = os.path.join(path, f"chunk_{i}")
+        ranked.filter(F.col("_b") == i).drop("_b").coalesce(1).write.parquet(chunk_dir)
+        for f in os.listdir(chunk_dir):
+            if f.endswith(".parquet"):
+                full = os.path.join(chunk_dir, f)
+                dst = os.path.join(path, f"{i:03d}.parquet")
+                os.rename(full, dst)
+                if base is None:
+                    base = os.path.getmtime(dst)
+                os.utime(dst, (base + i, base + i))
+        import shutil
+
+        shutil.rmtree(chunk_dir)
+    return path
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_small, tmp_path_factory):
+    events = load_table(spark, sf_small, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    return _write_chunks(spark, events, tmp_path_factory.mktemp("events_chunks"))
+
+
+def test_tumbling_stream_matches_batch(spark, sf_small, events_stream_dir):
+    sdf = st.file_stream(spark, events_stream_dir)
+    got = st.run_to_memory(st.tumbling_counts(sdf), spark, output_mode="append")
+
+    events = load_table(spark, sf_small, "events")
+    want = st.tumbling_counts(events)
+
+    got_rows = {(r.window_start_sec, r.event_type): r.n_events for r in got.collect()}
+    want_rows = {(r.window_start_sec, r.event_type): r.n_events for r in want.collect()}
+
+    # Append mode only emits windows the final watermark has passed; every
+    # emitted window must match batch exactly, and most windows must emit.
+    assert got_rows, "stream produced no rows"
+    for k, v in got_rows.items():
+        assert want_rows[k] == v, f"window {k}: stream={v} batch={want_rows[k]}"
+    assert len(got_rows) >= len(want_rows) * 0.5
+
+
+def _write_row_chunks(spark, tmp_path, chunks):
+    """Write each row-list as one parquet file with increasing mtimes so
+    the file source replays them as separate micro-batches in order."""
+    import glob
+    import shutil
+
+    base = None
+    for i, rows in enumerate(chunks):
+        cdir = str(tmp_path / f"c{i}")
+        spark.createDataFrame(rows, schema=st.EVENTS_STREAM_SCHEMA).coalesce(1).write.parquet(cdir)
+        dst = str(tmp_path / f"{i:03d}.parquet")
+        shutil.move(glob.glob(cdir + "/*.parquet")[0], dst)
+        shutil.rmtree(cdir)
+        if base is None:
+            base = os.path.getmtime(dst)
+        os.utime(dst, (base + i, base + i))
+    return str(tmp_path)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """A row arriving micro-batches later, with ts far behind the
+    watermark, must be excluded from its (already closed) window.
+
+    Note Spark keeps TWO watermarks per stateful op: late-event filtering
+    uses the previous batch's watermark, eviction uses the current one —
+    so a filler batch is needed between the watermark-advancing row and
+    the late row for the drop to be observable.
+    """
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    path = _write_row_chunks(
+        spark,
+        tmp_path,
+        [
+            [(1, t0, 10, "click", 1.0), (2, t0 + dt.timedelta(minutes=30), 10, "click", 1.0)],
+            # advances watermark far past the first window (wm = max_ts - 10m)
+            [(3, t0 + dt.timedelta(hours=5), 10, "click", 1.0)],
+            # filler: propagates the advanced watermark into the late-event filter
+            [(5, t0 + dt.timedelta(hours=5, minutes=1), 10, "click", 1.0)],
+            [(4, t0 + dt.timedelta(minutes=1), 10, "click", 1.0)],  # hours late
+        ],
+    )
+    sdf = st.file_stream(spark, path)
+    out = st.run_to_memory(st.tumbling_counts(sdf), spark, output_mode="append")
+    first_window = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    got = {r.window_start_sec: r.n_events for r in out.collect()}
+    # late event_id=4 fell in the first (closed) window → count stays 2
+    assert got.get(first_window) == 2
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 10, "click", 1.0),
+        (1, t0 + dt.timedelta(seconds=30), 10, "click", 1.0),  # dup id within wm
+        (2, t0 + dt.timedelta(minutes=1), 11, "view", 2.0),
+    ]
+    spark.createDataFrame(rows, schema=st.EVENTS_STREAM_SCHEMA).write.parquet(
+        str(tmp_path / "d")
+    )
+    sdf = st.file_stream(spark, str(tmp_path / "d"))
+    out = st.run_to_memory(st.stream_dedup(sdf), spark, output_mode="append")
+    ids = sorted(r.event_id for r in out.collect())
+    assert ids == [1, 2]
+
+
+def test_stream_static_join_matches_batch(spark, sf_small, events_stream_dir):
+    dim = (
+        load_table(spark, sf_small, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    sdf = st.file_stream(spark, events_stream_dir)
+    joined = st.stream_static_join(sdf, dim, on="user_id")
+    got = st.run_to_memory(joined, spark, output_mode="append")
+
+    events = load_table(spark, sf_small, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    want = events.join(dim, on="user_id", how="inner")
+    assert got.count() == want.count()
+
+
+def test_stream_stream_join_time_bounded(spark, sf_small, events_stream_dir):
+    l = st.file_stream(spark, events_stream_dir)
+    r = st.file_stream(spark, events_stream_dir)
+    got = st.run_to_memory(st.stream_stream_join(l, r), spark, output_mode="append")
+
+    events = load_table(spark, sf_small, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    want = st.stream_stream_join(
+        events.withColumnRenamed("x", "x"), events
+    )  # batch mode: same expression, watermark is a no-op
+    # Stream joins may drop pairs whose partner fell behind the watermark at
+    # arrival; everything emitted must be a true pair, and coverage is high.
+    got_pairs = {(r2.l_event_id, r2.r_event_id) for r2 in got.collect()}
+    want_pairs = {(r2.l_event_id, r2.r_event_id) for r2 in want.collect()}
+    assert got_pairs <= want_pairs
+    assert len(got_pairs) >= len(want_pairs) * 0.9
+
+
+def test_stateful_running_counts(spark, sf_small, events_stream_dir):
+    sdf = st.file_stream(spark, events_stream_dir)
+    out = st.run_to_memory(st.running_user_counts(sdf), spark, output_mode="update")
+    # memory/update sink appends one row per (batch, user); the final row
+    # per user is the running total = batch groupBy result
+    import pandas as pd
+
+    pdf = out.toPandas()
+    final = pdf.groupby("user_id").last()
+
+    events = load_table(spark, sf_small, "events")
+    want = {
+        r.user_id: (r.n, r.s)
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert len(final) == len(want)
+    for uid, row in final.iterrows():
+        n, s = want[uid]
+        assert row["n_events"] == n
+        assert abs(row["sum_value"] - s) < 1e-6
