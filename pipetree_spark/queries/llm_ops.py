@@ -215,6 +215,40 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "q_dedup_embcos",
+    oracle=f"""
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+         list_sum(list_transform(generate_series(1, 64),
+                                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         / (SQRT({_SQ_SUM.format(v='a.embedding')}) * SQRT({_SQ_SUM.format(v='b.embedding')})) AS cos
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, label, ROUND(cos, 4) AS cos_sim
+FROM p WHERE cos >= 0.35
+""",
+    tags=("dedup", "vector"),
+)
+def q_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label blocks: blocked
+    self-join → JVM-side cosine (higher-order fns, no UDF) → threshold.
+    Cosine is a fixed-order double sum, bit-identical across engines;
+    rounded on emit only. At 100 TB the label block becomes an LSH/IVF
+    bucket key (q_vec_ann_lsh path) so the self-join never goes n²; a
+    hot block is salt-able because cosine needs no other co-location."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), "label", F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), "label", F.col("embedding").alias("vb"))
+    cos = VX.cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, ["label"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= 0.35)
+        .select("id_a", "id_b", "label", F.round(cos, 4).alias("cos_sim"))
+    )
+
+
+@declare(
     "q_vec_norm",
     oracle=f"""
 SELECT vec_id,
