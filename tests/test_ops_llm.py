@@ -1,0 +1,158 @@
+"""Unit tests for the LLM-data ops (SURVEY §2.12): dedup family
+agreement, lang-id accuracy on synthetic text, LSH ANN recall, and the
+multimodal binary plumbing. These are the pytest halves promised by the
+rows-only declared queries."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from pipetree_spark.catalog import load_table
+from pipetree_spark.ops import mm as MM
+from pipetree_spark.ops import text as TX
+from pipetree_spark.ops import vector as VX
+
+# Synthetic corpus with known duplicate structure: 1/2 exact-normalized
+# dups, 3/4 near-dups (one word changed), 5 unique, 6/7 near-dups.
+DOCS = [
+    (1, "en", "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "en", "  The quick brown fox jumps over the lazy dog near the river bank "),
+    (3, "en", "machine learning models require large amounts of clean training data today"),
+    (4, "en", "machine learning models require large amounts of clean training text today"),
+    (5, "en", "completely unrelated sentence about cooking pasta with fresh tomato sauce"),
+    (6, "en", "spark structured streaming handles late data with watermarks and windows"),
+    (7, "en", "spark structured streaming handles late data with watermarks and triggers"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "lang", "text"])
+
+
+def test_exact_dedup_normalizes_and_keeps_smallest_key(spark, docs):
+    kept = TX.exact_dedup(docs)
+    ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    # doc 2 is a case/whitespace variant of doc 1 → dropped; all else kept
+    assert ids == [1, 3, 4, 5, 6, 7]
+
+
+def test_near_dup_pairs_finds_planted_pairs(spark, docs):
+    pairs = TX.near_dup_pairs(docs, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got and (3, 4) in got and (6, 7) in got
+    assert not any(5 in p for p in got)
+
+
+def test_minhash_agrees_with_exact_jaccard(spark, docs):
+    """MinHash-LSH at a LOWER threshold must cover every exact-Jaccard
+    pair at the target threshold (the scale pattern: LSH pre-filter,
+    exact-Jaccard verify on survivors) with a similar estimate."""
+    exact = {(r.id_a, r.id_b): r.jaccard for r in TX.near_dup_pairs(docs, threshold=0.5).collect()}
+    approx = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in TX.minhash_pairs(docs, jaccard_threshold=0.3).collect()
+    }
+    assert set(exact) <= set(approx)
+    for pair, j in exact.items():
+        assert abs(approx[pair] - j) < 0.35  # 32 hashes → coarse estimate
+
+
+def test_simhash_close_for_near_dups(spark, docs):
+    out = {r.doc_id: r.sh for r in docs.select("doc_id", TX.simhash64("text").alias("sh")).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    # near-dups land far closer in hamming space than unrelated docs
+    assert hamming(out[1], out[2]) < hamming(out[1], out[5])
+    assert hamming(out[3], out[4]) < hamming(out[3], out[5])
+    assert hamming(out[6], out[7]) < hamming(out[6], out[5])
+
+
+def test_lang_id_on_synthetic_text(spark):
+    rows = [
+        (1, "the cat and the dog of the house went to sleep in the barn"),
+        (2, "der hund und die katze und das haus ist der ort"),
+        (3, "el perro y la casa de que el gato y la luna"),
+        (4, "le chat et les chiens et des maisons le jour la nuit"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pred = {r.doc_id: r.lang_pred for r in TX.lang_id_scores(df).collect()}
+    assert pred == {1: "en", 2: "de", 3: "es", 4: "fr"}
+
+
+def test_fingerprint_matches_python_reference(spark, docs):
+    """fp = min(md5(shingle)) — assert exact agreement with a pure-python
+    reference implementation."""
+    import hashlib
+
+    fp = {r.doc_id: r.fp for r in docs.select("doc_id", TX.fingerprint("text").alias("fp")).collect()}
+    for doc_id, _lang, text in DOCS:
+        w = text.split(" ")
+        grams = (
+            sorted({" ".join(w[i : i + 3]) for i in range(len(w) - 2)})
+            if len(w) >= 3
+            else [" ".join(w)]
+        )
+        want = min(hashlib.md5(g.encode()).hexdigest() for g in grams)
+        assert fp[doc_id] == want, doc_id
+
+
+def test_lsh_ann_recall_vs_exact(spark, sf_small):
+    e = load_table(spark, sf_small, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = VX.knn_bruteforce(q, e, k=5)
+    approx = VX.lsh_bucket_ann(q, e, k=5, n_planes=2)  # 4 buckets → high recall
+    exact_set = {(r.query_id, r.vec_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3  # 2 planes ≈ same-quadrant pruning; recall>0 proves the path
+    # the knob monotonicity: fewer planes ⇒ larger buckets ⇒ recall up
+    approx0 = VX.lsh_bucket_ann(q, e, k=5, n_planes=0)
+    full_set = {(r.query_id, r.vec_id) for r in approx0.collect()}
+    assert full_set == exact_set  # 0 planes = single bucket = exact
+
+
+def test_centroids_match_numpy(spark, sf_small):
+    e = load_table(spark, sf_small, "embeddings")
+    got = {r.label: r.centroid for r in VX.centroids(e).collect()}
+    pdf = e.select("label", "embedding").toPandas()
+    for label, grp in pdf.groupby("label"):
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in grp["embedding"]])
+        np.testing.assert_allclose(got[label], mat.mean(axis=0), atol=1e-9)
+
+
+def test_mm_payload_roundtrip_and_features(spark, sf_small):
+    d = load_table(spark, sf_small, "documents").limit(50)
+    payloads = MM.with_payload(d)
+    stats = MM.payload_stats(payloads)
+    feats = MM.extract_features(payloads)
+    joined = stats.select("doc_id", "byte_len", "content_sha").join(
+        feats.withColumnsRenamed({"byte_len": "bl2", "content_sha": "sha2"}), "doc_id"
+    )
+    rows = joined.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r.byte_len == r.bl2  # JVM length == python len
+        assert r.content_sha == r.sha2  # sha2(256) == hashlib.sha256
+        assert 0.0 <= r.feat_mean <= 255.0 and r.feat_std >= 0.0
+
+
+def test_mm_stub_decoder_deterministic_and_real_decoder_gated():
+    a = MM.stub_decoder(b"hello")
+    b = MM.stub_decoder(b"hello")
+    assert a == b and a["feat_std"] > 0
+    assert MM.stub_decoder(b"") == {"feat_mean": 0.0, "feat_std": 0.0}
+    with pytest.raises(NotImplementedError):
+        MM.real_decoder(b"\x89PNG", None)
+
+
+def test_mm_frame_sample(spark):
+    frames = [(1, [bytes([i]) for i in range(25)])]
+    df = spark.createDataFrame(frames, ["vid_id", "frames"])
+    out = MM.frame_sample(df, every_n=10).collect()[0]
+    assert out.sampled_frames == [bytes([0]), bytes([10]), bytes([20])]
