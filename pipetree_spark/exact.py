@@ -57,6 +57,67 @@ def davg_sql(expr: str, scale: int = 2, precision: int = 18) -> str:
     return f"{dsum_sql(expr, scale, precision)} / COUNT({expr})"
 
 
+def lsum(col: Column | str, scale: int = 2) -> Column:
+    """Single-level exact sum via scaled-long accumulation — the fastest
+    exact path (pure long math, whole-stage codegen, no decimal at all).
+
+    Safe when (rows_per_GROUP × max|x|·10^scale) < 2⁶³ — a per-group
+    bound, so use it for high-cardinality keys whose groups stay small
+    as data grows (per-user, per-customer, per-hour-window aggregates:
+    a customer with 15 orders has 15 orders at any SF). For few-group
+    rollups where one group sees the whole table, use :func:`exact_sums`
+    (two-level) instead — its partial bound is per-partition, not
+    per-group. Emits double; oracle twin is the same ``dsum_sql``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(F.round(c * F.lit(10**scale)).cast("long")) / F.lit(float(10**scale))
+
+
+def exact_sums(
+    df,
+    keys,
+    sums,
+    count: str | None = None,
+):
+    """Two-level exact grouped sums — same bits as :func:`dsum`, ~4× faster.
+
+    ``sums`` maps output name → (column, scale). Level 1 groups by
+    (keys + spark_partition_id) and long-sums per-row scaled integers
+    (``round(x·10^s)`` — exact for s-dp doubles, which sit within 1e-5 of
+    an integer after scaling, so both engines round identically). Long
+    math stays in whole-stage codegen; map-side combine emits one row per
+    (key, partition). Level 2 decimal(38,0)-sums the ≤ num_partitions
+    partials per group — exact at any data scale, with the slow decimal
+    path amortized over partials instead of rows.
+
+    Per-partial overflow bound: rows_per_partition × max(|x|·10^s) must
+    stay < 2⁶³ — at 128 MiB parquet splits (~1e7 rows) that allows
+    per-row scaled magnitudes up to ~9e11, far above any money column.
+
+    Emits sums as DOUBLE (exact for totals < 2⁵³ scaled units; beyond
+    that both engines round the same exact decimal to the nearest double
+    — the decimal→double cast and the ``/10^s`` double division are both
+    correctly rounded). ``count`` optionally adds an exact row count.
+    """
+    from pyspark.sql import functions as _F
+
+    level1 = [
+        _F.sum(_F.round((_F.col(c) if isinstance(c, str) else c) * _F.lit(10**s)).cast("long")).alias(
+            f"__{n}"
+        )
+        for n, (c, s) in sums.items()
+    ]
+    level1.append(_F.count("*").alias("__n"))
+    partials = df.groupBy(*keys, _F.spark_partition_id().alias("__pid")).agg(*level1)
+    level2 = [
+        (_F.sum(_F.col(f"__{n}").cast("decimal(38,0)")).cast("double") / float(10**s)).alias(n)
+        for n, (_, s) in sums.items()
+    ]
+    if count is not None:
+        level2.append(_F.sum("__n").alias(count))
+    return partials.groupBy(*keys).agg(*level2)
+
+
 def r2(col: Column) -> Column:
     """Round-to-2dp policy for aggregates with no exact path (stddev...)."""
     return F.round(col, 2)

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pipetree_spark.catalog import load_table
-from pipetree_spark.exact import davg_sql, dec, dsum, dsum_sql
+from pipetree_spark.exact import davg_sql, dec, dsum, dsum_sql, exact_sums, lsum
 from pipetree_spark.queries import declare
 
 SHIP_CUTOFF = "2000-12-01 00:00:00"
@@ -35,20 +35,28 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    return (
-        l.filter(F.col("l_shipdate") <= F.lit(SHIP_CUTOFF).cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(disc_price, scale=6, precision=24).alias("sum_disc_price"),
-            dsum(charge, scale=6, precision=24).alias("sum_charge"),
-            (dsum("l_quantity") / F.count("*")).alias("avg_qty"),
-            (dsum("l_extendedprice") / F.count("*")).alias("avg_price"),
-            F.count("*").alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
+    g = exact_sums(
+        l.filter(F.col("l_shipdate") <= F.lit(SHIP_CUTOFF).cast("timestamp")),
+        keys=["l_returnflag", "l_linestatus"],
+        sums={
+            "sum_qty": ("l_quantity", 2),
+            "sum_base_price": ("l_extendedprice", 2),
+            "sum_disc_price": (disc_price, 6),
+            "sum_charge": (charge, 6),
+        },
+        count="count_order",
     )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
+        (F.col("sum_base_price") / F.col("count_order")).alias("avg_price"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 PRICING_SUMMARY_SQL = f"""
@@ -367,7 +375,7 @@ def q_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BASELINE.md's q_events_sessionish: events groupBy (user, type)."""
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("user_id", "event_type").agg(
-        F.count("*").alias("n_events"), dsum("value").alias("sum_value")
+        F.count("*").alias("n_events"), lsum("value").alias("sum_value")
     )
 
 

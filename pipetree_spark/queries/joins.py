@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pipetree_spark.catalog import load_table
-from pipetree_spark.exact import dsum, dsum_sql
+from pipetree_spark.exact import dsum, dsum_sql, exact_sums
 from pipetree_spark.ops.relational import range_join
 from pipetree_spark.queries import declare
 
@@ -330,13 +330,9 @@ def q_join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
+    joined = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("n_name")
-        .agg(
-            F.count("*").alias("n_items"),
-            dsum(revenue, scale=6, precision=24).alias("revenue"),
-        )
     )
+    return exact_sums(joined, keys=["n_name"], sums={"revenue": (revenue, 6)}, count="n_items")

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pipetree_spark.catalog import load_table
-from pipetree_spark.exact import dsum, dsum_sql
+from pipetree_spark.exact import dsum, dsum_sql, exact_sums, lsum
 from pipetree_spark.queries import declare
 
 
@@ -84,7 +84,7 @@ def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
-        .agg(dsum("o_totalprice").alias("spend"))
+        .agg(lsum("o_totalprice").alias("spend"))
         .orderBy(F.col("spend").desc(), F.col("o_custkey").asc())
         .limit(10)
     )

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pipetree_spark.catalog import load_table
-from pipetree_spark.exact import dsum, dsum_sql
+from pipetree_spark.exact import dsum, dsum_sql, exact_sums, lsum
 from pipetree_spark.queries import declare
 
 
@@ -39,7 +39,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window(F.timestamp_seconds("ts_sec"), "1 hour"), "event_type")
-        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), lsum("value").alias("sum_value"))
         .select(
             F.col("window.start").cast("long").alias("window_start_sec"),
             "event_type",
