@@ -1,0 +1,117 @@
+"""Physical-plan quality gates (SURVEY §4.2; the 100 TB design rules).
+
+These tests assert the *plan*, not the result: filters reach the parquet
+scan, projections prune the read schema, dims broadcast, top-k plans as
+TakeOrderedAndProject, and the hot path stays inside WholeStageCodegen.
+A correctness-green query that regresses one of these properties would
+silently lose 10-100× at scale — so the properties are pinned here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pipetree_spark.catalog import load_table
+from pipetree_spark.queries import load_registry
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def n_nodes(p: str, node: str) -> int:
+    """Count physical-plan nodes of a type in formatted explain output
+    (each node appears once as '(N) <node>' in the detail section)."""
+    import re
+
+    return len(re.findall(rf"\(\d+\) {node}\b", p))
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_registry()
+
+
+def q(registry, name, spark, sf):
+    return registry[name].fn(spark, sf)
+
+
+def test_pricing_filter_pushed_and_schema_pruned(spark, sf_small, registry):
+    p = plan(q(registry, "q_agg_groupby", spark, sf_small))
+    # shipdate predicate reaches the parquet reader
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # scan reads only the 7 needed columns, not all 16
+    read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema and "l_comment" not in read_schema
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_shipdate"):
+        assert col in read_schema
+    # hot path stays in whole-stage codegen (codegen explain shows 0
+    # subtrees under un-executed AQE plans, so toggle AQE off to check)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = q(registry, "q_agg_groupby", spark, sf_small)
+        cg = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "codegen")
+        assert "Found 0" not in cg and "WholeStageCodegen subtrees" in cg
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_dim_joins_broadcast(spark, sf_small, registry):
+    for name in ("q_join_broadcast", "q_join_3way"):
+        p = plan(q(registry, name, spark, sf_small))
+        assert "BroadcastHashJoin" in p, name
+        assert "CartesianProduct" not in p, name
+
+
+def test_topk_plans_take_ordered(spark, sf_small, registry):
+    p = plan(q(registry, "q_topk_global", spark, sf_small))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_semi_anti_plan_as_joins_not_subqueries(spark, sf_small, registry):
+    for name, kind in (("q_join_semi", "LeftSemi"), ("q_join_anti", "LeftAnti")):
+        p = plan(q(registry, name, spark, sf_small))
+        assert kind in p, name
+
+
+def test_theta_join_broadcasts_small_side(spark, sf_small, registry):
+    p = plan(q(registry, "q_join_theta", spark, sf_small))
+    # non-equi join must broadcast (nested loop), never a shuffled cartesian
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_knn_broadcasts_query_side(spark, sf_small, registry):
+    p = plan(q(registry, "q_vec_cosine_knn", spark, sf_small))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_projection_prunes_unused_columns(spark, sf_small):
+    l = load_table(spark, sf_small, "lineitem").select("l_orderkey", "l_quantity")
+    p = plan(l)
+    read_schema = next(ln for ln in p.splitlines() if "ReadSchema" in ln)
+    assert "l_extendedprice" not in read_schema and "l_comment" not in read_schema
+
+
+def test_exact_sums_partial_combines_before_shuffle(spark, sf_small):
+    """The two-level exact sum's level-1 agg must plan a partial_sum
+    (map-side combine) so the shuffle carries one row per (key, pid)."""
+    from pipetree_spark.exact import exact_sums
+
+    l = load_table(spark, sf_small, "lineitem")
+    g = exact_sums(l, keys=["l_returnflag"], sums={"s": ("l_quantity", 2)}, count="n")
+    p = plan(g)
+    assert "partial_sum" in p
+    assert n_nodes(p, "Exchange") == 2  # level-1 agg, level-2 agg — no extras
+
+
+def test_no_query_collects_on_driver(registry):
+    """Declared queries must be lazy: building the DataFrame must not
+    trigger a job (no .collect/.toPandas in the construction path)."""
+    import inspect
+
+    for name, decl in registry.items():
+        src = inspect.getsource(decl.fn)
+        assert ".collect()" not in src and ".toPandas()" not in src, name
