@@ -56,6 +56,7 @@ def load_registry() -> dict[str, DeclaredQuery]:
         sorts,
         sources,
         streaming_batch,
+        subqueries,
         udfs,
         windows,
     )

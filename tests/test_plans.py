@@ -88,6 +88,17 @@ def test_knn_broadcasts_query_side(spark, sf_small, registry):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
 
 
+def test_subqueries_decorrelate_to_joins(spark, sf_small, registry):
+    """Correlated scalar subquery → aggregate+join; IN → semi; NOT IN →
+    anti. No per-row subquery execution survives in the physical plan."""
+    p = plan(q(registry, "q_subq_scalar", spark, sf_small))
+    assert "Subquery" not in p and n_nodes(p, "HashAggregate") >= 2
+    p = plan(q(registry, "q_subq_in", spark, sf_small))
+    assert "LeftSemi" in p
+    p = plan(q(registry, "q_subq_notin", spark, sf_small))
+    assert "LeftAnti" in p
+
+
 def test_projection_prunes_unused_columns(spark, sf_small):
     l = load_table(spark, sf_small, "lineitem").select("l_orderkey", "l_quantity")
     p = plan(l)
