@@ -70,14 +70,44 @@ class ArtifactCache:
         stage: str,
         key: str,
         partition_by: list[str] | None = None,
+        bucket_by: tuple[int, list[str]] | None = None,
+        sort_by: list[str] | None = None,
     ) -> DataFrame:
         """Write the stage output as the artifact and return a frame that
         READS it (lineage cut — downstream stages never recompute this).
 
         ``partition_by`` lets hot stages lay out partition-pruned sinks
-        (SURVEY §4.2: partitioned artifacts make DPP fire downstream)."""
+        (SURVEY §4.2: partitioned artifacts make DPP fire downstream).
+
+        ``bucket_by=(n, cols)`` (optionally with ``sort_by``) writes a
+        bucketed table instead: every downstream equi-join or aggregate
+        on the bucket columns is SHUFFLE-FREE (Spark reads the bucket
+        spec from the catalog and plans a zero-exchange sort-merge join).
+        This is the 100 TB recipe for repeated fact⋈fact joins — pay the
+        shuffle once at materialization, never again."""
+        if bucket_by is not None:
+            n, cols = bucket_by
+            writer = df.write.mode("overwrite").bucketBy(n, *cols)
+            if sort_by:
+                writer = writer.sortBy(*sort_by)
+            table = self.table_name(stage, key)
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            writer.option("path", self.path(stage, key)).format("parquet").saveAsTable(table)
+            return spark.table(table)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self.path(stage, key))
         return self.load(spark, stage, key)
+
+    @staticmethod
+    def table_name(stage: str, key: str) -> str:
+        """Catalog identifier for a bucketed artifact (bucket specs live
+        in the table catalog, not in parquet footers)."""
+        return f"cache_{stage}_{key}".replace("-", "_")
+
+    def load_bucketed(self, spark: SparkSession, stage: str, key: str) -> DataFrame:
+        """Cache-hit path for bucketed artifacts: reads via the catalog
+        (a plain ``read.parquet`` would drop the bucket spec and
+        re-shuffle downstream)."""
+        return spark.table(self.table_name(stage, key))

@@ -118,6 +118,36 @@ def test_exact_sums_partial_combines_before_shuffle(spark, sf_small):
     assert n_nodes(p, "Exchange") == 2  # level-1 agg, level-2 agg — no extras
 
 
+def test_bucketed_materialization_kills_join_shuffle(spark, sf_small, tmp_path):
+    """The 100 TB fact⋈fact recipe: bucket both sides on the join key at
+    materialization → downstream sort-merge join plans ZERO exchanges
+    (vs 2 for plain parquet artifacts), also via the cache-hit path."""
+    from pipetree_spark.cache import ArtifactCache
+
+    cache = ArtifactCache(str(tmp_path))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        l = load_table(spark, sf_small, "lineitem").select("l_orderkey", "l_extendedprice")
+        o = load_table(spark, sf_small, "orders").select("o_orderkey", "o_orderpriority")
+        lb = cache.materialize(spark, l, "lineitem_b", "k", bucket_by=(8, ["l_orderkey"]), sort_by=["l_orderkey"])
+        ob = cache.materialize(spark, o, "orders_b", "k", bucket_by=(8, ["o_orderkey"]), sort_by=["o_orderkey"])
+
+        bucketed = plan(lb.join(ob, lb.l_orderkey == ob.o_orderkey))
+        assert n_nodes(bucketed, "Exchange") == 0 and "SortMergeJoin" in bucketed
+
+        plain = plan(l.join(o, l.l_orderkey == o.o_orderkey))
+        assert n_nodes(plain, "Exchange") == 2
+
+        hit = cache.load_bucketed(spark, "lineitem_b", "k")
+        rehit = plan(hit.join(ob, hit.l_orderkey == ob.o_orderkey))
+        assert n_nodes(rehit, "Exchange") == 0
+        assert hit.count() == l.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
 def test_no_query_collects_on_driver(registry):
     """Declared queries must be lazy: building the DataFrame must not
     trigger a job (no .collect/.toPandas in the construction path)."""
