@@ -61,13 +61,22 @@ def knn_bruteforce(
     *rounded* cosine with the corpus key as tie-break so the result set
     is deterministic under float ties (SURVEY §2.12).
     """
-    q = queries.select(F.col(query_key), F.col(vec_col).alias("__qv"))
-    c = corpus.select(F.col(corpus_key), F.col(vec_col).alias("__cv"))
+    # Norms are per-ROW: compute them before the pair join so the per-pair
+    # work is one dot product, not dot + two 64-element norm reductions.
+    # dot/(qn·cn) keeps the oracle's exact expression tree (bit-stable).
+    q = queries.select(
+        F.col(query_key), F.col(vec_col).alias("__qv"), l2_norm(F.col(vec_col)).alias("__qn")
+    )
+    c = corpus.select(
+        F.col(corpus_key), F.col(vec_col).alias("__cv"), l2_norm(F.col(vec_col)).alias("__cn")
+    )
     pairs = c.join(F.broadcast(q), F.col(query_key) != F.col(corpus_key))
     scored = pairs.select(
         query_key,
         corpus_key,
-        F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits).alias("cos_sim"),
+        F.round(
+            dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), round_digits
+        ).alias("cos_sim"),
     )
     return topk_per_group(
         scored,
@@ -132,14 +141,24 @@ def lsh_bucket_ann(
     """
     planes = hyperplanes(dim, n_planes, seed)
     q = queries.select(
-        F.col(query_key), F.col(vec_col).alias("__qv"), lsh_bucket(F.col(vec_col), planes).alias("__b")
+        F.col(query_key),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+        lsh_bucket(F.col(vec_col), planes).alias("__b"),
     )
     c = corpus.select(
-        F.col(corpus_key), F.col(vec_col).alias("__cv"), lsh_bucket(F.col(vec_col), planes).alias("__b")
+        F.col(corpus_key),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+        lsh_bucket(F.col(vec_col), planes).alias("__b"),
     )
     pairs = c.join(q, on="__b").filter(F.col(query_key) != F.col(corpus_key))
     scored = pairs.select(
-        query_key, corpus_key, F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("cos_sim")
+        query_key,
+        corpus_key,
+        F.round(
+            dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 4
+        ).alias("cos_sim"),
     )
     return topk_per_group(
         scored,

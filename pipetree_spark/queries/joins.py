@@ -330,9 +330,26 @@ def q_join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    joined = (
+    # Manual aggregation pushdown (Catalyst doesn't push aggs through
+    # joins): reduce to exact per-customer partials BEFORE the customer
+    # join, so that join shuffles |customers| rows, not |lineitem|.
+    # Per-customer long sums are scale-safe: a customer's order count
+    # doesn't grow with data volume.
+    per_cust = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(revenue * F.lit(10**6)).cast("long")).alias("rev6"),
+            F.count("*").alias("n_i"),
+        )
     )
-    return exact_sums(joined, keys=["n_name"], sums={"revenue": (revenue, 6)}, count="n_items")
+    j = per_cust.join(c, per_cust.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    g = exact_sums(
+        j,
+        keys=["n_name"],
+        # rev6/1e6 round-trips exactly through exact_sums' ·10^6 rescale
+        sums={"revenue": (F.col("rev6") / F.lit(1e6), 6), "n_items_d": (F.col("n_i"), 0)},
+    )
+    return g.select("n_name", "revenue", F.col("n_items_d").cast("long").alias("n_items"))

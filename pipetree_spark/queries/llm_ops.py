@@ -237,9 +237,19 @@ def q_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket key (q_vec_ann_lsh path) so the self-join never goes n²; a
     hot block is salt-able because cosine needs no other co-location."""
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), "label", F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), "label", F.col("embedding").alias("vb"))
-    cos = VX.cosine(F.col("va"), F.col("vb"))
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        "label",
+        F.col("embedding").alias("va"),
+        VX.l2_norm(F.col("embedding")).alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        "label",
+        F.col("embedding").alias("vb"),
+        VX.l2_norm(F.col("embedding")).alias("nb"),
+    )
+    cos = VX.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, ["label"])
         .filter(F.col("id_a") < F.col("id_b"))
