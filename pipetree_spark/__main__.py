@@ -1,0 +1,59 @@
+"""CLI — reference parity for `pipetree <config.json>` (SURVEY §3.1.1).
+
+The reference's primary UX is "point the CLI at a JSON pipeline config,
+it builds the DAG, skips cached stages, and runs the rest". Same here:
+
+    python -m pipetree_spark run examples/pipeline.json \
+        --cache /tmp/artifacts --sf-dir /root/testdata/sf0.01 \
+        --targets report
+
+JSON specs support the declarative stage types (source / values / sql /
+grid); ``python`` stages exist only in the direct API (a JSON file can't
+carry a callable — the reference serialized references to module paths,
+which is a config-injection surface we deliberately don't reproduce).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pipetree_spark.cache import ArtifactCache
+from pipetree_spark.catalog import DEFAULT_SF_DIR
+from pipetree_spark.pipeline import Pipeline
+from pipetree_spark.session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="pipetree_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    run = sub.add_parser("run", help="run a JSON pipeline spec")
+    run.add_argument("spec", help="path to pipeline spec JSON")
+    run.add_argument("--sf-dir", default=DEFAULT_SF_DIR, help="table directory")
+    run.add_argument("--cache", default=None, help="artifact-cache root (enables skip-if-cached)")
+    run.add_argument("--targets", nargs="*", default=None, help="only these stages (+ upstreams)")
+    run.add_argument("--show", type=int, default=0, metavar="N", help="print N rows per target")
+
+    args = parser.parse_args(argv)
+
+    with open(args.spec) as f:
+        spec = json.load(f)
+    pipeline = Pipeline.from_spec(spec, sf_dir=args.sf_dir)
+    cache = ArtifactCache(args.cache) if args.cache else None
+    spark = get_spark("pipetree-spark-cli")
+
+    results = pipeline.run(spark, cache=cache, targets=args.targets)
+    for name, status in pipeline.last_run_report.items():
+        print(f"{name}: {status}", file=sys.stderr)
+    for name in args.targets or results:
+        df = results[name]
+        print(f"{name}: {df.count()} rows")
+        if args.show:
+            df.show(args.show, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

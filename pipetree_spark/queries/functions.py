@@ -208,3 +208,28 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k_bucket")
         .agg(F.count("*").alias("n_events"), F.sum("k").alias("sum_k"))
     )
+
+
+@declare(
+    "q_fn_variant",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_typed,
+       json_extract_string(props, '$.missing') AS missing_str
+FROM events
+WHERE event_id % 100 = 0
+""",
+    tags=("fn", "events"),
+)
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path via Spark 4 VariantType: parse_json once,
+    then typed variant_get extraction (shredded access beats repeated
+    string re-parsing when many keys are pulled from one JSON column).
+    Missing keys: try_variant_get returns NULL, matching the oracle."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.filter(F.col("event_id") % 100 == 0).select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k_typed"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing_str"),
+    )

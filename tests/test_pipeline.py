@@ -141,3 +141,29 @@ def test_content_key_properties():
     assert k1 == content_key({"q": "SELECT 1"}, [])  # deterministic
     assert k1 != content_key({"q": "SELECT 2"}, [])  # definition-sensitive
     assert k1 != content_key({"q": "SELECT 1"}, ["up"])  # dependency-sensitive
+
+
+def test_cli_run_and_cache_hit(spark, sf_small, tmp_path, capsys):
+    """python -m pipetree_spark run <spec> — reference CLI parity: first
+    run materializes, second run hits the cache."""
+    from pipetree_spark.__main__ import main
+
+    args = [
+        "run",
+        "examples/pipeline.json",
+        "--sf-dir",
+        sf_small,
+        "--cache",
+        str(tmp_path),
+        "--targets",
+        "report",
+    ]
+    assert main(args) == 0
+    first = capsys.readouterr()
+    assert "report: 5 rows" in first.out
+    assert "report: materialized" in first.err
+
+    assert main(args) == 0
+    second = capsys.readouterr()
+    assert "report: 5 rows" in second.out
+    assert "report: hit" in second.err
