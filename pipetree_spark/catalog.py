@@ -94,7 +94,7 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("o_custkey", T.LongType()),
             T.StructField("o_orderstatus", T.StringType()),
             T.StructField("o_totalprice", T.DoubleType()),
-            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderdate", T.TimestampNTZType()),
             T.StructField("o_orderpriority", T.StringType()),
         ]
     ),
@@ -110,7 +110,7 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_tax", T.DoubleType()),
             T.StructField("l_returnflag", T.StringType()),
             T.StructField("l_linestatus", T.StringType()),
-            T.StructField("l_shipdate", T.TimestampType()),
+            T.StructField("l_shipdate", T.TimestampNTZType()),
         ]
     ),
     "events": T.StructType(
@@ -154,6 +154,21 @@ def table_path(sf_dir: str, name: str) -> str:
 _DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def _assert_schema(name: str, df: DataFrame) -> None:
+    """Pin the logical schema (SURVEY §1.2: fixed/explicit — inference is
+    for ad-hoc sources only). The pinned fields must appear first, in
+    order, with exact types; the events loader appends ts_ns/ts_sec."""
+    expected = SCHEMAS[name].fields
+    got = df.schema.fields[: len(expected)]
+    drift = [
+        f"{e.name}:{e.dataType.simpleString()} != {g.name}:{g.dataType.simpleString()}"
+        for e, g in zip(expected, got)
+        if e.name != g.name or e.dataType != g.dataType
+    ]
+    if len(got) < len(expected) or drift:
+        raise ValueError(f"schema drift for table {name!r}: {drift or 'missing columns'}")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a lazy DataFrame (events converted)."""
     if name not in TABLES:
@@ -170,6 +185,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
             .withColumn("ts_sec", F.expr("ts_ns div 1000000000"))
         )
+    _assert_schema(name, df)
     _DF_CACHE[cache_key] = df
     return df
 

@@ -134,7 +134,12 @@ class Pipeline:
                 results[name] = cache.load(spark, name, key)
                 report[name] = "hit"
                 continue
-            df = stage.fn(spark, {i: results[i] for i in stage.inputs})
+            try:
+                df = stage.fn(spark, {i: results[i] for i in stage.inputs})
+            except Exception as exc:
+                raise RuntimeError(
+                    f"pipeline stage {name!r} failed ({type(exc).__name__}): {exc}"
+                ) from exc
             if cache is not None and stage.materialize:
                 df = cache.materialize(spark, df, name, key)
                 report[name] = "materialized"

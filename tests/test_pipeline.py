@@ -167,3 +167,25 @@ def test_cli_run_and_cache_hit(spark, sf_small, tmp_path, capsys):
     second = capsys.readouterr()
     assert "report: 5 rows" in second.out
     assert "report: hit" in second.err
+
+
+def test_stage_failure_names_the_stage(spark, sf_small):
+    def boom(_spark, _inputs):
+        raise ValueError("kaput")
+
+    p = Pipeline.from_spec({"stages": {"orders": {"type": "source", "table": "orders"}}}, sf_dir=sf_small)
+    p.add_stage("bad", boom, inputs=["orders"])
+    with pytest.raises(RuntimeError, match="stage 'bad' failed.*kaput"):
+        p.run(spark)
+
+
+def test_schema_drift_rejected(spark, tmp_path):
+    """A table file whose schema deviates from the pin must be refused —
+    silent drift at 100 TB means silently wrong joins downstream."""
+    from pipetree_spark.catalog import load_table as lt
+
+    spark.range(5).selectExpr("CAST(id AS STRING) AS c_custkey").write.parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    with pytest.raises(ValueError, match="schema drift for table 'customer'"):
+        lt(spark, str(tmp_path), "customer")
