@@ -135,6 +135,48 @@ def extract_features(
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def stub_embedder(texts: "pd.Series", dim: int = 64) -> list[list[float]]:
+    """Deterministic fake embedding model: seeds a PRNG from each text's
+    sha256 → unit vector. Stands in for a GPU model server so the batch
+    plumbing (Arrow batch in, vector batch out) is exercisable offline."""
+    import numpy as np
+
+    out = []
+    for t in texts:
+        seed = int.from_bytes(hashlib.sha256(str(t).encode()).digest()[:4], "big")
+        v = np.random.RandomState(seed).standard_normal(dim)
+        out.append((v / np.linalg.norm(v)).astype("float32").tolist())
+    return out
+
+
+def embed_stage(
+    df: DataFrame,
+    embedder: Callable[..., list[list[float]]] = stub_embedder,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Batched embedding / LLM-call stage via mapInPandas — the shape a
+    model-server stage needs: Arrow streams partition-sized batches into
+    Python, ``embedder`` sees a whole batch (amortizing model/RPC setup),
+    and the output schema is fixed so downstream ANN ops compose.
+    Batch size knob: ``spark.sql.execution.arrow.maxRecordsPerBatch``."""
+    schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {key_col: pdf[key_col].astype("int64"), "embedding": embedder(pdf[text_col], dim)}
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def frame_sample(df: DataFrame, frames_col: str = "frames", every_n: int = 10) -> DataFrame:
     """Sample every n-th frame from an ``array<binary>`` video column —
     pure column expression (no decode): the cheap pre-filter before any

@@ -121,6 +121,93 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def ivf_assign(
+    corpus: DataFrame, n_clusters: int = 16, vec_col: str = "embedding", seed: int = 42
+):
+    """IVF coarse quantizer: seeded k-means over the corpus; returns the
+    corpus with a ``__cluster`` column plus the (small) center matrix.
+
+    At 10⁹ vectors the fit runs on a sample and centers stay a
+    driver-side array of n_clusters × dim floats — only the assignment
+    pass scans the full corpus (one narrow ml transform)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vec = corpus.withColumn("__v", array_to_vector(F.col(vec_col)))
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="__v", predictionCol="__cluster").fit(vec)
+    assigned = model.transform(vec).drop("__v")
+    return assigned, [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def _probe_clusters(vec_col: Column, centers: list[list[float]], n_probe: int) -> Column:
+    """Array of the n_probe nearest cluster ids (squared-L2 to each
+    center, computed as column exprs — centers ship as plan literals)."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vec_col,
+                        F.array(*[F.lit(x) for x in center]),
+                        lambda a, b: (_d(a) - b) * (_d(a) - b),
+                    ),
+                    F.lit(0.0),
+                    lambda s, v: s + v,
+                ).alias("dist"),
+                F.lit(i).alias("cid"),
+            )
+            for i, center in enumerate(centers)
+        ]
+    )
+    return F.transform(F.slice(F.array_sort(scored), 1, n_probe), lambda s: s["cid"])
+
+
+def ivf_ann(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    n_probe: int = 3,
+    query_key: str = "query_id",
+    corpus_key: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate NN: probe the n_probe nearest coarse clusters per
+    query, exact cosine re-rank inside them.
+
+    Scale shape: candidates per query ≈ corpus × n_probe / n_clusters;
+    the candidate join is an equi shuffle join on ``__cluster`` (no
+    broadcast of the corpus, no n² pairs). Recall/cost via n_probe."""
+    assigned, centers = ivf_assign(corpus, n_clusters, vec_col, seed)
+    q = queries.select(
+        F.col(query_key),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+        F.explode(_probe_clusters(F.col(vec_col), centers, n_probe)).alias("__cluster"),
+    )
+    c = assigned.select(
+        F.col(corpus_key),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+        "__cluster",
+    )
+    pairs = c.join(q, on="__cluster").filter(F.col(query_key) != F.col(corpus_key))
+    scored = pairs.select(
+        query_key,
+        corpus_key,
+        F.round(
+            dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 4
+        ).alias("cos_sim"),
+    )  # pairs are already unique: each corpus vector lives in exactly one cluster
+    return topk_per_group(
+        scored,
+        partition_by=[query_key],
+        order_by=[F.col("cos_sim").desc(), F.col(corpus_key).asc()],
+        k=k,
+    )
+
+
 def lsh_bucket_ann(
     queries: DataFrame,
     corpus: DataFrame,

@@ -344,6 +344,18 @@ def q_vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VX.lsh_bucket_ann(q, e, k=5, n_planes=4).select("query_id", "vec_id", "cos_sim", "rnk")
 
 
+@declare("q_vec_ann_ivf", oracle=None, tags=("vector", "approx"))
+def q_vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (ops.vector.ivf_ann, seeded k-means coarse
+    quantizer): probe nearest clusters, exact re-rank inside. The
+    equi-join-on-cluster shape that replaces broadcast kNN beyond ~10⁷
+    vectors. Seeded-iterative fit ⇒ rows-only; recall vs exact kNN is
+    asserted in pytest."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return VX.ivf_ann(q, e, k=5).select("query_id", "vec_id", "cos_sim", "rnk")
+
+
 @declare(
     "q_mm_binary",
     oracle="""

@@ -156,3 +156,32 @@ def test_mm_frame_sample(spark):
     df = spark.createDataFrame(frames, ["vid_id", "frames"])
     out = MM.frame_sample(df, every_n=10).collect()[0]
     assert out.sampled_frames == [bytes([0]), bytes([10]), bytes([20])]
+
+
+def test_ivf_ann_recall_vs_exact(spark, sf_small):
+    e = load_table(spark, sf_small, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.vec_id) for r in VX.knn_bruteforce(q, e, k=5).collect()}
+    approx = {(r.query_id, r.vec_id) for r in VX.ivf_ann(q, e, k=5, n_clusters=4, n_probe=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5  # 3 of 4 clusters probed
+    # probing ALL clusters must recover the exact result
+    full = {(r.query_id, r.vec_id) for r in VX.ivf_ann(q, e, k=5, n_clusters=4, n_probe=4).collect()}
+    assert full == exact
+
+
+def test_embed_stage_deterministic_unit_vectors(spark, sf_small):
+    import numpy as np
+
+    d = load_table(spark, sf_small, "documents").limit(20)
+    out1 = {r.doc_id: r.embedding for r in MM.embed_stage(d).collect()}
+    out2 = {r.doc_id: r.embedding for r in MM.embed_stage(d).collect()}
+    assert out1 == out2  # deterministic across runs
+    for v in out1.values():
+        assert len(v) == 64
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+    # composes with the ANN ops downstream
+    emb = MM.embed_stage(d).withColumnRenamed("doc_id", "vec_id")
+    q = emb.limit(2).withColumnRenamed("vec_id", "query_id")
+    knn = VX.knn_bruteforce(q, emb, k=3)
+    assert knn.count() == 6
