@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pipetree_spark.catalog import load_table
-from pipetree_spark.exact import dsum, dsum_sql, exact_sums
+from pipetree_spark.exact import dsum, dsum_sql, exact_sums, lsum
 from pipetree_spark.ops.relational import range_join
 from pipetree_spark.queries import declare
 
@@ -38,10 +38,9 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the join."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey, "inner")
-        .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n_items"), dsum("l_extendedprice").alias("sum_price"))
+    joined = l.join(o, l.l_orderkey == o.o_orderkey, "inner")
+    return exact_sums(
+        joined, keys=["o_orderpriority"], sums={"sum_price": ("l_extendedprice", 2)}, count="n_items"
     )
 
 
@@ -65,11 +64,11 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    return (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
-        .groupBy("r_name")
-        .agg(F.count("*").alias("n_customers"), dsum("c_acctbal").alias("sum_bal"))
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), F.col("n_regionkey") == r.r_regionkey
+    )
+    return exact_sums(
+        joined, keys=["r_name"], sums={"sum_bal": ("c_acctbal", 2)}, count="n_customers"
     )
 
 
@@ -89,11 +88,8 @@ def q_join_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
     large sides whose key is also a downstream sort key."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").hint("merge")
-    return (
-        l.join(p, l.l_partkey == p.p_partkey)
-        .groupBy("p_brand")
-        .agg(F.count("*").alias("n_items"), dsum("l_quantity").alias("sum_qty"))
-    )
+    joined = l.join(p, l.l_partkey == p.p_partkey)
+    return exact_sums(joined, keys=["p_brand"], sums={"sum_qty": ("l_quantity", 2)}, count="n_items")
 
 
 @declare(
@@ -117,7 +113,7 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("total_spend"),
+            F.coalesce(lsum("o_totalprice"), F.lit(0.0)).alias("total_spend"),
         )
     )
 

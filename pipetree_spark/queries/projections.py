@@ -129,15 +129,16 @@ GROUP BY 1, 2
 def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional projection feeding an aggregate."""
     o = load_table(spark, sf_dir, "orders")
-    from pipetree_spark.exact import dsum
+    from pipetree_spark.exact import exact_sums
 
     bucket = (
         F.when(F.col("o_totalprice") > 300000, "big")
         .when(F.col("o_totalprice") > 150000, "mid")
         .otherwise("small")
     )
-    return (
-        o.withColumn("bucket", bucket)
-        .groupBy("bucket", "o_orderstatus")
-        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("sum_total"))
+    return exact_sums(
+        o.withColumn("bucket", bucket),
+        keys=["bucket", "o_orderstatus"],
+        sums={"sum_total": ("o_totalprice", 2)},
+        count="n_orders",
     )

@@ -110,7 +110,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy("user_id", F.session_window(F.timestamp_seconds("ts_sec"), "30 minutes"))
-        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), lsum("value").alias("sum_value"))
         .select(
             "user_id",
             F.col("session_window.start").cast("long").alias("session_start_sec"),
