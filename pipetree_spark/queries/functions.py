@@ -233,3 +233,34 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.k", "int").alias("k_typed"),
         F.try_variant_get(v, "$.missing", "string").alias("missing_str"),
     )
+
+
+@declare(
+    "q_fn_interval",
+    oracle="""
+SELECT o_orderkey,
+       STRFTIME(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS plus_90d,
+       STRFTIME(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus_2mo,
+       DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1996-01-01') AS days_to_anchor,
+       CAST(EPOCH(TIMESTAMP '1996-01-01') - EPOCH(o_orderdate) AS BIGINT) AS secs_to_anchor
+FROM orders
+WHERE o_orderkey % 50 = 0
+""",
+    tags=("fn",),
+)
+def q_fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-time / year-month interval arithmetic (DayTimeIntervalType in
+    the plan; outputs rendered portable as strings/longs). Calendar
+    semantics pinned: month addition clamps to month end in both engines;
+    day diffs count date boundaries (midnight timestamps ⇒ exact)."""
+    o = load_table(spark, sf_dir, "orders")
+    anchor = F.lit("1996-01-01").cast("timestamp_ntz")
+    return o.filter(F.col("o_orderkey") % 50 == 0).select(
+        "o_orderkey",
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"), "yyyy-MM-dd").alias("plus_90d"),
+        F.date_format(F.add_months("o_orderdate", 2), "yyyy-MM-dd").alias("plus_2mo"),
+        F.datediff(F.lit("1996-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_anchor"
+        ),
+        (anchor - F.col("o_orderdate")).cast("long").alias("secs_to_anchor"),
+    )
