@@ -189,3 +189,46 @@ def test_schema_drift_rejected(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="schema drift for table 'customer'"):
         lt(spark, str(tmp_path), "customer")
+
+
+def test_end_to_end_dedup_pipeline(spark, tmp_path):
+    """Layer A orchestrates Layer B: quality-filter → exact dedup →
+    MinHash-LSH candidates → exact-Jaccard verify → survivors, as python
+    stages over the cache. Second run reuses materialized stages."""
+    from pipetree_spark.ops import text as TX
+    from tests.test_ops_llm import DOCS
+
+    def src(s, _i):
+        return s.createDataFrame(DOCS, ["doc_id", "lang", "text"])
+
+    def quality(_s, i):
+        return TX.quality_features(i["docs"]).filter(F.col("n_tokens") >= 5).select(
+            "doc_id", "lang", "text"
+        )
+
+    def exact(_s, i):
+        return TX.exact_dedup(i["quality"])
+
+    def survivors(_s, i):
+        cands = TX.minhash_pairs(i["exact"], jaccard_threshold=0.3).select("id_a", "id_b")
+        verified = TX.near_dup_pairs(i["exact"], threshold=0.5).join(
+            cands, on=["id_a", "id_b"], how="left_semi"
+        )
+        drop = verified.select(F.col("id_b").alias("doc_id")).distinct()
+        return i["exact"].join(drop, on="doc_id", how="left_anti")
+
+    p = Pipeline({})
+    p.add_stage("docs", src, spec={"v": 1})
+    p.add_stage("quality", quality, inputs=["docs"], spec={"min_tokens": 5}, materialize=True)
+    p.add_stage("exact", exact, inputs=["quality"], spec={"op": "exact_dedup"}, materialize=True)
+    p.add_stage("survivors", survivors, inputs=["exact"], spec={"thr": 0.5}, materialize=True)
+
+    cache = ArtifactCache(str(tmp_path))
+    out = p.run(spark, cache=cache)
+    kept = sorted(r.doc_id for r in out["survivors"].select("doc_id").collect())
+    # doc2 = exact dup of 1; docs 4 and 7 = near-dups of 3 and 6 (higher id dropped)
+    assert kept == [1, 3, 5, 6]
+
+    out2 = p.run(spark, cache=cache)
+    assert p.last_run_report["survivors"] == "hit"
+    assert sorted(r.doc_id for r in out2["survivors"].select("doc_id").collect()) == kept
