@@ -57,6 +57,7 @@ def load_registry() -> dict[str, DeclaredQuery]:
         sources,
         streaming_batch,
         subqueries,
+        tpch,
         udfs,
         windows,
     )
