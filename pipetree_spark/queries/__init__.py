@@ -52,11 +52,13 @@ def load_registry() -> dict[str, DeclaredQuery]:
         llm_ops,
         pipelines,
         projections,
+        sampling,
         setops,
         sorts,
         sources,
         streaming_batch,
         subqueries,
+        timeseries,
         tpch,
         udfs,
         windows,

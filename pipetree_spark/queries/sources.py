@@ -128,3 +128,60 @@ def q_src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_customers"), dsum("c_acctbal").alias("sum_bal")
     )
+
+
+@declare(
+    "q_src_orc_roundtrip",
+    oracle=f"""
+SELECT p_brand,
+       COUNT(*) AS n_parts,
+       {dsum_sql('p_retailprice')} AS sum_price
+FROM part
+GROUP BY p_brand
+""",
+    tags=("source",),
+)
+def q_src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → source fidelity (Spark-native columnar alternative to
+    parquet; same vectorized reader path). Doubles survive exactly —
+    ORC stores IEEE754 bits verbatim."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_retailprice")
+    path = f"{_SCRATCH}/pipetree_spark_orc_roundtrip"
+    p.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"), dsum("p_retailprice").alias("sum_price")
+    )
+
+
+@declare(
+    "q_src_partitioned",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       {dsum_sql('l_extendedprice')} AS sum_price
+FROM lineitem
+WHERE l_returnflag = 'R'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("source",),
+)
+def q_src_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet sink → source with PARTITION PRUNING.
+
+    Writes lineitem partitioned by l_returnflag (the 100 TB layout
+    discipline: partition fact sinks on the hot filter column so reads
+    touch 1/N of the files), reads it back filtered to one partition —
+    Catalyst prunes to `PartitionFilters: [returnflag = R]`, verified in
+    tests/test_plans.py. Partition values come back as strings from the
+    hive path encoding; re-cast is part of the source op's contract.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_returnflag", "l_linestatus"
+    )
+    path = f"{_SCRATCH}/pipetree_spark_partitioned_sink"
+    l.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("l_returnflag") == "R")
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"), dsum("l_extendedprice").alias("sum_price")
+    )

@@ -1,0 +1,190 @@
+"""Time-series operators: spine generation, gap-filling, LOCF, histograms.
+
+A 100 TB training-data pipeline constantly needs dense time grids over
+sparse event data (rollups with empty buckets, carry-forward state,
+distribution histograms). These are built engine-side — the spine is
+``sequence()`` + ``explode`` (no driver loop, no collect), the fill is a
+left join, and LOCF is the portable gaps-and-islands rewrite (COUNT over
+preceding rows → island id → MAX per island) rather than
+``last_value IGNORE NULLS``, so the identical algorithm runs on the
+DuckDB oracle side.
+
+Reference note: the reference (pipetree/pipetree, ML pipeline
+orchestrator; /root/reference empty — SURVEY §0) has no time-series
+surface; north-star extension [SURVEY §2.0 tag E].
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pipetree_spark.catalog import load_table
+from pipetree_spark.exact import dsum, dsum_sql
+from pipetree_spark.queries import declare
+
+# One-week hourly spine over the first 20 users: 20 × 168 = 3360 cells at
+# every SF (events span 2024-01-01..2024-01-30, user_id ⊇ 0..149 — FIXTURES).
+SPINE_START = "2024-01-01 00:00:00"
+SPINE_END = "2024-01-07 23:00:00"
+N_USERS = 20
+
+SPINE_SQL = f"""
+  SELECT u.user_id, h.bucket_hour
+  FROM (SELECT UNNEST(range(0, {N_USERS})) AS user_id) u
+  CROSS JOIN (
+    SELECT UNNEST(generate_series(TIMESTAMP '{SPINE_START}',
+                                  TIMESTAMP '{SPINE_END}',
+                                  INTERVAL 1 HOUR)) AS bucket_hour
+  ) h
+"""
+
+HOURLY_SQL = f"""
+  SELECT user_id, DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS bucket_hour,
+         COUNT(*) AS n_events,
+         {dsum_sql('value', 6, 24)} AS sum_value
+  FROM events
+  WHERE user_id < {N_USERS}
+  GROUP BY 1, 2
+"""
+
+
+def _spine(spark: SparkSession) -> DataFrame:
+    """Dense (user, hour) grid, generated engine-side.
+
+    ``sequence()`` builds the arrays inside codegen; the explode is the
+    lateral op. At scale the spine stays tiny relative to the fact side
+    (its size is grid cells, not events).
+    """
+    users = spark.range(1).select(
+        F.explode(F.sequence(F.lit(0), F.lit(N_USERS - 1))).alias("user_id")
+    )
+    hours = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(SPINE_START).cast("timestamp"),
+                F.lit(SPINE_END).cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket_hour")
+    )
+    return users.crossJoin(hours)
+
+
+def _hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < N_USERS)
+    return e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket_hour")
+    ).agg(F.count("*").alias("n_events"), dsum("value", 6, 24).alias("sum_value"))
+
+
+@declare(
+    "q_ts_gapfill",
+    oracle=f"""
+WITH spine AS ({SPINE_SQL}), hourly AS ({HOURLY_SQL})
+SELECT s.user_id, s.bucket_hour,
+       COALESCE(h.n_events, 0) AS n_events,
+       COALESCE(h.sum_value, 0.0) AS sum_value
+FROM spine s LEFT JOIN hourly h
+  ON s.user_id = h.user_id AND s.bucket_hour = h.bucket_hour
+""",
+    tags=("timeseries", "events"),
+)
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled dense hourly rollup: spine LEFT JOIN sparse aggregates.
+
+    The aggregate runs BEFORE the spine join (shuffle carries one row
+    per non-empty bucket, not per event); empty buckets materialize only
+    in the joined output. (The spine is the preserved side of the left
+    join, so it cannot broadcast — both inputs are post-aggregation
+    small, and the shuffle keys are the grid keys.)
+    """
+    h = _hourly(spark, sf_dir)
+    s = _spine(spark)
+    return (
+        s.join(h, ["user_id", "bucket_hour"], "left")
+        .select(
+            "user_id",
+            "bucket_hour",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
+@declare(
+    "q_ts_locf",
+    oracle=f"""
+WITH spine AS ({SPINE_SQL}), hourly AS ({HOURLY_SQL}),
+filled AS (
+  SELECT s.user_id, s.bucket_hour, h.sum_value,
+         COUNT(h.sum_value) OVER (
+           PARTITION BY s.user_id ORDER BY s.bucket_hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS island
+  FROM spine s LEFT JOIN hourly h
+    ON s.user_id = h.user_id AND s.bucket_hour = h.bucket_hour
+)
+SELECT user_id, bucket_hour,
+       COALESCE(MAX(sum_value) OVER (PARTITION BY user_id, island), 0.0) AS locf_value
+FROM filled
+""",
+    tags=("timeseries", "events", "window"),
+)
+def q_ts_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward over gap hours.
+
+    Portable gaps-and-islands: a running COUNT of non-null observations
+    assigns every gap row to the island of its last observation; MAX per
+    island broadcasts that observation forward (each island has exactly
+    one non-null value, so MAX is a carry, not an aggregate choice).
+    Hours before a user's first observation stay at 0.0. Exact-decimal
+    hourly sums make the carried doubles bit-identical cross-engine.
+    """
+    h = _hourly(spark, sf_dir).select("user_id", "bucket_hour", "sum_value")
+    s = _spine(spark)
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        s.join(h, ["user_id", "bucket_hour"], "left")
+        .withColumn("island", F.count("sum_value").over(w_run))
+    )
+    w_island = Window.partitionBy("user_id", "island")
+    return filled.select(
+        "user_id",
+        "bucket_hour",
+        F.coalesce(F.max("sum_value").over(w_island), F.lit(0.0)).alias("locf_value"),
+    )
+
+
+@declare(
+    "q_ts_histogram",
+    oracle="""
+SELECT LEAST(CAST(FLOOR(l_extendedprice / 5000.0) AS INTEGER), 19) AS bucket,
+       COUNT(*) AS n_rows,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem
+GROUP BY 1
+""",
+    tags=("timeseries", "agg"),
+)
+def q_ts_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (20 × $5000 buckets, top-clamped).
+
+    The bucket expression is plain FLOOR/LEAST double math — identical
+    bits in both engines, no width_bucket dialect drift. At 100 TB this
+    is a pure map-side-combine aggregation with ≤20 final groups.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.floor(F.col("l_extendedprice") / F.lit(5000.0)).cast("int"), F.lit(19)
+    )
+    return l.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )

@@ -156,3 +156,42 @@ def test_no_query_collects_on_driver(registry):
     for name, decl in registry.items():
         src = inspect.getsource(decl.fn)
         assert ".collect()" not in src and ".toPandas()" not in src, name
+
+
+def test_tpch_q6_all_predicates_pushed(spark, sf_small, registry):
+    p = plan(q(registry, "q_tpch_q6", spark, sf_small))
+    pushed = next(l for l in p.splitlines() if "PushedFilters" in l)
+    for frag in ("l_shipdate", "l_discount", "LessThan(l_quantity,24"):
+        assert frag in pushed, f"{frag} not pushed: {pushed}"
+    read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema and "l_returnflag" not in read_schema
+
+
+def test_tpch_q3_plans_take_ordered(spark, sf_small, registry):
+    p = plan(q(registry, "q_tpch_q3", spark, sf_small))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_tpch_q5_dims_broadcast(spark, sf_small, registry):
+    p = plan(q(registry, "q_tpch_q5", spark, sf_small))
+    # supplier, customer, nation(+region) all broadcast; only the
+    # lineitem⋈orders fact join may shuffle
+    assert n_nodes(p, "BroadcastHashJoin") >= 3
+    assert n_nodes(p, "SortMergeJoin") + n_nodes(p, "ShuffledHashJoin") <= 1
+
+
+def test_partitioned_sink_scan_prunes_partitions(spark, sf_small, registry):
+    p = plan(q(registry, "q_src_partitioned", spark, sf_small))
+    part_line = next(l for l in p.splitlines() if "PartitionFilters" in l)
+    import re
+
+    assert re.search(r"l_returnflag#\d+ = R", part_line), part_line
+
+
+def test_gapfill_aggregates_before_spine_join(spark, sf_small, registry):
+    # the events aggregation must sit BELOW the spine join: the join input
+    # is one row per non-empty bucket, never one row per event
+    p = plan(q(registry, "q_ts_gapfill", spark, sf_small))
+    join_pos = p.find("Join")
+    agg_section = p[join_pos:]
+    assert "HashAggregate" in agg_section
