@@ -264,3 +264,106 @@ def q_fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (anchor - F.col("o_orderdate")).cast("long").alias("secs_to_anchor"),
     )
+
+
+@declare(
+    "q_fn_bitwise",
+    oracle="""
+SELECT event_id,
+       event_id & 255 AS band,
+       event_id | 4096 AS bor,
+       xor(event_id, 1365) AS bxor,
+       event_id << 3 AS shl,
+       event_id >> 2 AS shr,
+       bit_count(event_id) AS bcount
+FROM events
+WHERE event_id < 64
+""",
+    tags=("fn",),
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator family (AND/OR/XOR/shifts/popcount) — exact
+    integer ops, identical in both engines."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 64)
+    k = F.col("event_id")
+    return e.select(
+        "event_id",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(4096)).alias("bor"),
+        k.bitwiseXOR(F.lit(1365)).alias("bxor"),
+        F.shiftleft(k, 3).alias("shl"),
+        F.shiftright(k, 2).alias("shr"),
+        F.bit_count(k).cast("long").alias("bcount"),
+    )
+
+
+@declare(
+    "q_fn_condagg",
+    oracle="""
+SELECT o_orderstatus,
+       count_if(o_totalprice > 150000.0) AS n_big,
+       bool_and(o_totalprice > 0.0) AS all_positive,
+       bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+       MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END) AS max_urgent_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("fn", "agg"),
+)
+def q_fn_condagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates: count_if / bool_and / bool_or and the
+    filtered-MAX idiom (NULL-absorbing CASE inside the aggregate)."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 150000.0).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0.0).alias("all_positive"),
+        F.bool_or(urgent).alias("any_urgent"),
+        F.max(F.when(urgent, F.col("o_totalprice"))).alias("max_urgent_price"),
+    )
+
+
+@declare(
+    "q_fn_struct",
+    oracle="""
+SELECT c_nationkey,
+       MIN(CASE WHEN rf = 1 THEN o_orderkey END) AS first_order_key,
+       MIN(CASE WHEN rl = 1 THEN o_orderkey END) AS last_order_key,
+       MIN(o_orderdate) AS first_date,
+       MAX(o_orderdate) AS last_date
+FROM (
+  SELECT c_nationkey, o_orderkey, o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY o_orderdate ASC, o_orderkey ASC) AS rf,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY o_orderdate DESC, o_orderkey ASC) AS rl
+  FROM customer JOIN orders ON o_custkey = c_custkey
+)
+GROUP BY c_nationkey
+""",
+    tags=("fn", "agg"),
+)
+def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin/argmax via ordered STRUCT aggregation.
+
+    Spark's ``min_by`` breaks ordering ties arbitrarily, so the engine
+    uses the deterministic struct idiom instead: MIN/MAX over
+    struct(orderdate, orderkey) orders lexicographically by field
+    position — date first, key as tie-break — then projects the key
+    back out — smallest key among the earliest date, and smallest key
+    among the latest date (the oracle states the same choice with
+    explicit row_number tie-breaks). Struct build + field access
+    exercises the nested-type surface with scalar (hash-safe) outputs.
+    """
+    c, o = (load_table(spark, sf_dir, t) for t in ("customer", "orders"))
+    j = o.join(F.broadcast(c.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+    first_s = F.min(F.struct(F.col("o_orderdate"), F.col("o_orderkey")))
+    # for the max side, invert the tie-break so the SMALLEST key wins
+    # among equal dates in both engines: max over (date, -key)
+    last_s = F.max(F.struct(F.col("o_orderdate"), (-F.col("o_orderkey")).alias("neg_key")))
+    return j.groupBy("c_nationkey").agg(
+        first_s.getField("o_orderkey").alias("first_order_key"),
+        (-last_s.getField("neg_key")).alias("last_order_key"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )

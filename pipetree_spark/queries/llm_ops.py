@@ -381,3 +381,100 @@ def q_mm_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(payload).alias("md5_hex"),
         meta.getField("lang").alias("meta_lang"),
     )
+
+
+@declare(
+    "q_text_tfidf",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         tf.tf * (CAST(n.n_docs AS DOUBLE) / dfreq.df) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term
+  ) AS rn FROM scored
+) WHERE rn <= 3
+""",
+    tags=("text",),
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.
+
+    Uses the *linear* idf (tf · N/df) rather than log-idf: tf, N, df are
+    integers, and one IEEE divide + multiply is correctly rounded in
+    both engines, so ranking is bit-deterministic cross-engine (a log's
+    last-ulp can differ between libm implementations and silently flip
+    ranks near ties — SURVEY §2.0 drift class). Ties break on term.
+
+    Scale: tf is one shuffle on (doc_id) post-explode with map-side
+    combine; df is a shuffle on term of the *distinct* doc-term pairs;
+    df joins back by term (skew-safe: stopword terms are high-df but
+    the join key cardinality is |vocab|, and AQE splits hot buckets).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * (F.col("n_docs").cast("double") / F.col("df")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score")
+    )
+
+
+@declare(
+    "q_dedup_cc",
+    oracle=f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, lang, {_SHINGLES_SQL} AS s
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2
+),
+sym AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach(src, dst) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT r.src, s.v FROM reach r JOIN sym s ON r.dst = s.u
+)
+SELECT src AS doc_id, MIN(dst) AS component
+FROM reach GROUP BY src
+""",
+    tags=("dedup", "graph"),
+)
+def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the shingle-Jaccard
+    pair graph (ops.graph.connected_components — iterative min-label
+    propagation; the oracle computes the same components via a
+    recursive-CTE transitive closure, feasible at oracle scale only).
+    component = MIN(doc_id) of the cluster: the canonical keeper id the
+    dedup pipeline retains."""
+    from pipetree_spark.ops.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = TX.near_dup_pairs(d, threshold=0.2).select("id_a", "id_b")
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    return cc.select(F.col("node").alias("doc_id"), "component")

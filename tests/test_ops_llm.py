@@ -185,3 +185,17 @@ def test_embed_stage_deterministic_unit_vectors(spark, sf_small):
     q = emb.limit(2).withColumnRenamed("vec_id", "query_id")
     knn = VX.knn_bruteforce(q, emb, k=3)
     assert knn.count() == 6
+
+
+def test_connected_components_chain_and_islands(spark):
+    from pipetree_spark.ops.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 20)],
+        ["src", "dst"],
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}
