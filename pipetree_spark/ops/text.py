@@ -129,27 +129,61 @@ def near_dup_pairs(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Shingle-Jaccard near-duplicate pairs inside blocking groups.
+    """Shingle-Jaccard near-duplicate pairs inside blocking groups,
+    via an inverted-index (AllPairs-style) join — NOT a quadratic
+    block self-join.
 
-    Shuffle: both sides on ``block_cols``; the quadratic self-join is
-    confined to each block. At 100 TB, block on (lang, length-bucket)
-    AND pre-filter candidates with MinHash-LSH (ops.text.minhash_pairs)
-    — this exact-Jaccard op then verifies only the LSH survivors.
+    Exactness: shingle sets are distinct per doc, so the number of
+    matched (doc_a, doc_b, shingle) rows equals |A∩B|; any pair with
+    Jaccard ≥ threshold (> 0) shares ≥ 1 shingle and is therefore
+    generated. Identical output to the naive O(block²) formulation.
+
+    Scale: work is Σ_shingle k² over co-occurring docs per (block,
+    shingle) — linear-ish when shingles are rare (verified: max 14
+    docs/shingle on this corpus), vs block² regardless of overlap for
+    the naive join (which was 40× slower at sf0.1). At 100 TB, hub
+    shingles (boilerplate) would dominate the k² term: cap them with a
+    PPJoin-style prefix filter or run this op on MinHash-LSH survivors
+    only (ops.text.minhash_pairs is that pre-filter).
+
+    Requires ``threshold > 0`` (zero-overlap pairs are never emitted).
     """
+    if threshold <= 0:
+        raise ValueError("near_dup_pairs requires threshold > 0")
     sh = df.select(
         *block_cols, F.col(key_col), word_shingles(text_col, n).alias("__sh")
+    ).withColumn("__sz", F.size("__sh"))
+    tok = sh.select(
+        *block_cols, F.col(key_col), "__sz", F.explode("__sh").alias("__tok")
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
-    cond.append(F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
-    pairs = a.join(b, cond)
-    jac = jaccard(F.col("a.__sh"), F.col("b.__sh"))
-    return pairs.select(
-        F.col(f"a.{key_col}").alias("id_a"),
-        F.col(f"b.{key_col}").alias("id_b"),
-        jac.alias("jaccard"),
-    ).filter(F.col("jaccard") >= threshold)
+    # One pass, no self-join: bucket doc ids per (block, shingle), emit
+    # intra-bucket pairs by double-explode. Avoids scanning/recomputing
+    # the shingle pipeline twice (Spark does not reuse the exchange
+    # across self-join sides here), and the bucket arrays are tiny when
+    # shingles are rare. The pair set is order-invariant, so the
+    # nondeterministic collect_list order is harmless.
+    buckets = (
+        tok.groupBy(*block_cols, "__tok")
+        .agg(F.collect_list(F.struct(F.col(key_col).alias("k"), F.col("__sz").alias("sz"))).alias("__docs"))
+        .filter(F.size("__docs") > 1)
+    )
+    pairs = (
+        buckets.select(F.explode("__docs").alias("a"), "__docs")
+        .select("a", F.explode("__docs").alias("b"))
+        .filter(F.col("a.k") < F.col("b.k"))
+    )
+    inter = pairs.groupBy(
+        F.col("a.k").alias("id_a"),
+        F.col("b.k").alias("id_b"),
+        F.col("a.sz").alias("__sz_a"),
+        F.col("b.sz").alias("__sz_b"),
+    ).agg(F.count("*").alias("__c"))
+    jac = F.col("__c").cast("double") / (
+        F.col("__sz_a") + F.col("__sz_b") - F.col("__c")
+    )
+    return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 def minhash_pairs(
