@@ -397,3 +397,59 @@ def q_agg_distinct_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("l_partkey").alias("n_parts"),
         F.count_distinct("l_suppkey").alias("n_supps"),
     )
+
+
+@declare(
+    "q_agg_salted",
+    oracle=f"""
+SELECT l_returnflag,
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 6, 24)} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg",),
+)
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation with an EXPLICIT salt column.
+
+    3 group keys over the whole fact table is the worst-case skew shape
+    (every row funnels to 3 reducers). Stage 1 groups by
+    (key, salt = pmod(hash(unique_col), 64)) — 64-way fan-out of each
+    hot key with map-side combine; stage 2 reduces 3×64 partial rows.
+    Same salting utility AQE cannot apply (AQE splits skewed JOIN
+    partitions, not agg keys — SURVEY §4.3). Results are bit-exact vs
+    the unsalted oracle: long partials per salt, decimal across salts
+    (same two-level discipline as exact.exact_sums, salt instead of
+    partition id, so the result is layout-independent too).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    salt = F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(64))
+    partials = (
+        l.withColumn("__salt", salt)
+        .groupBy("l_returnflag", "__salt")
+        .agg(
+            F.sum(F.round(revenue * F.lit(10**6)).cast("long")).alias("rev6"),
+            F.count("*").alias("n"),
+        )
+    )
+    return partials.groupBy("l_returnflag").agg(
+        (F.sum(F.col("rev6").cast("decimal(38,0)")).cast("double") / F.lit(1e6)).alias("revenue"),
+        F.sum("n").alias("n_items"),
+    )
+
+
+@declare("q_agg_approx_quantile", oracle=None, tags=("agg", "approx"))
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch,
+    ``percentile_approx``) next to their exact counterparts — the
+    single-pass sketch path used at 100 TB where exact percentiles
+    would need a full sort. No cross-engine oracle (sketch internals
+    differ); accuracy asserted against F.percentile in pytest."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        F.median("l_extendedprice").alias("exact_median"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("approx_p95"),
+    )

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pipetree_spark.catalog import load_table
 from pipetree_spark.exact import dsum, dsum_sql
 from pipetree_spark.pipeline import Pipeline
 from pipetree_spark.queries import declare
@@ -98,3 +99,59 @@ def q_pipe_udfstage(spark: SparkSession, sf_dir: str) -> DataFrame:
         spec={"stage": "agg", "v": 1},
     )
     return pipe.run(spark, targets=["agg"])["agg"]
+
+
+@declare(
+    "q_pipe_merge",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+),
+delta AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 0
+)
+SELECT COALESCE(d.o_orderkey, b.o_orderkey) AS o_orderkey,
+       COALESCE(d.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+       COALESCE(d.o_totalprice, b.o_totalprice) AS o_totalprice,
+       CASE WHEN d.o_orderkey IS NULL THEN 'kept'
+            WHEN b.o_orderkey IS NULL THEN 'inserted'
+            ELSE 'updated' END AS merge_action
+FROM base b FULL OUTER JOIN delta d ON b.o_orderkey = d.o_orderkey
+""",
+    tags=("pipeline", "join"),
+)
+def q_pipe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics (WHEN MATCHED UPDATE / NOT MATCHED INSERT)
+    as a FULL OUTER join + coalesce — the lakehouse-maintenance primitive
+    for snapshot tables without a txn log.
+
+    Delta rows (simulated updates: every 10th orderkey, repriced) win
+    over base rows; unmatched delta rows are inserts; unmatched base
+    rows are kept. At 100 TB: both sides bucketed/partitioned on the
+    merge key makes this a zero-exchange per-bucket merge, and the
+    ``merge_action`` audit column is what an incremental pipeline logs.
+    ``o_totalprice * 1.1`` is one IEEE multiply — bit-identical in the
+    oracle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderdate") < F.lit("2000-01-01 00:00:00").cast("timestamp")).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    delta = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+    )
+    b, d = base.alias("b"), delta.alias("d")
+    j = b.join(d, F.col("b.o_orderkey") == F.col("d.o_orderkey"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("d.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        F.coalesce(F.col("d.o_orderstatus"), F.col("b.o_orderstatus")).alias("o_orderstatus"),
+        F.coalesce(F.col("d.o_totalprice"), F.col("b.o_totalprice")).alias("o_totalprice"),
+        F.when(F.col("d.o_orderkey").isNull(), "kept")
+        .when(F.col("b.o_orderkey").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )

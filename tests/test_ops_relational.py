@@ -79,3 +79,14 @@ def test_salted_stable_and_bounded(spark):
     s2 = salted(df, "k", 8).collect()
     assert {r["k"]: r["__salt"] for r in s1} == {r["k"]: r["__salt"] for r in s2}
     assert all(0 <= r["__salt"] < 8 for r in s1)
+
+
+def test_approx_quantile_within_rsd(spark, sf_small, registry=None):
+    from pipetree_spark.queries import load_registry
+
+    reg = load_registry()
+    rows = reg["q_agg_approx_quantile"].fn(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        # GK sketch with accuracy=10000 is near-exact at this scale
+        assert abs(r["approx_median"] - r["exact_median"]) <= 0.01 * r["exact_median"]
