@@ -188,3 +188,144 @@ def q_ts_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
     )
+
+
+@declare(
+    "q_ts_funnel",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END) AS first_signup,
+         MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS first_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       count_if(first_signup IS NOT NULL) AS n_signed_up,
+       count_if(first_signup IS NOT NULL AND first_purchase > first_signup) AS n_converted,
+       count_if(first_signup IS NOT NULL
+                AND first_purchase > first_signup
+                AND first_purchase <= first_signup + INTERVAL 72 HOUR) AS n_converted_72h
+FROM per_user
+""",
+    tags=("timeseries", "events"),
+)
+def q_ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step conversion funnel (signup → purchase, 72 h window).
+
+    One grouped pass computes each user's first signup / first purchase
+    (conditional MIN — no per-step self-joins, the naive funnel shape
+    that collapses at scale); the funnel counts reduce the per-user
+    relation. Timestamp comparisons run on the µs-truncated engine
+    timestamps and the oracle's ns values truncate identically at
+    second granularity (event times are sub-second-free — the catalog
+    conversion is exact for them).
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    converted = F.col("first_signup").isNotNull() & (
+        F.col("first_purchase") > F.col("first_signup")
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count_if(F.col("first_signup").isNotNull()).alias("n_signed_up"),
+        F.count_if(converted).alias("n_converted"),
+        F.count_if(
+            converted
+            & (F.col("first_purchase") <= F.col("first_signup") + F.expr("INTERVAL 72 HOURS"))
+        ).alias("n_converted_72h"),
+    )
+
+
+@declare(
+    "q_ts_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(DATE_TRUNC('week', CAST(ts AS TIMESTAMP))) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         date_diff('week', f.cohort_week, DATE_TRUNC('week', CAST(e.ts AS TIMESTAMP))) AS week_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+       CAST(week_offset AS INTEGER) AS week_offset,
+       COUNT(*) AS n_active_users
+FROM activity
+GROUP BY 1, 2
+""",
+    tags=("timeseries", "events", "window"),
+)
+def q_ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle.
+
+    cohort = user's first active ISO week; each (cohort, offset) cell
+    counts distinct users active that many weeks later. Two shuffles on
+    user_id (first-week agg + cohort join — co-partitioned, AQE merges
+    them) then one on the tiny (cohort, offset) grid. Week truncation
+    uses Monday-start ISO weeks in both engines; the ns/µs gap cannot
+    move a week boundary (events carry no sub-second parts).
+    """
+    e = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    firsts = e.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.to_date(wk), F.to_date("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_active_users")
+    )
+
+
+@declare(
+    "q_ts_scd2",
+    oracle="""
+SELECT o_custkey AS custkey,
+       o_orderkey AS version_key,
+       o_totalprice AS attr_price,
+       o_orderdate AS valid_from,
+       COALESCE(
+         LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+         TIMESTAMP '9999-12-31 00:00:00'
+       ) AS valid_to,
+       CASE WHEN LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                 IS NULL THEN 1 ELSE 0 END AS is_current
+FROM orders
+WHERE o_custkey < 100
+""",
+    tags=("timeseries", "window", "pipeline"),
+)
+def q_ts_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 interval construction from a change log.
+
+    Treats each order as a new version of its customer's state and
+    derives [valid_from, valid_to) intervals + current flag with one
+    LEAD window — the standard dimension-versioning build (no self
+    join). Order-by carries the unique key as tie-break so equal-date
+    versions chain deterministically. At 100 TB the window partitions
+    by the dimension key — perfectly parallel, skew bounded by max
+    versions per entity.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt_date = F.lead("o_orderdate").over(w)
+    nxt_key = F.lead("o_orderkey").over(w)
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("version_key"),
+        F.col("o_totalprice").alias("attr_price"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.coalesce(nxt_date, F.lit("9999-12-31 00:00:00").cast("timestamp")).alias("valid_to"),
+        F.when(nxt_key.isNull(), 1).otherwise(0).alias("is_current"),
+    )
