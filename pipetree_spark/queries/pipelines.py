@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pipetree_spark.catalog import load_table
-from pipetree_spark.exact import dsum, dsum_sql
+from pipetree_spark.exact import dsum, dsum_sql, exact_sums
 from pipetree_spark.pipeline import Pipeline
 from pipetree_spark.queries import declare
 
@@ -155,3 +155,48 @@ def q_pipe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("updated")
         .alias("merge_action"),
     )
+
+
+@declare(
+    "q_pipe_bucketed",
+    oracle=f"""
+SELECT o_orderstatus,
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 6, 24)} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+""",
+    tags=("pipeline", "join"),
+)
+def q_pipe_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact join over BUCKETED artifacts — the pay-the-shuffle-once
+    recipe as a declared query (plan shape asserted in test_plans.py).
+
+    Both fact tables are materialized through the artifact cache with
+    ``bucket_by=(16, orderkey)``; on cache hit (catalog table exists)
+    the query skips straight to the zero-exchange sort-merge join. The
+    first run pays the bucketing shuffle — exactly the reference's
+    skip-if-cached semantics applied to physical layout. Results are
+    identical to the plain join (the oracle is the unbucketed SQL).
+    """
+    import tempfile
+
+    from pipetree_spark.cache import ArtifactCache, content_key
+
+    cache = ArtifactCache(f"{tempfile.gettempdir()}/pipetree_spark_bucketed_artifacts")
+    key = content_key({"op": "bucketed_src", "sf_dir": sf_dir}, [])
+
+    def bucketed(stage: str, table: str, cols: list[str], bucket_col: str) -> DataFrame:
+        name = cache.table_name(stage, key)
+        if spark.catalog.tableExists(name):
+            return cache.load_bucketed(spark, stage, key)
+        src = load_table(spark, sf_dir, table).select(*cols)
+        return cache.materialize(
+            spark, src, stage, key, bucket_by=(16, [bucket_col]), sort_by=[bucket_col]
+        )
+
+    lb = bucketed("lineitem_bk", "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"], "l_orderkey")
+    ob = bucketed("orders_bk", "orders", ["o_orderkey", "o_orderstatus"], "o_orderkey")
+    j = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return exact_sums(j, keys=["o_orderstatus"], sums={"revenue": (rev, 6)}, count="n_items")

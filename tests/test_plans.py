@@ -195,3 +195,20 @@ def test_gapfill_aggregates_before_spine_join(spark, sf_small, registry):
     join_pos = p.find("Join")
     agg_section = p[join_pos:]
     assert "HashAggregate" in agg_section
+
+
+def test_pipe_bucketed_join_has_no_exchange(spark, sf_small, registry):
+    # disable broadcast so the join planning mirrors the 100 TB case
+    # (at scale neither fact side fits a broadcast)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q(registry, "q_pipe_bucketed", spark, sf_small)
+        p = plan(df)
+        # bucketed scans feed the SMJ directly; the only exchanges are
+        # the exact_sums two-level aggregation's own (2)
+        assert "SortMergeJoin" in p
+        assert n_nodes(p, "Exchange") == 2, p[:2000]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
