@@ -453,3 +453,66 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.median("l_extendedprice").alias("exact_median"),
         F.percentile_approx("l_extendedprice", 0.95, 10000).alias("approx_p95"),
     )
+
+
+@declare(
+    "q_agg_unpivot",
+    oracle="""
+SELECT l_returnflag, metric, val
+FROM (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         CAST(COUNT(*) AS DOUBLE) AS n_rows
+  FROM lineitem GROUP BY l_returnflag
+)
+UNPIVOT (val FOR metric IN (sum_qty, sum_price, n_rows))
+""",
+    tags=("agg",),
+)
+def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt: wide per-key metrics → long (key, metric, value).
+
+    ``DataFrame.unpivot`` is Spark 4's native melt (an Expand node — a
+    narrow op, no shuffle beyond the upstream aggregate). The inverse of
+    q_agg_pivot; both directions declared.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    wide = l.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        F.count("*").cast("double").alias("n_rows"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "n_rows"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@declare(
+    "q_agg_stragg",
+    oracle="""
+SELECT n_name,
+       string_agg(s_name, ',' ORDER BY s_name) AS supplier_csv,
+       COUNT(*) AS n_supps
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    tags=("agg",),
+)
+def q_agg_stragg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (string_agg / listagg).
+
+    Expressed as sort-then-join over the collected array so the element
+    order is explicit and deterministic — collect_list order itself is
+    execution-order-dependent and must never leak into results
+    (SURVEY §2.4 discipline).
+    """
+    s, n = (load_table(spark, sf_dir, t) for t in ("supplier", "nation"))
+    j = s.join(F.broadcast(n.select("n_nationkey", "n_name")), F.col("s_nationkey") == F.col("n_nationkey"))
+    return j.groupBy("n_name").agg(
+        F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("supplier_csv"),
+        F.count("*").alias("n_supps"),
+    )
