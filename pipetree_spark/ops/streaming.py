@@ -151,3 +151,51 @@ def run_to_memory(sdf: DataFrame, spark: SparkSession, output_mode: str = "appen
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def running_user_max_tws(events: DataFrame) -> DataFrame:
+    """Per-user running max via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-stateful API (successor to
+    ``applyInPandasWithState``): typed value state handled by a
+    StatefulProcessor class, RocksDB-backed state store.
+
+    State per key is one double — O(|users|) total, the shape that
+    stays bounded at 100 TB (vs buffering events). Requires
+    ``spark.sql.streaming.stateStore.providerClass`` =
+    RocksDBStateStoreProvider (set by the caller/test) AND the
+    ``google.protobuf`` package (the state-server wire protocol);
+    environments without protobuf should use
+    :func:`running_user_counts` (applyInPandasWithState) instead.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("max_value", T.DoubleType()),
+        ]
+    )
+
+    class RunningMax(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "mx", T.StructType([T.StructField("mx", T.DoubleType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            mx = self._state.get()[0] if self._state.exists() else None
+            for pdf in rows:
+                m = float(pdf["value"].max())
+                mx = m if mx is None else max(mx, m)
+            self._state.update((mx,))
+            yield pd.DataFrame({"user_id": [key[0]], "max_value": [mx]})
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningMax(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

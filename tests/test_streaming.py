@@ -193,3 +193,38 @@ def test_stateful_running_counts(spark, sf_small, events_stream_dir):
         n, s = want[uid]
         assert row["n_events"] == n
         assert abs(row["sum_value"] - s) < 1e-6
+
+
+def test_transform_with_state_running_max(spark, sf_small, events_stream_dir):
+    """Spark 4 transformWithStateInPandas (StatefulProcessor + RocksDB
+    state store): streamed per-user running max must converge to the
+    batch max. The API's state-server protocol needs google.protobuf,
+    absent in this container → skip (applyInPandasWithState covers
+    arbitrary state above); the op itself is environment-gated only by
+    that import."""
+    pytest.importorskip("google.protobuf.descriptor")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        sdf = st.file_stream(spark, str(events_stream_dir))
+        out = st.run_to_memory(st.running_user_max_tws(sdf), spark, output_mode="update")
+        # update sink: one row per (batch, user); last emission per user
+        # carries the full-history max
+        final = {
+            r["user_id"]: r["max_value"]
+            for r in out.collect()  # memory sink preserves emission order per batch
+        }
+        batch = {
+            r["user_id"]: r["mx"]
+            for r in load_table(spark, sf_small, "events")
+            .groupBy("user_id")
+            .agg(F.max("value").alias("mx"))
+            .collect()
+        }
+        assert set(final) == set(batch)
+        for u, mx in batch.items():
+            assert abs(final[u] - mx) < 1e-12
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
