@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from pipetree_spark.catalog import load_table
 from pipetree_spark.queries import declare
@@ -366,4 +367,76 @@ def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-last_s.getField("neg_key")).alias("last_order_key"),
         F.min("o_orderdate").alias("first_date"),
         F.max("o_orderdate").alias("last_date"),
+    )
+
+
+@declare(
+    "q_fn_hof",
+    oracle="""
+SELECT vec_id,
+       list_transform(e2, x -> ROUND(x * 2.0, 4)) AS doubled_head,
+       len(list_filter(e2, x -> x > 0.0)) AS n_pos,
+       ROUND(list_sum(list_transform(e2, x -> CAST(x AS DOUBLE))), 4) AS head_sum,
+       CAST(list_sum(list_transform(e2, x -> CAST(x > 0.0 AS INT))) > 0 AS BOOLEAN) AS any_pos,
+       CAST(list_sum(list_transform(e2, x -> CAST(x <= 1.0 AS INT))) = len(e2) AS BOOLEAN) AS all_le1
+FROM (
+  SELECT vec_id, list_transform(embedding[1:8], x -> ROUND(CAST(x AS DOUBLE), 4)) AS e2
+  FROM embeddings WHERE vec_id < 100
+)
+""",
+    tags=("fn", "vector"),
+)
+def q_fn_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: transform / filter / aggregate /
+    exists / forall over an 8-dim embedding slice.
+
+    Per-element math on identically-rounded doubles is bit-stable; the
+    8-term aggregate sum runs in array order in both engines (fixed
+    order ⇒ deterministic), rounded to 4dp for belt-and-braces. exists/
+    forall are declared via their sum-of-indicators SQL equivalents.
+    """
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    head = F.transform(F.slice("embedding", 1, 8), lambda x: F.round(x.cast("double"), 4))
+    d = e.select("vec_id", head.alias("e2"))
+    return d.select(
+        "vec_id",
+        F.transform("e2", lambda x: F.round(x * 2.0, 4)).alias("doubled_head"),
+        F.size(F.filter("e2", lambda x: x > 0.0)).alias("n_pos"),
+        F.round(
+            F.aggregate("e2", F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("head_sum"),
+        F.exists("e2", lambda x: x > 0.0).alias("any_pos"),
+        F.forall("e2", lambda x: x <= 1.0).alias("all_le1"),
+    )
+
+
+@declare(
+    "q_fn_from_json",
+    oracle="""
+SELECT COALESCE(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10, -1) AS k_mod,
+       COUNT(*) AS n_events,
+       MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events
+GROUP BY 1
+""",
+    tags=("fn", "events"),
+)
+def q_fn_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON parsing: ``from_json`` into a typed struct (vs
+    q_fn_json's path-extraction) then struct-field access — the path a
+    pipeline takes when the JSON schema is known and columnar pruning
+    should apply downstream."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.select(
+        F.from_json("props", T.StructType([T.StructField("k", T.IntegerType())])).alias("p")
+    )
+    return (
+        parsed.select(F.coalesce(F.col("p.k") % 10, F.lit(-1)).alias("k_mod"), F.col("p.k").alias("k"))
+        .groupBy("k_mod")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
     )

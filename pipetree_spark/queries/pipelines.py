@@ -200,3 +200,72 @@ def q_pipe_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return exact_sums(j, keys=["o_orderstatus"], sums={"revenue": (rev, 6)}, count="n_items")
+
+
+@declare(
+    "q_pipe_quality_audit",
+    oracle="""
+SELECT 'fk_lineitem_orders' AS check_name,
+       (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_bad
+UNION ALL
+SELECT 'fk_lineitem_part',
+       (SELECT COUNT(*) FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+UNION ALL
+SELECT 'fk_lineitem_supplier',
+       (SELECT COUNT(*) FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+UNION ALL
+SELECT 'fk_orders_customer',
+       (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+UNION ALL
+SELECT 'dup_orderkeys',
+       (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1))
+UNION ALL
+SELECT 'dup_lineitem_pk',
+       (SELECT COUNT(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+                              GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1))
+UNION ALL
+SELECT 'null_custkeys',
+       (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+UNION ALL
+SELECT 'negative_prices',
+       (SELECT COUNT(*) FROM lineitem WHERE l_extendedprice <= 0.0)
+""",
+    tags=("pipeline",),
+)
+def q_pipe_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: referential integrity (anti-join orphan
+    counts), primary-key uniqueness, null and domain checks — the
+    validation stage every ingest pipeline runs before promoting a
+    snapshot. One row per check; a non-zero ``n_bad`` fails promotion.
+
+    Each FK check is an anti join (shuffle on the key, or broadcast for
+    dim-sized parents); uniqueness is a groupBy-having. All checks are
+    independent DataFrames unioned lazily — Spark runs them as one job
+    with shared scans where possible. Verified-zero on this testdata
+    (FIXTURES integrity notes), which is exactly what the audit proves.
+    """
+    import functools
+
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.lit(name).alias("check_name"), F.count("*").alias("n_bad"))
+
+    checks = [
+        check("fk_lineitem_orders", l.join(o.select("o_orderkey"), l.l_orderkey == o.o_orderkey, "left_anti")),
+        check("fk_lineitem_part", l.join(p.select("p_partkey"), l.l_partkey == p.p_partkey, "left_anti")),
+        check("fk_lineitem_supplier", l.join(s.select("s_suppkey"), l.l_suppkey == s.s_suppkey, "left_anti")),
+        check("fk_orders_customer", o.join(c.select("c_custkey"), o.o_custkey == c.c_custkey, "left_anti")),
+        check("dup_orderkeys", o.groupBy("o_orderkey").count().filter(F.col("count") > 1)),
+        check(
+            "dup_lineitem_pk",
+            l.groupBy("l_orderkey", "l_linenumber").count().filter(F.col("count") > 1),
+        ),
+        check("null_custkeys", o.filter(F.col("o_custkey").isNull())),
+        check("negative_prices", l.filter(F.col("l_extendedprice") <= 0.0)),
+    ]
+    return functools.reduce(lambda a, b: a.unionByName(b), checks)

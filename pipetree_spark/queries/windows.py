@@ -219,3 +219,39 @@ def q_topk_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
         k=3,
     ).select("o_custkey", "o_orderkey", "rnk")
+
+
+@declare(
+    "q_win_timerange",
+    oracle="""
+SELECT event_id,
+       COUNT(*) OVER w AS n_last_hour,
+       CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER w AS DOUBLE) / 1000000.0 AS sum_last_hour
+FROM (SELECT event_id, user_id, value,
+             CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_sec
+      FROM events WHERE user_id < 10)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""",
+    tags=("window", "events", "timeseries"),
+)
+def q_win_timerange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per-user trailing-1-hour rolling
+    count/sum at every event — the per-entity sliding aggregate that
+    windowed (bucketed) rollups can't express.
+
+    Ordered on integral epoch SECONDS (the catalog's ts_sec), so frame
+    boundary arithmetic is exact integer math in both engines and the
+    ns/µs precision gap cannot move a boundary. Scaled-long window sums
+    keep the doubles bit-identical. At 100 TB the window partitions by
+    user — embarrassingly parallel, state bounded by events-per-hour.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts_sec").rangeBetween(-3600, 0)
+    return e.select(
+        "event_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        (
+            F.sum(F.round(F.col("value") * F.lit(10**6)).cast("long")).over(w) / F.lit(1e6)
+        ).alias("sum_last_hour"),
+    )
