@@ -4,8 +4,12 @@ The reference's primary UX is "point the CLI at a JSON pipeline config,
 it builds the DAG, skips cached stages, and runs the rest". Same here:
 
     python -m pipetree_spark run examples/pipeline.json \
-        --cache /tmp/artifacts --sf-dir /root/testdata/sf0.01 \
-        --targets report
+        --sf-dir /root/testdata/sf0.01 --targets report
+
+Skip-if-cached is on by default (artifacts at /tmp/pipetree_spark_artifacts;
+override with --cache DIR or disable with --no-cache) — rerunning a spec
+recomputes only stages whose definition or upstreams changed, the
+reference's incremental-recompute UX.
 
 JSON specs support the declarative stage types (source / values / sql /
 grid); ``python`` stages exist only in the direct API (a JSON file can't
@@ -32,7 +36,13 @@ def main(argv: list[str] | None = None) -> int:
     run = sub.add_parser("run", help="run a JSON pipeline spec")
     run.add_argument("spec", help="path to pipeline spec JSON")
     run.add_argument("--sf-dir", default=DEFAULT_SF_DIR, help="table directory")
-    run.add_argument("--cache", default=None, help="artifact-cache root (enables skip-if-cached)")
+    run.add_argument(
+        "--cache",
+        default="/tmp/pipetree_spark_artifacts",
+        help="artifact-cache root (skip-if-cached is ON by default — the "
+        "reference's incremental-recompute UX; use --no-cache to disable)",
+    )
+    run.add_argument("--no-cache", action="store_true", help="disable the artifact cache")
     run.add_argument("--targets", nargs="*", default=None, help="only these stages (+ upstreams)")
     run.add_argument("--show", type=int, default=0, metavar="N", help="print N rows per target")
 
@@ -41,7 +51,7 @@ def main(argv: list[str] | None = None) -> int:
     with open(args.spec) as f:
         spec = json.load(f)
     pipeline = Pipeline.from_spec(spec, sf_dir=args.sf_dir)
-    cache = ArtifactCache(args.cache) if args.cache else None
+    cache = None if args.no_cache else ArtifactCache(args.cache)
     spark = get_spark("pipetree-spark-cli")
 
     results = pipeline.run(spark, cache=cache, targets=args.targets)

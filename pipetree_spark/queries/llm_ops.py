@@ -478,3 +478,64 @@ def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = TX.near_dup_pairs(d, threshold=0.2).select("id_a", "id_b")
     cc = connected_components(pairs, src="id_a", dst="id_b")
     return cc.select(F.col("node").alias("doc_id"), "component")
+
+
+@declare(
+    "q_text_decontam",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+eval_grams AS (
+  SELECT DISTINCT UNNEST(s) AS g FROM sh WHERE doc_id < 10
+),
+train AS (SELECT doc_id, s FROM sh WHERE doc_id >= 10),
+hits AS (
+  SELECT t.doc_id, COUNT(DISTINCT g) AS n_shared
+  FROM train t JOIN eval_grams e ON list_contains(t.s, e.g)
+  GROUP BY t.doc_id
+)
+SELECT t.doc_id,
+       COALESCE(h.n_shared, 0) AS n_shared,
+       CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / len(t.s) AS contamination,
+       COALESCE(h.n_shared, 0) >= 3 AS flagged
+FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+""",
+    tags=("text", "dedup"),
+)
+def q_text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs whose shingles
+    overlap an eval set (here: doc_id < 10 plays the benchmark).
+
+    The eval shingle set is tiny at any scale → broadcast inner join on
+    the exploded training shingles (an inverted-index probe, not a
+    containment scan); per-doc distinct-overlap counts and a
+    contamination ratio (integer/integer — exact) drive the ≥3-shingle
+    flag, the standard n-gram-collision decontamination rule. At 100 TB
+    the training side streams through map-side broadcast probes —
+    no shuffle on the corpus at all.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", TX.word_shingles("text", 3).alias("s"))
+    eval_grams = (
+        sh.filter(F.col("doc_id") < 10)
+        .select(F.explode("s").alias("g"))
+        .distinct()
+    )
+    train = sh.filter(F.col("doc_id") >= 10).withColumn("sz", F.size("s"))
+    train_tok = train.select("doc_id", "sz", F.explode("s").alias("g"))
+    hits = (
+        train_tok.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_shared"))
+    )
+    return (
+        train.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)).cast("double") / F.col("sz")).alias("contamination"),
+            (F.coalesce("n_shared", F.lit(0)) >= 3).alias("flagged"),
+        )
+    )

@@ -232,3 +232,33 @@ def test_end_to_end_dedup_pipeline(spark, tmp_path):
     out2 = p.run(spark, cache=cache)
     assert p.last_run_report["survivors"] == "hit"
     assert sorted(r.doc_id for r in out2["survivors"].select("doc_id").collect()) == kept
+
+
+def test_cli_run_caches_by_default(spark, tmp_path, capsys):
+    """CLI parity: second run of the same spec must HIT the cache for
+    materialized stages (the reference's incremental-recompute UX)."""
+    import json as _json
+
+    from pipetree_spark.__main__ import main
+
+    spec = {
+        "stages": {
+            "orders": {"type": "source", "table": "orders"},
+            "top": {
+                "type": "sql",
+                "inputs": ["orders"],
+                "query": "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY 1",
+                "materialize": True,
+            },
+        }
+    }
+    spec_path = tmp_path / "spec.json"
+    spec_path.write_text(_json.dumps(spec))
+    args = ["run", str(spec_path), "--sf-dir", "/root/testdata/sf0.001",
+            "--cache", str(tmp_path / "artifacts"), "--targets", "top"]
+    assert main(args) == 0
+    first = capsys.readouterr().err
+    assert "top: materialized" in first
+    assert main(args) == 0
+    second = capsys.readouterr().err
+    assert "top: hit" in second
