@@ -539,3 +539,52 @@ def q_text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_shared", F.lit(0)) >= 3).alias("flagged"),
         )
     )
+
+
+@declare("q_vec_kmeans", oracle=None, tags=("vector", "approx"))
+def q_vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded k-means over the embedding table (pyspark.ml, k=10,
+    seed=42) — the clustering step of an embedding-curation pipeline
+    (and the trainable cousin of q_vec_ann_ivf's coarse quantizer).
+    Centroid init + Arrow batch order make assignments seed-stable but
+    not oracle-expressible → rows-only; cluster-quality asserted in
+    pytest (labels in testdata give a sanity signal)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", "label", array_to_vector("embedding").alias("features"))
+    model = KMeans(k=10, seed=42, maxIter=10).fit(vecs)
+    pred = model.transform(vecs)
+    return (
+        pred.groupBy("prediction")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.count_distinct("label").alias("n_labels"),
+        )
+        .orderBy("prediction")
+    )
+
+
+@declare("q_vec_pca", oracle=None, tags=("vector", "approx"))
+def q_vec_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA to 8 components over 64-dim embeddings (pyspark.ml) — the
+    dimensionality-reduction stage before cheap ANN / visualization.
+    Eigenvector signs are implementation-defined → rows-only; the
+    explained-variance CURVE (decreasing, sums ≤ 1) is asserted in
+    pytest, which is the implementation-independent invariant."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(array_to_vector("embedding").alias("features"))
+    model = PCA(k=8, inputCol="features", outputCol="pca").fit(vecs)
+    ev = [float(x) for x in model.explainedVariance]
+    return spark.range(1).select(
+        F.explode(
+            F.arrays_zip(
+                F.sequence(F.lit(0), F.lit(len(ev) - 1)).alias("component"),
+                F.array(*[F.lit(round(v, 6)) for v in ev]).alias("explained_var"),
+            )
+        ).alias("z")
+    ).select(F.col("z.component").alias("component"), F.col("z.explained_var").alias("explained_var"))

