@@ -216,9 +216,9 @@ def q_ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (conditional MIN — no per-step self-joins, the naive funnel shape
     that collapses at scale); the funnel counts reduce the per-user
     relation. Timestamp comparisons run on the µs-truncated engine
-    timestamps and the oracle's ns values truncate identically at
-    second granularity (event times are sub-second-free — the catalog
-    conversion is exact for them).
+    timestamps; event times carry sub-second but NO sub-microsecond
+    parts (verified across SFs), so the catalog's ns→µs conversion is
+    lossless and every comparison is bit-identical to the oracle's.
     """
     e = load_table(spark, sf_dir, "events")
     per_user = e.groupBy("user_id").agg(
@@ -266,8 +266,9 @@ def q_ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts distinct users active that many weeks later. Two shuffles on
     user_id (first-week agg + cohort join — co-partitioned, AQE merges
     them) then one on the tiny (cohort, offset) grid. Week truncation
-    uses Monday-start ISO weeks in both engines; the ns/µs gap cannot
-    move a week boundary (events carry no sub-second parts).
+    uses Monday-start ISO weeks in both engines; events carry no
+    sub-MICROSECOND parts, so the ns→µs load conversion is lossless
+    and week boundaries agree exactly.
     """
     e = load_table(spark, sf_dir, "events")
     wk = F.date_trunc("week", F.col("ts"))

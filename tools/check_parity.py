@@ -101,6 +101,8 @@ def run_oracle(con, sql):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--vanilla", action="store_true",
+                    help="use a driver-like plain SparkSession (no engine confs)")
     ap.add_argument("names", nargs="*", help="query names (default: all declared)")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--tol", type=float, default=0.0, help="relative float tolerance (0 = driver-strict)")
@@ -115,7 +117,21 @@ def main():
     if unknown:
         sys.exit(f"unknown queries: {unknown}")
 
-    spark = get_spark("parity-check")
+    if args.vanilla:
+        # simulate the round driver: a PLAIN session with none of the
+        # engine confs — pipetree_spark must apply what it needs at
+        # runtime (catalog loaders own the ns-timestamp conf etc.)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("parity-check-vanilla")
+            .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("parity-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(args.sf, t)}')")
