@@ -440,3 +440,38 @@ def q_fn_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@declare(
+    "q_fn_editdist",
+    oracle="""
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_type = b.p_type AND b.p_partkey = a.p_partkey + 1
+WHERE levenshtein(a.p_name, b.p_name) <= 6
+""",
+    tags=("fn", "text"),
+)
+def q_fn_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance over blocked name pairs — the fuzzy-
+    match primitive (typo-level dedup) both engines implement with the
+    identical DP definition (exact integer output). Pairing is bounded
+    (adjacent keys within a type block), the discipline any edit-
+    distance join needs — the DP is O(len²) per pair."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type", "p_name")
+    a, b = p.alias("a"), p.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.p_type") == F.col("b.p_type"))
+        & (F.col("b.p_partkey") == F.col("a.p_partkey") + 1),
+    )
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return j.select(
+        F.col("a.p_partkey").alias("key_a"),
+        F.col("b.p_partkey").alias("key_b"),
+        F.col("a.p_name").alias("name_a"),
+        F.col("b.p_name").alias("name_b"),
+        dist.alias("edit_dist"),
+    ).filter(F.col("edit_dist") <= 6)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pipetree_spark.catalog import load_table
 from pipetree_spark.catalog import register_views
 from pipetree_spark.queries import declare
 
@@ -61,3 +62,81 @@ def q_subq_notin(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a nullable column needs null-aware semantics; nationkeys are
     non-null so this plans as a plain broadcast anti join)."""
     return _sql(spark, sf_dir, _NOTIN_SQL)
+
+
+@declare(
+    "q_subq_recursive",
+    oracle="""
+WITH RECURSIVE months(m) AS (
+  SELECT TIMESTAMP '1995-01-01 00:00:00'
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months WHERE m < TIMESTAMP '2001-08-01 00:00:00'
+)
+SELECT months.m AS month_start,
+       COALESCE(o.n_orders, 0) AS n_orders
+FROM months
+LEFT JOIN (
+  SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS m, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+) o USING (m)
+""",
+    tags=("subquery", "timeseries"),
+)
+def q_subq_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.x `WITH RECURSIVE`): month spine over the
+    order-date domain, zero-filled order counts per month.
+
+    Recursion is the SQL-entry path — the DataFrame API equivalent is
+    the sequence()-spine in q_ts_gapfill; declaring both proves the two
+    spine-generation idioms agree. The recursion depth (~80 months) is
+    driver-side plan unrolling, not data-scale-dependent.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_rec_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01 00:00:00'
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months WHERE m < TIMESTAMP '2001-08-01 00:00:00'
+        )
+        SELECT months.m AS month_start,
+               COALESCE(o.n_orders, 0) AS n_orders
+        FROM months
+        LEFT JOIN (
+          SELECT DATE_TRUNC('month', o_orderdate) AS m, COUNT(*) AS n_orders
+          FROM orders_rec_v GROUP BY 1
+        ) o USING (m)
+        """
+    )
+
+
+@declare(
+    "q_subq_exists_or",
+    oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND (o_orderpriority = '1-URGENT' OR o_totalprice > 300000.0)
+)
+""",
+    tags=("subquery",),
+)
+def q_subq_exists_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with a disjunctive inner predicate — the shape
+    that stresses decorrelation (the OR must stay inside the semi-join
+    condition, not split into a union of scans)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_eor_v")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_eor_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM customer_eor_v
+        WHERE EXISTS (
+          SELECT 1 FROM orders_eor_v
+          WHERE o_custkey = c_custkey
+            AND (o_orderpriority = '1-URGENT' OR o_totalprice > 300000.0)
+        )
+        """
+    )
