@@ -516,3 +516,30 @@ def q_agg_stragg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("supplier_csv"),
         F.count("*").alias("n_supps"),
     )
+
+
+@declare(
+    "q_agg_groupby_all",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       {dsum_sql('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY ALL
+""",
+    tags=("agg",),
+)
+def q_agg_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (infer grouping keys from the non-aggregate select
+    list) — the DuckDB-originated convenience Spark 4 adopted; declared
+    through the SQL entry to pin the dialect agreement."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gba_v")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               {dsum_sql('l_quantity')} AS sum_qty
+        FROM lineitem_gba_v
+        GROUP BY ALL
+        """
+    )
