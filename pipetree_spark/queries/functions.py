@@ -475,3 +475,36 @@ def q_fn_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.p_name").alias("name_b"),
         dist.alias("edit_dist"),
     ).filter(F.col("edit_dist") <= 6)
+
+
+@declare(
+    "q_fn_string2",
+    oracle="""
+SELECT p_partkey,
+       split_part(p_name, ' ', 1) AS first_word,
+       split_part(p_name, ' ', 2) AS second_word,
+       reverse(p_brand) AS brand_rev,
+       translate(p_type, 'AEIOU', 'aeiou') AS type_xlate,
+       repeat(left(p_name, 2), 3) AS rep2x3,
+       position('a' IN p_name) AS a_pos,
+       right(p_name, 3) AS last3
+FROM part
+WHERE p_partkey < 500
+""",
+    tags=("fn",),
+)
+def q_fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string family: split_part / reverse / translate / repeat /
+    left / right / position — all 1:1 portable builtins (byte-exact on
+    ASCII name columns)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("second_word"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("type_xlate"),
+        F.repeat(F.left("p_name", F.lit(2)), 3).alias("rep2x3"),
+        F.instr("p_name", "a").cast("long").alias("a_pos"),
+        F.right("p_name", F.lit(3)).alias("last3"),
+    )

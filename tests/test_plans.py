@@ -212,3 +212,48 @@ def test_pipe_bucketed_join_has_no_exchange(spark, sf_small, registry):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_small):
+    """Skew discipline at join time is AQE's job (SURVEY §4.3): with a
+    deliberately skewed key (60% of rows on one user) and thresholds
+    scaled down to local data sizes, the executed plan must mark the
+    sort-merge join skew=true (partition split at runtime)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.5",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        # synthetic skew: 80% of 300k rows on one key. Needs enough
+        # shuffle bytes for the size-based detector (the parquet test
+        # tables compress below it) and multiple map tasks (splits
+        # happen along map-output boundaries — always true at scale).
+        big = spark.range(300_000).select(
+            F.when(F.col("id") % 10 < 8, 0).otherwise(F.col("id") % 1000).alias("skey"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(1000).select(F.col("id").alias("skey"))
+        # collect the JOINED dataset itself: the skew marker lives in the
+        # final adaptive plan of the executed dataset (an agg on top
+        # would veto the split — it breaks the agg's required
+        # distribution — unless forceOptimizeSkewedJoin is set)
+        j = big.join(dim, "skey")
+        assert len(j.collect()) == 300_000
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:3000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
