@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pipetree_spark.catalog import load_table
+from pipetree_spark.exact import dsum_sql
 from pipetree_spark.ops import text as TX
 from pipetree_spark.ops import vector as VX
 from pipetree_spark.queries import declare
@@ -588,3 +589,87 @@ def q_vec_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z")
     ).select(F.col("z.component").alias("component"), F.col("z.explained_var").alias("explained_var"))
+
+
+@declare(
+    "q_vec_quantize",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(GREATEST(-127, LEAST(127, ROUND(CAST(x AS DOUBLE) * 64.0))) AS INTEGER)) AS q8,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+  FROM embeddings
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       {dsum_sql("list_sum(list_transform(range(1, len(ed)+1), i -> abs(ed[i] - q8[i]/64.0)))", 9, 30)} AS total_abs_err,
+       MIN(list_min(q8)) AS min_q,
+       MAX(list_max(q8)) AS max_q
+FROM q GROUP BY label
+""",
+    tags=("vector",),
+)
+def q_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization of embeddings (×4 memory cut for ANN
+    shortlists) + reconstruction-error audit per label.
+
+    scale=64 maps unit-range floats onto [-127, 127]; round/clamp are
+    exact integer ops in both engines, and the per-vector error is a
+    fixed-order 64-term sum (deterministic), made hash-exact across the
+    per-label aggregation by the scaled-long path."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ed = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q8 = F.transform(
+        ed, lambda x: F.greatest(F.lit(-127), F.least(F.lit(127), F.round(x * 64.0))).cast("int")
+    )
+    qd = e.select("vec_id", "label", ed.alias("ed"), q8.alias("q8"))
+    per_vec_err = F.aggregate(
+        F.zip_with(F.col("ed"), F.col("q8"), lambda x, q: F.abs(x - q / F.lit(64.0))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return qd.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        (F.sum(F.round(per_vec_err * F.lit(10**9)).cast("long")) / F.lit(1e9)).alias("total_abs_err"),
+        F.min(F.array_min("q8")).alias("min_q"),
+        F.max(F.array_max("q8")).alias("max_q"),
+    )
+
+
+@declare(
+    "q_text_pii_mask",
+    oracle=r"""
+SELECT c_custkey,
+       regexp_replace(
+         regexp_replace(synth, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+         '\+?[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS masked,
+       CAST(regexp_replace(synth, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g') LIKE '%<EMAIL>%' AS BOOLEAN) AS had_email
+FROM (
+  SELECT c_custkey,
+         concat(lower(replace(c_name, ' ', '.')), '@example.com call 555-',
+                lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')) AS synth
+  FROM customer WHERE c_custkey < 200
+)
+""",
+    tags=("text",),
+)
+def q_text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking: email + phone patterns → placeholder tokens (the
+    redaction pass of a training-data pipeline). The corpus is synthetic
+    word salad, so PII strings are synthesized from customer names and
+    then masked — the op under test is the chained regexp_replace with
+    portable (RE2-ish) patterns."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    synth = F.concat(
+        F.lower(F.replace(F.col("c_name"), F.lit(" "), F.lit("."))),
+        F.lit("@example.com call 555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+    )
+    d = c.select("c_custkey", synth.alias("synth"))
+    email_masked = F.regexp_replace("synth", r"[a-z0-9._]+@[a-z0-9.-]+", "<EMAIL>")
+    return d.select(
+        "c_custkey",
+        F.regexp_replace(email_masked, r"\+?[0-9]{3}-[0-9]{4}", "<PHONE>").alias("masked"),
+        email_masked.contains("<EMAIL>").alias("had_email"),
+    )
