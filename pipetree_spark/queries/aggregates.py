@@ -290,7 +290,7 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect",
     oracle="""
 SELECT n.n_name AS nation,
-       list_sort(list(s.s_suppkey)) AS supp_keys,
+       array_to_string(list_sort(list(s.s_suppkey)), ',') AS supp_keys,
        COUNT(*) AS n_supps
 FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
 GROUP BY n.n_name
@@ -299,14 +299,23 @@ GROUP BY n.n_name
 )
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array agg — MUST be sorted: collect_list order is nondeterministic
-    under parallel execution (SURVEY §2.4)."""
+    under parallel execution (SURVEY §2.4).
+
+    The sorted array is emitted as a comma-joined string (sorted
+    numerically first, THEN stringified) — raw array columns break the
+    driver's pandas canonicalizer (r1 ndarray TypeError), and the
+    joined form hashes identically across engines.
+    """
     n = load_table(spark, sf_dir, "nation")
     s = load_table(spark, sf_dir, "supplier")
     return (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.array_sort(F.collect_list("s_suppkey")).alias("supp_keys"),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("s_suppkey")), lambda x: x.cast("string")),
+                ",",
+            ).alias("supp_keys"),
             F.count("*").alias("n_supps"),
         )
     )

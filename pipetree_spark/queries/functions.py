@@ -303,8 +303,8 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderstatus,
        count_if(o_totalprice > 150000.0) AS n_big,
-       bool_and(o_totalprice > 0.0) AS all_positive,
-       bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+       CAST(bool_and(o_totalprice > 0.0) AS INT) AS all_positive,
+       CAST(bool_or(o_orderpriority = '1-URGENT') AS INT) AS any_urgent,
        MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END) AS max_urgent_price
 FROM orders
 GROUP BY o_orderstatus
@@ -313,13 +313,19 @@ GROUP BY o_orderstatus
 )
 def q_fn_condagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional aggregates: count_if / bool_and / bool_or and the
-    filtered-MAX idiom (NULL-absorbing CASE inside the aggregate)."""
+    filtered-MAX idiom (NULL-absorbing CASE inside the aggregate).
+
+    Boolean aggregates are emitted as 0/1 INT on both sides: the
+    driver's pandas canonicalizer hashes raw booleans unreliably
+    (r1 hash_match=false on bit-identical rows), so the declared
+    output schema is representation-proof by construction.
+    """
     o = load_table(spark, sf_dir, "orders")
     urgent = F.col("o_orderpriority") == "1-URGENT"
     return o.groupBy("o_orderstatus").agg(
         F.count_if(F.col("o_totalprice") > 150000.0).alias("n_big"),
-        F.bool_and(F.col("o_totalprice") > 0.0).alias("all_positive"),
-        F.bool_or(urgent).alias("any_urgent"),
+        F.bool_and(F.col("o_totalprice") > 0.0).cast("int").alias("all_positive"),
+        F.bool_or(urgent).cast("int").alias("any_urgent"),
         F.max(F.when(urgent, F.col("o_totalprice"))).alias("max_urgent_price"),
     )
 
@@ -374,11 +380,11 @@ def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_hof",
     oracle="""
 SELECT vec_id,
-       list_transform(e2, x -> ROUND(x * 2.0, 4)) AS doubled_head,
+       array_to_string(list_transform(e2, x -> CAST(ROUND(x * 20000.0) AS BIGINT)), ',') AS doubled_head,
        len(list_filter(e2, x -> x > 0.0)) AS n_pos,
        ROUND(list_sum(list_transform(e2, x -> CAST(x AS DOUBLE))), 4) AS head_sum,
-       CAST(list_sum(list_transform(e2, x -> CAST(x > 0.0 AS INT))) > 0 AS BOOLEAN) AS any_pos,
-       CAST(list_sum(list_transform(e2, x -> CAST(x <= 1.0 AS INT))) = len(e2) AS BOOLEAN) AS all_le1
+       CAST(list_sum(list_transform(e2, x -> CAST(x > 0.0 AS INT))) > 0 AS INT) AS any_pos,
+       CAST(list_sum(list_transform(e2, x -> CAST(x <= 1.0 AS INT))) = len(e2) AS INT) AS all_le1
 FROM (
   SELECT vec_id, list_transform(embedding[1:8], x -> ROUND(CAST(x AS DOUBLE), 4)) AS e2
   FROM embeddings WHERE vec_id < 100
@@ -394,19 +400,28 @@ def q_fn_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-term aggregate sum runs in array order in both engines (fixed
     order ⇒ deterministic), rounded to 4dp for belt-and-braces. exists/
     forall are declared via their sum-of-indicators SQL equivalents.
+
+    Driver-hashable output schema: the transformed array is serialized
+    as a comma-joined string of scaled longs (e2 elements are 4dp
+    multiples, so x*20000 is near-integer — exact in both engines; no
+    float-formatting divergence), and exists/forall emit 0/1 INT —
+    raw arrays break the driver's pandas sort (r1 ndarray TypeError)
+    and raw booleans its hash.
     """
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
     head = F.transform(F.slice("embedding", 1, 8), lambda x: F.round(x.cast("double"), 4))
     d = e.select("vec_id", head.alias("e2"))
     return d.select(
         "vec_id",
-        F.transform("e2", lambda x: F.round(x * 2.0, 4)).alias("doubled_head"),
+        F.array_join(
+            F.transform("e2", lambda x: F.round(x * 20000.0).cast("long").cast("string")), ","
+        ).alias("doubled_head"),
         F.size(F.filter("e2", lambda x: x > 0.0)).alias("n_pos"),
         F.round(
             F.aggregate("e2", F.lit(0.0), lambda acc, x: acc + x), 4
         ).alias("head_sum"),
-        F.exists("e2", lambda x: x > 0.0).alias("any_pos"),
-        F.forall("e2", lambda x: x <= 1.0).alias("all_le1"),
+        F.exists("e2", lambda x: x > 0.0).cast("int").alias("any_pos"),
+        F.forall("e2", lambda x: x <= 1.0).cast("int").alias("all_le1"),
     )
 
 

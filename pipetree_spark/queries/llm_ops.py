@@ -500,7 +500,7 @@ hits AS (
 SELECT t.doc_id,
        COALESCE(h.n_shared, 0) AS n_shared,
        CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / len(t.s) AS contamination,
-       COALESCE(h.n_shared, 0) >= 3 AS flagged
+       CAST(COALESCE(h.n_shared, 0) >= 3 AS INT) AS flagged
 FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
 """,
     tags=("text", "dedup"),
@@ -537,7 +537,7 @@ def q_text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
             (F.coalesce("n_shared", F.lit(0)).cast("double") / F.col("sz")).alias("contamination"),
-            (F.coalesce("n_shared", F.lit(0)) >= 3).alias("flagged"),
+            (F.coalesce("n_shared", F.lit(0)) >= 3).cast("int").alias("flagged"),
         )
     )
 
@@ -644,7 +644,7 @@ SELECT c_custkey,
        regexp_replace(
          regexp_replace(synth, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
          '\+?[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS masked,
-       CAST(regexp_replace(synth, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g') LIKE '%<EMAIL>%' AS BOOLEAN) AS had_email
+       CAST(regexp_replace(synth, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g') LIKE '%<EMAIL>%' AS INT) AS had_email
 FROM (
   SELECT c_custkey,
          concat(lower(replace(c_name, ' ', '.')), '@example.com call 555-',
@@ -671,5 +671,5 @@ def q_text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "c_custkey",
         F.regexp_replace(email_masked, r"\+?[0-9]{3}-[0-9]{4}", "<PHONE>").alias("masked"),
-        email_masked.contains("<EMAIL>").alias("had_email"),
+        email_masked.contains("<EMAIL>").cast("int").alias("had_email"),
     )

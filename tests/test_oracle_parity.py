@@ -46,6 +46,28 @@ def test_query_matches_oracle(name, spark, sf_small, oracle_con):
     assert not problems, f"{name}: {problems[:3]}"
 
 
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_output_schema_is_driver_hashable(name, spark, sf_small):
+    """The driver canonicalizes results via a pandas sort + value hash;
+    raw boolean columns hash unreliably and array/map/struct columns
+    raise TypeError in its sort (both observed in CORRECTNESS_r01). An
+    oracle-declared query therefore may only emit scalar non-boolean
+    columns: serialize arrays (array_join) and cast booleans to int at
+    the query edge. Rows-only queries (oracle=None) are exempt — the
+    driver's rows-only check never hashes values."""
+    q = REGISTRY[name]
+    if q.oracle is None:
+        return
+    sdf = q.fn(spark, sf_small)
+    bad = [
+        (f.name, f.dataType.simpleString())
+        for f in sdf.schema.fields
+        if f.dataType.simpleString() == "boolean"
+        or f.dataType.simpleString().startswith(("array", "map", "struct", "binary"))
+    ]
+    assert not bad, f"{name} emits driver-unhashable columns: {bad}"
+
+
 def test_driver_contract_shape():
     import __spark_entry__ as se
 
