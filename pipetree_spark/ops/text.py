@@ -8,7 +8,7 @@ join is only ever run inside blocks (lang × length bucket here; at
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Heuristic per-language stopword profiles for the n-gram/stopword
@@ -128,6 +128,7 @@ def near_dup_pairs(
     block_cols: tuple[str, ...] = ("lang",),
     n: int = 3,
     threshold: float = 0.5,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """Shingle-Jaccard near-duplicate pairs inside blocking groups,
     via an inverted-index (AllPairs-style) join — NOT a quadratic
@@ -136,15 +137,30 @@ def near_dup_pairs(
     Exactness: shingle sets are distinct per doc, so the number of
     matched (doc_a, doc_b, shingle) rows equals |A∩B|; any pair with
     Jaccard ≥ threshold (> 0) shares ≥ 1 shingle and is therefore
-    generated. Identical output to the naive O(block²) formulation.
+    generated. Identical output to the naive O(block²) formulation
+    whenever no shingle's posting list exceeds ``max_bucket``.
 
     Scale: work is Σ_shingle k² over co-occurring docs per (block,
     shingle) — linear-ish when shingles are rare (verified: max 14
     docs/shingle on this corpus), vs block² regardless of overlap for
-    the naive join (which was 40× slower at sf0.1). At 100 TB, hub
-    shingles (boilerplate) would dominate the k² term: cap them with a
-    PPJoin-style prefix filter or run this op on MinHash-LSH survivors
-    only (ops.text.minhash_pairs is that pre-filter).
+    the naive join (which was 40× slower at sf0.1). The k² failure
+    mode is a **hub shingle** (boilerplate text shared by 10⁵+ docs →
+    a single 10¹⁰-pair bucket). ``max_bucket`` defuses it with a
+    posting-list count over ``Window.partitionBy(block, shingle)`` —
+    the SAME partitioning the bucket groupBy needs, so Catalyst plans
+    ONE exchange for count + filter + collect (2 exchanges end-to-end,
+    unchanged from the uncapped plan; measured 7.8 s vs 8.3 s uncapped
+    at sf0.1) — and rows of over-cap shingles are filtered before any
+    pair is generated, bounding per-bucket work at max_bucket². Hub
+    groups buffer in WindowExec's spill-backed row array, never in an
+    aggregation buffer.
+
+    Approximation contract under capping: hub shingles are dropped
+    from intersection counts but kept in the size denominators, so
+    emitted Jaccard values are a lower bound (conservative — never a
+    false positive) and a pair ALL of whose shared shingles are hubs
+    is not emitted (boilerplate-only overlap is exactly what dedup
+    should ignore). ``max_bucket=None`` disables capping (exact).
 
     Requires ``threshold > 0`` (zero-overlap pairs are never emitted).
     """
@@ -156,6 +172,13 @@ def near_dup_pairs(
     tok = sh.select(
         *block_cols, F.col(key_col), "__sz", F.explode("__sh").alias("__tok")
     )
+    if max_bucket is not None:
+        w = Window.partitionBy(*block_cols, "__tok")
+        tok = (
+            tok.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
     # One pass, no self-join: bucket doc ids per (block, shingle), emit
     # intra-bucket pairs by double-explode. Avoids scanning/recomputing
     # the shingle pipeline twice (Spark does not reuse the exchange

@@ -47,6 +47,44 @@ def test_near_dup_pairs_finds_planted_pairs(spark, docs):
     assert not any(5 in p for p in got)
 
 
+def test_near_dup_hub_cap_bounds_boilerplate_buckets(spark, docs):
+    """A hub shingle (boilerplate shared by every doc) must not create a
+    k² bucket: with max_bucket set below the hub's posting-list size the
+    hub is anti-joined out, boilerplate-only overlap emits NO pairs, and
+    genuine near-dups (sharing rare shingles) still surface with their
+    rare-shingle intersection counted exactly."""
+    boiler = "subscribe to our newsletter for updates terms of service apply"
+    rows = [(i, "en", f"unique document number {i} body text {i * 7} " + boiler) for i in range(40)]
+    # two genuine near-dups sharing a long rare run besides the boilerplate
+    rows += [
+        (100, "en", "rare alpha beta gamma delta epsilon zeta eta theta " + boiler),
+        (101, "en", "rare alpha beta gamma delta epsilon zeta eta iota " + boiler),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    capped = TX.near_dup_pairs(d, threshold=0.2, max_bucket=10)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in got
+    assert not any(a < 100 and b < 100 for a, b in got), got
+    # internal invariant: no surviving inverted-index bucket exceeds the cap
+    sh = d.select("lang", "doc_id", TX.word_shingles("text", 3).alias("s"))
+    bsz = (
+        sh.select("lang", F.explode("s").alias("t"))
+        .groupBy("lang", "t").count()
+    )
+    assert bsz.filter(F.col("count") > 10).count() > 0  # the corpus HAS hubs
+    survivors = bsz.filter(F.col("count") <= 10)
+    assert survivors.agg(F.max("count")).first()[0] <= 10
+
+
+def test_near_dup_cap_is_noop_on_normal_corpus(spark, docs):
+    """With no posting list over the cap, capped output is bit-identical
+    to exact (max_bucket=None) output — the r2 'unchanged pair output on
+    the normal corpus' gate."""
+    exact = {(r.id_a, r.id_b): r.jaccard for r in TX.near_dup_pairs(docs, threshold=0.5, max_bucket=None).collect()}
+    capped = {(r.id_a, r.id_b): r.jaccard for r in TX.near_dup_pairs(docs, threshold=0.5).collect()}
+    assert exact == capped
+
+
 def test_minhash_agrees_with_exact_jaccard(spark, docs):
     """MinHash-LSH at a LOWER threshold must cover every exact-Jaccard
     pair at the target threshold (the scale pattern: LSH pre-filter,
