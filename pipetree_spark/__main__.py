@@ -6,10 +6,14 @@ it builds the DAG, skips cached stages, and runs the rest". Same here:
     python -m pipetree_spark run examples/pipeline.json \
         --sf-dir /root/testdata/sf0.01 --targets report
 
-Skip-if-cached is on by default (artifacts at /tmp/pipetree_spark_artifacts;
-override with --cache DIR or disable with --no-cache) — rerunning a spec
-recomputes only stages whose definition or upstreams changed, the
-reference's incremental-recompute UX.
+Skip-if-cached is on by default (artifacts under a per-user cache dir —
+$XDG_CACHE_HOME/pipetree_spark or ~/.cache/pipetree_spark; override with
+--cache DIR or disable with --no-cache) — rerunning a spec recomputes
+only stages whose definition or upstreams changed, the reference's
+incremental-recompute UX. Cache keys are DEFINITION-addressed (spec +
+upstream keys + python-stage code fingerprint), not data-addressed: if
+the source data at an sf_dir changes in place, pass --no-cache or a
+fresh --cache dir.
 
 JSON specs support the declarative stage types (source / values / sql /
 grid); ``python`` stages exist only in the direct API (a JSON file can't
@@ -21,12 +25,23 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from pipetree_spark.cache import ArtifactCache
 from pipetree_spark.catalog import DEFAULT_SF_DIR
 from pipetree_spark.pipeline import Pipeline
 from pipetree_spark.session import get_spark
+
+
+def default_cache_dir() -> str:
+    """Per-user cache root: a world-shared /tmp path would let another
+    uid pre-plant or poison artifacts and made skip-if-cached trust
+    whatever was already there."""
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    return os.path.join(base, "pipetree_spark")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -38,7 +53,7 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--sf-dir", default=DEFAULT_SF_DIR, help="table directory")
     run.add_argument(
         "--cache",
-        default="/tmp/pipetree_spark_artifacts",
+        default=default_cache_dir(),
         help="artifact-cache root (skip-if-cached is ON by default — the "
         "reference's incremental-recompute UX; use --no-cache to disable)",
     )

@@ -42,6 +42,13 @@ def connected_components(
 
     Every node that appears in ``edges`` is labeled (isolated nodes
     aren't known to an edge list; callers union them in if needed).
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass while labels are
+    still changing (component diameter > max_iter): silently returning
+    half-propagated labels would split one real component into several.
+    With ``eager_check=False`` there is no change tracking — the caller
+    accepts fixed-round semantics and must size ``max_iter`` to the
+    graph's diameter.
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
@@ -50,6 +57,7 @@ def connected_components(
 
     labels = sym.select("u").distinct().withColumn("component", F.col("u"))
 
+    converged = not eager_check
     for _ in range(max_iter):
         # candidate label for u: min over (own label, neighbors' labels)
         nbr_labels = sym.join(
@@ -71,7 +79,13 @@ def connected_components(
             )
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
         else:
             labels = new_labels
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter"
+        )
     return labels.select(F.col("u").alias("node"), "component")

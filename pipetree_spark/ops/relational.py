@@ -54,7 +54,12 @@ def asof_join(
         .drop("__rn")
     )
     if how == "left":
-        matched = left.join(matched, on=list(left.columns), how="left")
+        # Re-attach by the unique left_key ONLY: joining on all left
+        # columns would never match rows where any left column is NULL
+        # (NULL != NULL in join predicates), silently dropping their
+        # asof match.
+        right_side = matched.select(left_key, *[c + suffix for c in rcols])
+        matched = left.join(right_side, on=[left_key], how="left")
     elif how != "inner":
         raise ValueError(f"asof_join supports how='left'|'inner', got {how!r}")
     return matched

@@ -23,6 +23,8 @@ NOT ported: Spark's own scheduler replaces it (SURVEY §2.10 non-goal).
 
 from __future__ import annotations
 
+import hashlib
+import inspect
 import itertools
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -75,11 +77,17 @@ class Pipeline:
                 )
             else:
                 raise ValueError(f"unknown stage type {kind!r} for stage {name!r}")
+            spec_payload = {k: v for k, v in s.items() if k != "fn"} | {"name": name}
+            if kind == "python":
+                # The JSON-able spec alone can't see the callable's body;
+                # without a code fingerprint a changed fn would content-key
+                # match and serve a stale cached artifact.
+                spec_payload["__code_sha"] = _code_fingerprint(fn)
             stages[name] = Stage(
                 name=name,
                 fn=fn,
                 inputs=inputs,
-                spec={k: v for k, v in s.items() if k != "fn"} | {"name": name},
+                spec=spec_payload,
                 materialize=materialize,
             )
         return cls(stages)
@@ -92,7 +100,11 @@ class Pipeline:
         spec: dict | None = None,
         materialize: bool = False,
     ) -> "Pipeline":
-        self.stages[name] = Stage(name, fn, list(inputs or []), spec or {"name": name}, materialize)
+        """Direct-API stage registration. The user-supplied callable is
+        part of the stage's identity, so its code fingerprint joins the
+        content key — editing the fn invalidates cached artifacts."""
+        payload = (spec or {"name": name}) | {"__code_sha": _code_fingerprint(fn)}
+        self.stages[name] = Stage(name, fn, list(inputs or []), payload, materialize)
         self._order = self._toposort()
         return self
 
@@ -123,6 +135,11 @@ class Pipeline:
         keys: dict[str, str] = {}
         report: dict[str, str] = {}
         wanted = set(targets or self.stages)
+        unknown = sorted(wanted - set(self.stages))
+        if unknown:
+            raise ValueError(
+                f"unknown pipeline target(s) {unknown}; stages are {sorted(self.stages)}"
+            )
         needed = self._closure(wanted)
         for name in self._order:
             if name not in needed:
@@ -159,6 +176,30 @@ class Pipeline:
             out.add(n)
             frontier.extend(self.stages[n].inputs)
         return out
+
+
+def _code_fingerprint(fn: Callable) -> str:
+    """Stable hash of a callable's implementation: source text (bytecode
+    + consts as the REPL fallback) PLUS primitive closure-cell and
+    default values — two builds of the same source parameterized by a
+    captured variable (``def build(factor): def fn(...): ... * factor``)
+    must NOT share a fingerprint. Non-primitive captures hash by type
+    name only (best effort — reprs of rich objects aren't stable)."""
+    try:
+        body = inspect.getsource(fn)
+    except (OSError, TypeError):
+        code = getattr(fn, "__code__", None)
+        body = repr((code.co_code, code.co_consts)) if code else repr(fn)
+
+    def prim(v):
+        if isinstance(v, (str, int, float, bool, bytes, type(None))):
+            return repr(v)
+        if isinstance(v, (tuple, list)):
+            return "[" + ",".join(prim(x) for x in v) + "]"
+        return type(v).__name__
+    cells = [prim(c.cell_contents) for c in (getattr(fn, "__closure__", None) or ())]
+    defaults = [prim(v) for v in (getattr(fn, "__defaults__", None) or ())]
+    return hashlib.sha256("\x00".join([body, *cells, *defaults]).encode()).hexdigest()[:16]
 
 
 # -- stage-fn builders -----------------------------------------------------

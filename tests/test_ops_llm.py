@@ -239,6 +239,16 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_raises_on_non_convergence(spark):
+    """A component whose diameter exceeds max_iter must raise, not
+    silently return split labels (r1 advice)."""
+    from pipetree_spark.ops.graph import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(8)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2).collect()
+
+
 def test_pca_explained_variance_curve(spark, sf_small):
     from pipetree_spark.queries import load_registry
 

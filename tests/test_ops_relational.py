@@ -33,6 +33,22 @@ def test_asof_backward(spark):
     assert picked == {1: 11.0, 2: 12.0, 3: None}
 
 
+def test_asof_left_keeps_match_when_left_has_nulls(spark):
+    """how='left' re-attaches by the unique left_key only — a NULL in
+    any OTHER left column must not lose the row's asof match (the old
+    all-columns rejoin never equi-matched NULLs)."""
+    trades = spark.createDataFrame(
+        [(1, "A", 100, None), (2, "A", 205, "x")],
+        "trade_id long, sym string, t long, note string",
+    )
+    out = asof_join(
+        trades, _quotes(spark), on=["sym"], left_time="t", right_time="t",
+        left_key="trade_id",
+    ).collect()
+    picked = {r["trade_id"]: r["px_r"] for r in out}
+    assert picked == {1: 11.0, 2: 12.0}  # NULL note row still matched
+
+
 def test_asof_forward_inner(spark):
     out = asof_join(
         _trades(spark), _quotes(spark), on=["sym"], left_time="t", right_time="t",

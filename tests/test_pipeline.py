@@ -143,6 +143,42 @@ def test_content_key_properties():
     assert k1 != content_key({"q": "SELECT 1"}, ["up"])  # dependency-sensitive
 
 
+def test_python_stage_code_change_invalidates_cache(spark, sf_small, tmp_path):
+    """A python stage's content key folds in the callable's code
+    fingerprint: editing the fn must MISS the cache, not serve the old
+    artifact (stale-cache advice, r1)."""
+    from pipetree_spark.cache import ArtifactCache
+
+    cache = ArtifactCache(str(tmp_path))
+
+    def build(factor):
+        def fn(s, fr):
+            return fr["orders"].select((F.col("o_totalprice") * factor).alias("x"))
+
+        p = Pipeline.from_spec(
+            {"stages": {"orders": {"type": "source", "table": "orders", "sf_dir": sf_small}}}
+        )
+        # identical spec both times — only the callable differs
+        p.add_stage("scaled", fn, inputs=["orders"], spec={"name": "scaled"}, materialize=True)
+        return p
+
+    build(1.0).run(spark, cache=cache)
+    p2 = build(2.0)
+    p2.run(spark, cache=cache)
+    assert p2.last_run_report["scaled"] == "materialized"  # not "hit"
+    p3 = build(2.0)
+    p3.run(spark, cache=cache)
+    assert p3.last_run_report["scaled"] == "hit"  # same code → cache hit
+
+
+def test_unknown_target_raises_clear_error(spark, sf_small):
+    p = Pipeline.from_spec(
+        {"stages": {"orders": {"type": "source", "table": "orders", "sf_dir": sf_small}}}
+    )
+    with pytest.raises(ValueError, match="unknown pipeline target.*typo_stage"):
+        p.run(spark, targets=["typo_stage"])
+
+
 def test_cli_run_and_cache_hit(spark, sf_small, tmp_path, capsys):
     """python -m pipetree_spark run <spec> — reference CLI parity: first
     run materializes, second run hits the cache."""
