@@ -12,13 +12,30 @@ join key, broadcast dims, never cross-join unbounded sides".
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pipetree_spark.catalog import load_table
+from pipetree_spark.catalog import load_table, table_path
 from pipetree_spark.exact import dsum, dsum_sql, exact_sums, lsum
 from pipetree_spark.ops.relational import range_join
 from pipetree_spark.queries import declare
+
+
+def _dir_bytes(path: str) -> int:
+    """On-disk size of a table path (file or directory of files) — the
+    cheap stand-in for catalog statistics when choosing a plan shape.
+    Returns 0 when unknowable (treat as 'not broadcastable')."""
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+    except OSError:
+        return 0
 
 
 @declare(
@@ -317,20 +334,39 @@ GROUP BY n.n_name
     tags=("join", "bench"),
 )
 def q_join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BASELINE.md's q_join_3way: fact⋈fact⋈dim⋈dim + agg. The two fact
-    joins shuffle on their keys (SMJ/SHJ via AQE); nation broadcasts.
-    At 100 TB: lineitem/orders co-bucketed on orderkey makes the first
-    join shuffle-free (bucketed-sink recipe in pipeline cache layer)."""
+    """BASELINE.md's q_join_3way: fact⋈fact⋈dim⋈dim + agg, with an
+    adaptive shape keyed on whether customer fits the broadcast
+    threshold (the same signal AQE uses for join strategy):
+
+    - **broadcastable customer** (bench scale): join everything and run
+      ONE 25-group exact agg — a single pass over lineitem, one tiny
+      exchange, matching the baseline's plan shape.
+    - **big customer** (100 TB): manual aggregation pushdown (Catalyst
+      doesn't push aggs through joins) — reduce to exact per-customer
+      partials BEFORE the customer join, so that join shuffles
+      |customers| rows, not |lineitem|. Per-customer long sums are
+      scale-safe: a customer's order count doesn't grow with data
+      volume.
+
+    Both shapes sum the identical per-row round(revenue·10⁶) longs, so
+    they emit the same bits. At 100 TB, additionally co-bucket
+    lineitem/orders on orderkey to make the first join shuffle-free
+    (bucketed-sink recipe in the pipeline cache layer)."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # Manual aggregation pushdown (Catalyst doesn't push aggs through
-    # joins): reduce to exact per-customer partials BEFORE the customer
-    # join, so that join shuffles |customers| rows, not |lineitem|.
-    # Per-customer long sums are scale-safe: a customer's order count
-    # doesn't grow with data volume.
+    bcast_bytes = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    cust_bytes = _dir_bytes(table_path(sf_dir, "customer"))
+    if 0 < cust_bytes <= bcast_bytes:
+        j = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        )
+        g = exact_sums(j, keys=["n_name"], sums={"revenue": (revenue, 6)}, count="n_items")
+        return g.select("n_name", "revenue", F.col("n_items").cast("long").alias("n_items"))
     per_cust = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .groupBy("o_custkey")

@@ -65,6 +65,21 @@ def test_dim_joins_broadcast(spark, sf_small, registry):
         assert "CartesianProduct" not in p, name
 
 
+def test_join_3way_pushdown_branch_matches_direct(spark, sf_small, registry):
+    """q_join_3way picks its shape from the broadcast threshold: the
+    big-customer branch pushes the agg below the customer join. Force
+    that branch (threshold below customer's file size) and require
+    bit-identical output to the broadcastable-customer direct shape."""
+    direct = sorted(tuple(r) for r in q(registry, "q_join_3way", spark, sf_small).collect())
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+        pushed = sorted(tuple(r) for r in q(registry, "q_join_3way", spark, sf_small).collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert direct == pushed
+
+
 def test_topk_plans_take_ordered(spark, sf_small, registry):
     p = plan(q(registry, "q_topk_global", spark, sf_small))
     assert "TakeOrderedAndProject" in p
