@@ -82,13 +82,13 @@ PRIORITY: tuple[str, ...] = (
     "q_src_events",
     "q_src_partitioned",
     "q_win_laglead",
-    "q_win_moving",
     "q_limit",
     "q_topk_global",
-    "q_set_intersect",
     "q_stream_sliding",
     "q_stream_session",
     "q_stream_dedup",
+    "q_stream_watermark",
+    "q_stream_static_join",
     "q_subq_notin",
     "q_ts_funnel",
     "q_udaf_pandas",

@@ -121,6 +121,92 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "q_stream_watermark",
+    oracle="""
+WITH arr AS (
+  SELECT event_type,
+         epoch_ns(ts) // 1000000000 AS sec,
+         MAX(epoch_ns(ts) // 1000000000) OVER (
+           ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS high_water
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       count_if(high_water IS NOT NULL AND sec < high_water - 600) AS n_late,
+       count_if(high_water IS NULL OR sec >= high_water - 600) AS n_kept
+FROM arr
+GROUP BY event_type
+""",
+    tags=("stream", "events"),
+)
+def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics as a deterministic batch replay
+    (SURVEY §2.9): the watermark after each arrival is the running max
+    event time over arrival order (event_id) minus the 10-minute delay;
+    an event whose time is below the watermark at its arrival would be
+    DROPPED by `withWatermark("ts", "10 minutes")`. Declares the drop
+    rule itself — the stateful streaming twin runs in
+    tests/test_streaming.py.
+
+    Scale note: the global arrival-order window is a single-partition
+    sort by construction — it is the definitional sequential replay of
+    one stream, used as a certification query; the production path is
+    the incremental watermark state inside Structured Streaming, never
+    a batch global window."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    arr = e.select(
+        "event_type",
+        F.col("ts_sec").alias("sec"),
+        F.max("ts_sec").over(w).alias("high_water"),
+    )
+    late = F.col("high_water").isNotNull() & (F.col("sec") < F.col("high_water") - 600)
+    return arr.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_if(late).alias("n_late"),
+        F.count_if(~late).alias("n_kept"),
+    )
+
+
+@declare(
+    "q_stream_static_join",
+    oracle=f"""
+SELECT ((epoch_ns(e.ts) // 1000000000) // 3600) * 3600 AS window_start_sec,
+       c.c_mktsegment,
+       COUNT(*) AS n_events,
+       {dsum_sql('e.value')} AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+    tags=("stream", "events"),
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join + windowed agg (SURVEY §2.9): the
+    unbounded side (events) joins a broadcast static dim (customer) —
+    in streaming this is the per-micro-batch map-side join that needs
+    no state — then aggregates per tumbling hour per segment. Identical
+    code runs under readStream (stream-static joins are stateless);
+    tests/test_streaming.py exercises that path."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    j = e.join(F.broadcast(c), e.user_id == c.c_custkey)
+    return (
+        j.groupBy(F.window(F.timestamp_seconds("ts_sec"), "1 hour"), "c_mktsegment")
+        .agg(F.count("*").alias("n_events"), lsum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").cast("long").alias("window_start_sec"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@declare(
     "q_stream_dedup",
     oracle="""
 SELECT DISTINCT user_id, event_type
