@@ -218,20 +218,46 @@ def lsh_bucket_ann(
     corpus_key: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Approximate NN: sign-LSH bucket equi-join prunes candidates
     (~corpus/2^planes per query), then exact cosine re-rank.
 
     This is the 10⁹-vector shape: the bucket join is an equi shuffle
     join (no broadcast needed), and recall/cost trades off via
-    ``n_planes`` (add multi-probe or repeated tables for higher recall).
+    ``n_planes`` and ``multi_probe``: the query side also probes every
+    bucket within Hamming distance ≤ multi_probe of its own (probe
+    count 1 + C(n,1) + ... + C(n,multi_probe) — query-side fan-out
+    only, the big corpus side is indexed ONCE).
+
+    Regime note (measured in tools/scale_stress.py): sign-LSH needs
+    angular signal — per-plane agreement is 1-θ/π. Near-dup candidate
+    generation (cos ≥ 0.9, θ ≤ 26°) gets high recall from few probes;
+    uniform kNN on weakly-clustered data (neighbor cos ≈ 0.35) does
+    not, and belongs to :func:`ivf_ann`, whose coarse quantizer learns
+    the cluster structure sign planes can't see.
     """
+    import itertools as _it
+
     planes = hyperplanes(dim, n_planes, seed)
+    probe_masks = [0]
+    for r in range(1, multi_probe + 1):
+        for bits in _it.combinations(range(n_planes), r):
+            probe_masks.append(sum(1 << b for b in bits))
     q = queries.select(
         F.col(query_key),
         F.col(vec_col).alias("__qv"),
         l2_norm(F.col(vec_col)).alias("__qn"),
-        lsh_bucket(F.col(vec_col), planes).alias("__b"),
+        lsh_bucket(F.col(vec_col), planes).alias("__b0"),
+    ).select(
+        query_key,
+        "__qv",
+        "__qn",
+        # probed buckets are distinct masks ⇒ distinct buckets, and each
+        # corpus vector lives in exactly one bucket ⇒ no duplicate pairs
+        F.explode(
+            F.array(*[F.col("__b0").bitwiseXOR(F.lit(m)) for m in probe_masks])
+        ).alias("__b"),
     )
     c = corpus.select(
         F.col(corpus_key),

@@ -338,11 +338,15 @@ def q_vec_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare("q_vec_ann_lsh", oracle=None, tags=("vector", "approx"))
 def q_vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN (ops.vector.lsh_bucket_ann, seeded
-    hyperplanes): the 10⁹-vector scale path. Recall vs the exact kNN is
-    asserted in pytest; rows-only here."""
+    hyperplanes, Hamming-≤1 multi-probe on the query side): the
+    10⁹-vector scale path for near-dup candidate generation. Recall vs
+    the exact kNN is asserted in pytest (incl. the near-dup
+    source-retrieval workload); rows-only here."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    return VX.lsh_bucket_ann(q, e, k=5, n_planes=4).select("query_id", "vec_id", "cos_sim", "rnk")
+    return VX.lsh_bucket_ann(q, e, k=5, n_planes=4, multi_probe=1).select(
+        "query_id", "vec_id", "cos_sim", "rnk"
+    )
 
 
 @declare("q_vec_ann_ivf", oracle=None, tags=("vector", "approx"))

@@ -153,6 +153,29 @@ def test_lsh_ann_recall_vs_exact(spark, sf_small):
     approx0 = VX.lsh_bucket_ann(q, e, k=5, n_planes=0)
     full_set = {(r.query_id, r.vec_id) for r in approx0.collect()}
     assert full_set == exact_set  # 0 planes = single bucket = exact
+    # multi-probe strictly widens the candidate set at fixed planes
+    probed = VX.lsh_bucket_ann(q, e, k=5, n_planes=2, multi_probe=1)
+    probed_set = {(r.query_id, r.vec_id) for r in probed.collect()}
+    probed_recall = len(exact_set & probed_set) / len(exact_set)
+    assert probed_recall >= recall
+
+
+def test_lsh_ann_finds_near_dup_sources(spark, sf_small):
+    """The regime sign-LSH exists for: a perturbed copy (cos ≈ 0.98)
+    must retrieve its source as top-1 — the q_dedup_embcos candidate
+    workload. Uniform-kNN recall on weakly-clustered data belongs to
+    ivf_ann (regime boundary documented in ops/vector.py)."""
+    e = load_table(spark, sf_small, "embeddings")
+    rng = np.random.RandomState(7)
+    pert = [
+        (int(r["vec_id"]) + 10_000_000,
+         [float(x) + float(z) for x, z in zip(r["embedding"], rng.normal(0, 0.02, len(r["embedding"])))])
+        for r in e.filter(F.col("vec_id") < 10).collect()
+    ]
+    qd = spark.createDataFrame(pert, "query_id long, embedding array<double>")
+    top1 = VX.lsh_bucket_ann(qd, e, k=1, n_planes=6, multi_probe=2)
+    hits = sum(1 for r in top1.collect() if r["vec_id"] == r["query_id"] - 10_000_000)
+    assert hits >= 8  # ≥0.8 source-retrieval recall
 
 
 def test_centroids_match_numpy(spark, sf_small):

@@ -94,6 +94,58 @@ def bench(spark, registry, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def ann_recall(spark, sf_dir: str) -> dict[str, tuple[float, float]]:
+    """Recall-vs-exact for both ANN variants at one scale.
+
+    - ``ivf``: uniform kNN workload (20 corpus vectors as queries),
+      recall@10 against brute force — exercises the learned coarse
+      quantizer on weakly-clustered geometry.
+    - ``lsh``: near-dup candidate workload (20 perturbed corpus vectors,
+      cos ≈ 0.98 to their source), scored on source-retrieval@top1 —
+      the regime sign-LSH exists for (q_dedup_embcos candidates).
+    Returns name → (recall, seconds).
+    """
+    import numpy as np
+
+    from pipetree_spark.catalog import load_table
+    from pipetree_spark.ops import vector as VX
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    K = 10
+
+    def topmap(df):
+        out: dict[int, set] = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    uq = emb.filter(F.col("vec_id") < 20).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = topmap(VX.knn_bruteforce(uq, emb, k=K))
+    t0 = time.perf_counter()
+    ivf = topmap(VX.ivf_ann(uq, emb, k=K, n_clusters=8, n_probe=5))
+    t_ivf = time.perf_counter() - t0
+    r_ivf = sum(len(ivf.get(q, set()) & s) / len(s) for q, s in exact.items()) / len(exact)
+
+    rng = np.random.RandomState(7)
+    rows = uq.collect()
+    pert = [
+        (int(r["query_id"]) + 10_000_000,
+         [float(x) + float(e) for x, e in zip(r["embedding"], rng.normal(0, 0.02, len(r["embedding"])))])
+        for r in rows
+    ]
+    qd = spark.createDataFrame(pert, "query_id long, embedding array<double>")
+    t0 = time.perf_counter()
+    lsh_rows = VX.lsh_bucket_ann(qd, emb, k=1, n_planes=6, multi_probe=2).collect()
+    t_lsh = time.perf_counter() - t0
+    best: dict[int, tuple] = {}
+    for r in lsh_rows:
+        key = (r["cos_sim"], -r["vec_id"])
+        if r["query_id"] not in best or key > best[r["query_id"]][0]:
+            best[r["query_id"]] = (key, r["vec_id"])
+    hits = sum(1 for q, (_, v) in best.items() if v == q - 10_000_000)
+    return {"ivf_uniform_recall@10": (r_ivf, t_ivf), "lsh_neardup_source@1": (hits / len(pert), t_lsh)}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-gen", action="store_true")
@@ -110,6 +162,10 @@ def main() -> None:
     print("\nratios (10x data / 1x data; linear-or-better target ≤ 10):")
     for name in QUERIES:
         print(f"  {name:24s} {base[name]:7.2f}s -> {big[name]:7.2f}s  ratio {big[name]/base[name]:5.2f}")
+    print("\nANN recall vs exact (target ≥ 0.8 at both scales):")
+    for sf_dir, label in ((SRC, "1x"), (DST, "10x")):
+        for name, (rec, secs) in ann_recall(spark, sf_dir).items():
+            print(f"  {label:3s} {name:24s} recall {rec:5.3f}  ({secs:.2f}s)")
 
 
 if __name__ == "__main__":
