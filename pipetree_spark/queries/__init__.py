@@ -96,7 +96,7 @@ PRIORITY: tuple[str, ...] = (
     "q_tpch_q14",
     "q_join_asof",
     # oracle-bearing LLM-pipeline ops (driver-untested in r1)
-    "q_text_fingerprint",
+    "q_dedup_minhash_band",
     "q_vec_norm",
     "q_vec_centroid",
     "q_vec_quantize",

@@ -181,6 +181,76 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.near_dup_pairs(d, threshold=0.2)
 
 
+def _minhash_sql(num_hashes: int = 16) -> list[str]:
+    """DuckDB twins of ops.text.minhash_signature's components."""
+    return [
+        f"list_aggregate(list_transform(s, x -> md5(concat('{i}|', x))), 'min')"
+        for i in range(num_hashes)
+    ]
+
+
+_MH = _minhash_sql(16)
+_MH_BANDS = [f"md5(concat({', '.join(f'm[{j * 4 + r + 1}]' for r in range(4))}))" for j in range(4)]
+
+
+@declare(
+    "q_text_minhash_sig",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+)
+SELECT doc_id,
+       concat_ws(',', {', '.join(_MH)}) AS sig
+FROM sh
+""",
+    tags=("text", "dedup"),
+)
+def q_text_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable 16-permutation MinHash signature per document
+    (ops.text.minhash_signatures): min-md5 per seeded prefix —
+    bit-identical across engines, so the signature itself is
+    oracle-certified (vs the seeded pyspark.ml path, rows-only).
+    Emitted comma-joined (driver-hashable)."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.minhash_signatures(d, "text", "doc_id", 3, 16).select(
+        "doc_id", F.array_join("minhash", ",").alias("sig")
+    )
+
+
+@declare(
+    "q_dedup_minhash_band",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+sig AS (
+  SELECT doc_id, [{', '.join(_MH)}] AS m FROM sh
+),
+bands AS (
+  SELECT doc_id, m, j, CASE j {' '.join(f"WHEN {j} THEN {b}" for j, b in enumerate(_MH_BANDS))} END AS bk
+  FROM sig CROSS JOIN generate_series(0, 3) AS g(j)
+)
+SELECT DISTINCT a.doc_id AS id_a,
+       b.doc_id AS id_b,
+       CAST(len(list_filter(generate_series(1, 16), i -> a.m[i] = b.m[i])) AS DOUBLE) / 16.0 AS est_jaccard
+FROM bands a JOIN bands b ON a.j = b.j AND a.bk = b.bk AND a.doc_id < b.doc_id
+""",
+    tags=("dedup",),
+)
+def q_dedup_minhash_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MinHash-LSH banding (4 bands × 4 rows over the
+    portable signature, ops.text.minhash_band_pairs): candidate pairs
+    sharing ≥1 band bucket with the exact matching-component fraction
+    as the Jaccard estimate. The whole path — signature, band keys,
+    pair set, estimate — is engine-portable and oracle-exact, making
+    the LINEAR-SCALE dedup route itself driver-certified (the seeded
+    pyspark.ml variant stays rows-only)."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.minhash_band_pairs(d, num_hashes=16, bands=4)
+
+
 @declare("q_dedup_minhash", oracle=None, tags=("dedup", "approx"))
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (pyspark.ml, seed=42) — the

@@ -99,6 +99,31 @@ def test_minhash_agrees_with_exact_jaccard(spark, docs):
         assert abs(approx[pair] - j) < 0.35  # 32 hashes → coarse estimate
 
 
+def test_portable_minhash_banding_finds_planted_pairs(spark, docs):
+    """The deterministic (md5-seeded) MinHash banding must surface the
+    planted near-dup pairs as candidates at a banding threshold below
+    their Jaccard, estimate Jaccard within 16-permutation resolution,
+    and be reproducible run-to-run (no RNG state — the property the
+    pyspark.ml path can't offer). 8 bands × 2 rows targets J ≈
+    (1/8)^(1/2) ≈ 0.35; the planted pairs sit at J 0.64-0.78."""
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in TX.minhash_band_pairs(docs, num_hashes=16, bands=8).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in TX.near_dup_pairs(docs, threshold=0.5).collect()
+    }
+    for pair, j in exact.items():
+        assert pair in pairs, pair
+        assert abs(pairs[pair] - j) <= 0.35  # 16 perms → 1/16 resolution + variance
+    again = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in TX.minhash_band_pairs(docs, num_hashes=16, bands=8).collect()
+    }
+    assert again == pairs
+
+
 def test_simhash_close_for_near_dups(spark, docs):
     out = {r.doc_id: r.sh for r in docs.select("doc_id", TX.simhash64("text").alias("sh")).collect()}
 
