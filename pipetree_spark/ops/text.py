@@ -339,6 +339,37 @@ def minhash_band_pairs(
     return pairs
 
 
+def simhash_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 3,
+    bits: int = 16,
+) -> DataFrame:
+    """Engine-portable SimHash: per shingle, a 60-bit hash parsed from
+    the first 15 hex chars of md5 (Spark ``conv(hex,16,10)`` ≡ DuckDB
+    ``CAST('0x'||hex AS BIGINT)``); per bit position, ±1 votes summed
+    across shingles; sign → bit. Returns ``(key_col, simhash)``.
+
+    Same scale shape as :func:`minhash_signatures`: explode once, one
+    sum-aggregate per bit with map-side combine, tiny shuffle on key.
+    The xxhash64 column-expression variant (:func:`simhash64`) stays
+    the Spark-native fast path; this one is oracle-certifiable."""
+    h = F.conv(F.substring(F.md5(F.col("__s")), 1, 15), 16, 10).cast("long")
+    tok = df.select(key_col, F.explode(word_shingles(text_col, n)).alias("__s"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__v{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy(key_col).agg(*votes)
+    sim = F.lit(0)
+    for b in range(bits):
+        sim = sim + F.when(F.col(f"__v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return agg.select(key_col, sim.cast("long").alias("simhash"))
+
+
 def simhash64(text: Column | str, n: int = 3) -> Column:
     """64-bit SimHash over word shingles using xxhash64 bit votes.
 

@@ -260,6 +260,39 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.minhash_pairs(d, jaccard_threshold=0.2).select("id_a", "id_b")
 
 
+_SIMHASH_BITS_SQL = " + ".join(
+    f"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END"
+    for b in range(16)
+)
+
+
+@declare(
+    "q_dedup_simhash_port",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+hashed AS (
+  SELECT doc_id,
+         list_transform(s, x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)) AS hs
+  FROM sh
+)
+SELECT doc_id, CAST({_SIMHASH_BITS_SQL} AS BIGINT) AS simhash
+FROM hashed
+""",
+    tags=("text", "dedup"),
+)
+def q_dedup_simhash_port(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable 16-bit SimHash per document
+    (ops.text.simhash_portable): 60-bit md5-derived shingle hashes,
+    ±1 bit votes, sign → bit — bit-identical in DuckDB, so the SimHash
+    fingerprint family gets an exact oracle (the xxhash64 variant
+    q_dedup_simhash stays the Spark-native rows-only fast path)."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.simhash_portable(d, "text", "doc_id", 3, 16)
+
+
 @declare("q_dedup_simhash", oracle=None, tags=("dedup", "approx"))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document (ops.text.simhash64 shape, reduced

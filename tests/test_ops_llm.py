@@ -136,6 +136,19 @@ def test_simhash_close_for_near_dups(spark, docs):
     assert hamming(out[6], out[7]) < hamming(out[6], out[5])
 
 
+def test_simhash_portable_close_for_near_dups(spark, docs):
+    """Same hamming-proximity property for the md5-based portable
+    variant (the oracle-certified one)."""
+    out = {r.doc_id: r.simhash for r in TX.simhash_portable(docs).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(out[1], out[2]) < hamming(out[1], out[5])
+    assert hamming(out[3], out[4]) < hamming(out[3], out[5])
+    assert hamming(out[6], out[7]) < hamming(out[6], out[5])
+
+
 def test_lang_id_on_synthetic_text(spark):
     rows = [
         (1, "the cat and the dog of the house went to sleep in the barn"),
