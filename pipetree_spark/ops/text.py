@@ -36,6 +36,35 @@ def normalized_text(text: Column | str) -> Column:
     return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
 
 
+#: punctuation classes squeezed by clean_text — one (escaped_pattern,
+#: replacement) per char, because RE2 engines (DuckDB, Go, Rust) have NO
+#: backreferences: `([!?.])\1+` silently fails to match there, so the
+#: portable form is per-char `c{2,} → c`.
+_PUNCT_SQUEEZE: tuple[tuple[str, str], ...] = (
+    (r"!!+", "!"),
+    (r"\?\?+", "?"),
+    (r"\.\.+", "."),
+    (r",,+", ","),
+    (r";;+", ";"),
+    (r"::+", ":"),
+)
+
+
+def clean_text(text: Column | str) -> Column:
+    """The 'clean' stage of a training-data pipeline, in portable
+    (RE2-class) regex steps: strip control chars, collapse whitespace
+    runs to single spaces, trim, lowercase, and squeeze repeated
+    punctuation (``!!!`` → ``!``; per-char patterns, no backreferences —
+    see :data:`_PUNCT_SQUEEZE`). Narrow per-row column exprs — no
+    shuffle, whole-stage codegen."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, r"[\x00-\x1f\x7f]", " ")
+    for pat, rep in _PUNCT_SQUEEZE:
+        c = F.regexp_replace(c, pat, rep)
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.lower(F.trim(c))
+
+
 def text_hash(text: Column | str) -> Column:
     """Portable content hash (md5 — present in both Spark and DuckDB)."""
     return F.md5(normalized_text(text))

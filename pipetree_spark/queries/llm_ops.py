@@ -125,6 +125,56 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", TX.fingerprint("text").alias("fp"))
 
 
+@declare(
+    "q_text_clean",
+    oracle=r"""
+WITH src AS (
+  SELECT doc_id,
+         concat('  ', upper(substr(text, 1, 20)), '!!!', chr(9), text, '...  ') AS dirty
+  FROM documents WHERE doc_id < 200
+), cl AS (
+  SELECT doc_id, dirty,
+         lower(trim(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(dirty, '[\x00-\x1f\x7f]', ' ', 'g'),
+             '!!+', '!', 'g'), '\?\?+', '?', 'g'), '\.\.+', '.', 'g'),
+             ',,+', ',', 'g'), ';;+', ';', 'g'), '::+', ':', 'g'),
+           '\s+', ' ', 'g'))) AS cleaned
+  FROM src
+)
+SELECT doc_id, cleaned,
+       CAST(length(dirty) - length(cleaned) AS BIGINT) AS n_removed
+FROM cl
+""",
+    tags=("text",),
+)
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization — the 'clean' stage of a curation pipeline
+    (ops.text.clean_text): control-char strip, whitespace collapse,
+    trim, lowercase, repeated-punctuation squeeze. The corpus text is
+    already clean word salad, so a deterministic dirty variant (case
+    flip, tab, '!!!', '...', padding) is synthesized identically in
+    both engines and cleaned; n_removed certifies the char-level
+    effect. Narrow per-row exprs, no shuffle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    dirty = F.concat(
+        F.lit("  "),
+        F.upper(F.substring("text", 1, 20)),
+        F.lit("!!!"),
+        F.lit("\t"),
+        F.col("text"),
+        F.lit("...  "),
+    )
+    src = d.select("doc_id", dirty.alias("dirty"))
+    cleaned = TX.clean_text("dirty")
+    return src.select(
+        "doc_id",
+        cleaned.alias("cleaned"),
+        (F.length("dirty") - F.length(cleaned)).cast("long").alias("n_removed"),
+    )
+
+
 @declare("q_text_langid", oracle=None, tags=("text", "approx"))
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic stopword-profile language ID (ops.text.lang_id_scores).
