@@ -83,6 +83,8 @@ class Pipeline:
                 # without a code fingerprint a changed fn would content-key
                 # match and serve a stale cached artifact.
                 spec_payload["__code_sha"] = _code_fingerprint(fn)
+                if _has_unstable_captures(fn):
+                    spec_payload["__uncacheable"] = True
             stages[name] = Stage(
                 name=name,
                 fn=fn,
@@ -104,6 +106,8 @@ class Pipeline:
         part of the stage's identity, so its code fingerprint joins the
         content key — editing the fn invalidates cached artifacts."""
         payload = (spec or {"name": name}) | {"__code_sha": _code_fingerprint(fn)}
+        if _has_unstable_captures(fn):
+            payload["__uncacheable"] = True
         self.stages[name] = Stage(name, fn, list(inputs or []), payload, materialize)
         self._order = self._toposort()
         return self
@@ -147,7 +151,13 @@ class Pipeline:
             stage = self.stages[name]
             key = content_key(stage.spec, [keys[i] for i in stage.inputs])
             keys[name] = key
-            if cache is not None and stage.materialize and cache.has(spark, name, key):
+            cacheable = not stage.spec.get("__uncacheable", False)
+            if (
+                cache is not None
+                and stage.materialize
+                and cacheable
+                and cache.has(spark, name, key)
+            ):
                 results[name] = cache.load(spark, name, key)
                 report[name] = "hit"
                 continue
@@ -183,8 +193,13 @@ def _code_fingerprint(fn: Callable) -> str:
     + consts as the REPL fallback) PLUS primitive closure-cell and
     default values — two builds of the same source parameterized by a
     captured variable (``def build(factor): def fn(...): ... * factor``)
-    must NOT share a fingerprint. Non-primitive captures hash by type
-    name only (best effort — reprs of rich objects aren't stable)."""
+    must NOT share a fingerprint. Dicts/sets/frozensets recurse with
+    sorted ordering (a captured config dict is a common parameterization
+    — two builds differing only in it must not collide, r2 ADVICE).
+    Remaining non-primitive captures (ndarrays, DataFrames, objects)
+    hash by type name + UNCACHEABLE marker: the cache layer sees the
+    marker in the fingerprint source and skips caching that stage
+    rather than risk serving a stale artifact."""
     try:
         body = inspect.getsource(fn)
     except (OSError, TypeError):
@@ -196,10 +211,43 @@ def _code_fingerprint(fn: Callable) -> str:
             return repr(v)
         if isinstance(v, (tuple, list)):
             return "[" + ",".join(prim(x) for x in v) + "]"
-        return type(v).__name__
+        if isinstance(v, dict):
+            items = sorted((repr(k), prim(x)) for k, x in v.items())
+            return "{" + ",".join(f"{k}:{x}" for k, x in items) + "}"
+        if isinstance(v, (set, frozenset)):
+            return "{" + ",".join(sorted(prim(x) for x in v)) + "}"
+        if inspect.ismodule(v):
+            return f"<module:{v.__name__}>"
+        if inspect.isfunction(v):
+            return f"<fn:{_code_fingerprint(v)}>"  # content-addressed
+        return f"<UNCACHEABLE:{type(v).__name__}>"
     cells = [prim(c.cell_contents) for c in (getattr(fn, "__closure__", None) or ())]
     defaults = [prim(v) for v in (getattr(fn, "__defaults__", None) or ())]
     return hashlib.sha256("\x00".join([body, *cells, *defaults]).encode()).hexdigest()[:16]
+
+
+def _has_unstable_captures(fn: Callable) -> bool:
+    """True when the callable captures a value _code_fingerprint can't
+    hash by content (ndarray, DataFrame, arbitrary object) — its
+    fingerprint then only sees the type name, so two different builds
+    could collide. Stages flagged this way are never served from cache."""
+
+    def unstable(v) -> bool:
+        if isinstance(v, (str, int, float, bool, bytes, type(None))):
+            return False
+        if isinstance(v, (tuple, list, set, frozenset)):
+            return any(unstable(x) for x in v)
+        if isinstance(v, dict):
+            return any(unstable(x) for x in v.values())
+        if inspect.ismodule(v):
+            return False  # hashed by name; module code drift is out of scope
+        if inspect.isfunction(v):
+            return _has_unstable_captures(v)  # body is content-addressed
+        return True
+
+    vals = [c.cell_contents for c in (getattr(fn, "__closure__", None) or ())]
+    vals += list(getattr(fn, "__defaults__", None) or ())
+    return any(unstable(v) for v in vals)
 
 
 # -- stage-fn builders -----------------------------------------------------

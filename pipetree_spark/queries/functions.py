@@ -302,7 +302,7 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_condagg",
     oracle="""
 SELECT o_orderstatus,
-       count_if(o_totalprice > 150000.0) AS n_big,
+       CAST(count_if(o_totalprice > 150000.0) AS BIGINT) AS n_big,
        CAST(bool_and(o_totalprice > 0.0) AS INT) AS all_positive,
        CAST(bool_or(o_orderpriority = '1-URGENT') AS INT) AS any_urgent,
        MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END) AS max_urgent_price

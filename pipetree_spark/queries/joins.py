@@ -23,6 +23,26 @@ from pipetree_spark.ops.relational import range_join
 from pipetree_spark.queries import declare
 
 
+def _parse_byte_conf(v: str) -> int:
+    """Spark byte confs accept unit suffixes ('10MB', '1g', '512k');
+    ``int()`` on those raises. Parse the Spark way: optional b/k/m/g/t
+    (case-insensitive, optional trailing 'b'), base-1024. Unparseable →
+    -1 (broadcast disabled), which falls back to the aggregation-
+    pushdown branch — correct at any scale."""
+    s = str(v).strip().lower()
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    import re
+
+    m = re.fullmatch(r"(-?\d+)\s*([kmgt]?)b?", s)
+    if not m:
+        return -1
+    mult = {"": 1, "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}[m.group(2)]
+    return int(m.group(1)) * mult
+
+
 def _dir_bytes(path: str) -> int:
     """On-disk size of a table path (file or directory of files) — the
     cheap stand-in for catalog statistics when choosing a plan shape.
@@ -357,7 +377,9 @@ def q_join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    bcast_bytes = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    bcast_bytes = _parse_byte_conf(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    )
     cust_bytes = _dir_bytes(table_path(sf_dir, "customer"))
     if 0 < cust_bytes <= bcast_bytes:
         j = (

@@ -226,9 +226,14 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dedup: shingle-Jaccard pairs within language blocks
     (ops.text.near_dup_pairs). Jaccard is an integer ratio — exact
     double, no rounding. At 100 TB this runs only on MinHash-LSH
-    survivor candidates (q_dedup_minhash is that pre-filter)."""
+    survivor candidates (q_dedup_minhash is that pre-filter).
+
+    ``max_bucket=None`` because the declared oracle is the EXACT
+    all-pairs formulation — the production default (hub-shingle cap,
+    conservative lower-bound contract) would silently diverge from it
+    at any SF where a posting list exceeds the cap."""
     d = load_table(spark, sf_dir, "documents")
-    return TX.near_dup_pairs(d, threshold=0.2)
+    return TX.near_dup_pairs(d, threshold=0.2, max_bucket=None)
 
 
 def _minhash_sql(num_hashes: int = 16) -> list[str]:

@@ -28,22 +28,28 @@ SELECT * FROM (
     tags=("sort",),
 )
 def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-column sort asserted through a global row_number rank.
+    """Multi-column sort asserted through a bounded top-100 rank.
 
-    Scale note: a global rank is inherently a single-reducer operation;
-    at 100 TB use zipWithIndex-style two-phase ranking or rank only
-    within partitions. Here the rank is immediately bounded to 100 rows,
-    which Spark plans as a filter after a windowed TakeOrdered-like scan.
+    Scale shape: since the rank is immediately bounded to 100 rows, the
+    global ``row_number`` window (single-reducer full sort of the whole
+    relation) is replaced by ``orderBy().limit(100)`` —
+    TakeOrderedAndProject, a per-partition bounded heap + driver merge
+    of 100-row heads — and ONLY the surviving 100 rows are re-ranked
+    (a window over ≤100 rows, trivially single-partition). Identical
+    output, no full-relation sort at any scale.
     """
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(
-        F.col("o_orderstatus").asc(), F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
-    )
-    return (
+    keys = [
+        F.col("o_orderstatus").asc(),
+        F.col("o_totalprice").desc(),
+        F.col("o_orderkey").asc(),
+    ]
+    top = (
         o.select("o_orderkey", "o_orderstatus", "o_totalprice")
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 100)
+        .orderBy(*keys)
+        .limit(100)
     )
+    return top.withColumn("rnk", F.row_number().over(Window.orderBy(*keys)))
 
 
 @declare(

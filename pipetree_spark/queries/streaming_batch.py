@@ -134,8 +134,8 @@ WITH arr AS (
 )
 SELECT event_type,
        COUNT(*) AS n_events,
-       count_if(high_water IS NOT NULL AND sec < high_water - 600) AS n_late,
-       count_if(high_water IS NULL OR sec >= high_water - 600) AS n_kept
+       CAST(count_if(high_water IS NOT NULL AND sec < high_water - 600) AS BIGINT) AS n_late,
+       CAST(count_if(high_water IS NULL OR sec >= high_water - 600) AS BIGINT) AS n_kept
 FROM arr
 GROUP BY event_type
 """,

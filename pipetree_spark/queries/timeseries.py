@@ -200,11 +200,11 @@ WITH per_user AS (
   FROM events GROUP BY user_id
 )
 SELECT COUNT(*) AS n_users,
-       count_if(first_signup IS NOT NULL) AS n_signed_up,
-       count_if(first_signup IS NOT NULL AND first_purchase > first_signup) AS n_converted,
-       count_if(first_signup IS NOT NULL
+       CAST(count_if(first_signup IS NOT NULL) AS BIGINT) AS n_signed_up,
+       CAST(count_if(first_signup IS NOT NULL AND first_purchase > first_signup) AS BIGINT) AS n_converted,
+       CAST(count_if(first_signup IS NOT NULL
                 AND first_purchase > first_signup
-                AND first_purchase <= first_signup + INTERVAL 72 HOUR) AS n_converted_72h
+                AND first_purchase <= first_signup + INTERVAL 72 HOUR) AS BIGINT) AS n_converted_72h
 FROM per_user
 """,
     tags=("timeseries", "events"),

@@ -525,8 +525,8 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30  THEN 'FAST'
             WHEN date_diff('day', o_orderdate, l_shipdate) <= 180 THEN 'MEDIUM'
             ELSE 'SLOW' END AS delay_class,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -651,8 +651,10 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier(s) with the quarter's max revenue.
 
     Exact per-supplier sums make the MAX comparison bit-deterministic.
-    Implemented with a window MAX over the aggregated (small) relation
-    instead of a second scan of lineitem.
+    The global max over the per-supplier aggregate is a 1-row ``max``
+    agg broadcast back onto revenue0 (the q22 scalar-subquery idiom) —
+    no Window over an unpartitioned frame anywhere in the plan, so no
+    single-partition funnel of the |suppliers| relation at scale.
     """
     l, s = _t(spark, sf_dir, "lineitem", "supplier")
     rev0 = (
@@ -663,8 +665,8 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(lsum(_rev(), scale=6).alias("total_revenue"))
     )
-    w = Window.partitionBy()
-    top = rev0.withColumn("max_rev", F.max("total_revenue").over(w)).filter(
+    max_rev = rev0.agg(F.max("total_revenue").alias("max_rev"))
+    top = rev0.crossJoin(F.broadcast(max_rev)).filter(
         F.col("total_revenue") == F.col("max_rev")
     )
     return (

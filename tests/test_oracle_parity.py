@@ -13,7 +13,12 @@ import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
-from check_parity import canon_result, compare, run_oracle  # noqa: E402
+from check_parity import (  # noqa: E402
+    canon_result,
+    compare,
+    oracle_dtype_problems,
+    run_oracle,
+)
 
 from pipetree_spark.catalog import TABLES, table_path  # noqa: E402
 from pipetree_spark.queries import load_registry  # noqa: E402
@@ -44,6 +49,13 @@ def test_query_matches_oracle(name, spark, sf_small, oracle_con):
     oc, orr = canon_result(ocols, orows)
     problems = compare(sc, sr, oc, orr, tol=0.0)
     assert not problems, f"{name}: {problems[:3]}"
+    # driver-hash dtype view: fetchall() returns width-less Python ints,
+    # hiding e.g. DuckDB HUGEINT→float64 coercion (q_fn_condagg failed
+    # the driver twice on bit-identical values). Re-fetch via .df() —
+    # the driver's pandas canonicalization path — and flag drift.
+    ora_df = oracle_con.execute(q.oracle).df()
+    dtype_problems = oracle_dtype_problems(sdf.schema.fields, srows, ora_df)
+    assert not dtype_problems, f"{name}: {dtype_problems}"
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))

@@ -171,6 +171,63 @@ def test_python_stage_code_change_invalidates_cache(spark, sf_small, tmp_path):
     assert p3.last_run_report["scaled"] == "hit"  # same code → cache hit
 
 
+def test_captured_dict_change_invalidates_cache(spark, sf_small, tmp_path):
+    """A captured config dict is part of the code fingerprint (recursed
+    with sorted items, r2 ADVICE) — two builds differing only in the
+    dict must not share a cached artifact."""
+    from pipetree_spark.cache import ArtifactCache
+
+    cache = ArtifactCache(str(tmp_path))
+
+    def build(cfg):
+        def fn(s, fr):
+            return fr["orders"].select(
+                (F.col("o_totalprice") * cfg["factor"]).alias("x")
+            )
+
+        p = Pipeline.from_spec(
+            {"stages": {"orders": {"type": "source", "table": "orders", "sf_dir": sf_small}}}
+        )
+        p.add_stage("scaled", fn, inputs=["orders"], spec={"name": "scaled"}, materialize=True)
+        return p
+
+    build({"factor": 1.0}).run(spark, cache=cache)
+    p2 = build({"factor": 2.0})
+    p2.run(spark, cache=cache)
+    assert p2.last_run_report["scaled"] == "materialized"  # not a stale hit
+    p3 = build({"factor": 2.0})
+    p3.run(spark, cache=cache)
+    assert p3.last_run_report["scaled"] == "hit"
+
+
+def test_unhashable_capture_never_served_from_cache(spark, sf_small, tmp_path):
+    """A capture the fingerprint can only see by type name (e.g. an
+    ndarray) marks the stage uncacheable: a second build with different
+    contents but the same type must recompute, never hit."""
+    import numpy as np
+
+    from pipetree_spark.cache import ArtifactCache
+
+    cache = ArtifactCache(str(tmp_path))
+
+    def build(arr):
+        def fn(s, fr):
+            return fr["orders"].select(
+                (F.col("o_totalprice") * float(arr[0])).alias("x")
+            )
+
+        p = Pipeline.from_spec(
+            {"stages": {"orders": {"type": "source", "table": "orders", "sf_dir": sf_small}}}
+        )
+        p.add_stage("scaled", fn, inputs=["orders"], spec={"name": "scaled"}, materialize=True)
+        return p
+
+    build(np.array([1.0])).run(spark, cache=cache)
+    p2 = build(np.array([2.0]))  # same type name, different contents
+    p2.run(spark, cache=cache)
+    assert p2.last_run_report["scaled"] != "hit"
+
+
 def test_unknown_target_raises_clear_error(spark, sf_small):
     p = Pipeline.from_spec(
         {"stages": {"orders": {"type": "source", "table": "orders", "sf_dir": sf_small}}}

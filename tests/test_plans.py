@@ -85,6 +85,18 @@ def test_topk_plans_take_ordered(spark, sf_small, registry):
     assert "TakeOrderedAndProject" in p
 
 
+def test_sort_multi_plans_take_ordered_not_global_sort(spark, sf_small, registry):
+    """q_sort_multi's bounded rank must come from TakeOrderedAndProject
+    + a ≤100-row window, never a full-relation single-partition sort
+    (the r2 VERDICT scale-killer)."""
+    p = plan(q(registry, "q_sort_multi", spark, sf_small))
+    # the bounded top-100 comes from a per-partition heap, not a sort
+    assert n_nodes(p, "TakeOrderedAndProject") == 1
+    # the only Sort left is the ≤100-row re-rank feeding the Window
+    assert n_nodes(p, "Window") == 1
+    assert n_nodes(p, "Sort") <= 1
+
+
 def test_semi_anti_plan_as_joins_not_subqueries(spark, sf_small, registry):
     for name, kind in (("q_join_semi", "LeftSemi"), ("q_join_anti", "LeftAnti")):
         p = plan(q(registry, name, spark, sf_small))

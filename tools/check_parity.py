@@ -99,6 +99,61 @@ def run_oracle(con, sql):
     return cols, cur.fetchall()
 
 
+_SPARK_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def oracle_dtype_problems(spark_fields, spark_rows, ora_df):
+    """Driver-hash dtype drift the fetchall() value compare can't see.
+
+    The round driver canonicalizes BOTH sides through pandas before
+    hashing, so representation differences that Python-level equality
+    hides become hash mismatches there. Proven failure classes
+    (CORRECTNESS_r01/r02): DuckDB HUGEINT (e.g. uncast ``count_if``)
+    → pandas float64 vs Spark int64 (``2.0`` vs ``2``); Decimal objects
+    vs floats; raw bools. This check fetches the oracle via ``.df()``
+    — the driver's canonicalization path — and flags exactly those
+    classes against the Spark schema. Nullable-int columns that
+    actually contain NULLs are exempt from the int-vs-float check
+    (pandas legitimately widens them to float64 on both sides).
+    """
+    problems = []
+    name_to_idx = {f.name: i for i, f in enumerate(spark_fields)}
+    for f in spark_fields:
+        if f.name not in ora_df.columns:
+            continue  # column-set mismatch is reported by compare()
+        st = f.dataType.simpleString()
+        col = ora_df[f.name]
+        kind = col.dtype.kind
+        i = name_to_idx[f.name]
+        has_null = any(r[i] is None for r in spark_rows)
+        if st in _SPARK_INT_TYPES and kind == "f" and not has_null:
+            problems.append(
+                f"col {f.name!r}: spark {st} (no NULLs) but oracle pandas "
+                f"dtype {col.dtype} — driver hashes e.g. 2.0 vs 2 "
+                f"(uncast count_if / HUGEINT? CAST(... AS BIGINT))"
+            )
+        elif st in ("float", "double") and kind in ("i", "u"):
+            problems.append(
+                f"col {f.name!r}: spark {st} but oracle pandas dtype "
+                f"{col.dtype} — driver hashes e.g. 2 vs 2.0"
+            )
+        if kind == "b" or st == "boolean":
+            problems.append(
+                f"col {f.name!r}: boolean reaches the driver hash "
+                f"(spark={st}, oracle dtype={col.dtype}) — cast to INT"
+            )
+        if kind == "O" and st in _SPARK_INT_TYPES | {"float", "double"}:
+            import decimal
+
+            sample = col.dropna()
+            if len(sample) and isinstance(sample.iloc[0], decimal.Decimal):
+                problems.append(
+                    f"col {f.name!r}: oracle emits Decimal objects but "
+                    f"spark emits {st} — driver hashes Decimal vs number"
+                )
+    return problems
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--vanilla", action="store_true",
@@ -164,6 +219,12 @@ def main():
         sc, sr = canon_result(scols, [tuple(r) for r in srows])
         oc, orr = canon_result(ocols, orows)
         problems = compare(sc, sr, oc, orr, tol=args.tol)
+        if not problems:
+            # values match — now check the driver's pandas dtype view
+            ora_df = con.execute(q.oracle).df()
+            problems = oracle_dtype_problems(
+                sdf.schema.fields, [tuple(r) for r in srows], ora_df
+            )
         dtime = time.perf_counter() - t0
         if problems:
             # diagnose: would it pass with loose tolerance?
