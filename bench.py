@@ -36,6 +36,11 @@ BENCH_QUERIES: dict[str, str] = {
     "q_tumbling_window": "q_stream_tumbling",
     "q_dedup_exact": "q_dedup_exact",
     "q_vec_knn": "q_vec_cosine_knn",
+    # LLM-pipeline hot path (no BASELINE.md rows — tracked round-over-
+    # round against SCALING.md's sf0.1 numbers instead)
+    "q_dedup_near": "q_dedup_near",
+    "q_text_tfidf": "q_text_tfidf",
+    "q_dedup_minhash_band": "q_dedup_minhash_band",
 }
 
 RUNS = 3

@@ -23,6 +23,24 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+# The PRODUCTION late-data path is the watermarked streaming pipeline
+# below (incremental state, scale-safe). queries/streaming_batch.py's
+# q_stream_watermark is a CERTIFICATION-ONLY batch replay of the same
+# drop rule (its global arrival-order window is the definitional
+# sequential semantics, never a production plan) — import from here,
+# not from the replay, when building a pipeline.
+__all__ = [
+    "EVENTS_STREAM_SCHEMA",
+    "file_stream",
+    "tumbling_counts",
+    "stream_dedup",
+    "stream_static_join",
+    "stream_stream_join",
+    "running_user_counts",
+    "running_user_max_tws",
+    "run_to_memory",
+]
+
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),

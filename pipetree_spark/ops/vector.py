@@ -279,3 +279,216 @@ def lsh_bucket_ann(
         order_by=[F.col("cos_sim").desc(), F.col(corpus_key).asc()],
         k=k,
     )
+
+
+def kmeans_portable(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Deterministic, engine-portable Lloyd k-means: returns the
+    (key, cluster) assignment after ``iters`` iterations.
+
+    Everything that decides an assignment is EXACT integer math, so any
+    engine computes bit-identical clusters (the certification pattern
+    that moved SimHash/MinHash off rows-only in r2):
+
+    - embeddings quantize once to longs: ``floor(double(x) · scale)``
+      (floor, not round — no rounding-mode ambiguity across engines);
+    - init is the ``k`` smallest keys' vectors, cid = rank (seed-free);
+    - distances are integer sums of squared diffs; argmin + smallest-cid
+      tie-break is ``min(dist·k + cid) % k`` — one exact bigint;
+    - new centroid components are ``floor(double(sum)/count)``: the
+      numerator is an exact long (≪2⁵³ even at 10⁹ members), so the
+      IEEE division and floor are reproducible everywhere.
+
+    Scale shape (the same as distributed MLlib Lloyd): centroids are a
+    k-row broadcast, assignment is a narrow map over the corpus, and
+    the recompute is ONE shuffle per iteration keyed (cluster, dim)
+    with map-side partial sums. ``iters`` is fixed for certification;
+    production loops until centroid movement < ε.
+    """
+    q = df.select(
+        key_col,
+        F.transform(
+            vec_col, lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long")
+        ).alias("__qv"),
+    )
+    from pyspark.sql import Window
+
+    init = (
+        q.orderBy(key_col)
+        .limit(k)
+        .withColumn("cid", F.row_number().over(Window.orderBy(key_col)) - 1)
+        .select(F.col("cid").cast("long").alias("cid"), F.col("__qv").alias("cv"))
+    )
+    cents = init.agg(F.collect_list(F.struct("cid", "cv")).alias("__cs"))
+
+    def assign(centroid_row: DataFrame) -> DataFrame:
+        enc = F.array_min(
+            F.transform(
+                "__cs",
+                lambda c: F.aggregate(
+                    F.zip_with("__qv", c["cv"], lambda x, y: (x - y) * (x - y)),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
+                * F.lit(k).cast("long")
+                + c["cid"],
+            )
+        )
+        return q.crossJoin(F.broadcast(centroid_row)).select(
+            key_col, "__qv", (enc % k).alias("cluster")
+        )
+
+    a = assign(cents)
+    for _ in range(iters - 1):
+        comp = (
+            a.select("cluster", F.posexplode("__qv").alias("__i", "__x"))
+            .groupBy("cluster", "__i")
+            .agg(
+                F.floor(F.sum("__x").cast("double") / F.count("*")).cast("long").alias("__cd")
+            )
+        )
+        cents = (
+            comp.groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("__i", "__cd"))).alias("__s"))
+            .select(
+                F.col("cluster").alias("cid"),
+                F.transform("__s", lambda t: t["__cd"]).alias("cv"),
+            )
+            .agg(F.collect_list(F.struct("cid", "cv")).alias("__cs"))
+        )
+        a = assign(cents)
+    return a.select(key_col, "cluster")
+
+
+def pca_power_portable(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    iters: int = 3,
+    scale: int = 1 << 20,
+    rescale: int = 1 << 10,
+) -> DataFrame:
+    """Deterministic, engine-portable ``iters``-step power-iteration
+    direction (integer-quantized) — the certifiable statistic of the
+    PCA family; returns 64 rows ``(component, loading)`` with
+    exact-integer loadings in [-rescale, rescale]. With a healthy
+    eigengap it converges to the top principal direction; on
+    near-isotropic data small ``iters`` only turns toward it — this op
+    certifies DETERMINISM (any engine, bit-identical), convergence
+    tuning stays on the pyspark.ml path.
+
+    Same certification contract as :func:`kmeans_portable`: every value
+    that decides the output is either exact integer math or an
+    identical IEEE double expression, so any engine reproduces it
+    bit-for-bit:
+
+    - quantize ``floor(double(x)·scale)``, center by the per-dim
+      ``floor(sum/count)`` integer mean;
+    - iterate ``t_i = Σ_d cq_id·v_d`` (exact longs, v₀ = all-ones),
+      rescaled to ±rescale via ``floor(double(t)/max|t|·rescale)``,
+      then ``w_d = Σ_i s_i·cq_id`` rescaled the same way;
+    - sign convention: the first maximal-|loading| component is
+      non-negative (array_position / list_position agree on "first").
+
+    The coarse ±2¹⁰ loading grid is the price of exactness — this is
+    the certified DIRECTION statistic; eigenvalue spectra and exact
+    rotations stay on the pyspark.ml PCA path (q_vec_pca, rows-only).
+
+    Scale shape per iteration: one narrow pass (zip_with dot against a
+    broadcast 1-row iterate — no explode, no join) plus one
+    ``groupBy(dim)`` shuffle whose map-side combine reduces traffic to
+    64·n_partitions rows. The 1-row max-abs aggregates broadcast back.
+
+    The 1-row iterate/max frames are eagerly ``localCheckpoint``-ed
+    (the ops.graph connected-components precedent): without the
+    lineage cut every reference re-evaluates its whole upstream
+    subtree and the plan re-scans the corpus ~2^iters times (measured
+    50 s vs ~6 s at sf0.01). Only 1-row model state is materialized —
+    corpus rows never leave executors.
+    """
+    q = df.select(
+        key_col,
+        F.transform(
+            vec_col, lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long")
+        ).alias("__qv"),
+    )
+    dims = F.posexplode("__qv")
+    mu_row = (
+        q.select(dims.alias("__i", "__x"))
+        .groupBy("__i")
+        .agg(F.floor(F.sum("__x").cast("double") / F.count("*")).cast("long").alias("__m"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("__i", "__m"))).alias("__s"))
+        .select(F.transform("__s", lambda t: t["__m"]).alias("__mu"))
+        .localCheckpoint()
+    )
+    cq = q.crossJoin(F.broadcast(mu_row)).select(
+        key_col, F.zip_with("__qv", "__mu", lambda x, m: x - m).alias("__cq")
+    )
+
+    def dot_v(v_expr) -> Column:
+        return F.aggregate(
+            F.zip_with("__cq", v_expr, lambda x, v: x * v),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    v_row = None  # None → v0 = all-ones, handled inline
+    for _ in range(iters):
+        if v_row is None:
+            t = cq.select(
+                key_col,
+                "__cq",
+                F.aggregate(
+                    "__cq", F.lit(0).cast("long"), lambda acc, x: acc + x
+                ).alias("__t"),
+            )
+        else:
+            t = cq.crossJoin(F.broadcast(v_row)).select(
+                key_col, "__cq", dot_v(F.col("__v")).alias("__t")
+            )
+        mt = t.agg(F.max(F.abs("__t")).alias("__mt")).localCheckpoint()
+        s = t.crossJoin(F.broadcast(mt)).select(
+            "__cq",
+            F.floor(F.col("__t").cast("double") / F.col("__mt") * F.lit(float(rescale)))
+            .cast("long")
+            .alias("__sc"),
+        )
+        # checkpoint the 64-row w — mw and the next iterate then derive
+        # from materialized data instead of re-running the corpus pass
+        w = (
+            s.select(F.col("__sc"), F.posexplode("__cq").alias("__i", "__x"))
+            .groupBy("__i")
+            .agg(F.sum(F.col("__sc") * F.col("__x")).alias("__w"))
+            .localCheckpoint()
+        )
+        mw = w.agg(F.max(F.abs("__w")).alias("__mw"))
+        v_row = (
+            w.crossJoin(F.broadcast(mw))
+            .select(
+                "__i",
+                F.floor(F.col("__w").cast("double") / F.col("__mw") * F.lit(float(rescale)))
+                .cast("long")
+                .alias("__vd"),
+            )
+            .groupBy()
+            .agg(F.array_sort(F.collect_list(F.struct("__i", "__vd"))).alias("__s"))
+            .select(F.transform("__s", lambda st: st["__vd"]).alias("__v"))
+            .localCheckpoint()
+        )
+    absv = F.transform("__v", F.abs)
+    mabs = F.array_max(absv)
+    signed = F.when(
+        F.element_at(F.col("__v"), F.array_position(absv, mabs).cast("int")) < 0,
+        F.transform("__v", lambda x: -x),
+    ).otherwise(F.col("__v"))
+    return v_row.select(F.posexplode(signed).alias("component", "loading")).select(
+        F.col("component").cast("long").alias("component"),
+        F.col("loading").cast("long").alias("loading"),
+    )

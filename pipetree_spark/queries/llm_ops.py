@@ -707,6 +707,148 @@ def q_text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_sql(k: int = 8, scale: int = 1 << 20) -> str:
+    """DuckDB twin of ops.vector.kmeans_portable (2 unrolled Lloyd
+    iterations). Every assignment-deciding value is exact integer math
+    — see the op's docstring for the portability argument."""
+    dist = (
+        "CAST(list_sum(list_transform(list_zip(v.qv, c.cv),"
+        " p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * {float(scale)}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+init AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, qv AS cv
+  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {k})
+),
+a1 AS (
+  SELECT v.vec_id, MIN({dist} * {k} + c.cid) % {k} AS cluster
+  FROM q v CROSS JOIN init c
+  GROUP BY v.vec_id
+),
+m1 AS (
+  SELECT cluster, UNNEST(list_zip(qv, range(1, {64 + 1}))) AS p
+  FROM a1 JOIN q USING (vec_id)
+),
+c2 AS (
+  SELECT cluster AS cid, list(cd ORDER BY i) AS cv
+  FROM (
+    SELECT cluster, p[2] AS i,
+           CAST(FLOOR(CAST(SUM(p[1]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cd
+    FROM m1 GROUP BY cluster, p[2]
+  ) GROUP BY cluster
+),
+a2 AS (
+  SELECT v.vec_id, MIN({dist} * {k} + c.cid) % {k} AS cluster
+  FROM q v CROSS JOIN c2 c
+  GROUP BY v.vec_id
+)
+SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs, MIN(vec_id) AS rep_vec
+FROM a2 GROUP BY cluster
+"""
+
+
+def _pca_power_sql(iters: int = 3, scale: int = 1 << 20, rescale: int = 1 << 10) -> str:
+    """DuckDB twin of ops.vector.pca_power_portable (unrolled power
+    iteration; exact-integer loadings, identical IEEE rescale exprs)."""
+    parts = [
+        f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * {float(scale)}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+qd AS (
+  SELECT vec_id, u.p[2] AS i, u.p[1] AS x
+  FROM (SELECT vec_id, UNNEST(list_zip(qv, range(1, 65))) AS p FROM q) u
+),
+mu AS (
+  SELECT i, CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+  FROM qd GROUP BY i
+),
+cq AS (
+  SELECT vec_id, qd.i, qd.x - mu.m AS x FROM qd JOIN mu USING (i)
+),
+t1 AS (
+  SELECT vec_id, CAST(SUM(x) AS BIGINT) AS t FROM cq GROUP BY vec_id
+)"""
+    ]
+    for it in range(1, iters + 1):
+        nxt = it + 1
+        parts.append(
+            f""",
+mt{it} AS (SELECT MAX(ABS(t)) AS m FROM t{it}),
+s{it} AS (
+  SELECT vec_id, CAST(FLOOR(CAST(t AS DOUBLE) / m * {float(rescale)}) AS BIGINT) AS s
+  FROM t{it}, mt{it}
+),
+w{it} AS (
+  SELECT cq.i, CAST(SUM(s{it}.s * cq.x) AS BIGINT) AS w
+  FROM cq JOIN s{it} USING (vec_id) GROUP BY cq.i
+),
+mw{it} AS (SELECT MAX(ABS(w)) AS m FROM w{it}),
+v{it} AS (
+  SELECT i, CAST(FLOOR(CAST(w AS DOUBLE) / m * {float(rescale)}) AS BIGINT) AS v
+  FROM w{it}, mw{it}
+)"""
+        )
+        if it < iters:
+            parts.append(
+                f""",
+t{nxt} AS (
+  SELECT cq.vec_id, CAST(SUM(cq.x * v{it}.v) AS BIGINT) AS t
+  FROM cq JOIN v{it} USING (i) GROUP BY cq.vec_id
+)"""
+            )
+    last = f"v{iters}"
+    parts.append(
+        f""",
+mx AS (SELECT MAX(ABS(v)) AS m FROM {last}),
+sgn AS (
+  SELECT CASE WHEN (
+    SELECT v FROM {last}, mx WHERE ABS(v) = m ORDER BY i LIMIT 1
+  ) < 0 THEN -1 ELSE 1 END AS s
+)
+SELECT CAST(i - 1 AS BIGINT) AS component, CAST(v * s AS BIGINT) AS loading
+FROM {last}, sgn"""
+    )
+    return "".join(parts)
+
+
+@declare("q_vec_pca_port", oracle=_pca_power_sql(), tags=("vector",))
+def q_vec_pca_port(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable power-iteration direction
+    (ops.vector.pca_power_portable: integer-quantized, 3 steps,
+    deterministic sign). Certifies the PCA family's direction statistic
+    with an exact oracle — defined-algorithm determinism, not claimed
+    convergence; eigen-spectra / converged components stay on the
+    seeded pyspark.ml path (q_vec_pca, rows-only)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return VX.pca_power_portable(e, "embedding", "vec_id", iters=3)
+
+
+@declare("q_vec_kmeans_port", oracle=_kmeans_sql(), tags=("vector", "dedup"))
+def q_vec_kmeans_port(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable Lloyd k-means (ops.vector.kmeans_portable, k=8,
+    2 iterations, deterministic smallest-key init), reduced to the
+    cluster-size histogram + smallest member key. Exact-integer
+    assignment math makes the whole iterative algorithm oracle-
+    certifiable — the r2 portable-SimHash pattern applied to the one
+    ML-loop op that was still rows-only. The seeded pyspark.ml twin
+    (q_vec_kmeans) remains the production path."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = VX.kmeans_portable(e, "embedding", "vec_id", k=8, iters=2)
+    return a.groupBy("cluster").agg(
+        F.count("*").alias("n_vecs"), F.min("vec_id").alias("rep_vec")
+    )
+
+
 @declare("q_vec_kmeans", oracle=None, tags=("vector", "approx"))
 def q_vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded k-means over the embedding table (pyspark.ml, k=10,

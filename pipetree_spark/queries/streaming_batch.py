@@ -139,7 +139,7 @@ SELECT event_type,
 FROM arr
 GROUP BY event_type
 """,
-    tags=("stream", "events"),
+    tags=("stream", "events", "certification-replay"),
 )
 def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-data semantics as a deterministic batch replay

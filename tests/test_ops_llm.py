@@ -326,3 +326,56 @@ def test_kmeans_clusters_cover_data(spark, sf_small):
     rows = load_registry()["q_vec_kmeans"].fn(spark, sf_small).collect()
     assert sum(r["n_vecs"] for r in rows) == 500  # every vector assigned
     assert len(rows) == 10
+
+
+def test_kmeans_portable_assignment_properties(spark, sf_small):
+    """Portable Lloyd k-means: every vector assigned, k clusters, and
+    the assignment is locally optimal for the final centroids is
+    covered by the oracle; here assert label coherence beats chance
+    (the synthetic embeddings are label-clustered)."""
+    e = load_table(spark, sf_small, "embeddings")
+    n = e.count()
+    a = VX.kmeans_portable(e, "embedding", "vec_id", k=8, iters=2)
+    assert a.count() == n
+    joined = a.join(e.select("vec_id", "label"), "vec_id")
+    # purity: majority-label fraction per cluster, averaged
+    per = (
+        joined.groupBy("cluster", "label").count()
+        .groupBy("cluster")
+        .agg((F.max("count") / F.sum("count")).alias("purity"), F.sum("count").alias("n"))
+    ).collect()
+    avg_purity = sum(r.purity * r.n for r in per) / sum(r.n for r in per)
+    n_labels = joined.select("label").distinct().count()
+    assert avg_purity > 1.5 / n_labels, avg_purity  # well above chance
+
+
+def test_pca_portable_matches_numpy_simulation(spark, sf_small):
+    """pca_power_portable is a DEFINED deterministic statistic (3-step
+    integer power iteration), so the distributed result must equal an
+    independent numpy re-derivation bit-for-bit. (It deliberately does
+    NOT claim to equal PC1: this corpus is near-isotropic — top
+    centered eigenvalues 14.4 vs 13.5 — so 3 power steps only start
+    turning toward PC1; convergence tuning is the pyspark.ml path's
+    job, certifiable determinism is this op's.)"""
+    import pyarrow.parquet as pq
+
+    from pipetree_spark.catalog import table_path
+
+    e = load_table(spark, sf_small, "embeddings")
+    port = VX.pca_power_portable(e, "embedding", "vec_id", iters=3)
+    got = [r.loading for r in port.orderBy("component").collect()]
+
+    t = pq.read_table(table_path(sf_small, "embeddings")).sort_by("vec_id")
+    X = np.array(t["embedding"].to_pylist(), dtype=float)
+    q = np.floor(X * (1 << 20)).astype(np.int64)
+    cq = q - np.floor(q.sum(0).astype(float) / len(q)).astype(np.int64)
+    v = np.ones(64, dtype=np.int64)
+    for _ in range(3):
+        tv = cq @ v
+        s = np.floor(tv.astype(float) / np.abs(tv).max() * 1024.0).astype(np.int64)
+        w = cq.T @ s
+        v = np.floor(w.astype(float) / np.abs(w).max() * 1024.0).astype(np.int64)
+    amax = np.abs(v).max()
+    if v[int(np.argmax(np.abs(v) == amax))] < 0:
+        v = -v
+    assert got == v.tolist()
