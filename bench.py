@@ -71,12 +71,23 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[metric] = round(best, 4)
 
+    # BASELINE.md has rows only for the 9 original metrics; the LLM-
+    # pipeline additions (r2/r3) have no baseline row, so the headline
+    # `value` stays the baseline-comparable subtotal (round-over-round
+    # and vs-baseline comparisons remain apples-to-apples) and the full
+    # sum is reported separately.
+    baseline_metrics = (
+        "q_pricing_summary", "q_join_3way", "q_topk", "q_window_rank",
+        "q_distinct", "q_events_sessionish", "q_string_ops", "q_semi_anti",
+        "q_tumbling_window",
+    )
     print(
         json.dumps(
             {
                 "metric": "bench_total_sec",
-                "value": round(sum(timings.values()), 4),
+                "value": round(sum(timings[m] for m in baseline_metrics), 4),
                 "unit": "sec",
+                "all_queries_total_sec": round(sum(timings.values()), 4),
                 "queries": timings,
                 "sf": sf,
             }

@@ -289,8 +289,26 @@ def kmeans_portable(
     iters: int = 2,
     scale: int = 1 << 20,
 ) -> DataFrame:
-    """Deterministic, engine-portable Lloyd k-means: returns the
-    (key, cluster) assignment after ``iters`` iterations.
+    """Deterministic, engine-portable Lloyd k-means assignment — see
+    :func:`kmeans_portable_fit` (this is its assignment-only view)."""
+    a, _ = kmeans_portable_fit(df, vec_col, key_col, k=k, iters=iters, scale=scale)
+    return a.select(key_col, "cluster")
+
+
+def kmeans_portable_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1 << 20,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic, engine-portable Lloyd k-means: returns
+    ``(assignment, centroids)`` after ``iters`` iterations — the
+    assignment frame ``(key, __qv, cluster)`` and the 1-row centroid
+    frame ``__cs: array<struct<cid, cv>>`` (quantized-integer final
+    centroids, the coarse-quantizer state :func:`ivf_ann_portable`
+    probes against).
 
     Everything that decides an assignment is EXACT integer math, so any
     engine computes bit-identical clusters (the certification pattern
@@ -363,7 +381,96 @@ def kmeans_portable(
             .agg(F.collect_list(F.struct("cid", "cv")).alias("__cs"))
         )
         a = assign(cents)
-    return a.select(key_col, "cluster")
+    return a, cents
+
+
+def ivf_ann_portable(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    n_clusters: int = 8,
+    iters: int = 2,
+    query_key: str = "query_id",
+    corpus_key: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """IVF ANN whose every stage is deterministic and engine-portable —
+    the oracle-certifiable variant of :func:`ivf_ann`:
+
+    - coarse quantizer: :func:`kmeans_portable_fit` (exact-integer
+      Lloyd, seed-free init) — corpus partitioning is bit-reproducible;
+    - probe: each query's ``n_probe`` nearest centroids by the same
+      exact integer distance (ties → smaller cid, via sort on the
+      (dist, cid) struct);
+    - candidate generation: equi-join on cluster id (the IVF shape that
+      replaces broadcast kNN beyond ~10⁷ vectors — no corpus broadcast,
+      no n² pairs);
+    - re-rank: exact cosine over the probed candidates, ROUND(·,4) +
+      key tie-break (the q_vec_cosine_knn float policy — ~1e-15 drift
+      vs 1e-4 grid).
+
+    Same recall/cost tuning knobs as ``ivf_ann`` (n_probe, n_clusters);
+    what it gives up is the trained quantizer (fixed-step integer Lloyd
+    instead of converged seeded k-means), which costs a little recall,
+    not scalability.
+    """
+    assign_df, cents = kmeans_portable_fit(
+        corpus, vec_col, corpus_key, k=n_clusters, iters=iters, scale=scale
+    )
+    c = corpus.select(
+        F.col(corpus_key),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    ).join(assign_df.select(corpus_key, "cluster"), corpus_key)
+
+    qq = queries.select(
+        F.col(query_key),
+        F.col(vec_col).alias("__mv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+        F.transform(
+            vec_col, lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long")
+        ).alias("__qv"),
+    )
+    dist_cid = F.transform(
+        "__cs",
+        lambda cc: F.struct(
+            F.aggregate(
+                F.zip_with("__qv", cc["cv"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            cc["cid"].alias("cid"),
+        ),
+    )
+    probes = (
+        qq.crossJoin(F.broadcast(cents))
+        .select(
+            query_key,
+            "__mv",
+            "__qn",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(dist_cid), 1, n_probe), lambda s: s["cid"]
+                )
+            ).alias("cluster"),
+        )
+    )
+    pairs = probes.join(c, on="cluster").filter(F.col(query_key) != F.col(corpus_key))
+    scored = pairs.select(
+        query_key,
+        corpus_key,
+        F.round(
+            dot(F.col("__mv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 4
+        ).alias("cos_sim"),
+    )
+    return topk_per_group(
+        scored,
+        partition_by=[query_key],
+        order_by=[F.col("cos_sim").desc(), F.col(corpus_key).asc()],
+        k=k,
+    )
 
 
 def pca_power_portable(

@@ -175,12 +175,42 @@ def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declare("q_text_langid", oracle=None, tags=("text", "approx"))
+def _langid_sql() -> str:
+    """DuckDB twin of ops.text.lang_id_scores, generated from the same
+    LANG_STOPWORDS dict so the profiles can't drift. The score is an
+    exact-int ratio (stopword hits / token count → identical IEEE
+    division) and Spark's array_max over (score, lang) structs is
+    row_number over (score DESC, lang DESC) — both deterministic, so
+    the heuristic gets an exact oracle despite double scores."""
+    rows = ",\n  ".join(
+        "('{}', [{}])".format(lang, ", ".join(f"'{w}'" for w in sw))
+        for lang, sw in sorted(TX.LANG_STOPWORDS.items())
+    )
+    return f"""
+WITH profiles(cand, sw) AS (VALUES
+  {rows}
+),
+tok AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+sc AS (
+  SELECT t.doc_id, t.lang, p.cand,
+         CAST(len(list_filter(t.w, x -> list_contains(p.sw, x))) AS DOUBLE)
+           / len(t.w) AS score
+  FROM tok t CROSS JOIN profiles p
+)
+SELECT doc_id, lang, cand AS lang_pred, score AS lang_score
+FROM sc
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) = 1
+"""
+
+
+@declare("q_text_langid", oracle=_langid_sql(), tags=("text",))
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic stopword-profile language ID (ops.text.lang_id_scores).
-    Rows-only: this corpus is language-independent word salad, so the
-    op's plumbing (broadcast profiles, argmax over score structs) is
-    what's exercised; accuracy is asserted on synthetic text in pytest."""
+    """Heuristic stopword-profile language ID (ops.text.lang_id_scores),
+    oracle-exact since r3: the overlap score is an exact integer ratio
+    and the argmax tie-break (max score, then max lang code) is the
+    same total order in both engines. This corpus is language-
+    independent word salad, so ACCURACY is asserted on synthetic text
+    in pytest — the oracle certifies the scoring/argmax semantics."""
     d = load_table(spark, sf_dir, "documents")
     return TX.lang_id_scores(d).select("doc_id", "lang", "lang_pred", "lang_score")
 
@@ -707,10 +737,11 @@ def q_text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_sql(k: int = 8, scale: int = 1 << 20) -> str:
-    """DuckDB twin of ops.vector.kmeans_portable (2 unrolled Lloyd
-    iterations). Every assignment-deciding value is exact integer math
-    — see the op's docstring for the portability argument."""
+def _kmeans_cte(k: int = 8, scale: int = 1 << 20) -> str:
+    """Shared DuckDB CTE chain for ops.vector.kmeans_portable_fit
+    (2 unrolled Lloyd iterations): ends with ``c2`` (final quantized
+    centroids) and ``a2`` (final assignment). Every assignment-deciding
+    value is exact integer math — see the op's docstring."""
     dist = (
         "CAST(list_sum(list_transform(list_zip(v.qv, c.cv),"
         " p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
@@ -747,10 +778,17 @@ a2 AS (
   SELECT v.vec_id, MIN({dist} * {k} + c.cid) % {k} AS cluster
   FROM q v CROSS JOIN c2 c
   GROUP BY v.vec_id
-)
+)"""
+
+
+def _kmeans_sql(k: int = 8, scale: int = 1 << 20) -> str:
+    return (
+        _kmeans_cte(k, scale)
+        + """
 SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs, MIN(vec_id) AS rep_vec
 FROM a2 GROUP BY cluster
 """
+    )
 
 
 def _pca_power_sql(iters: int = 3, scale: int = 1 << 20, rescale: int = 1 << 10) -> str:
@@ -831,6 +869,68 @@ def q_vec_pca_port(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded pyspark.ml path (q_vec_pca, rows-only)."""
     e = load_table(spark, sf_dir, "embeddings")
     return VX.pca_power_portable(e, "embedding", "vec_id", iters=3)
+
+
+def _ivf_port_sql(
+    k: int = 5, n_probe: int = 2, n_clusters: int = 8, scale: int = 1 << 20
+) -> str:
+    """DuckDB twin of ops.vector.ivf_ann_portable: the kmeans CTE chain
+    (coarse quantizer) + integer probe selection + the q_vec_cosine_knn
+    rounded-cosine re-rank policy."""
+    dist = (
+        "CAST(list_sum(list_transform(list_zip(s.qv, c.cv),"
+        " p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+    )
+    return (
+        _kmeans_cte(n_clusters, scale)
+        + f""",
+qs AS (SELECT vec_id AS query_id, qv FROM q WHERE vec_id < 5),
+pd AS (
+  SELECT s.query_id, c.cid, {dist} AS dist
+  FROM qs s CROSS JOIN c2 c
+),
+pr AS (
+  SELECT query_id, cid AS cluster FROM pd
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, cid) <= {n_probe}
+),
+cand AS (
+  SELECT pr.query_id, a2.vec_id
+  FROM pr JOIN a2 ON a2.cluster = pr.cluster
+  WHERE a2.vec_id != pr.query_id
+),
+sc AS (
+  SELECT cand.query_id, cand.vec_id,
+         ROUND(
+           list_sum(list_transform(generate_series(1, 64),
+                                   i -> CAST(eq.embedding[i] AS DOUBLE) * CAST(ec.embedding[i] AS DOUBLE)))
+           / (SQRT({_SQ_SUM.format(v='eq.embedding')}) * SQRT({_SQ_SUM.format(v='ec.embedding')})), 4) AS cos_sim
+  FROM cand
+  JOIN embeddings eq ON eq.vec_id = cand.query_id
+  JOIN embeddings ec ON ec.vec_id = cand.vec_id
+)
+SELECT * FROM (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM sc
+) WHERE rnk <= {k}
+"""
+    )
+
+
+@declare("q_vec_ann_ivf_port", oracle=_ivf_port_sql(), tags=("vector",))
+def q_vec_ann_ivf_port(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with an exact oracle (ops.vector.ivf_ann_portable):
+    portable-Lloyd coarse quantizer + integer probe selection +
+    cluster-id equi-join + rounded-cosine re-rank. The whole ANN path —
+    partitioning, probing, candidate join, ranking — is deterministic
+    and driver-certifiable; the trained-quantizer variant
+    (q_vec_ann_ivf, seeded pyspark.ml k-means) stays the rows-only
+    production tuning path."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return VX.ivf_ann_portable(q, e, k=5, n_probe=2, n_clusters=8).select(
+        "query_id", "vec_id", "cos_sim", "rnk"
+    )
 
 
 @declare("q_vec_kmeans_port", oracle=_kmeans_sql(), tags=("vector", "dedup"))

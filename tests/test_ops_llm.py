@@ -269,6 +269,25 @@ def test_ivf_ann_recall_vs_exact(spark, sf_small):
     assert full == exact
 
 
+def test_ivf_portable_recall_vs_exact(spark, sf_small):
+    """The oracle-certifiable IVF (portable-Lloyd quantizer) must keep
+    useful recall vs exact kNN, and probing ALL clusters must recover
+    the exact result (the candidate-generation completeness check)."""
+    e = load_table(spark, sf_small, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.vec_id) for r in VX.knn_bruteforce(q, e, k=5).collect()}
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in VX.ivf_ann_portable(q, e, k=5, n_clusters=4, n_probe=3).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.5
+    full = {
+        (r.query_id, r.vec_id)
+        for r in VX.ivf_ann_portable(q, e, k=5, n_clusters=4, n_probe=4).collect()
+    }
+    assert full == exact
+
+
 def test_embed_stage_deterministic_unit_vectors(spark, sf_small):
     import numpy as np
 
