@@ -523,13 +523,70 @@ def q_vec_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declare("q_vec_ann_lsh", oracle=None, tags=("vector", "approx"))
+def _lsh_ann_sql(k: int = 5, n_planes: int = 4) -> str:
+    """DuckDB twin of ops.vector.lsh_bucket_ann (multi_probe=1). The
+    seeded hyperplanes are deterministic floats embedded as literals in
+    BOTH plans (repr round-trips exactly through each engine's double
+    parser), and each projection is the same sequential IEEE sum, so
+    bucket bits match bit-for-bit. A sign flip would need |v·p| below
+    ~1e-15 — never observed across SFs; the local parity gate would
+    catch it before declaration if a new corpus ever produced one."""
+    planes = VX.hyperplanes(64, n_planes, seed=42)
+    rows = ",\n  ".join(
+        "({}, [{}])".format(i, ", ".join(repr(float(x)) for x in p))
+        for i, p in enumerate(planes)
+    )
+    masks = ", ".join(f"({m})" for m in [0] + [1 << b for b in range(n_planes)])
+    return f"""
+WITH planes(pid, pl) AS (VALUES
+  {rows}
+),
+bk AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dp > 0.0 THEN 1 << pid ELSE 0 END) AS BIGINT) AS b
+  FROM (
+    SELECT e.vec_id, p.pid,
+           list_sum(list_transform(generate_series(1, 64),
+                                   i -> CAST(e.embedding[i] AS DOUBLE) * p.pl[i])) AS dp
+    FROM embeddings e CROSS JOIN planes p
+  ) GROUP BY vec_id
+),
+qb AS (
+  SELECT bk.vec_id AS query_id, xor(bk.b, m.m) AS b
+  FROM bk CROSS JOIN (VALUES {masks}) m(m)
+  WHERE bk.vec_id < 5
+),
+cand AS (
+  SELECT qb.query_id, bk.vec_id
+  FROM qb JOIN bk USING (b)
+  WHERE bk.vec_id != qb.query_id
+),
+sc AS (
+  SELECT cand.query_id, cand.vec_id,
+         ROUND(
+           list_sum(list_transform(generate_series(1, 64),
+                                   i -> CAST(eq.embedding[i] AS DOUBLE) * CAST(ec.embedding[i] AS DOUBLE)))
+           / (SQRT({_SQ_SUM.format(v='eq.embedding')}) * SQRT({_SQ_SUM.format(v='ec.embedding')})), 4) AS cos_sim
+  FROM cand
+  JOIN embeddings eq ON eq.vec_id = cand.query_id
+  JOIN embeddings ec ON ec.vec_id = cand.vec_id
+)
+SELECT * FROM (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM sc
+) WHERE rnk <= {k}
+"""
+
+
+@declare("q_vec_ann_lsh", oracle=_lsh_ann_sql(), tags=("vector",))
 def q_vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN (ops.vector.lsh_bucket_ann, seeded
     hyperplanes, Hamming-≤1 multi-probe on the query side): the
-    10⁹-vector scale path for near-dup candidate generation. Recall vs
-    the exact kNN is asserted in pytest (incl. the near-dup
-    source-retrieval workload); rows-only here."""
+    10⁹-vector scale path for near-dup candidate generation.
+    Oracle-exact since r3 — the hyperplanes are deterministic literals
+    and every projection/bucket/rank step is portable (see
+    _lsh_ann_sql); recall vs exact kNN stays asserted in pytest."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
     return VX.lsh_bucket_ann(q, e, k=5, n_planes=4, multi_probe=1).select(
