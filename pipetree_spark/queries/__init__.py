@@ -106,26 +106,33 @@ PRIORITY: tuple[str, ...] = (
     "q_subq_recursive",
     "q_subq_exists_or",
     "q_udtf_grouped",
+    # r3 oracle-certified ML loops + promoted langid (new → never graded;
+    # the engine's flagship certifications, ahead of TPC-H breadth)
+    "q_vec_kmeans_port",
+    "q_vec_pca_port",
+    "q_vec_ann_ivf_port",
+    "q_text_langid",
     # never-graded TPC-H (q12/q15 changed this round; rest of the 19
     # ungraded TPC-H queries follow right after the 50-slot window)
     "q_tpch_q12",
     "q_tpch_q15",
     "q_tpch_q2",
-    "q_tpch_q4",
     "q_tpch_q5",
-    "q_tpch_q13",
-    "q_tpch_q18",
-    "q_tpch_q21",
     # --- 50-slot line: slots 51+ (graded only if the window widens) ---
+    "q_vec_ann_lsh",
+    "q_tpch_q4",
     "q_tpch_q7",
     "q_tpch_q8",
     "q_tpch_q9",
     "q_tpch_q10",
     "q_tpch_q11",
+    "q_tpch_q13",
     "q_tpch_q16",
     "q_tpch_q17",
+    "q_tpch_q18",
     "q_tpch_q19",
     "q_tpch_q20",
+    "q_tpch_q21",
     "q_tpch_q22",
 )
 
