@@ -36,3 +36,22 @@ def test_explain_passthrough_smoke(spark, sf_small, capsys):
     eng.explain(eng.table("orders").filter(F.col("o_totalprice") > 0))
     out = capsys.readouterr().out
     assert "Physical Plan" in out
+
+
+def test_parse_byte_conf_unit_suffixes():
+    """spark.sql.autoBroadcastJoinThreshold accepts '10MB'-style values;
+    int() on those crashed q_join_3way's plan pick (r2 ADVICE). The
+    parser must handle plain ints, k/m/g/t suffixes (±'b',
+    case-insensitive), and fall back to -1 (broadcast disabled → the
+    scale-safe aggregation-pushdown branch) on garbage."""
+    from pipetree_spark.queries.joins import _parse_byte_conf
+
+    assert _parse_byte_conf("10485760") == 10485760
+    assert _parse_byte_conf("-1") == -1
+    assert _parse_byte_conf("10MB") == 10 * 1024**2
+    assert _parse_byte_conf("10m") == 10 * 1024**2
+    assert _parse_byte_conf("512K") == 512 * 1024
+    assert _parse_byte_conf("1g") == 1024**3
+    assert _parse_byte_conf("2tb") == 2 * 1024**4
+    assert _parse_byte_conf("  64kb ") == 64 * 1024
+    assert _parse_byte_conf("nonsense") == -1

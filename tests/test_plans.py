@@ -241,6 +241,33 @@ def test_pipe_bucketed_join_has_no_exchange(spark, sf_small, registry):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
 
+def test_kmeans_portable_broadcasts_centroids_no_smj(spark, sf_small, registry):
+    """The portable Lloyd plan must keep centroids broadcast (no
+    sort-merge join anywhere): assignment is a BroadcastNestedLoopJoin
+    against the 1-row centroid frame, and the only exchanges are the
+    map-side-combined (cluster, dim) recompute shuffles."""
+    p = plan(q(registry, "q_vec_kmeans_port", spark, sf_small))
+    assert n_nodes(p, "SortMergeJoin") == 0
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_ivf_portable_candidates_join_on_cluster(spark, sf_small, registry):
+    """IVF candidate generation must be an equi-join on the cluster id
+    (broadcast or shuffled hash — never a cartesian pair blow-up)."""
+    p = plan(q(registry, "q_vec_ann_ivf_port", spark, sf_small))
+    assert (
+        n_nodes(p, "BroadcastHashJoin")
+        + n_nodes(p, "ShuffledHashJoin")
+        + n_nodes(p, "SortMergeJoin")
+        >= 1
+    )
+    # the probe side explodes ≤ n_probe clusters per query — the only
+    # nested-loop joins are against 1-row broadcast model state
+    for line in p.splitlines():
+        if "NestedLoopJoin" in line and "Broadcast" not in line:
+            raise AssertionError(f"non-broadcast nested loop: {line}")
+
+
 def test_aqe_splits_skewed_join_partitions(spark, sf_small):
     """Skew discipline at join time is AQE's job (SURVEY §4.3): with a
     deliberately skewed key (60% of rows on one user) and thresholds
