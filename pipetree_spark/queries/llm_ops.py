@@ -125,6 +125,48 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", TX.fingerprint("text").alias("fp"))
 
 
+def _winnow_sql() -> str:
+    """DuckDB twin of ops.text.winnow_fingerprints — parameters come
+    from the same module constants so the engines can't drift."""
+    k, w, base, mod = TX.WINNOW_K, TX.WINNOW_W, TX.WINNOW_BASE, TX.WINNOW_MOD
+    gram = " + ".join(
+        f"vs[i+{j}] * {pow(base, j, mod)}" for j in range(k)
+    )
+    return f"""
+WITH v AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+           x -> ('0x' || substr(md5(x), 1, 8))::BIGINT % {mod}) AS vs
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_transform(range(1, len(vs) - {k} + 2), i -> ({gram}) % {mod}) AS hs
+  FROM v WHERE len(vs) >= {k + w - 1}
+),
+m AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           list_transform(range(1, len(hs) - {w} + 2),
+                          i -> list_min(hs[i:i+{w - 1}])))) AS fps
+  FROM h
+)
+SELECT doc_id, UNNEST(fps) AS fp FROM m
+"""
+
+
+@declare("q_text_winnow", oracle=_winnow_sql(), tags=("text", "dedup"))
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (ops.text.winnow_fingerprints
+    — the MOSS k-gram/window-min scheme): the position-robust document
+    fingerprint set, exploded to scalar (doc_id, fp) rows. Exact long
+    arithmetic mod a Mersenne prime ⇒ oracle-exact. Completes the
+    fingerprinting family: min-md5 (q_text_fingerprint), SimHash,
+    MinHash signatures, and now rolling-hash winnowing."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.winnow_fingerprints(d)
+
+
 @declare(
     "q_text_clean",
     oracle=r"""

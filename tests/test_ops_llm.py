@@ -398,3 +398,22 @@ def test_pca_portable_matches_numpy_simulation(spark, sf_small):
     if v[int(np.argmax(np.abs(v) == amax))] < 0:
         v = -v
     assert got == v.tolist()
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """The winnowing guarantee (MOSS): any shared word run of at least
+    k + w - 1 tokens must yield ≥1 common fingerprint; disjoint-vocab
+    docs share none."""
+    common = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = k+w-1... with k=w=4 need 7
+    docs = [
+        (1, "en", f"one two three {common} four five"),
+        (2, "en", f"{common} six seven eight nine ten"),
+        (3, "en", "cat dog bird fish mouse horse cow sheep goat pig llama"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "lang", "text"])
+    fps = TX.winnow_fingerprints(df).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 8-word run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
