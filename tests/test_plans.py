@@ -268,6 +268,29 @@ def test_ivf_portable_candidates_join_on_cluster(spark, sf_small, registry):
             raise AssertionError(f"non-broadcast nested loop: {line}")
 
 
+def test_plan_audit_heuristic_detects_single_reducer_windows(spark, sf_small, registry):
+    """tools/plan_audit.py sweeps all queries for un-whitelisted
+    single-reducer windows; this pins its detector against known
+    positives (bounded-by-construction, whitelisted) and negatives
+    (properly partitioned / no-order partitioned) so the full-audit
+    signal can't silently rot."""
+    sys_path = __import__("sys").path
+    from pathlib import Path
+
+    tools = str(Path(__file__).resolve().parent.parent / "tools")
+    if tools not in sys_path:
+        sys_path.insert(0, tools)
+    from plan_audit import UNPARTITIONED_WINDOW_OK, unpartitioned_windows
+
+    positives = ["q_stream_watermark", "q_sort_multi", "q_vec_kmeans_port"]
+    negatives = ["q_win_rownum", "q_topk_pergroup", "q_ts_locf", "q_tpch_q21"]
+    for name in positives:
+        assert unpartitioned_windows(plan(q(registry, name, spark, sf_small))) >= 1, name
+        assert name in UNPARTITIONED_WINDOW_OK, f"{name} must carry a documented bound"
+    for name in negatives:
+        assert unpartitioned_windows(plan(q(registry, name, spark, sf_small))) == 0, name
+
+
 def test_aqe_splits_skewed_join_partitions(spark, sf_small):
     """Skew discipline at join time is AQE's job (SURVEY §4.3): with a
     deliberately skewed key (60% of rows on one user) and thresholds
