@@ -185,3 +185,66 @@ def frame_sample(df: DataFrame, frames_col: str = "frames", every_n: int = 10) -
         "sampled_frames",
         F.filter(F.col(frames_col), lambda _f, i: i % every_n == 0),
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("orig_bytes", T.LongType()),
+    ]
+)
+
+
+def stub_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resize: emits a pseudo-pixel buffer of exactly
+    width·height bytes derived from the payload digest (sha256 counter
+    mode) — stands in for a real scaler so the batch plumbing, output
+    schema, and size accounting are exercisable offline."""
+    if not payload:
+        return b""
+    need = width * height
+    out = bytearray()
+    counter = 0
+    base = hashlib.sha256(payload).digest()
+    while len(out) < need:
+        out += hashlib.sha256(base + counter.to_bytes(4, "big")).digest()
+        counter += 1
+    return bytes(out[:need])
+
+
+def resize_stage(
+    df: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    resizer: Callable[[bytes, int, int], bytes] = stub_resizer,
+    content_col: str = "content",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Batched image/video-frame resize via mapInPandas — the remaining
+    member of the decode / feature-extract / resize / frame-sample
+    multimodal family. Payload bytes stay executor-side (Arrow batches,
+    never the driver); swap ``resizer`` for a real scaler (PIL/libav —
+    not in this container, see :func:`real_decoder`) without touching
+    the plan. Output schema is fixed (RESIZE_SCHEMA) so downstream
+    stages prune columns normally."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                resizer(p, width, height) if p is not None else None
+                for p in pdf[content_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[key_col].astype("int64"),
+                    "content": resized,
+                    "width": width,
+                    "height": height,
+                    "orig_bytes": [len(p) if p is not None else 0 for p in pdf[content_col]],
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZE_SCHEMA)

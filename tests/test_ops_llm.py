@@ -417,3 +417,20 @@ def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
         by_doc.setdefault(r.doc_id, set()).add(r.fp)
     assert by_doc[1] & by_doc[2], "shared 8-word run must share a fingerprint"
     assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_mm_resize_stage_shapes_and_determinism(spark, sf_small):
+    """resize_stage: fixed output schema, exact width*height payload
+    bytes, original-size accounting, and deterministic output (the
+    stub is digest-derived, so two runs agree byte-for-byte)."""
+    d = load_table(spark, sf_small, "documents").limit(10)
+    payloads = MM.with_payload(d)
+    out = MM.resize_stage(payloads, width=8, height=4)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(out.columns) == {"doc_id", "content", "width", "height", "orig_bytes"}
+    for r in rows.values():
+        assert len(r.content) == 8 * 4
+        assert (r.width, r.height) == (8, 4)
+        assert r.orig_bytes > 0
+    again = {r.doc_id: bytes(r.content) for r in MM.resize_stage(payloads, width=8, height=4).collect()}
+    assert again == {k: bytes(r.content) for k, r in rows.items()}
