@@ -40,8 +40,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
-def l2_normalize(a: Column) -> Column:
-    n = l2_norm(a)
+def l2_normalize(a: Column, norm: Column | None = None) -> Column:
+    """Unit-normalize. Pass a precomputed ``norm`` ATTRIBUTE column in
+    hot paths: higher-order lambdas evaluate interpreted (no CSE), so a
+    norm expression closed over by the lambda would re-run the O(dim)
+    aggregate once PER ELEMENT — the word_shingles r3 bug class. With
+    the default, the recompute is accepted (dim² per row) for
+    convenience on small dims."""
+    n = l2_norm(a) if norm is None else norm
     return F.transform(a, lambda x: _d(x) / n)
 
 
