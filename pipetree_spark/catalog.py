@@ -179,12 +179,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        df = (
-            df.withColumn("ts_ns", F.col("ts").cast("long"))
-            # integer div keeps full precision; double division would not
-            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
-            .withColumn("ts_sec", F.expr("ts_ns div 1000000000"))
-        )
+        # Two generator encodings exist for events.ts: parquet
+        # TIMESTAMP(NANOS) (reads as LongType ns under nanosAsLong) and
+        # plain µs TIMESTAMP/TIMESTAMP_NTZ. Branch on the read type so
+        # both load to the same pinned layout (ts TimestampType + exact
+        # ts_ns/ts_sec int64 columns).
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = (
+                df.withColumn("ts_ns", F.col("ts").cast("long"))
+                # integer div keeps full precision; double division would not
+                .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+                .withColumn("ts_sec", F.expr("ts_ns div 1000000000"))
+            )
+        else:
+            df = (
+                # NTZ → session-tz (UTC) timestamp keeps DuckDB parity
+                df.withColumn("ts", F.col("ts").cast("timestamp"))
+                # µs epoch ≈ 1.7e15 → ×1000 fits int64 comfortably
+                .withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
+                .withColumn("ts_sec", F.expr("unix_micros(ts) div 1000000"))
+            )
     _assert_schema(name, df)
     _DF_CACHE[cache_key] = df
     return df

@@ -330,6 +330,7 @@ def minhash_band_pairs(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """LSH banding over the portable MinHash signature: hash each band
     of ``num_hashes/bands`` components to a bucket key, emit candidate
@@ -339,11 +340,23 @@ def minhash_band_pairs(
     Scale shape: |docs|×bands rows shuffle on the band key; buckets
     hold only docs whose band collides (near-dups by construction), so
     intra-bucket pair expansion is the candidate set itself — the
-    linear-scale dedup path, with no seeded-RNG dependency. True
-    boilerplate-duplicate floods (every copy in one bucket) are the
-    pairs the caller WANTS; unlike shingle posting lists there is no
-    benign hub case to cap.
+    linear-scale dedup path, with no seeded-RNG dependency.
+
+    Flood guard (``collapse_exact``, default on): an exact-duplicate
+    flood — N byte-identical boilerplate docs — would put all N
+    signatures in ONE band bucket's ``collect_list`` buffer and emit
+    N² pairs; at 10⁶ copies that is an OOM, not a slowdown. The guard
+    pre-collapses exact duplicates to one representative per
+    normalized-text hash (:func:`exact_dedup` — keep-smallest-key, one
+    extra linear shuffle) BEFORE signatures are computed, which also
+    skips re-hashing N-1 identical texts. Pairs among exact duplicates
+    are :func:`exact_dedup`'s output, not LSH's — near-dup banding on
+    distinct texts is this op's whole contract. ``collapse_exact=
+    False`` restores the raw all-copies behavior for callers that
+    have already exact-deduped upstream.
     """
+    if collapse_exact:
+        df = exact_dedup(df, text_col, key_col)
     rows = num_hashes // bands
     sig = minhash_signatures(df, text_col, key_col, n, num_hashes).withColumnRenamed(
         "minhash", "__m"

@@ -298,7 +298,7 @@ SELECT o_custkey AS custkey,
        o_orderdate AS valid_from,
        COALESCE(
          LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-         TIMESTAMP '9999-12-31 00:00:00'
+         TIMESTAMP '2260-12-31 00:00:00'
        ) AS valid_to,
        CASE WHEN LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
                  IS NULL THEN 1 ELSE 0 END AS is_current
@@ -327,6 +327,10 @@ def q_ts_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("version_key"),
         F.col("o_totalprice").alias("attr_price"),
         F.col("o_orderdate").alias("valid_from"),
-        F.coalesce(nxt_date, F.lit("9999-12-31 00:00:00").cast("timestamp")).alias("valid_to"),
+        # Sentinel must stay in Arrow's ns-representable range (< 2262-04-11):
+        # the driver canonicalizes via toPandas(), and 9999-12-31 overflows
+        # int64 nanoseconds (ArrowInvalid). 2260-12-31 is the conventional
+        # "open interval" stand-in that survives the ns round-trip.
+        F.coalesce(nxt_date, F.lit("2260-12-31 00:00:00").cast("timestamp")).alias("valid_to"),
         F.when(nxt_key.isNull(), 1).otherwise(0).alias("is_current"),
     )

@@ -205,6 +205,19 @@ def main():
             failures.append(name)
             print(f"FAIL  {name:24s} spark error: {type(exc).__name__}: {exc}")
             continue
+        # Harness-representability round-trip: the round driver
+        # canonicalizes the Spark result via toPandas() (Arrow path).
+        # Values that collect() handles fine can still blow up there —
+        # proven class: TIMESTAMP '9999-12-31' sentinel > Arrow's ns
+        # range (CORRECTNESS_r03 q_ts_scd2 ArrowInvalid). Run the same
+        # conversion so the gate catches it before the driver does.
+        try:
+            sdf.toPandas()
+        except Exception as exc:  # noqa: BLE001
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name:24s} toPandas round-trip: {type(exc).__name__}: {str(exc)[:200]}")
+            continue
         if q.oracle is None:
             n_rows_only += 1
             print(f"rows  {name:24s} {len(srows)} rows (no oracle — rows-only) [{time.perf_counter()-t0:.1f}s]")
