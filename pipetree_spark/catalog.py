@@ -45,6 +45,15 @@ TABLES: tuple[str, ...] = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: "Open interval" timestamp sentinel for SCD2-style valid_to columns.
+#: Must stay inside Arrow's int64-nanosecond range (max 2262-04-11): the
+#: driver canonicalizes results via toPandas(), and the conventional
+#: 9999-12-31 overflows ns and raises ArrowInvalid. Do NOT "fix" this
+#: back to 9999-12-31 — it will pass Spark-side and explode in the
+#: correctness harness. Used identically in the Spark query and its
+#: DuckDB oracle so both hash the same value.
+OPEN_INTERVAL_SENTINEL = "2260-12-31 00:00:00"
+
 #: Pinned logical schemas (FIXTURES.md). ``events.ts`` listed as the
 #: post-conversion TimestampType; raw parquet is int64 ns.
 SCHEMAS: dict[str, T.StructType] = {

@@ -348,9 +348,17 @@ def q_text_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare(
     "q_dedup_minhash_band",
     oracle=f"""
-WITH sh AS (
+WITH rep AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (
+             PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1
+),
+sh AS (
   SELECT doc_id, {_SHINGLES_SQL} AS s
-  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM rep)
 ),
 sig AS (
   SELECT doc_id, [{', '.join(_MH)}] AS m FROM sh
@@ -373,7 +381,15 @@ def q_dedup_minhash_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the Jaccard estimate. The whole path — signature, band keys,
     pair set, estimate — is engine-portable and oracle-exact, making
     the LINEAR-SCALE dedup route itself driver-certified (the seeded
-    pyspark.ml variant stays rows-only)."""
+    pyspark.ml variant stays rows-only).
+
+    Runs with the ``collapse_exact`` flood guard ON (the production
+    default: exact-normalized duplicates are pre-collapsed so a
+    boilerplate flood can't put N² pairs in one band bucket); the
+    oracle's ``rep`` CTE applies the identical keep-min-doc_id
+    pre-collapse, so query and oracle agree at every SF — including
+    sf0.1, whose corpus has 8 exact-dup groups that the raw
+    formulation would emit but this contract assigns to exact_dedup."""
     d = load_table(spark, sf_dir, "documents")
     return TX.minhash_band_pairs(d, num_hashes=16, bands=4)
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pipetree_spark.catalog import load_table
+from pipetree_spark.catalog import OPEN_INTERVAL_SENTINEL, load_table
 from pipetree_spark.exact import dsum, dsum_sql
 from pipetree_spark.queries import declare
 
@@ -291,14 +291,14 @@ def q_ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declare(
     "q_ts_scd2",
-    oracle="""
+    oracle=f"""
 SELECT o_custkey AS custkey,
        o_orderkey AS version_key,
        o_totalprice AS attr_price,
        o_orderdate AS valid_from,
        COALESCE(
          LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-         TIMESTAMP '2260-12-31 00:00:00'
+         TIMESTAMP '{OPEN_INTERVAL_SENTINEL}'
        ) AS valid_to,
        CASE WHEN LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
                  IS NULL THEN 1 ELSE 0 END AS is_current
@@ -327,10 +327,7 @@ def q_ts_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("version_key"),
         F.col("o_totalprice").alias("attr_price"),
         F.col("o_orderdate").alias("valid_from"),
-        # Sentinel must stay in Arrow's ns-representable range (< 2262-04-11):
-        # the driver canonicalizes via toPandas(), and 9999-12-31 overflows
-        # int64 nanoseconds (ArrowInvalid). 2260-12-31 is the conventional
-        # "open interval" stand-in that survives the ns round-trip.
-        F.coalesce(nxt_date, F.lit("2260-12-31 00:00:00").cast("timestamp")).alias("valid_to"),
+        # Arrow-safe sentinel — rationale at catalog.OPEN_INTERVAL_SENTINEL.
+        F.coalesce(nxt_date, F.lit(OPEN_INTERVAL_SENTINEL).cast("timestamp")).alias("valid_to"),
         F.when(nxt_key.isNull(), 1).otherwise(0).alias("is_current"),
     )

@@ -55,3 +55,55 @@ def test_parse_byte_conf_unit_suffixes():
     assert _parse_byte_conf("2tb") == 2 * 1024**4
     assert _parse_byte_conf("  64kb ") == 64 * 1024
     assert _parse_byte_conf("nonsense") == -1
+
+
+def test_load_table_events_us_and_ntz_encodings(spark, tmp_path):
+    """catalog.load_table's events branch must yield identical
+    ts/ts_ns/ts_sec for all three generator encodings: int64-ns (what
+    nanosAsLong produces from TIMESTAMP(NANOS) — the only encoding in
+    current testdata), plain µs TIMESTAMP, and TIMESTAMP_NTZ. The
+    non-Long branch never executes against today's testdata, so a typo
+    there would only surface on a future generator change — this pins
+    it (r4 ADVICE)."""
+    from pyspark.sql import types as T
+
+    from pipetree_spark.catalog import load_table
+
+    ns_vals = [1704067200123456000, 1706655600000000000]  # 2024-01-01, 2024-01-30
+    base = [
+        (i, ns, 7 * i, "click", 1.5 * i, "{}") for i, ns in enumerate(ns_vals)
+    ]
+    long_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    raw = spark.createDataFrame(base, long_schema)
+    variants = {
+        "ns": raw,  # int64 column → the LongType nanosAsLong branch
+        "us": raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))),
+        "ntz": raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        ),
+    }
+    got = {}
+    for tag, df in variants.items():
+        sf_dir = str(tmp_path / tag)
+        df.coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+        out = load_table(spark, sf_dir, "events")
+        assert [f.name for f in out.schema.fields[:6]] == [
+            "event_id", "ts", "user_id", "event_type", "value", "props",
+        ]
+        assert isinstance(out.schema["ts"].dataType, T.TimestampType)
+        got[tag] = sorted(
+            (r.event_id, r.ts, r.ts_ns, r.ts_sec) for r in out.collect()
+        )
+    assert got["ns"] == got["us"] == got["ntz"]
+    # exact integer columns, not float-derived
+    assert [r[2] for r in got["ns"]] == ns_vals
+    assert [r[3] for r in got["ns"]] == [ns // 10**9 for ns in ns_vals]

@@ -105,7 +105,13 @@ def test_portable_minhash_banding_finds_planted_pairs(spark, docs):
     their Jaccard, estimate Jaccard within 16-permutation resolution,
     and be reproducible run-to-run (no RNG state — the property the
     pyspark.ml path can't offer). 8 bands × 2 rows targets J ≈
-    (1/8)^(1/2) ≈ 0.35; the planted pairs sit at J 0.64-0.78."""
+    (1/8)^(1/2) ≈ 0.35; the planted pairs sit at J 0.64-0.78.
+
+    Contract split (the r4 ``collapse_exact`` flood guard): by default
+    exact-normalized duplicates are pre-collapsed, so the exact-dup
+    pair (1,2) is exact_dedup's output, NOT banding's — the default
+    path must emit the genuine near-dup pairs and must NOT emit (1,2).
+    ``collapse_exact=False`` restores the raw all-copies behavior."""
     pairs = {
         (r.id_a, r.id_b): r.est_jaccard
         for r in TX.minhash_band_pairs(docs, num_hashes=16, bands=8).collect()
@@ -114,7 +120,12 @@ def test_portable_minhash_banding_finds_planted_pairs(spark, docs):
         (r.id_a, r.id_b): r.jaccard
         for r in TX.near_dup_pairs(docs, threshold=0.5).collect()
     }
+    # (1,2) are exact-normalized dups: the guard pre-collapses them.
+    assert (1, 2) in exact  # the corpus DOES plant the exact pair
+    assert (1, 2) not in pairs
     for pair, j in exact.items():
+        if pair == (1, 2):
+            continue
         assert pair in pairs, pair
         assert abs(pairs[pair] - j) <= 0.35  # 16 perms → 1/16 resolution + variance
     again = {
@@ -122,6 +133,21 @@ def test_portable_minhash_banding_finds_planted_pairs(spark, docs):
         for r in TX.minhash_band_pairs(docs, num_hashes=16, bands=8).collect()
     }
     assert again == pairs
+    # collapse_exact=False restores the raw behavior: all planted pairs,
+    # including the exact-dup one, surface as candidates.
+    raw = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in TX.minhash_band_pairs(
+            docs, num_hashes=16, bands=8, collapse_exact=False
+        ).collect()
+    }
+    for pair, j in exact.items():
+        assert pair in raw, pair
+        assert abs(raw[pair] - j) <= 0.35
+    # signatures hash RAW shingles (no normalization), so the case/
+    # whitespace variant pair is a high-but-not-1.0 estimate — it is
+    # exact_dedup's normalized hash, not the signature, that equates them
+    assert raw[(1, 2)] >= 0.5
 
 
 def test_simhash_close_for_near_dups(spark, docs):

@@ -209,10 +209,23 @@ def main():
         # canonicalizes the Spark result via toPandas() (Arrow path).
         # Values that collect() handles fine can still blow up there —
         # proven class: TIMESTAMP '9999-12-31' sentinel > Arrow's ns
-        # range (CORRECTNESS_r03 q_ts_scd2 ArrowInvalid). Run the same
-        # conversion so the gate catches it before the driver does.
+        # range (CORRECTNESS_r03 q_ts_scd2 ArrowInvalid). Exercise the
+        # same Arrow→pandas ns conversion on the ALREADY-collected rows
+        # (pa.Table from the Spark schema, then to_pandas) instead of
+        # sdf.toPandas(), which would re-execute the whole plan and
+        # double the gate's runtime on the expensive queries.
         try:
-            sdf.toPandas()
+            import pyarrow as pa
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            tbl = pa.Table.from_pylist(
+                [r.asDict(recursive=True) for r in srows],
+                schema=to_arrow_schema(sdf.schema),
+            )
+            # Spark's toPandas passes coerce_temporal_nanoseconds=True
+            # (pandas-2 default unit would otherwise stay 'us' and mask
+            # the ns-range overflow the driver actually hits).
+            tbl.to_pandas(coerce_temporal_nanoseconds=True)
         except Exception as exc:  # noqa: BLE001
             n_fail += 1
             failures.append(name)

@@ -50,6 +50,7 @@ QUERIES = [
     "q_stream_tumbling",   # windowed event rollup
     "q_dedup_exact",       # hash dedup over documents
     "q_dedup_near",        # inverted-index Jaccard pairs
+    "q_dedup_minhash_band",  # LSH banding + collapse_exact flood guard (r4)
     "q_vec_cosine_knn",    # brute-force kNN (broadcast query side)
     "q_text_tfidf",        # explode + two shuffles + window
     "q_tpch_q5",           # six-way join
@@ -148,6 +149,41 @@ def ann_recall(spark, sf_dir: str) -> dict[str, tuple[float, float]]:
     return {"ivf_uniform_recall@10": (r_ivf, t_ivf), "lsh_neardup_source@1": (hits / len(pert), t_lsh)}
 
 
+def flood_stress(spark, n_copies: int = 100_000) -> dict[str, float]:
+    """Exact-duplicate flood: n_copies byte-identical boilerplate docs +
+    a handful of genuine near-dups. Without the ``collapse_exact`` guard
+    this corpus puts all n_copies signatures into ONE band bucket and
+    expands n²/2 ≈ 5e9 pairs (OOM, not a slowdown); with the guard the
+    flood collapses to one representative before signatures exist, so
+    runtime must stay in the same ballpark as the small corpus and the
+    emitted pairs must be exactly the planted near-dups."""
+    from pipetree_spark.ops import text as TX
+
+    boiler = "subscribe to our newsletter for daily updates terms of service apply here"
+    flood = spark.range(n_copies).select(
+        F.col("id").alias("doc_id"), F.lit(boiler).alias("text")
+    )
+    near = spark.createDataFrame(
+        [
+            (n_copies + 1, "rare alpha beta gamma delta epsilon zeta eta theta closing words"),
+            (n_copies + 2, "rare alpha beta gamma delta epsilon zeta eta iota closing words"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = flood.unionByName(near)
+    t0 = time.perf_counter()
+    pairs = TX.minhash_band_pairs(corpus, num_hashes=16, bands=8).collect()
+    secs = time.perf_counter() - t0
+    got = {(r.id_a, r.id_b) for r in pairs}
+    ok = got == {(n_copies + 1, n_copies + 2)}
+    print(
+        f"  flood({n_copies} exact copies): {secs:.2f}s, {len(pairs)} pairs "
+        f"(planted near-dup {'found, no flood pairs' if ok else 'MISMATCH: ' + str(sorted(got)[:5])})",
+        flush=True,
+    )
+    return {"seconds": secs, "pairs": len(pairs), "planted_ok": float(ok)}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-gen", action="store_true")
@@ -168,6 +204,8 @@ def main() -> None:
     for sf_dir, label in ((SRC, "1x"), (DST, "10x")):
         for name, (rec, secs) in ann_recall(spark, sf_dir).items():
             print(f"  {label:3s} {name:24s} recall {rec:5.3f}  ({secs:.2f}s)")
+    print("\nexact-dup flood guard (banding must not expand the flood bucket):")
+    flood_stress(spark)
 
 
 if __name__ == "__main__":
