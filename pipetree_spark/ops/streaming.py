@@ -32,6 +32,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 __all__ = [
     "EVENTS_STREAM_SCHEMA",
     "file_stream",
+    "rocksdb_state_confs",
     "tumbling_counts",
     "stream_dedup",
     "stream_static_join",
@@ -40,6 +41,48 @@ __all__ = [
     "running_user_max_tws",
     "run_to_memory",
 ]
+
+
+def rocksdb_state_confs(bounded_memory_mb: int | None = None) -> dict[str, str]:
+    """Session confs for the RocksDB state-store provider — the
+    production state backend for every stateful op in this module.
+
+    Why not the default HDFSBackedStateStoreProvider: it keeps the
+    ENTIRE state map as JVM heap objects per partition — at 100 TB
+    (10⁸-10⁹ live keys across dedup/session/join state) that is an
+    executor-OOM class, while RocksDB keeps state off-heap on local
+    SSD with block-cache + WAL, bounded by disk not heap. Sizing
+    rules of thumb (OSS Spark docs + state-store metrics):
+
+    - state on disk ≈ keys × (key+value bytes + ~50B overhead);
+      a 10⁹-key dedup layer at ~100B/entry ≈ 150 GB spread over
+      executors — local-SSD scale, not heap scale.
+    - ``boundedMemoryUsage`` caps the shared block cache across all
+      RocksDB instances on an executor (soft limit); without it each
+      instance defaults to 64 MB write buffer + unbounded cache.
+    - changelog checkpointing ships per-batch deltas to the checkpoint
+      location instead of full SST snapshots — turns checkpoint cost
+      O(state) into O(batch).
+
+    Set these BEFORE the streaming query starts (provider is fixed at
+    query start); pass the dict to ``SparkSession.builder.config`` or
+    ``spark.conf.set`` each.
+    """
+    confs = {
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+        # compact during maintenance, not on the hot path
+        "spark.sql.streaming.stateStore.rocksdb.compactOnCommit": "false",
+    }
+    if bounded_memory_mb is not None:
+        confs.update(
+            {
+                "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage": "true",
+                "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB": str(bounded_memory_mb),
+            }
+        )
+    return confs
 
 EVENTS_STREAM_SCHEMA = T.StructType(
     [

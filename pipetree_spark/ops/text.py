@@ -289,6 +289,30 @@ def minhash_pairs(
     )
 
 
+#: Universal-hash modulus for MinHash permutations: 2³¹−1 (Mersenne).
+#: Small enough that a·x + b stays < 2⁶² — exact in int64 on EVERY
+#: engine (DuckDB raises on BIGINT overflow, so the arithmetic must be
+#: provably in-range, not wrap-around).
+MINHASH_P = 2147483647
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (aᵢ, bᵢ) coefficient literals for the MinHash
+    permutation family hᵢ(x) = (aᵢ·x + bᵢ) mod P — derived from a fixed
+    LCG walk so both the Spark expressions and the DuckDB oracle embed
+    the SAME integers (no RNG state anywhere). aᵢ is forced odd and
+    both sit in (0, P)."""
+    out = []
+    state = 0x5DEECE66D
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (MINHASH_P - 2)) | 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % MINHASH_P
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -296,26 +320,41 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """Portable k-permutation MinHash signatures: component *i* is the
-    lexicographic min over shingles of ``md5(i || '|' || shingle)``.
-    Returns ``(key_col, minhash array<string>)``.
+    """Portable k-permutation MinHash signatures: one 60-bit base hash
+    per shingle (first 15 hex chars of md5 — the SimHash trick, Spark
+    ``conv(hex,16,10)`` ≡ DuckDB ``('0x'…)::BIGINT``), then component
+    *i* is the min over shingles of the universal hash
+    ``(aᵢ·(base mod P) + bᵢ) mod P`` with the deterministic
+    :func:`minhash_coeffs` literals. Returns
+    ``(key_col, minhash array<bigint>)``.
 
     Unlike the pyspark.ml MinHashLSH path (seeded JVM hashes — not
-    reproducible outside Spark), every piece here (md5, string min) is
-    engine-portable, so signatures — and everything derived from them —
+    reproducible outside Spark), every piece here is engine-portable
+    exact-int math, so signatures — and everything derived from them —
     are bit-identical in DuckDB and declarable with an exact oracle.
 
-    Shape: explode shingles ONCE, then num_hashes ``min`` aggregates
-    over the (key, shingle) rows — partial aggregation collapses each
-    input partition to one row per key before the (tiny) shuffle on
-    key. A column-expression formulation (array_min over transform per
-    component) is 10× slower: Catalyst's CollapseProject inlines the
-    whole shingle pipeline into every one of the num_hashes components
-    (measured 55 s vs 5 s on 5k docs at sf0.1)."""
-    tok = df.select(key_col, F.explode(word_shingles(text_col, n)).alias("__s"))
+    Shape: explode shingles ONCE, project the md5 base hash ONCE per
+    shingle row, then num_hashes ``min(bigint)`` aggregates — partial
+    aggregation collapses each input partition to one row per key
+    before the (tiny) shuffle on key. Two plan-shape lessons are
+    baked in: (1) a column-expression formulation (array_min over
+    transform per component) is 10× slower — CollapseProject inlines
+    the whole shingle pipeline into every component (measured 55 s vs
+    5 s on 5k docs at sf0.1); (2) the earlier per-component
+    ``min(md5-string)`` formulation forced **SortAggregate** (string
+    min has no mutable agg buffer), sorting every exploded shingle row
+    twice — numeric mins keep both partial and final aggregates
+    HashAggregate and cut the r5-profiled banding path ~2× (and the
+    shuffle carries 16 longs, not 16 hex strings)."""
+    tok = df.select(key_col, F.explode(word_shingles(text_col, n)).alias("__s")).select(
+        key_col,
+        (F.conv(F.substring(F.md5(F.col("__s")), 1, 15), 16, 10).cast("long") % MINHASH_P).alias(
+            "__b"
+        ),
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("__s")))).alias(f"__h{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("__b") + F.lit(b)) % MINHASH_P).alias(f"__h{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
     sig = tok.groupBy(key_col).agg(*aggs)
     return sig.select(
@@ -361,9 +400,20 @@ def minhash_band_pairs(
     sig = minhash_signatures(df, text_col, key_col, n, num_hashes).withColumnRenamed(
         "minhash", "__m"
     )
+    # '|' separator is load-bearing: signature components are
+    # variable-length integers now, and unseparated digit concat would
+    # alias (12,3) with (1,23)
     band_keys = F.array(
         *[
-            F.md5(F.concat_ws("", *[F.element_at("__m", j * rows + r + 1) for r in range(rows)]))
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.element_at("__m", j * rows + r + 1).cast("string")
+                        for r in range(rows)
+                    ],
+                )
+            )
             for j in range(bands)
         ]
     )

@@ -43,84 +43,41 @@ def declare(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 # The driver's correctness loop walks the registry in iteration order and
-# may stop early (r1 and r2: exactly the first 50 entries got CORRECTNESS
-# rows). PRIORITY pins the front of the registry; it is ROTATED each
-# round toward maximal marginal certification: 93 of 153 queries hold a
-# green r1/r2 CORRECTNESS row already, so the r3 window front-loads the
-# queries that have NEVER been driver-graded, plus the five that must be
-# RE-certified this round (the three count_if/HUGEINT oracle hash-fixes
-# and the two de-global-windowed plans, q_sort_multi / q_tpch_q15).
+# may stop early (every round so far: exactly the first 50 entries got
+# CORRECTNESS rows). PRIORITY pins the front of the registry; it is
+# ROTATED each round toward maximal marginal certification. Round-5
+# window: the 16 oracled queries the driver has NEVER graded across
+# r1-r4 (14 TPC-H + q_text_winnow + q_vec_ann_lsh — all front-loaded in
+# slots 1-31) plus the two RE-certifications this round's changes
+# require (q_dedup_minhash_band: oracle gained the collapse_exact
+# pre-collapse CTE; q_ts_scd2: sentinel hoisted to a shared constant).
 # Invariants (pinned by tests/test_oracle_parity.py): slots 1-16 come
 # from 16 distinct operator modules (a cut at ANY point spans the most
 # families possible) and no rows-only query wastes a graded slot.
 # Already-certified queries follow in registration order — a wider
 # driver window re-confirms them for free.
 PRIORITY: tuple[str, ...] = (
-    # slots 1-16: one per module — never-graded where the module has
-    # any (9 modules), else the cheapest re-certification candidate
+    # slots 1-16: one per module — the must-grade where the module has
+    # one (tpch, llm_ops), else a cheap green re-confirmation
+    "q_tpch_q4",  # never graded
+    "q_dedup_minhash_band",  # RE-certify: oracle now pre-collapses exact dups
     "q_win_rank",
     "q_set_union",
-    "q_text_clean",
     "q_src_csv_roundtrip",
-    "q_ts_locf",
+    "q_ts_scd2",  # RE-certify: Arrow-safe sentinel hoisted to catalog constant
     "q_pipe_udfstage",
     "q_subq_in",
     "q_udf_row",
-    "q_tpch_q3",
-    "q_fn_condagg",  # r1+r2 hash-fail → oracle CAST fixed, confirm
-    "q_stream_watermark",  # r2 hash-fail → oracle CAST fixed, confirm
-    "q_sort_multi",  # plan rewritten (TakeOrdered) → re-certify
+    "q_fn_condagg",
+    "q_stream_watermark",
+    "q_sort_multi",
     "q_agg_groupby",
     "q_proj_select",
     "q_join_inner",
     "q_sample_hash",
-    # never-graded: window-function family breadth
-    "q_win_running",
-    "q_win_moving",
-    "q_win_rangeframe",
-    "q_win_firstlast",
-    "q_topk_pergroup",
-    "q_win_timerange",
-    # never-graded: set ops
-    "q_set_intersect",
-    "q_set_except",
-    "q_set_distinct_ops",
-    # never-graded: portable dedup + text (the engine's signature ops)
-    "q_text_fingerprint",
-    "q_text_minhash_sig",
-    "q_dedup_simhash_port",
-    "q_mm_binary",
-    "q_dedup_near",  # declared-exact now (max_bucket=None) → re-certify
-    # never-graded: sink/roundtrip fidelity
-    "q_src_json_roundtrip",
-    "q_src_orc_roundtrip",
-    # never-graded: timeseries + the funnel hash-fix
-    "q_ts_funnel",  # r2 hash-fail → oracle CAST fixed, confirm
-    "q_ts_histogram",
-    "q_ts_retention",
-    "q_ts_scd2",
-    # never-graded: pipelines / subqueries / udfs
-    "q_pipe_merge",
-    "q_pipe_bucketed",
-    "q_pipe_cagg",
-    "q_subq_recursive",
-    "q_subq_exists_or",
-    "q_udtf_grouped",
-    # r3 oracle-certified ML loops + promoted langid (new → never graded;
-    # the engine's flagship certifications, ahead of TPC-H breadth)
-    "q_vec_kmeans_port",
-    "q_vec_pca_port",
-    "q_vec_ann_ivf_port",
-    "q_text_langid",
-    # never-graded TPC-H (q12/q15 changed this round; rest of the 19
-    # ungraded TPC-H queries follow right after the 50-slot window)
-    "q_tpch_q12",
-    "q_tpch_q15",
-    "q_tpch_q2",
-    "q_tpch_q5",
-    # --- 50-slot line: slots 51+ (graded only if the window widens) ---
+    # slots 17-31: the remaining never-graded oracled queries
     "q_vec_ann_lsh",
-    "q_tpch_q4",
+    "q_text_winnow",
     "q_tpch_q7",
     "q_tpch_q8",
     "q_tpch_q9",
@@ -134,6 +91,29 @@ PRIORITY: tuple[str, ...] = (
     "q_tpch_q20",
     "q_tpch_q21",
     "q_tpch_q22",
+    # slots 32-50: green re-confirmations across families (the engine's
+    # signature certified ops first) — a narrower window loses only
+    # re-confirms, never a first-time certification
+    "q_dedup_near",
+    "q_text_minhash_sig",
+    "q_text_langid",
+    "q_vec_kmeans_port",
+    "q_vec_pca_port",
+    "q_vec_ann_ivf_port",
+    "q_tpch_q2",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q12",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_win_running",
+    "q_set_intersect",
+    "q_ts_locf",
+    "q_pipe_merge",
+    "q_subq_exists_or",
+    "q_udtf_grouped",
+    # --- 50-slot line: slots 51+ follow in registration order ---
 )
 
 

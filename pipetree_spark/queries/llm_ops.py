@@ -309,15 +309,28 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql(num_hashes: int = 16) -> list[str]:
-    """DuckDB twins of ops.text.minhash_signature's components."""
+    """DuckDB twins of ops.text.minhash_signatures' components: the
+    SAME (aᵢ, bᵢ) literals from ops.text.minhash_coeffs over the same
+    60-bit md5-prefix base hash — exact int64 math in both engines
+    (products < 2⁶², so DuckDB's overflow-raising BIGINT is safe)."""
+    from pipetree_spark.ops.text import MINHASH_P, minhash_coeffs
+
+    base = f"(CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % {MINHASH_P})"
     return [
-        f"list_aggregate(list_transform(s, x -> md5(concat('{i}|', x))), 'min')"
-        for i in range(num_hashes)
+        f"list_aggregate(list_transform(s, x -> ({a} * {base} + {b}) % {MINHASH_P}), 'min')"
+        for a, b in minhash_coeffs(num_hashes)
     ]
 
 
 _MH = _minhash_sql(16)
-_MH_BANDS = [f"md5(concat({', '.join(f'm[{j * 4 + r + 1}]' for r in range(4))}))" for j in range(4)]
+# '|' separator matches the Spark side — variable-length ints would
+# alias without it
+_MH_BANDS = [
+    "md5(concat_ws('|', "
+    + ", ".join(f"CAST(m[{j * 4 + r + 1}] AS VARCHAR)" for r in range(4))
+    + "))"
+    for j in range(4)
+]
 
 
 @declare(
@@ -328,20 +341,22 @@ WITH sh AS (
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
 )
 SELECT doc_id,
-       concat_ws(',', {', '.join(_MH)}) AS sig
+       concat_ws(',', {', '.join(f'CAST({m} AS VARCHAR)' for m in _MH)}) AS sig
 FROM sh
 """,
     tags=("text", "dedup"),
 )
 def q_text_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable 16-permutation MinHash signature per document
-    (ops.text.minhash_signatures): min-md5 per seeded prefix —
+    (ops.text.minhash_signatures): universal-hash min over the 60-bit
+    md5-prefix base hash, deterministic coefficient literals —
     bit-identical across engines, so the signature itself is
     oracle-certified (vs the seeded pyspark.ml path, rows-only).
     Emitted comma-joined (driver-hashable)."""
     d = load_table(spark, sf_dir, "documents")
     return TX.minhash_signatures(d, "text", "doc_id", 3, 16).select(
-        "doc_id", F.array_join("minhash", ",").alias("sig")
+        "doc_id",
+        F.array_join(F.transform("minhash", lambda c: c.cast("string")), ",").alias("sig"),
     )
 
 

@@ -460,3 +460,75 @@ def test_mm_resize_stage_shapes_and_determinism(spark, sf_small):
         assert r.orig_bytes > 0
     again = {r.doc_id: bytes(r.content) for r in MM.resize_stage(payloads, width=8, height=4).collect()}
     assert again == {k: bytes(r.content) for k, r in rows.items()}
+
+
+def test_pca_ml_twin_agrees_with_portable_direction(spark, sf_small):
+    """Cross-twin property (r4 VERDICT item 6): the seeded pyspark.ml
+    PCA (rows-only in the driver) must agree with the oracle-certified
+    portable power iteration on the DIRECTION it converges to. At 32
+    iterations the portable direction reaches |cos| ≈ 0.96 vs the true
+    top eigenvector of the quantized covariance (numpy-calibrated;
+    eigengap λ2/λ1 ≈ 0.93 on this corpus), and ml PC1 is that
+    eigenvector up to quantization — so the two independently-built
+    directions must align well beyond chance (random 64-dim cos ≈
+    0.12)."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_small, "embeddings")
+    port = VX.pca_power_portable(e, "embedding", "vec_id", iters=32)
+    v = np.array([r.loading for r in port.orderBy("component").collect()], dtype=float)
+
+    vecs = e.select(array_to_vector("embedding").alias("features"))
+    model = PCA(k=1, inputCol="features", outputCol="pca").fit(vecs)
+    pc1 = np.array(model.pc.toArray()[:, 0], dtype=float)
+    cos = abs(v @ pc1) / (np.linalg.norm(v) * np.linalg.norm(pc1))
+    assert cos >= 0.9, cos
+
+
+def test_kmeans_ml_twin_purity_not_worse_than_portable(spark, sf_small):
+    """Cross-twin property: seeded pyspark.ml k-means (more Lloyd
+    iterations, smarter init) must cluster the label-structured corpus
+    at least as coherently as the 2-iteration portable twin — if the
+    production path ever scores materially below the certified
+    baseline, its seed/init/convergence is broken."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_small, "embeddings")
+
+    def purity(assign):  # assign: (vec_id, cluster)
+        per = (
+            assign.join(e.select("vec_id", "label"), "vec_id")
+            .groupBy("cluster", "label").count()
+            .groupBy("cluster")
+            .agg((F.max("count") / F.sum("count")).alias("p"), F.sum("count").alias("n"))
+        ).collect()
+        return sum(r.p * r.n for r in per) / sum(r.n for r in per)
+
+    p_port = purity(VX.kmeans_portable(e, "embedding", "vec_id", k=8, iters=2))
+
+    vecs = e.select("vec_id", array_to_vector("embedding").alias("features"))
+    model = KMeans(k=8, seed=42, maxIter=10).fit(vecs)
+    ml = model.transform(vecs).select("vec_id", F.col("prediction").alias("cluster"))
+    p_ml = purity(ml)
+    assert p_ml >= p_port - 0.05, (p_ml, p_port)
+
+
+def test_ivf_ml_twin_recall_not_worse_than_portable(spark, sf_small):
+    """Cross-twin property: the seeded pyspark.ml IVF quantizer
+    (production tuning path, rows-only) must not lose recall vs the
+    portable-Lloyd IVF on the same workload — same clusters, probes,
+    k, and query set as the portable recall gate above."""
+    e = load_table(spark, sf_small, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.vec_id) for r in VX.knn_bruteforce(q, e, k=5).collect()}
+
+    def recall(df):
+        got = {(r.query_id, r.vec_id) for r in df.collect()}
+        return len(exact & got) / len(exact)
+
+    r_port = recall(VX.ivf_ann_portable(q, e, k=5, n_clusters=4, n_probe=3))
+    r_ml = recall(VX.ivf_ann(q, e, k=5, n_clusters=4, n_probe=3))
+    assert r_ml >= r_port - 0.2, (r_ml, r_port)
+    assert r_ml >= 0.5
