@@ -96,6 +96,74 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
+def word_ngrams(text: Column | str, n: int = 2) -> Column:
+    """Word n-grams WITH multiplicity (repetition analysis needs the
+    duplicates that :func:`word_shingles` deliberately removes for
+    set-similarity). Texts with <n words yield an empty array. Same
+    zip_with-over-shifted-slices shape as word_shingles (the lambda
+    touches only lambda variables — see that docstring for why)."""
+    w = tokens(text)
+    m = F.size(w) - (n - 1)
+    grams = F.slice(w, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(w, 1 + j, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.when(F.size(w) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_features(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    ns: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document: for each
+    n in ``ns``, the n-gram total/distinct counts, the duplicate
+    fraction 1 − distinct/total, and the most-frequent n-gram's share
+    — boilerplate and degenerate (looping) generations score high and
+    get filtered before training.
+
+    Columns per n: ``n{n}_total``, ``n{n}_distinct``,
+    ``dup_n{n}_frac``, ``top_n{n}_frac``. Fractions are exact integer
+    quotients (IEEE-identical across engines — oracle-certifiable).
+
+    Scale shape: one explode per n, counts via two hash aggregates
+    (per-gram then per-doc) whose partial (map-side) combine collapses
+    each partition to one row per key before the shuffle on key — the
+    same linear pattern as minhash_signatures, no per-row
+    higher-order-function quadratics (an array-only formulation is
+    O(words²) interpreted per doc). Docs shorter than n words have no
+    n-gram rows and are dropped for that n — join the per-n frames
+    outer if the corpus can contain them (testdata min is 10 words).
+    """
+    out = None
+    for n in ns:
+        grams = df.select(
+            F.col(key_col), F.explode(word_ngrams(text_col, n)).alias("__g")
+        )
+        per_gram = grams.groupBy(key_col, "__g").agg(F.count("*").alias("__c"))
+        per_doc = per_gram.groupBy(key_col).agg(
+            F.sum("__c").alias(f"n{n}_total"),
+            F.count("*").alias(f"n{n}_distinct"),
+            F.max("__c").alias("__top"),
+        )
+        feat = per_doc.select(
+            key_col,
+            f"n{n}_total",
+            f"n{n}_distinct",
+            (
+                F.lit(1.0)
+                - F.col(f"n{n}_distinct").cast("double") / F.col(f"n{n}_total")
+            ).alias(f"dup_n{n}_frac"),
+            (F.col("__top").cast("double") / F.col(f"n{n}_total")).alias(
+                f"top_n{n}_frac"
+            ),
+        )
+        out = feat if out is None else out.join(feat, on=key_col, how="inner")
+    return out
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """|A∩B| / |A∪B| over distinct-element arrays, computed as
     inter / (|A|+|B|-inter) — integer ratio, bit-identical across

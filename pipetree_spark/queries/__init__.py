@@ -75,9 +75,11 @@ PRIORITY: tuple[str, ...] = (
     "q_proj_select",
     "q_join_inner",
     "q_sample_hash",
-    # slots 17-31: the remaining never-graded oracled queries
+    # slots 17-32: the remaining never-graded oracled queries (incl.
+    # the r5-new repetition-quality op)
     "q_vec_ann_lsh",
     "q_text_winnow",
+    "q_text_repetition",
     "q_tpch_q7",
     "q_tpch_q8",
     "q_tpch_q9",
@@ -112,7 +114,6 @@ PRIORITY: tuple[str, ...] = (
     "q_ts_locf",
     "q_pipe_merge",
     "q_subq_exists_or",
-    "q_udtf_grouped",
     # --- 50-slot line: slots 51+ follow in registration order ---
 )
 

@@ -108,6 +108,62 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ngram_sql(n: int) -> str:
+    """DuckDB twin of ops.text.word_ngrams(n) over pre-split words
+    ``w`` — WITH multiplicity, empty when len(w) < n."""
+    parts = ", ".join(f"w[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN len(w) >= {n} THEN "
+        f"list_transform(generate_series(1, len(w)-{n - 1}), i -> concat_ws(' ', {parts}))"
+        " ELSE [] END"
+    )
+
+
+@declare(
+    "q_text_repetition",
+    oracle=f"""
+WITH g2 AS (
+  SELECT doc_id, UNNEST({_ngram_sql(2)}) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+g3 AS (
+  SELECT doc_id, UNNEST({_ngram_sql(3)}) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g),
+f2 AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n2_total, COUNT(*) AS n2_distinct,
+         1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS dup_n2_frac,
+         CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS top_n2_frac
+  FROM c2 GROUP BY doc_id
+),
+f3 AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n3_total, COUNT(*) AS n3_distinct,
+         1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS dup_n3_frac,
+         CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS top_n3_frac
+  FROM c3 GROUP BY doc_id
+)
+SELECT f2.doc_id, n2_total, n2_distinct, dup_n2_frac, top_n2_frac,
+       n3_total, n3_distinct, dup_n3_frac, top_n3_frac
+FROM f2 JOIN f3 ON f2.doc_id = f3.doc_id
+""",
+    tags=("text",),
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals
+    (ops.text.repetition_features): duplicate word-2/3-gram fractions
+    and the top n-gram's share per document — the standard filter for
+    boilerplate-heavy and degenerate (looping) text before training.
+    Exact integer quotients end-to-end → oracle-certified."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.repetition_features(d, "text", "doc_id", ns=(2, 3)).select(
+        "doc_id",
+        "n2_total", "n2_distinct", "dup_n2_frac", "top_n2_frac",
+        "n3_total", "n3_distinct", "dup_n3_frac", "top_n3_frac",
+    )
+
+
 @declare(
     "q_text_fingerprint",
     oracle=f"""

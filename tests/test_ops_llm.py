@@ -532,3 +532,31 @@ def test_ivf_ml_twin_recall_not_worse_than_portable(spark, sf_small):
     r_ml = recall(VX.ivf_ann(q, e, k=5, n_clusters=4, n_probe=3))
     assert r_ml >= r_port - 0.2, (r_ml, r_port)
     assert r_ml >= 0.5
+
+
+def test_repetition_features_planted_boilerplate(spark):
+    """Gopher-style repetition signals must separate degenerate
+    (looping) text from healthy text: a doc that repeats one phrase
+    scores high dup/top fractions; a doc of distinct words scores 0."""
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam"),
+        (2, "one two three four five six seven eight"),
+        (3, "buy now " * 10 + "limited offer"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in TX.repetition_features(d, "text", "doc_id").collect()}
+    # doc 1: all 7 bigrams are "spam spam" → 1 distinct, dup frac 6/7
+    assert out[1].n2_total == 7 and out[1].n2_distinct == 1
+    assert abs(out[1].dup_n2_frac - 6 / 7) < 1e-12
+    assert out[1].top_n2_frac == 1.0
+    # doc 2: no repeated bigram at all
+    assert out[2].dup_n2_frac == 0.0 and out[2].dup_n3_frac == 0.0
+    assert out[2].top_n2_frac == 1 / 7
+    # doc 3: "buy now"-loop dominates; clearly above the healthy doc
+    assert out[3].dup_n2_frac > 0.5 > out[2].dup_n2_frac
+    assert out[3].top_n2_frac > 0.4
+    # counts are consistent: total = words - (n-1)
+    for doc_id, text in rows:
+        nw = len(text.split())
+        assert out[doc_id].n2_total == nw - 1
+        assert out[doc_id].n3_total == nw - 2

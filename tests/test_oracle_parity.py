@@ -129,5 +129,7 @@ def test_driver_window_maximizes_new_certifications():
     reg = load_registry()
     never = [n for n, q in reg.items() if q.oracle is not None and n not in graded]
     order = {n: i for i, n in enumerate(reg)}
-    late = [n for n in never if order[n] >= 31]
+    # bound = 16 one-per-module slots + the never-graded block; far
+    # inside the observed 50-slot driver window
+    late = [n for n in never if order[n] >= 16 + len(never)]
     assert not late, f"never-graded queries outside the front-loaded window: {late}"
