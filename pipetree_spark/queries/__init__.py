@@ -80,6 +80,7 @@ PRIORITY: tuple[str, ...] = (
     "q_vec_ann_lsh",
     "q_text_winnow",
     "q_text_repetition",
+    "q_sample_strat_hash",
     "q_tpch_q7",
     "q_tpch_q8",
     "q_tpch_q9",

@@ -82,3 +82,49 @@ def q_sample_strat(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     s = l.sampleBy("l_returnflag", fractions={"A": 0.2, "N": 0.05, "R": 0.1}, seed=42)
     return s.groupBy("l_returnflag").agg(F.count("*").alias("n_sampled"))
+
+
+#: Training-mixture keep-rates per language stratum (permille).
+#: Downsample the over-represented head (en), keep the tails — the
+#: data-mixing step of corpus construction, with rates AS DATA so a
+#: real pipeline can swap the dim without a code change.
+MIXTURE_PERMILLE: dict[str, int] = {"en": 300, "zh": 800, "es": 600, "de": 600, "fr": 900}
+
+
+@declare(
+    "q_sample_strat_hash",
+    oracle=f"""
+WITH rates(lang, permille) AS (
+  VALUES {', '.join(f"('{k}', {v})" for k, v in MIXTURE_PERMILLE.items())}
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000
+      < r.permille
+""",
+    tags=("sampling", "text"),
+)
+def q_sample_strat_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified mixture sampling (the oracle-exact twin
+    of seeded ``q_sample_strat``): each language keeps ``permille``/1000
+    of its documents, selected by a 60-bit md5 bucket of the doc key —
+    reproducible across engines, reruns, and cluster layouts, and
+    NESTED (a 30% sample is a strict subset of an 80% sample of the
+    same stratum), which RNG sampling cannot offer.
+
+    Scale shape: the rates dim joins broadcast (rates are data, not
+    code); the bucket predicate is a pure per-row expression evaluated
+    map-side — one broadcast join, zero shuffles, no RNG state."""
+    d = load_table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        list(MIXTURE_PERMILLE.items()), "lang string, permille int"
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+        % 1000
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.col("permille"))
+        .select("doc_id", "lang")
+    )

@@ -560,3 +560,34 @@ def test_repetition_features_planted_boilerplate(spark):
         nw = len(text.split())
         assert out[doc_id].n2_total == nw - 1
         assert out[doc_id].n3_total == nw - 2
+
+
+def test_strat_hash_sampling_nested_and_on_rate(spark, sf_small):
+    """Deterministic stratified hash sampling: achieved per-stratum
+    rates sit near the configured permille, reruns are bit-identical,
+    and samples are NESTED — a lower-rate sample is a strict subset of
+    a higher-rate one over the same stratum (the property that makes
+    threshold-hash sampling composable across pipeline stages; RNG
+    sampling has none of these)."""
+    from pipetree_spark.catalog import load_table as _lt
+
+    d = _lt(spark, sf_small, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+        % 1000
+    )
+    totals = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+
+    def sample_ids(permille):
+        return {
+            r.doc_id for r in d.filter(bucket < permille).select("doc_id").collect()
+        }
+
+    lo, hi = sample_ids(300), sample_ids(800)
+    assert lo < hi  # strict subset: nested by construction
+    again = sample_ids(300)
+    assert again == lo  # deterministic rerun
+    # achieved rate ≈ permille (binomial-ish tolerance on 500 docs)
+    n = sum(totals.values())
+    assert abs(len(lo) / n - 0.300) < 0.08
+    assert abs(len(hi) / n - 0.800) < 0.08
