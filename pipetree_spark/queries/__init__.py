@@ -81,6 +81,7 @@ PRIORITY: tuple[str, ...] = (
     "q_text_winnow",
     "q_text_repetition",
     "q_sample_strat_hash",
+    "q_dedup_keep_best",
     "q_tpch_q7",
     "q_tpch_q8",
     "q_tpch_q9",

@@ -9,7 +9,7 @@ emitted raw — both engines compute identical doubles).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pipetree_spark.catalog import load_table
@@ -860,6 +860,75 @@ def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = TX.near_dup_pairs(d, threshold=0.2).select("id_a", "id_b")
     cc = connected_components(pairs, src="id_a", dst="id_b")
     return cc.select(F.col("node").alias("doc_id"), "component")
+
+
+@declare(
+    "q_dedup_keep_best",
+    oracle=f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, lang, {_SHINGLES_SQL} AS s
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2
+),
+sym AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach(src, dst) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT r.src, s.v FROM reach r JOIN sym s ON r.dst = s.u
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src),
+lab AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, d.n_chars
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, component,
+       CAST(row_number() OVER (
+              PARTITION BY component ORDER BY n_chars DESC, doc_id) = 1
+            AS INT) AS is_kept
+FROM lab
+""",
+    tags=("dedup", "graph", "pipeline"),
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the dedup pipeline's FINAL output:
+    near-dup pairs → connected components → keep the highest-quality
+    doc per cluster (longest text, doc_id tie-break), singletons keep
+    themselves. Emits the full audit table (doc_id, component,
+    is_kept); filtering is_kept=1 yields the training corpus.
+
+    Scale shape: the pair/CC stages are the audited linear paths
+    (inverted-index pairs, min-label propagation); the selection is one
+    window partitioned by component — perfectly parallel, skew bounded
+    by the largest duplicate cluster (which exact_dedup's flood guard
+    already bounds upstream). The Spark side runs sf0.1 in ~10 s; the
+    ORACLE's recursive-CTE transitive closure (same as q_dedup_cc) is
+    feasible at the driver's sf0.01 grading scale (~17 s) but not at
+    sf0.1 — an oracle-cost limit, not an engine one."""
+    from pipetree_spark.ops.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = TX.near_dup_pairs(d, threshold=0.2).select("id_a", "id_b")
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    lab = (
+        d.select("doc_id", "n_chars")
+        .join(cc, d["doc_id"] == cc["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+            "n_chars",
+        )
+    )
+    w = Window.partitionBy("component").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return lab.select(
+        "doc_id",
+        "component",
+        (F.row_number().over(w) == 1).cast("int").alias("is_kept"),
+    )
 
 
 @declare(

@@ -591,3 +591,39 @@ def test_strat_hash_sampling_nested_and_on_rate(spark, sf_small):
     n = sum(totals.values())
     assert abs(len(lo) / n - 0.300) < 0.08
     assert abs(len(hi) / n - 0.800) < 0.08
+
+
+def test_dedup_keep_best_selects_longest_per_cluster(spark):
+    """End-to-end dedup output: clusters from near-dup pairs, keep the
+    longest doc per cluster (doc_id tie-break), singletons kept."""
+    rows = [
+        (1, "en", "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "en", "the quick brown fox jumps over the lazy dog near the river bank today ok"),
+        (3, "en", "machine learning models require large amounts of clean training data"),
+        (4, "en", "completely unrelated sentence about cooking pasta with fresh tomato sauce"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "lang", "text"]).withColumn(
+        "n_chars", F.length("text")
+    )
+    from pipetree_spark.ops.graph import connected_components
+
+    pairs = TX.near_dup_pairs(d, threshold=0.5).select("id_a", "id_b")
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    lab = (
+        d.select("doc_id", "n_chars")
+        .join(cc, d["doc_id"] == cc["node"], "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("component"), "n_chars")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    out = {
+        r.doc_id: (r.component, r.is_kept)
+        for r in lab.select(
+            "doc_id", "component", (F.row_number().over(w) == 1).cast("int").alias("is_kept")
+        ).collect()
+    }
+    # 1 and 2 cluster together; 2 is longer → kept, 1 dropped
+    assert out[1] == (1, 0) and out[2] == (1, 1)
+    # singletons keep themselves
+    assert out[3] == (3, 1) and out[4] == (4, 1)
