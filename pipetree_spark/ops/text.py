@@ -514,6 +514,56 @@ def minhash_band_pairs(
     return pairs
 
 
+def near_dup_pairs_lsh(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """THE production near-dup path at 100 TB, end-to-end: MinHash-LSH
+    banding generates candidate pairs (linear — |docs|×bands shuffle
+    rows, exact-dup flood guard on), then the EXACT shingle Jaccard is
+    computed only on candidates and thresholded. Returns
+    ``(id_a, id_b, jaccard)`` with the true (not estimated) Jaccard.
+
+    Contrast with :func:`near_dup_pairs` (inverted shingle index):
+    that path is exact-complete but its bucket work grows with
+    posting-list sizes squared; this path's candidate count is bounded
+    by banding collisions, trading completeness for linearity with a
+    QUANTIFIED recall contract: a pair at Jaccard J survives ≥1 of b
+    bands of r rows with p = 1 − (1 − J^r)^b (defaults r=2, b=8:
+    p ≈ 0.90 at J = 0.5, ≈ 0.985 at J = 0.64, → 1 above). Every piece
+    — banding, candidate set, exact Jaccard — is deterministic and
+    engine-portable, so even this approximate path is oracle-certifiable
+    (the pair set is exactly reproducible; "approximate" refers to
+    recall vs the all-pairs formulation, not to nondeterminism).
+
+    Scale shape: banding as in :func:`minhash_band_pairs`; the verify
+    stage re-joins the (tiny) candidate set to the shingle arrays by
+    doc key — two hash joins sized by candidates, not corpus — and the
+    Jaccard is exact-integer set math (`array_intersect` sizes),
+    IEEE-identical across engines."""
+    sh = df.select(F.col(key_col), word_shingles(text_col, n).alias("__sh"))
+    cand = minhash_band_pairs(
+        df, text_col, key_col, n, num_hashes, bands, collapse_exact=True
+    ).select("id_a", "id_b")
+    a = sh.select(F.col(key_col).alias("id_a"), F.col("__sh").alias("__sa"))
+    b = sh.select(F.col(key_col).alias("id_b"), F.col("__sh").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard", inter / (F.size("__sa") + F.size("__sb") - inter)
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash_portable(
     df: DataFrame,
     text_col: str = "text",

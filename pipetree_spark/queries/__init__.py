@@ -82,6 +82,7 @@ PRIORITY: tuple[str, ...] = (
     "q_text_repetition",
     "q_sample_strat_hash",
     "q_dedup_keep_best",
+    "q_dedup_near_lsh",
     "q_tpch_q7",
     "q_tpch_q8",
     "q_tpch_q9",

@@ -465,6 +465,65 @@ def q_dedup_minhash_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.minhash_band_pairs(d, num_hashes=16, bands=4)
 
 
+_MH_BANDS8 = [
+    "md5(concat_ws('|', "
+    + ", ".join(f"CAST(m[{j * 2 + r + 1}] AS VARCHAR)" for r in range(2))
+    + "))"
+    for j in range(8)
+]
+
+
+@declare(
+    "q_dedup_near_lsh",
+    oracle=f"""
+WITH rep AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (
+             PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1
+),
+sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM rep)
+),
+sig AS (
+  SELECT doc_id, [{', '.join(_MH)}] AS m FROM sh
+),
+bands AS (
+  SELECT doc_id, j, CASE j {' '.join(f"WHEN {j} THEN {b}" for j, b in enumerate(_MH_BANDS8))} END AS bk
+  FROM sig CROSS JOIN generate_series(0, 7) AS g(j)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.j = b.j AND a.bk = b.bk AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.id_a
+JOIN sh sb ON sb.doc_id = c.id_b
+WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5
+""",
+    tags=("dedup",),
+)
+def q_dedup_near_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION near-dup path end-to-end, oracle-certified
+    (ops.text.near_dup_pairs_lsh): MinHash-LSH banding (8 bands × 2
+    rows, exact-dup flood guard) generates linear-scale candidates,
+    then the EXACT shingle Jaccard is computed on candidates only and
+    thresholded at 0.5. Recall vs the all-pairs formulation is the
+    quantified banding contract (p = 1 − (1 − J²)⁸ ≈ 0.90 at J = 0.5,
+    → 1 above); the emitted pair set itself is deterministic and
+    bit-reproducible in DuckDB — the scale path is hash-verified, not
+    just smoke-tested."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.near_dup_pairs_lsh(d, threshold=0.5, num_hashes=16, bands=8)
+
+
 @declare("q_dedup_minhash", oracle=None, tags=("dedup", "approx"))
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (pyspark.ml, seed=42) — the

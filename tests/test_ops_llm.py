@@ -627,3 +627,27 @@ def test_dedup_keep_best_selects_longest_per_cluster(spark):
     assert out[1] == (1, 0) and out[2] == (1, 1)
     # singletons keep themselves
     assert out[3] == (3, 1) and out[4] == (4, 1)
+
+
+def test_near_dup_lsh_composition_sound_and_recalls_planted(spark, docs):
+    """The production composition (LSH candidates → exact-Jaccard
+    verify) must be SOUND (every emitted pair is a true ≥-threshold
+    pair with the exact Jaccard value — identical to near_dup_pairs'
+    number for that pair) and must recall the planted pairs, whose
+    J 0.64-0.78 puts band-survival ≥ 0.985 at 8 bands × 2 rows."""
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in TX.near_dup_pairs(docs, threshold=0.5).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in TX.near_dup_pairs_lsh(docs, threshold=0.5, bands=8).collect()
+    }
+    # soundness: no false positives, and values are the exact Jaccard
+    for pair, j in got.items():
+        if pair == (1, 2):
+            continue  # exact-dup pair: collapse guard may re-route it
+        assert pair in exact
+        assert j == exact[pair]
+    # recall: the high-J planted pairs survive banding
+    assert (3, 4) in got and (6, 7) in got
