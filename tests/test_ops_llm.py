@@ -651,3 +651,26 @@ def test_near_dup_lsh_composition_sound_and_recalls_planted(spark, docs):
         assert j == exact[pair]
     # recall: the high-J planted pairs survive banding
     assert (3, 4) in got and (6, 7) in got
+
+
+def test_text_ops_edge_inputs(spark):
+    """Edge hardening for the r5 text ops: single-word and short docs
+    must not crash — word_ngrams yields empty arrays below n words (the
+    doc drops out of repetition features for that n), and the LSH
+    composition on a corpus with no near-dups emits nothing."""
+    rows = [(1, "en", "word"), (2, "en", "two words"), (3, "en", "three little words")]
+    d = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    grams = {
+        r.doc_id: (r.g2, r.g3)
+        for r in d.select(
+            "doc_id",
+            TX.word_ngrams("text", 2).alias("g2"),
+            TX.word_ngrams("text", 3).alias("g3"),
+        ).collect()
+    }
+    assert grams[1] == ([], [])
+    assert grams[2] == (["two words"], [])
+    assert grams[3] == (["three little", "little words"], ["three little words"])
+    rep = {r.doc_id for r in TX.repetition_features(d, "text", "doc_id").collect()}
+    assert rep == {3}  # only the doc with both 2- and 3-grams survives the join
+    assert TX.near_dup_pairs_lsh(d, threshold=0.5).count() == 0
