@@ -674,3 +674,52 @@ def test_text_ops_edge_inputs(spark):
     rep = {r.doc_id for r in TX.repetition_features(d, "text", "doc_id").collect()}
     assert rep == {3}  # only the doc with both 2- and 3-grams survives the join
     assert TX.near_dup_pairs_lsh(d, threshold=0.5).count() == 0
+
+
+def test_minhash_estimate_quality_statistical(spark):
+    """Statistical guard for the r5 universal-hash MinHash family: all
+    16 permutations derive from ONE 60-bit md5 base hash via affine
+    maps mod 2³¹−1, so verify empirically (not just on 3 planted
+    pairs) that the Jaccard estimator stays unbiased: over ~45 doc
+    pairs with controlled overlap (J ≈ 0.1…0.9), mean |est − exact|
+    must sit well inside the 16-permutation standard error
+    (√(J(1−J)/16) ≈ 0.12) and no pair may drift grossly."""
+    import itertools
+
+    vocab = [f"w{i:03d}" for i in range(400)]
+    docs, truth = [], {}
+    did = 0
+    for frac in (0.1, 0.3, 0.5, 0.7, 0.9):
+        for rep in range(3):
+            base = vocab[rep * 120 : rep * 120 + 60]
+            n_shared = int(round(frac * 60))
+            a = base[:60]
+            b = base[: n_shared] + [f"x{did}_{i}" for i in range(60 - n_shared)]
+            docs.append((did, " ".join(a)))
+            docs.append((did + 1, " ".join(b)))
+            did += 2
+    d = spark.createDataFrame(docs, ["doc_id", "text"])
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in TX.near_dup_pairs(
+            d.withColumn("lang", F.lit("en")), threshold=0.01
+        ).collect()
+    }
+    est = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in TX.minhash_band_pairs(
+            d, num_hashes=16, bands=16, collapse_exact=False
+        ).collect()  # 16 bands × 1 row: candidate for ANY shared component
+    }
+    planted = [(i, i + 1) for i in range(0, did, 2)]
+    errs = []
+    for pair in planted:
+        assert pair in exact
+        if pair in est:  # 1-row bands surface any pair sharing ≥1 component
+            errs.append(abs(est[pair] - exact[pair]))
+        else:
+            # missable only if NO component agrees → true J must be low
+            assert exact[pair] < 0.35, (pair, exact[pair])
+    assert len(errs) >= 10
+    assert sum(errs) / len(errs) < 0.12, sum(errs) / len(errs)
+    assert max(errs) < 0.40, max(errs)
