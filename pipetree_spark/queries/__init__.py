@@ -83,6 +83,7 @@ PRIORITY: tuple[str, ...] = (
     "q_sample_strat_hash",
     "q_dedup_keep_best",
     "q_dedup_near_lsh",
+    "q_text_pack",
     "q_tpch_q7",
     "q_tpch_q8",
     "q_tpch_q9",

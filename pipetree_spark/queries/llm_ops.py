@@ -108,6 +108,64 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declare(
+    "q_text_pack",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         doc_id % 16 AS shard
+  FROM documents
+),
+filled AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS fill
+  FROM toks
+)
+SELECT doc_id, shard, n_tokens,
+       shard * 1000000 + CAST(FLOOR(CAST(fill - n_tokens AS DOUBLE) / 512.0) AS BIGINT) AS pack_id
+FROM filled
+""",
+    tags=("text", "pipeline"),
+)
+def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — assign documents to fixed-token-budget packs
+    (512 whitespace tokens) ahead of training-batch construction.
+    Sequential-fill discipline: docs are placed in key order and a doc
+    starts a new pack when the budget is exhausted (pack_id =
+    floor(preceding-fill / budget)); a doc longer than the budget
+    occupies its own pack(s) worth of span, as in standard greedy
+    packing without reordering.
+
+    Scale shape: packing is SHARDED (doc_id mod 16) so the cumulative
+    sum runs as 16 independent window partitions — deterministic AND
+    parallel, avoiding the global-order single-reducer window that
+    naive packing implies (shard count scales with the cluster; pack
+    ids are namespaced per shard). Entirely integer math → the DuckDB
+    oracle reproduces every pack assignment bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(TX.tokens("text")).alias("n_tokens"),
+        F.pmod("doc_id", F.lit(16)).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = toks.withColumn("fill", F.sum("n_tokens").over(w))
+    return filled.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (
+            F.col("shard") * 1_000_000
+            + F.floor((F.col("fill") - F.col("n_tokens")).cast("double") / 512.0).cast("long")
+        ).alias("pack_id"),
+    )
+
+
 def _ngram_sql(n: int) -> str:
     """DuckDB twin of ops.text.word_ngrams(n) over pre-split words
     ``w`` — WITH multiplicity, empty when len(w) < n."""

@@ -723,3 +723,29 @@ def test_minhash_estimate_quality_statistical(spark):
     assert len(errs) >= 10
     assert sum(errs) / len(errs) < 0.12, sum(errs) / len(errs)
     assert max(errs) < 0.40, max(errs)
+
+
+def test_text_pack_budget_and_determinism(spark, sf_small):
+    """Sequence packing invariants: within every pack, the summed
+    tokens minus the (possibly oversized) first doc fit the 512
+    budget; packs fill in doc_id order within their shard; reruns are
+    bit-identical; every doc is assigned exactly once."""
+    from pipetree_spark.queries import load_registry
+
+    fn = load_registry()["q_text_pack"].fn
+    rows = fn(spark, sf_small).collect()
+    assert len(rows) == 500 and len({r.doc_id for r in rows}) == 500
+    packs: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r.shard, r.doc_id)):
+        packs.setdefault(r.pack_id, []).append(r)
+    for pid, members in packs.items():
+        # all members share the shard encoded in the pack id
+        assert {m.shard for m in members} == {pid // 1_000_000}
+        # sequential fill: every member STARTS inside the pack's 512
+        # span, so the preceding-fill spread — total minus the LAST
+        # member's tokens — is under budget (the last doc may overhang,
+        # standard greedy-without-reordering behavior)
+        total = sum(m.n_tokens for m in members)
+        assert total - members[-1].n_tokens < 512
+    again = fn(spark, sf_small).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
