@@ -41,6 +41,7 @@ BENCH_QUERIES: dict[str, str] = {
     "q_dedup_near": "q_dedup_near",
     "q_text_tfidf": "q_text_tfidf",
     "q_dedup_minhash_band": "q_dedup_minhash_band",
+    "q_dedup_near_lsh": "q_dedup_near_lsh",  # r5: the production dedup path
 }
 
 RUNS = 3
