@@ -749,3 +749,24 @@ def test_text_pack_budget_and_determinism(spark, sf_small):
         assert total - members[-1].n_tokens < 512
     again = fn(spark, sf_small).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_banding_flood_guard_in_gate(spark):
+    """The exact-duplicate flood guard as a hard-gate test (scaled-down
+    twin of tools/scale_stress.flood_stress): 10k byte-identical docs +
+    2 planted near-dups through the default banding path must emit
+    EXACTLY the planted pair — no flood pairs, no N² bucket expansion."""
+    boiler = "subscribe to our newsletter for daily updates terms of service apply here"
+    flood = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), F.lit(boiler).alias("text")
+    )
+    near = spark.createDataFrame(
+        [
+            (10_001, "rare alpha beta gamma delta epsilon zeta eta theta closing words"),
+            (10_002, "rare alpha beta gamma delta epsilon zeta eta iota closing words"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = flood.unionByName(near)
+    pairs = {(r.id_a, r.id_b) for r in TX.minhash_band_pairs(corpus, num_hashes=16, bands=8).collect()}
+    assert pairs == {(10_001, 10_002)}
