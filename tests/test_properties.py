@@ -172,3 +172,95 @@ def test_exact_sum_order_independence(spark, pairs):
         "SELECT CAST(SUM(CAST(ROUND(x*100) AS BIGINT)) AS DOUBLE)/100 FROM t"
     ).fetchone()[0]
     assert fwd == duck
+
+
+# --- r5: random-corpus differential tests of whole op families ---
+
+doc_texts = st.lists(
+    st.lists(st.sampled_from(
+        ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta", "iota", "kappa"]
+    ), min_size=1, max_size=12).map(" ".join),
+    min_size=2, max_size=8,
+)
+
+
+@settings(**SETTINGS)
+@given(doc_texts)
+def test_minhash_signatures_random_corpora_match_duckdb(spark, texts):
+    """The portable MinHash signature — shingling, 60-bit md5-prefix
+    base hash, 16 universal-hash mins — must match the DuckDB twin
+    bit-for-bit on RANDOM corpora, not just the driver testdata (the
+    whole-op differential analog of the scalar dialect tests above)."""
+    from pipetree_spark.ops import text as TX
+    from pipetree_spark.queries.llm_ops import _SHINGLES_SQL, _minhash_sql
+
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r.doc_id: r.sig
+        for r in TX.minhash_signatures(sdf, "text", "doc_id", 3, 16)
+        .select(
+            "doc_id",
+            F.array_join(F.transform("minhash", lambda c: c.cast("string")), ",").alias("sig"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pdf)
+    mh = ", ".join(f"CAST({m} AS VARCHAR)" for m in _minhash_sql(16))
+    want = dict(
+        con.execute(
+            f"""WITH sh AS (
+                  SELECT doc_id, {_SHINGLES_SQL} AS s
+                  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM t))
+                SELECT doc_id, concat_ws(',', {mh}) FROM sh"""
+        ).fetchall()
+    )
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(min_value=1, max_value=900), min_size=2, max_size=40))
+def test_pack_arithmetic_random_token_counts_match_duckdb(spark, counts):
+    """Sequence-packing arithmetic (sharded cumulative fill → integer
+    pack id) must agree with DuckDB on random token-count sequences —
+    pins pmod/%, floor, and window-cumsum frame semantics across
+    engines."""
+    from pyspark.sql import Window
+
+    pdf = pd.DataFrame({"doc_id": range(len(counts)), "n_tokens": counts})
+    sdf = spark.createDataFrame(pdf).withColumn(
+        "shard", F.pmod("doc_id", F.lit(4))
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        r.doc_id: r.pack_id
+        for r in sdf.withColumn("fill", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            (
+                F.col("shard") * 1_000_000
+                + F.floor((F.col("fill") - F.col("n_tokens")).cast("double") / 256.0).cast("long")
+            ).alias("pack_id"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = dict(
+        con.execute(
+            """WITH filled AS (
+                 SELECT doc_id, doc_id % 4 AS shard, n_tokens,
+                        SUM(n_tokens) OVER (PARTITION BY doc_id % 4 ORDER BY doc_id
+                                            ROWS UNBOUNDED PRECEDING) AS fill
+                 FROM t)
+               SELECT doc_id,
+                      shard * 1000000 + CAST(FLOOR(CAST(fill - n_tokens AS DOUBLE) / 256.0) AS BIGINT)
+               FROM filled"""
+        ).fetchall()
+    )
+    assert got == want
