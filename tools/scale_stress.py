@@ -52,6 +52,7 @@ QUERIES = [
     "q_dedup_near",        # inverted-index Jaccard pairs
     "q_dedup_minhash_band",  # LSH banding + collapse_exact flood guard (r4)
     "q_dedup_near_lsh",    # r5: THE production path (banding + exact verify)
+    "q_dedup_cc",          # r5: iterative min-label propagation (graph op)
     "q_vec_cosine_knn",    # brute-force kNN (broadcast query side)
     "q_text_tfidf",        # explode + two shuffles + window
     "q_tpch_q5",           # six-way join
