@@ -264,3 +264,37 @@ def test_pack_arithmetic_random_token_counts_match_duckdb(spark, counts):
         ).fetchall()
     )
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(doc_texts)
+def test_repetition_features_random_corpora_match_duckdb(spark, texts):
+    """word_ngrams (WITH multiplicity) and the derived repetition
+    fractions must match the DuckDB _ngram_sql twin on random corpora —
+    covers the n-gram enumeration order-independence, the count
+    aggregation, and the exact integer-quotient fractions."""
+    from pipetree_spark.ops import text as TX
+    from pipetree_spark.queries.llm_ops import _ngram_sql
+
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r.doc_id: (r.n2_total, r.n2_distinct, r.dup_n2_frac, r.top_n2_frac)
+        for r in TX.repetition_features(sdf, "text", "doc_id", ns=(2,)).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(
+            f"""WITH g AS (
+                  SELECT doc_id, UNNEST({_ngram_sql(2)}) AS gr
+                  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM t)),
+                c AS (SELECT doc_id, gr, COUNT(*) AS c FROM g GROUP BY doc_id, gr)
+                SELECT doc_id, CAST(SUM(c) AS BIGINT), COUNT(*),
+                       1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT),
+                       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT)
+                FROM c GROUP BY doc_id"""
+        ).fetchall()
+    }
+    assert got == want
