@@ -355,3 +355,96 @@ def test_cli_run_caches_by_default(spark, tmp_path, capsys):
     assert main(args) == 0
     second = capsys.readouterr().err
     assert "top: hit" in second
+
+
+def test_curation_pipeline_end_to_end(spark, sf_small, tmp_path):
+    """Capstone integration: the full r5 curation flow — quality +
+    repetition filter → LSH near-dup → keep-best-per-cluster → mixture
+    sample → sequence pack — composed as PYTHON pipeline stages through
+    the orchestration + content-addressed cache layer. Asserts the flow
+    shrinks monotonically, survivors pack deterministically, and a
+    second run serves every materialized stage from cache."""
+    from pyspark.sql import functions as F
+
+    from pipetree_spark.ops import text as TX
+
+    def quality(spark_, ins):
+        d = ins["documents"]
+        rep = TX.repetition_features(d, "text", "doc_id", ns=(2,))
+        return (
+            d.join(rep.select("doc_id", "dup_n2_frac"), "doc_id")
+            .filter((F.length("text") >= 40) & (F.col("dup_n2_frac") < 0.5))
+            .select("doc_id", "lang", "text")
+        )
+
+    def keep_best(spark_, ins):
+        from pyspark.sql import Window
+
+        from pipetree_spark.ops.graph import connected_components
+
+        d = ins["quality"].withColumn("n_chars", F.length("text"))
+        pairs = TX.near_dup_pairs_lsh(d, threshold=0.5).select("id_a", "id_b")
+        cc = connected_components(pairs, src="id_a", dst="id_b")
+        lab = (
+            d.join(cc, d["doc_id"] == cc["node"], "left")
+            .select("doc_id", "lang", "text", "n_chars",
+                    F.coalesce("component", "doc_id").alias("component"))
+        )
+        w = Window.partitionBy("component").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        return (
+            lab.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "lang", "text")
+        )
+
+    def sample(spark_, ins):
+        d = ins["keep_best"]
+        bucket = (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long") % 1000
+        )
+        return d.filter(bucket < 800)
+
+    def pack(spark_, ins):
+        from pyspark.sql import Window
+
+        d = ins["sample"]
+        toks = d.select(
+            "doc_id",
+            F.size(TX.tokens("text")).alias("n_tokens"),
+            F.pmod("doc_id", F.lit(4)).alias("shard"),
+        )
+        w = (
+            Window.partitionBy("shard").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return toks.withColumn("fill", F.sum("n_tokens").over(w)).select(
+            "doc_id", "n_tokens",
+            (F.col("shard") * 1_000_000
+             + F.floor((F.col("fill") - F.col("n_tokens")).cast("double") / 512.0).cast("long")
+             ).alias("pack_id"),
+        )
+
+    spec = {
+        "stages": {
+            "documents": {"type": "source", "table": "documents"},
+            "quality": {"type": "python", "fn": quality, "inputs": ["documents"], "materialize": True},
+            "keep_best": {"type": "python", "fn": keep_best, "inputs": ["quality"], "materialize": True},
+            "sample": {"type": "python", "fn": sample, "inputs": ["keep_best"], "materialize": True},
+            "pack": {"type": "python", "fn": pack, "inputs": ["sample"], "materialize": True},
+        }
+    }
+    cache = ArtifactCache(str(tmp_path))
+    p = Pipeline.from_spec(spec, sf_dir=sf_small)
+    out = p.run(spark, cache=cache)
+    n_docs = out["documents"].count()
+    n_q, n_k, n_s = out["quality"].count(), out["keep_best"].count(), out["sample"].count()
+    packs = out["pack"].collect()
+    assert n_docs >= n_q >= n_k >= n_s > 0
+    assert len(packs) == n_s  # every sampled doc packed exactly once
+    assert len({r.pack_id for r in packs}) < n_s  # packing actually groups
+    # second run: every materialized stage is a cache hit
+    p2 = Pipeline.from_spec(spec, sf_dir=sf_small)
+    p2.run(spark, cache=cache)
+    hits = {k: v for k, v in p2.last_run_report.items() if v == "hit"}
+    assert set(hits) == {"quality", "keep_best", "sample", "pack"}
