@@ -75,8 +75,9 @@ PRIORITY: tuple[str, ...] = (
     "q_proj_select",
     "q_join_inner",
     "q_sample_hash",
-    # slots 17-32: the remaining never-graded oracled queries (incl.
-    # the r5-new repetition-quality op)
+    # slots 17-37: the remaining never-graded oracled queries — the 15
+    # pre-r5 ones plus the five r5-new ops (repetition, stratified hash
+    # sampling, keep-best selection, LSH+verify composition, packing)
     "q_vec_ann_lsh",
     "q_text_winnow",
     "q_text_repetition",
@@ -97,9 +98,10 @@ PRIORITY: tuple[str, ...] = (
     "q_tpch_q20",
     "q_tpch_q21",
     "q_tpch_q22",
-    # slots 32-50: green re-confirmations across families (the engine's
+    # slots 38+: green re-confirmations across families (the engine's
     # signature certified ops first) — a narrower window loses only
-    # re-confirms, never a first-time certification
+    # re-confirms, never a first-time certification; the last few of
+    # these fall past the 50-slot line, by design
     "q_dedup_near",
     "q_text_minhash_sig",
     "q_text_langid",
