@@ -53,6 +53,11 @@ def main() -> None:
     tail = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     sf = float(tail[2:]) if tail.startswith("sf") else None
 
+    # Machine-load context so a judge can mechanically separate
+    # measurement contention from a real regression (r4/r5 were uniformly
+    # inflated by a concurrent build session — SCALING.md).
+    load_before = os.getloadavg()
+
     registry = load_registry()
     spark = get_spark("pipetree-spark-bench")
     timings: dict[str, float] = {}
@@ -91,6 +96,8 @@ def main() -> None:
                 "all_queries_total_sec": round(sum(timings.values()), 4),
                 "queries": timings,
                 "sf": sf,
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )
