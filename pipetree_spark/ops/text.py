@@ -457,6 +457,7 @@ def minhash_band_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     collapse_exact: bool = True,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """LSH banding over the portable MinHash signature: hash each band
     of ``num_hashes/bands`` components to a bucket key, emit candidate
@@ -480,6 +481,22 @@ def minhash_band_pairs(
     distinct texts is this op's whole contract. ``collapse_exact=
     False`` restores the raw all-copies behavior for callers that
     have already exact-deduped upstream.
+
+    Bucket cap (``max_bucket``, default 1024): ``collapse_exact`` only
+    defuses *byte-identical* floods; 10⁵+ *near-identical* docs (1-char
+    mutations of shared boilerplate — the realistic web-crawl case)
+    still land identical band signatures → one bucket → N² pair
+    expansion, the same OOM class. The cap is the same guard
+    :func:`near_dup_pairs` uses for hub shingles: a posting-list count
+    over ``Window.partitionBy(__band, __bk)`` — the SAME partitioning
+    the bucket groupBy needs, so Catalyst plans ONE exchange for
+    count + filter + collect — and over-cap buckets are dropped before
+    any pair is generated, bounding per-bucket work at max_bucket².
+    Approximation contract: a pair ALL of whose colliding bands are
+    flooded is not emitted (recall-conservative, never a false
+    positive; a mega-bucket of mutually-near-identical boilerplate is
+    exactly what dedup should route through clustering, not pairwise
+    output). ``max_bucket=None`` disables the cap (raw banding).
     """
     if collapse_exact:
         df = exact_dedup(df, text_col, key_col)
@@ -507,6 +524,13 @@ def minhash_band_pairs(
     banded = sig.select(
         F.col(key_col), "__m", F.posexplode(band_keys).alias("__band", "__bk")
     )
+    if max_bucket is not None:
+        w = Window.partitionBy("__band", "__bk")
+        banded = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
     buckets = (
         banded.groupBy("__band", "__bk")
         .agg(F.collect_list(F.struct(F.col(key_col).alias("k"), F.col("__m").alias("m"))).alias("__docs"))
@@ -541,6 +565,7 @@ def near_dup_pairs_lsh(
     threshold: float = 0.5,
     num_hashes: int = 16,
     bands: int = 8,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """THE production near-dup path at 100 TB, end-to-end: MinHash-LSH
     banding generates candidate pairs (linear — |docs|×bands shuffle
@@ -567,7 +592,8 @@ def near_dup_pairs_lsh(
     IEEE-identical across engines."""
     sh = df.select(F.col(key_col), word_shingles(text_col, n).alias("__sh"))
     cand = minhash_band_pairs(
-        df, text_col, key_col, n, num_hashes, bands, collapse_exact=True
+        df, text_col, key_col, n, num_hashes, bands,
+        collapse_exact=True, max_bucket=max_bucket,
     ).select("id_a", "id_b")
     a = sh.select(F.col(key_col).alias("id_a"), F.col("__sh").alias("__sa"))
     b = sh.select(F.col(key_col).alias("id_b"), F.col("__sh").alias("__sb"))

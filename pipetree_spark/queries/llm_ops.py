@@ -495,6 +495,7 @@ sig AS (
 bands AS (
   SELECT doc_id, m, j, CASE j {' '.join(f"WHEN {j} THEN {b}" for j, b in enumerate(_MH_BANDS))} END AS bk
   FROM sig CROSS JOIN generate_series(0, 3) AS g(j)
+  QUALIFY count(*) OVER (PARTITION BY j, bk) <= 1024
 )
 SELECT DISTINCT a.doc_id AS id_a,
        b.doc_id AS id_b,
@@ -518,7 +519,13 @@ def q_dedup_minhash_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's ``rep`` CTE applies the identical keep-min-doc_id
     pre-collapse, so query and oracle agree at every SF — including
     sf0.1, whose corpus has 8 exact-dup groups that the raw
-    formulation would emit but this contract assigns to exact_dedup."""
+    formulation would emit but this contract assigns to exact_dedup.
+
+    r6: the band-bucket cap (``max_bucket=1024``) is part of the
+    contract too — the oracle's ``bands`` CTE carries the identical
+    ``QUALIFY count(*) OVER (PARTITION BY j, bk) <= 1024`` — so the
+    near-identical-flood guard can never make query and oracle diverge
+    at any SF (the ADVICE latent-divergence class)."""
     d = load_table(spark, sf_dir, "documents")
     return TX.minhash_band_pairs(d, num_hashes=16, bands=4)
 
@@ -552,6 +559,7 @@ sig AS (
 bands AS (
   SELECT doc_id, j, CASE j {' '.join(f"WHEN {j} THEN {b}" for j, b in enumerate(_MH_BANDS8))} END AS bk
   FROM sig CROSS JOIN generate_series(0, 7) AS g(j)
+  QUALIFY count(*) OVER (PARTITION BY j, bk) <= 1024
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -577,7 +585,9 @@ def q_dedup_near_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantified banding contract (p = 1 − (1 − J²)⁸ ≈ 0.90 at J = 0.5,
     → 1 above); the emitted pair set itself is deterministic and
     bit-reproducible in DuckDB — the scale path is hash-verified, not
-    just smoke-tested."""
+    just smoke-tested. The band-bucket cap (max_bucket=1024, guarding
+    near-identical floods) is mirrored in the oracle's QUALIFY so the
+    contract holds at every SF."""
     d = load_table(spark, sf_dir, "documents")
     return TX.near_dup_pairs_lsh(d, threshold=0.5, num_hashes=16, bands=8)
 

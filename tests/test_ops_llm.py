@@ -770,3 +770,56 @@ def test_banding_flood_guard_in_gate(spark):
     corpus = flood.unionByName(near)
     pairs = {(r.id_a, r.id_b) for r in TX.minhash_band_pairs(corpus, num_hashes=16, bands=8).collect()}
     assert pairs == {(10_001, 10_002)}
+
+
+def test_banding_mutated_flood_guard(spark):
+    """The NEAR-identical flood case the exact-dup collapse can't touch
+    (r6, VERDICT finding #1): 100k docs sharing a long boilerplate
+    prefix with one unique trailing word each. Distinct normalized
+    texts ⇒ ``collapse_exact`` keeps all 100k; most land the IDENTICAL
+    16-component signature ⇒ one band bucket per band with ~10⁵ docs ⇒
+    ~10¹⁰ pairs uncapped (OOM-or-hang). With the ``max_bucket`` window
+    cap those buckets are dropped before any pair is generated, so the
+    run finishes in seconds and emits zero flood pairs; deviating-
+    signature buckets are keyed by a doc-unique component value and are
+    singletons, so they emit nothing either. A planted near-dup pair on
+    unrelated text sits in its own size-2 buckets, under the cap, and
+    MUST survive — the guard drops floods, not signal."""
+    boiler = (
+        "subscribe to our newsletter for daily updates terms of service "
+        "apply here all rights reserved contact us for more information "
+        "about products pricing support careers press and partnerships"
+    )
+    flood = spark.range(100_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(boiler + " marker"), F.col("id").cast("string")).alias("text"),
+    )
+    near = spark.createDataFrame(
+        [
+            (200_001, "rare alpha beta gamma delta epsilon zeta eta theta closing words"),
+            (200_002, "rare alpha beta gamma delta epsilon zeta eta iota closing words"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = flood.unionByName(near)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in TX.minhash_band_pairs(corpus, num_hashes=16, bands=8).collect()
+    }
+    assert (200_001, 200_002) in pairs
+    # The guard's contract is bounding the N² blowup (~5·10⁹ pairs
+    # uncapped), not suppressing every flood pair: a handful of docs
+    # whose unique shingle COLLIDES in the 31-bit base-hash space
+    # (birthday: ~2 pairs expected at 100k) get byte-identical
+    # signatures, form their own size-2 buckets under the cap, and are
+    # correctly emitted — they really are near-dups (true J ≈ 0.93).
+    flood_pairs = [p for p in pairs if p[0] < 200_000 and p[1] < 200_000]
+    assert len(flood_pairs) <= 10
+    # the end-to-end production path (banding + exact-Jaccard verify)
+    # inherits the cap through the same plumbing
+    lsh_pairs = {
+        (r.id_a, r.id_b)
+        for r in TX.near_dup_pairs_lsh(corpus, threshold=0.5).collect()
+    }
+    assert (200_001, 200_002) in lsh_pairs
+    assert len([p for p in lsh_pairs if p[0] < 200_000 and p[1] < 200_000]) <= 10
