@@ -732,3 +732,45 @@ def winnow_fingerprints(
         )
     )
     return stage.select(key_col, F.explode(fps).alias("fp"))
+
+
+#: Pack-id shard multiplier: 2⁴⁰ pack indices per shard ≈ 5.6·10¹⁴
+#: tokens/shard at budget 512 before aliasing (the earlier ×10⁶
+#: multiplier aliased at ~0.5 G tokens/shard — guaranteed at 100 TB),
+#: while shard·2⁴⁰ stays far below 2⁶³ for any realistic shard count.
+PACK_SHARD_STRIDE = 1 << 40
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    budget: int = 512,
+    num_shards: int = 16,
+) -> DataFrame:
+    """Greedy sequence packing over precomputed token counts: place
+    docs in key order, start a new pack when the running fill exceeds
+    ``budget`` (pack index = floor(preceding-fill / budget)); an over-
+    budget doc occupies its own pack(s) worth of span — standard
+    greedy-without-reordering. Adds ``(shard, pack_id)``.
+
+    Scale shape: packing is SHARDED (``key mod num_shards``) so the
+    cumulative sum runs as ``num_shards`` independent window
+    partitions — deterministic AND parallel, no global-order
+    single-reducer window; shard count scales with the cluster. Pack
+    ids are namespaced ``shard * PACK_SHARD_STRIDE + pack_idx`` (2⁴⁰
+    stride — see constant above for the aliasing bound). Entirely
+    integer math, bit-reproducible in any engine."""
+    toks = df.withColumn("shard", F.pmod(F.col(key_col), F.lit(num_shards)))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = toks.withColumn("__fill", F.sum(tokens_col).over(w))
+    pack_idx = F.floor(
+        (F.col("__fill") - F.col(tokens_col)).cast("double") / float(budget)
+    ).cast("long")
+    return filled.withColumn(
+        "pack_id", F.col("shard") * F.lit(PACK_SHARD_STRIDE) + pack_idx
+    ).drop("__fill")

@@ -123,7 +123,7 @@ filled AS (
   FROM toks
 )
 SELECT doc_id, shard, n_tokens,
-       shard * 1000000 + CAST(FLOOR(CAST(fill - n_tokens AS DOUBLE) / 512.0) AS BIGINT) AS pack_id
+       shard * 1099511627776 + CAST(FLOOR(CAST(fill - n_tokens AS DOUBLE) / 512.0) AS BIGINT) AS pack_id
 FROM filled
 """,
     tags=("text", "pipeline"),
@@ -142,27 +142,17 @@ def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel, avoiding the global-order single-reducer window that
     naive packing implies (shard count scales with the cluster; pack
     ids are namespaced per shard). Entirely integer math → the DuckDB
-    oracle reproduces every pack assignment bit-for-bit."""
+    oracle reproduces every pack assignment bit-for-bit.
+
+    Pack-id namespace (r6): ``shard * 2⁴⁰ + pack_idx`` — 2⁴⁰ packs/
+    shard ≈ 5.6·10¹⁴ tokens/shard before aliasing (the r5 ``×10⁶``
+    multiplier aliased past ~0.5 G tokens/shard — guaranteed at the
+    100 TB scale this op targets), while shard×2⁴⁰ for shard < 16
+    stays ≪ 2⁶³ (no int64 overflow in either engine)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.size(TX.tokens("text")).alias("n_tokens"),
-        F.pmod("doc_id", F.lit(16)).alias("shard"),
-    )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = toks.withColumn("fill", F.sum("n_tokens").over(w))
-    return filled.select(
-        "doc_id",
-        "shard",
-        "n_tokens",
-        (
-            F.col("shard") * 1_000_000
-            + F.floor((F.col("fill") - F.col("n_tokens")).cast("double") / 512.0).cast("long")
-        ).alias("pack_id"),
+    toks = d.select("doc_id", F.size(TX.tokens("text")).alias("n_tokens"))
+    return TX.pack_sequences(toks, budget=512, num_shards=16).select(
+        "doc_id", "shard", "n_tokens", "pack_id"
     )
 
 
@@ -987,11 +977,18 @@ def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation; the oracle computes the same components via a
     recursive-CTE transitive closure, feasible at oracle scale only).
     component = MIN(doc_id) of the cluster: the canonical keeper id the
-    dedup pipeline retains."""
+    dedup pipeline retains.
+
+    ``max_bucket=None`` (r6): the declared oracle is the EXACT
+    uncapped all-pairs closure, so the hub-shingle cap must be off for
+    the contract to hold at every SF (current testdata's max posting
+    list is 14 docs, which would MASK a divergence, not prevent it —
+    the ADVICE latent-break class). Production clustering at 100 TB
+    would run the capped/banded pair path instead."""
     from pipetree_spark.ops.graph import connected_components
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = TX.near_dup_pairs(d, threshold=0.2).select("id_a", "id_b")
+    pairs = TX.near_dup_pairs(d, threshold=0.2, max_bucket=None).select("id_a", "id_b")
     cc = connected_components(pairs, src="id_a", dst="id_b")
     return cc.select(F.col("node").alias("doc_id"), "component")
 
@@ -1042,11 +1039,18 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     already bounds upstream). The Spark side runs sf0.1 in ~10 s; the
     ORACLE's recursive-CTE transitive closure (same as q_dedup_cc) is
     feasible at the driver's sf0.01 grading scale (~17 s) but not at
-    sf0.1 — an oracle-cost limit, not an engine one."""
+    sf0.1 — an oracle-cost limit, not an engine one.
+
+    ``max_bucket=None`` (r6, ADVICE medium): the oracle computes the
+    uncapped exact all-pairs Jaccard, so the hub-shingle cap must be
+    off — any posting list >1024 in a lang block would otherwise make
+    query and oracle silently diverge (current testdata masks it at 14
+    docs/shingle max). Production keep-best at 100 TB would feed the
+    capped/banded pair path into the same CC + argmax tail."""
     from pipetree_spark.ops.graph import connected_components
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = TX.near_dup_pairs(d, threshold=0.2).select("id_a", "id_b")
+    pairs = TX.near_dup_pairs(d, threshold=0.2, max_bucket=None).select("id_a", "id_b")
     cc = connected_components(pairs, src="id_a", dst="id_b")
     lab = (
         d.select("doc_id", "n_chars")

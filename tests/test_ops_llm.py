@@ -740,7 +740,7 @@ def test_text_pack_budget_and_determinism(spark, sf_small):
         packs.setdefault(r.pack_id, []).append(r)
     for pid, members in packs.items():
         # all members share the shard encoded in the pack id
-        assert {m.shard for m in members} == {pid // 1_000_000}
+        assert {m.shard for m in members} == {pid // TX.PACK_SHARD_STRIDE}
         # sequential fill: every member STARTS inside the pack's 512
         # span, so the preceding-fill spread — total minus the LAST
         # member's tokens — is under budget (the last doc may overhang,
@@ -749,6 +749,28 @@ def test_text_pack_budget_and_determinism(spark, sf_small):
         assert total - members[-1].n_tokens < 512
     again = fn(spark, sf_small).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_pack_id_namespace_survives_1e6_packs_per_shard(spark):
+    """The r5 ×10⁶ pack-id multiplier aliased across shards past ~1e6
+    packs (~0.5 G tokens) per shard (ADVICE low / VERDICT finding #2).
+    With the 2⁴⁰ stride, >1e6 packs in one shard must stay inside the
+    shard's namespace and never collide with a neighbor's. Synthetic
+    token counts drive the fill directly: 4 shards × 2 500 docs ×
+    250 000 tokens ≈ 1.22 M packs spanned per shard."""
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), F.lit(250_000).alias("n_tokens")
+    )
+    out = TX.pack_sequences(df, budget=512, num_shards=4).collect()
+    assert len(out) == 10_000
+    for r in out:
+        assert r.pack_id // TX.PACK_SHARD_STRIDE == r.shard
+    # >1e6 distinct pack indices inside one shard, all in-namespace
+    shard0 = [r.pack_id % TX.PACK_SHARD_STRIDE for r in out if r.shard == 0]
+    assert max(shard0) > 1_000_000
+    # ids are globally unique across shards (each doc here spans whole
+    # packs, so every doc starts a fresh pack index)
+    assert len({r.pack_id for r in out}) == 10_000
 
 
 def test_banding_flood_guard_in_gate(spark):
