@@ -49,40 +49,58 @@ def connected_components(
     With ``eager_check=False`` there is no change tracking — the caller
     accepts fixed-round semantics and must size ``max_iter`` to the
     graph's diameter.
+
+    Per-round cost (r6 rewrite — was the slowest op in the suite at
+    11.6 s sf0.1): ONE shuffle job per round. The old label rides the
+    same tagged union the neighbor labels do, so ``min(component)`` and
+    ``min(__own)`` come out of one groupBy and "did anything change?"
+    is a filter on the already-materialized checkpoint — the previous
+    version burned a second full join + shuffle per round just to
+    detect convergence. ``sym`` is pre-partitioned on the join key
+    once (before its checkpoint), so each round's neighbor join
+    exchanges only the (|nodes|-sized) label side, never the
+    (2|edges|-sized) edge side.
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     ).distinct()
-    sym = sym.localCheckpoint(eager=True)
+    # partition by v ONCE: localCheckpoint preserves partitioning, so
+    # every round's join on v reuses it (labels side alone shuffles)
+    sym = sym.repartition("v").localCheckpoint(eager=True)
 
     labels = sym.select("u").distinct().withColumn("component", F.col("u"))
+    own_type = labels.schema["component"].dataType
 
     converged = not eager_check
     for _ in range(max_iter):
-        # candidate label for u: min over (own label, neighbors' labels)
-        nbr_labels = sym.join(
-            labels.withColumnRenamed("u", "v"), on="v"
-        ).select("u", "component")
+        # candidate label for u: min over (own label, neighbors' labels).
+        # Own rows carry their label in __own, neighbor rows carry null
+        # (min ignores nulls; each u has exactly one own row) — so the
+        # new label AND the pre-round label surface from ONE aggregation.
+        nbr_labels = (
+            sym.join(labels.withColumnRenamed("u", "v"), on="v")
+            .select("u", "component")
+            .withColumn("__own", F.lit(None).cast(own_type))
+        )
         new_labels = (
-            labels.unionByName(nbr_labels)
+            labels.withColumn("__own", F.col("component"))
+            .unionByName(nbr_labels)
             .groupBy("u")
-            .agg(F.min("component").alias("component"))
+            .agg(F.min("component").alias("component"), F.min("__own").alias("__own"))
             .localCheckpoint(eager=True)
         )
         if eager_check:
+            # runs against the materialized checkpoint — no recompute,
+            # no join: a label changed iff the new min beat the old one
             changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), on="u")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .limit(1)
-                .count()
+                new_labels.filter(F.col("component") < F.col("__own")).limit(1).count()
             )
-            labels = new_labels
+            labels = new_labels.drop("__own")
             if changed == 0:
                 converged = True
                 break
         else:
-            labels = new_labels
+            labels = new_labels.drop("__own")
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in max_iter={max_iter} rounds "
