@@ -104,9 +104,15 @@ def test_driver_window_spans_every_family():
     assert {mod(n) for n in first50} == all_modules
     first16 = [mod(n) for n in first50[:16]]
     assert len(set(first16)) == 16
-    # the r5 re-certification set (changed query/oracle contracts) must
+    # the r6 re-certification set (changed query/oracle contracts) must
     # be driver-graded this round
-    for fixed in ("q_dedup_minhash_band", "q_ts_scd2"):
+    for fixed in (
+        "q_dedup_minhash_band",  # band-bucket cap (query + oracle QUALIFY)
+        "q_dedup_near_lsh",      # same cap through the production path
+        "q_text_pack",           # 2^40 pack-id namespace
+        "q_dedup_keep_best",     # max_bucket=None pair path
+        "q_dedup_cc",            # max_bucket=None + CC one-shuffle rewrite
+    ):
         assert fixed in first50
     # cheap-first: oracle-bearing queries dominate the window (rows-only
     # entries waste graded slots)
