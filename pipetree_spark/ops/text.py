@@ -734,6 +734,85 @@ def winnow_fingerprints(
     return stage.select(key_col, F.explode(fps).alias("fp"))
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window document chunking for embedding/RAG pipelines:
+    split each document into overlapping token windows of ``size``
+    tokens every ``stride`` tokens. Returns
+    ``(key, chunk_id, chunk_start, chunk_n_tokens, chunk_text)`` —
+    the last chunk may be short; a doc shorter than ``size`` yields
+    exactly one chunk; chunk ids are 0-based per document.
+
+    Chunk count is ``1 + max(0, ceil((n_tokens - size) / stride))`` —
+    exact integer math (``(n - size + stride - 1) div stride``), so
+    chunk boundaries are bit-reproducible in any engine.
+
+    Scale shape: narrow per-row expressions only (split → sequence →
+    posexplode → slice) — NO shuffle; chunking parallelizes per input
+    partition and output size is input × ~size/stride. The per-doc
+    token array lives once per row during the explode (Tungsten
+    UnsafeArrayData, not JVM objects)."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("chunk_documents requires size > 0 and stride > 0")
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # positive-operand integer div only (floor/truncate agree) — the
+    # same expression is exact in every engine
+    n_chunks = (
+        F.when(n <= size, F.lit(1))
+        .otherwise(F.lit(1) + F.expr(f"(size(split({text_col}, ' ')) - {size} + {stride - 1}) div {stride}"))
+        .cast("int")
+    )
+    st = df.select(
+        key_col, toks.alias("__toks"), F.posexplode(F.sequence(F.lit(1), n_chunks)).alias("__i", "__x")
+    )
+    start = (F.col("__i") * stride + 1).cast("int")
+    piece = F.slice("__toks", start, size)
+    return st.select(
+        key_col,
+        F.col("__i").alias("chunk_id"),
+        start.alias("chunk_start"),
+        F.size(piece).alias("chunk_n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    num_shards: int = 8,
+    seed: str = "seed42",
+) -> DataFrame:
+    """Deterministic pseudo-random training-order shuffle + sharding:
+    every row gets a stable 60-bit md5 rank hash of (seed, key), an
+    output ``shard`` (hash mod num_shards) and its ``pos`` within the
+    shard (hash order, key tie-break). Reading shards round-robin in
+    pos order replays one fixed global permutation — reproducible
+    across runs, engines, and cluster sizes (nothing depends on
+    partition count or physical row order).
+
+    Scale shape: the rank hash is a narrow projection; the only wide
+    operation is one row_number window PARTITIONED BY shard —
+    ``num_shards`` independent sorts sized |corpus|/num_shards (shard
+    count scales with the cluster; no global-order single-reducer
+    sort, same discipline as :func:`pack_sequences`)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + "|"), F.col(key_col).cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    st = df.withColumn("__h", h).withColumn(
+        "shard", F.pmod("__h", F.lit(num_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("__h", key_col)
+    return st.withColumn("pos", F.row_number().over(w)).drop("__h")
+
+
 #: Pack-id shard multiplier: 2⁴⁰ pack indices per shard ≈ 5.6·10¹⁴
 #: tokens/shard at budget 512 before aliasing (the earlier ×10⁶
 #: multiplier aliased at ~0.5 G tokens/shard — guaranteed at 100 TB),

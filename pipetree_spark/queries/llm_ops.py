@@ -1473,3 +1473,178 @@ def q_text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(email_masked, r"\+?[0-9]{3}-[0-9]{4}", "<PHONE>").alias("masked"),
         email_masked.contains("<EMAIL>").cast("int").alias("had_email"),
     )
+
+
+@declare(
+    "q_text_chunk",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+c AS (
+  SELECT doc_id, w,
+         CASE WHEN len(w) <= 64 THEN 1 ELSE 1 + (len(w) - 64 + 47) // 48 END AS n_chunks
+  FROM t
+),
+e AS (SELECT doc_id, w, UNNEST(generate_series(1, n_chunks)) AS i FROM c)
+SELECT doc_id, CAST(i - 1 AS INT) AS chunk_id,
+       CAST((i-1)*48 + 1 AS INT) AS chunk_start,
+       CAST(len(w[(i-1)*48+1 : (i-1)*48+64]) AS INT) AS chunk_n_tokens,
+       array_to_string(w[(i-1)*48+1 : (i-1)*48+64], ' ') AS chunk_text
+FROM e
+""",
+    tags=("text", "pipeline"),
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (64-token windows every 48 tokens —
+    ops.text.chunk_documents): the standard prep for embedding / RAG
+    indexing of long documents. Chunk boundaries are pure positive-
+    integer math, so the oracle reproduces every chunk byte-for-byte.
+
+    Scale shape: narrow per-row exprs only (split → sequence →
+    posexplode → slice), NO shuffle — chunking runs at scan parallelism
+    and output is bounded by input × size/stride ≈ 1.33×."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.chunk_documents(d, "text", "doc_id", size=64, stride=48)
+
+
+@declare(
+    "q_text_shuffle_shard",
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(concat('seed42|', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS hh
+  FROM documents
+)
+SELECT doc_id, CAST(hh % 8 AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) AS INT) AS pos
+FROM h
+""",
+    tags=("text", "pipeline"),
+)
+def q_text_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle (ops.text.shuffle_shards):
+    md5-ranked permutation split into 8 output shards with a stable
+    position per shard. Training runs replay the identical global order
+    regardless of cluster size, partition count, or physical row order
+    — the reproducibility property RNG-based shuffles lack.
+
+    Scale shape: narrow hash projection + one row_number window
+    partitioned by shard (8 independent sorts of |corpus|/8; shard
+    count scales with the cluster — no single-reducer global sort)."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.shuffle_shards(d, "doc_id", num_shards=8, seed="seed42").select(
+        "doc_id", "shard", "pos"
+    )
+
+
+@declare(
+    "q_dedup_semantic",
+    oracle=f"""
+WITH RECURSIVE p AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(generate_series(1, 64),
+                                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        / (SQRT({_SQ_SUM.format(v='a.embedding')}) * SQRT({_SQ_SUM.format(v='b.embedding')})) >= 0.35
+),
+sym AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+reach(src, dst) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT r.src, s.v FROM reach r JOIN sym s ON r.dst = s.u
+),
+comp AS (SELECT src AS vec_id, MIN(dst) AS component FROM reach GROUP BY src)
+SELECT e.vec_id, COALESCE(c.component, e.vec_id) AS component,
+       CAST(e.vec_id = COALESCE(c.component, e.vec_id) AS INT) AS is_kept
+FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.vec_id
+""",
+    tags=("dedup", "vector", "graph"),
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup end-to-end: embedding-cosine near-dup pairs
+    (label-blocked, cos ≥ 0.35 — the q_dedup_embcos pair stage) →
+    connected components → keep the min-id representative per cluster;
+    singletons keep themselves. The embedding-space counterpart of
+    q_dedup_keep_best (text-space), with the same audit-table output
+    (vec_id, component, is_kept).
+
+    Cosine is a fixed-order double sum (bit-identical across engines),
+    components use the one-shuffle min-label rounds, and the keeper
+    rule is component = MIN(vec_id) — so even the clustering tail of
+    the semantic path is oracle-exact. At 100 TB the label block
+    becomes an IVF/LSH bucket (q_vec_ann_ivf_port path) so the pair
+    stage never goes n²."""
+    from pipetree_spark.ops.graph import connected_components
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("id_a"), "label",
+        F.col("embedding").alias("va"), VX.l2_norm(F.col("embedding")).alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("lb"),
+        F.col("embedding").alias("vb"), VX.l2_norm(F.col("embedding")).alias("nb"),
+    )
+    cos = VX.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(b, a["label"] == b["lb"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= 0.35)
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        e.select("vec_id")
+        .join(cc, e["vec_id"] == cc["node"], "left")
+        .select(
+            "vec_id",
+            F.coalesce("component", "vec_id").alias("component"),
+            (F.col("vec_id") == F.coalesce("component", "vec_id")).cast("int").alias("is_kept"),
+        )
+    )
+
+
+@declare(
+    "q_corpus_mixture",
+    oracle="""
+WITH s AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_docs) AS nd, SUM(n_tokens) AS nt FROM s)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / nt AS token_share,
+       SQRT(CAST(n_tokens AS DOUBLE) / nt) AS w_alpha05
+FROM s CROSS JOIN tot
+""",
+    tags=("text", "pipeline"),
+)
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus statistics + temperature-scaled mixture
+    weights (α = 0.5): the table a training-data recipe samples from —
+    upweight small high-value sources, downweight the crawl head
+    (the standard multinomial-temperature trick). Emitted UNNORMALIZED
+    (share and share^α): normalizing is one scalar the trainer owns,
+    and skipping the cross-source float sum keeps every value a single
+    correctly-rounded IEEE op (integer ratio + sqrt) — bit-identical
+    in any engine, no summation-order drift.
+
+    Scale shape: one map-side-combined groupBy(source) over the corpus
+    (|sources| ≪ |docs|), totals as a broadcast cross join."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(TX.tokens("text"))).alias("n_tokens"),
+    )
+    tot = s.agg(
+        F.sum("n_docs").alias("nd"), F.sum("n_tokens").alias("nt")
+    )
+    share = F.col("n_tokens").cast("double") / F.col("nt")
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_docs", "n_tokens",
+            share.alias("token_share"),
+            F.sqrt(share).alias("w_alpha05"),
+        )
+    )

@@ -845,3 +845,75 @@ def test_banding_mutated_flood_guard(spark):
     }
     assert (200_001, 200_002) in lsh_pairs
     assert len([p for p in lsh_pairs if p[0] < 200_000 and p[1] < 200_000]) <= 10
+
+
+def test_chunk_documents_boundaries(spark):
+    """Chunk math edge cases: short doc → one chunk; exact-size doc →
+    one chunk; size+1 → two chunks with the stride offset; chunks
+    reassemble the original token stream (stride < size ⇒ overlap
+    regions duplicate, but the UNION of covered positions is 1..n)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),                       # n=3  < size
+            (2, " ".join(f"t{i}" for i in range(10))),   # n=10 == size
+            (3, " ".join(f"t{i}" for i in range(11))),   # n=11 == size+1
+            (4, " ".join(f"t{i}" for i in range(25))),   # n=25: chunks at 1,9,17
+        ],
+        "doc_id long, text string",
+    )
+    out = TX.chunk_documents(docs, size=10, stride=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk_n_tokens == 3
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_n_tokens == 10
+    assert len(by_doc[3]) == 2
+    assert [r.chunk_start for r in sorted(by_doc[3], key=lambda r: r.chunk_id)] == [1, 9]
+    c4 = sorted(by_doc[4], key=lambda r: r.chunk_id)
+    assert [r.chunk_start for r in c4] == [1, 9, 17]
+    assert [r.chunk_n_tokens for r in c4] == [10, 10, 9]
+    # coverage: every token position 1..25 falls inside some chunk
+    covered = set()
+    for r in c4:
+        covered |= set(range(r.chunk_start, r.chunk_start + r.chunk_n_tokens))
+    assert covered == set(range(1, 26))
+    # chunk text is the exact token slice
+    assert c4[1].chunk_text.split(" ")[0] == "t8"  # position 9 → token t8
+
+
+def test_shuffle_shards_is_a_permutation_and_deterministic(spark):
+    """Every row lands in exactly one (shard, pos) slot; pos is
+    contiguous 1..count within each shard; reruns produce the identical
+    assignment; a different seed produces a different order."""
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    out = TX.shuffle_shards(df, "doc_id", num_shards=8, seed="seedA").collect()
+    assert len(out) == 1000 and len({r.doc_id for r in out}) == 1000
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) == set(range(8))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    again = TX.shuffle_shards(df, "doc_id", num_shards=8, seed="seedA").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    other = TX.shuffle_shards(df, "doc_id", num_shards=8, seed="seedB").collect()
+    assert sorted(map(tuple, other)) != sorted(map(tuple, out))
+
+
+def test_dedup_semantic_clusters_and_keeps_min(spark, sf_small):
+    """Semantic-dedup invariants on real testdata: component is the
+    min vec_id of its cluster, exactly one keeper per component, and
+    every embedding row is labeled exactly once."""
+    from pipetree_spark.queries import load_registry
+
+    rows = load_registry()["q_dedup_semantic"].fn(spark, sf_small).collect()
+    n = len(rows)
+    assert n == len({r.vec_id for r in rows})
+    comps = {}
+    for r in rows:
+        comps.setdefault(r.component, []).append(r)
+    for comp, members in comps.items():
+        assert comp == min(m.vec_id for m in members)
+        assert sum(m.is_kept for m in members) == 1
+        keeper = next(m for m in members if m.is_kept)
+        assert keeper.vec_id == comp
