@@ -80,18 +80,20 @@ PRIORITY: tuple[str, ...] = (
     "q_tpch_q6",
     "q_udaf_pandas",         # r2
     "q_win_laglead",         # r2
-    # slots 17-20: the four r6-NEW curation ops — never graded, so they
+    # slots 17-22: the six r6-NEW curation ops — never graded, so they
     # outrank every re-confirmation (first-time certification first)
     "q_text_chunk",          # NEW: sliding-window chunking
     "q_text_shuffle_shard",  # NEW: deterministic shuffle + sharding
     "q_dedup_semantic",      # NEW: embedding-space dedup end-to-end
     "q_corpus_mixture",      # NEW: per-source mixture weighting
-    # slots 21-24: the remaining r6 re-certifications
+    "q_vec_decontam",        # NEW: semantic train/eval decontamination
+    "q_text_length_hist",    # NEW: token-length histogram audit
+    # slots 23-26: the remaining r6 re-certifications
     "q_dedup_cc",            # RE-certify: uncapped pairs + CC rewrite
     "q_dedup_near_lsh",      # RE-certify: bucket cap in query + oracle
     "q_text_pack",           # RE-certify: 2^40 pack-id namespace
     "q_dedup_keep_best",     # RE-certify: max_bucket=None pair path
-    # slots 25-50: the stalest r1 certifications (modules edited since)
+    # slots 27-50: the stalest r1 certifications (modules edited since)
     "q_agg_rollup",
     "q_agg_gsets",
     "q_agg_pivot",
@@ -119,7 +121,8 @@ PRIORITY: tuple[str, ...] = (
     "q_join_anti",
     "q_join_theta",
     # (q_join_range, q_text_stats/tf/quality and the 8 simplest r1
-    # shapes rotate to r7 — displaced by the four first-time certs)
+    # shapes rotate to r7 — displaced by the six first-time certs; the
+    # counts above shift by two but the structure is as commented)
     # --- 50-slot line: slots 51+ follow in registration order ---
 )
 

@@ -1572,16 +1572,30 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule is component = MIN(vec_id) — so even the clustering tail of
     the semantic path is oracle-exact. At 100 TB the label block
     becomes an IVF/LSH bucket (q_vec_ann_ivf_port path) so the pair
-    stage never goes n²."""
+    stage never goes n².
+
+    Exact-duplicate collapse (r6, the vector-space ``collapse_exact``):
+    byte-identical embeddings (duplicate docs embed identically — the
+    common web-crawl case, and exactly what the 10× stress corpus
+    replicates) have cos = 1.0, so they provably share a component;
+    collapsing each (label, embedding) group to its min-id
+    representative BEFORE the pairwise stage and re-attaching members
+    afterwards emits the IDENTICAL audit table (rep = group min ⇒
+    cluster min over reps = cluster min over all ids) while the n²
+    pair stage sees only distinct vectors. Semantics-preserving ⇒ the
+    oracle needs no cap mirror — unlike the text banding cap. 10×
+    stress: 32 s → ~4 s, ratio 9.6 → ~1."""
     from pipetree_spark.ops.graph import connected_components
 
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(
-        F.col("vec_id").alias("id_a"), "label",
+    grp = e.groupBy("label", "embedding").agg(F.min("vec_id").alias("rep_id"))
+    reps = grp.select("rep_id", "label", "embedding")
+    a = reps.select(
+        F.col("rep_id").alias("id_a"), "label",
         F.col("embedding").alias("va"), VX.l2_norm(F.col("embedding")).alias("na"),
     )
-    b = e.select(
-        F.col("vec_id").alias("id_b"), F.col("label").alias("lb"),
+    b = reps.select(
+        F.col("rep_id").alias("id_b"), F.col("label").alias("lb"),
         F.col("embedding").alias("vb"), VX.l2_norm(F.col("embedding")).alias("nb"),
     )
     cos = VX.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
@@ -1592,13 +1606,17 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     cc = connected_components(pairs, src="id_a", dst="id_b")
+    rep_comp = reps.join(cc, reps["rep_id"] == cc["node"], "left").select(
+        "rep_id", "label", "embedding",
+        F.coalesce("component", "rep_id").alias("component"),
+    )
     return (
-        e.select("vec_id")
-        .join(cc, e["vec_id"] == cc["node"], "left")
+        e.select("vec_id", "label", "embedding")
+        .join(rep_comp, ["label", "embedding"])
         .select(
             "vec_id",
-            F.coalesce("component", "vec_id").alias("component"),
-            (F.col("vec_id") == F.coalesce("component", "vec_id")).cast("int").alias("is_kept"),
+            "component",
+            (F.col("vec_id") == F.col("component")).cast("int").alias("is_kept"),
         )
     )
 
@@ -1646,5 +1664,83 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "n_docs", "n_tokens",
             share.alias("token_share"),
             F.sqrt(share).alias("w_alpha05"),
+        )
+    )
+
+
+@declare(
+    "q_vec_decontam",
+    oracle=f"""
+WITH ev AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 19 = 0),
+tr AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 19 <> 0)
+SELECT e.vec_id AS eval_id, t.vec_id AS train_id, e.label AS label,
+       ROUND(list_sum(list_transform(generate_series(1, 64),
+                                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE)))
+             / (SQRT({_SQ_SUM.format(v='e.embedding')}) * SQRT({_SQ_SUM.format(v='t.embedding')})), 4) AS cos_sim
+FROM ev e JOIN tr t ON e.label = t.label
+WHERE list_sum(list_transform(generate_series(1, 64),
+                              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE)))
+      / (SQRT({_SQ_SUM.format(v='e.embedding')}) * SQRT({_SQ_SUM.format(v='t.embedding')})) >= 0.35
+""",
+    tags=("vector", "dedup", "pipeline"),
+)
+def q_vec_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space counterpart of
+    q_text_decontam's shingle overlap: flag train vectors whose cosine
+    to any eval-split vector crosses the contamination threshold
+    (deterministic hash split: vec_id % 19 = 0 → eval, ~5%). A
+    training pipeline drops the flagged train rows before mixing.
+
+    Scale shape: the EVAL side is small by construction (the held-out
+    set), so it is broadcast and the train corpus streams past it —
+    one broadcast-hash join on the label block, no shuffle of the big
+    side, no n² pairs. At 100 TB the label block becomes an IVF/LSH
+    bucket exactly as in q_dedup_semantic. Cosine is the fixed-order
+    double sum (bit-identical across engines), rounded on emit only."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ev = e.filter(F.col("vec_id") % 19 == 0).select(
+        F.col("vec_id").alias("eval_id"), "label",
+        F.col("embedding").alias("ve"), VX.l2_norm(F.col("embedding")).alias("ne"),
+    )
+    tr = e.filter(F.col("vec_id") % 19 != 0).select(
+        F.col("vec_id").alias("train_id"), F.col("label").alias("lt"),
+        F.col("embedding").alias("vt"), VX.l2_norm(F.col("embedding")).alias("nt"),
+    )
+    cos = VX.dot(F.col("ve"), F.col("vt")) / (F.col("ne") * F.col("nt"))
+    return (
+        tr.join(F.broadcast(ev), ev["label"] == tr["lt"])
+        .filter(cos >= 0.35)
+        .select("eval_id", "train_id", "label", F.round(cos, 4).alias("cos_sim"))
+    )
+
+
+@declare(
+    "q_text_length_hist",
+    oracle="""
+SELECT CAST((len(string_split(text, ' ')) // 16) * 16 AS INT) AS bin_lo,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(MIN(len(string_split(text, ' '))) AS INT) AS min_tokens,
+       CAST(MAX(len(string_split(text, ' '))) AS INT) AS max_tokens
+FROM documents
+GROUP BY bin_lo
+""",
+    tags=("text",),
+)
+def q_text_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram (16-token bins) over the corpus — the
+    length-distribution audit every curation run starts with (and the
+    input to choosing q_text_pack's budget). Pure integer binning, one
+    map-side-combined groupBy; |bins| ≪ |docs| so the shuffle is tiny."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(TX.tokens("text"))
+    return (
+        d.select((F.floor(n / 16) * 16).cast("int").alias("bin_lo"), n.alias("__n"))
+        .groupBy("bin_lo")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__n").alias("total_tokens"),
+            F.min("__n").cast("int").alias("min_tokens"),
+            F.max("__n").cast("int").alias("max_tokens"),
         )
     )

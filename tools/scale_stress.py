@@ -58,6 +58,10 @@ QUERIES = [
     "q_tpch_q5",           # six-way join
     "q_vec_kmeans_port",   # portable Lloyd (r3): broadcast centroids + dim shuffle
     "q_vec_pca_port",      # portable power iteration (r3): narrow dot + dim shuffle
+    "q_text_chunk",        # r6: sliding-window chunking (no shuffle — must be ~flat)
+    "q_text_shuffle_shard",  # r6: deterministic shuffle (window per shard)
+    "q_dedup_semantic",    # r6: embcos pairs → CC → keeper (label-block join)
+    "q_vec_decontam",      # r6: broadcast eval split × train cosine
 ]
 
 
