@@ -42,6 +42,8 @@ BENCH_QUERIES: dict[str, str] = {
     "q_text_tfidf": "q_text_tfidf",
     "q_dedup_minhash_band": "q_dedup_minhash_band",
     "q_dedup_near_lsh": "q_dedup_near_lsh",  # r5: the production dedup path
+    "q_dedup_cc": "q_dedup_cc",  # r6: one-shuffle-per-round CC rewrite
+    "q_dedup_semantic": "q_dedup_semantic",  # r6: embedding-space dedup e2e
 }
 
 RUNS = 3
