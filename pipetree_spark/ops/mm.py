@@ -4,11 +4,16 @@ Model: media payloads are opaque ``BinaryType`` columns plus a typed
 metadata struct — the 100 TB-safe layout (payload bytes never leave the
 executors; metadata is columnar and prunable).
 
-The container has no image/audio libraries, so the *decode* step is a
-clearly-marked stub behind an import-try (``NotImplementedError`` when a
-real decoder is requested but unavailable) with a deterministic fake
-decoder for tests. Everything Spark-side — schema, batching, partition
-behavior, mapInPandas signatures — is real and tested.
+The container has no image/audio *codec* libraries, so decoding of
+COMPRESSED formats (JPEG/PNG/audio) is a clearly-marked stub behind an
+import-try (``NotImplementedError`` when a real decoder is requested
+but unavailable) with a deterministic fake decoder for tests. Raw
+UNCOMPRESSED payloads, however, get a REAL path (r6): raw-RGB8 buffers
+decode, resize (nearest-neighbor), and feature-extract with numpy
+alone — see :func:`rawrgb_decode` / :func:`rgb_resize_stage` /
+:func:`rgb_feature_stage`, verified against numpy references in
+tests. Everything Spark-side — schema, batching, partition behavior,
+mapInPandas signatures — is real and tested in both paths.
 """
 
 from __future__ import annotations
@@ -172,6 +177,174 @@ def embed_stage(
         for pdf in batches:
             yield pd.DataFrame(
                 {key_col: pdf[key_col].astype("int64"), "embedding": embedder(pdf[text_col], dim)}
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
+#: Raw 8-bit interleaved RGB — an UNCOMPRESSED image payload (the body
+#: of a PPM P6 file). Unlike JPEG/PNG, decoding it needs only numpy
+#: (present in this container), so this is a REAL decode path, not a
+#: stub: np.frombuffer → reshape(h, w, 3). Compressed formats remain
+#: the documented extension point (:func:`real_decoder`).
+RAW_RGB_MIME = "image/x-raw-rgb8"
+
+
+def make_rgb_payload(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    width: int = 16,
+    height: int = 16,
+) -> DataFrame:
+    """Synthesize a deterministic raw-RGB8 payload per row (sha256
+    counter-mode over the text — testdata has no real images) with the
+    (width, height) metadata a raw buffer needs to be decodable.
+    Generation runs executor-side in Arrow batches via mapInPandas —
+    the same plumbing an ingest stage decoding real files would use."""
+    need = width * height * 3
+    schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mime", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                base = hashlib.sha256(str(t).encode()).digest()
+                buf = bytearray()
+                counter = 0
+                while len(buf) < need:
+                    buf += hashlib.sha256(base + counter.to_bytes(4, "big")).digest()
+                    counter += 1
+                payloads.append(bytes(buf[:need]))
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].astype("int64"),
+                    "content": payloads,
+                    "width": width,
+                    "height": height,
+                    "mime": RAW_RGB_MIME,
+                }
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def rawrgb_decode(payload: bytes, width: int, height: int):
+    """REAL decode of a raw-RGB8 payload: byte buffer → (h, w, 3) uint8
+    pixel array. Raises on size mismatch (a corrupt payload must fail
+    loudly, not produce garbage pixels)."""
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size != width * height * 3:
+        raise ValueError(
+            f"raw-rgb8 payload is {arr.size} bytes, expected {width}x{height}x3={width * height * 3}"
+        )
+    return arr.reshape(height, width, 3)
+
+
+def rawrgb_resize(payload: bytes, width: int, height: int, out_w: int, out_h: int) -> bytes:
+    """REAL nearest-neighbor resize of a raw-RGB8 payload via numpy
+    integer index maps — deterministic (pure index arithmetic, no
+    interpolation rounding) and vectorized (no per-pixel Python)."""
+    import numpy as np
+
+    img = rawrgb_decode(payload, width, height)
+    ys = (np.arange(out_h) * height) // out_h
+    xs = (np.arange(out_w) * width) // out_w
+    return img[np.ix_(ys, xs)].tobytes()
+
+
+RGB_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("px_std", T.DoubleType()),
+    ]
+)
+
+
+def rgb_feature_stage(
+    df: DataFrame, content_col: str = "content", key_col: str = "doc_id"
+) -> DataFrame:
+    """REAL per-channel image statistics over raw-RGB8 payloads
+    (mapInPandas + numpy — no media lib needed): channel means and the
+    global pixel std, the classic cheap features for corrupt-image /
+    blank-image filtering in a multimodal curation pipeline. Expects
+    ``make_rgb_payload``'s layout (content + width/height columns)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            means_r, means_g, means_b, stds = [], [], [], []
+            for p, w, h in zip(pdf[content_col], pdf["width"], pdf["height"]):
+                img = rawrgb_decode(p, int(w), int(h)).astype(np.float64)
+                means_r.append(float(img[:, :, 0].mean()))
+                means_g.append(float(img[:, :, 1].mean()))
+                means_b.append(float(img[:, :, 2].mean()))
+                stds.append(float(img.std()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[key_col].astype("int64"),
+                    "width": pdf["width"].astype("int32"),
+                    "height": pdf["height"].astype("int32"),
+                    "mean_r": means_r,
+                    "mean_g": means_g,
+                    "mean_b": means_b,
+                    "px_std": stds,
+                }
+            )
+
+    return df.mapInPandas(run, schema=RGB_FEATURE_SCHEMA)
+
+
+def rgb_resize_stage(
+    df: DataFrame,
+    out_w: int = 8,
+    out_h: int = 8,
+    content_col: str = "content",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """REAL raw-RGB8 resize stage (nearest-neighbor, numpy) — the
+    non-stub counterpart of :func:`resize_stage` for uncompressed
+    payloads. Output layout matches ``make_rgb_payload`` so stages
+    chain (generate → resize → features)."""
+    schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mime", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                rawrgb_resize(p, int(w), int(h), out_w, out_h)
+                for p, w, h in zip(pdf[content_col], pdf["width"], pdf["height"])
+            ]
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].astype("int64"),
+                    "content": resized,
+                    "width": out_w,
+                    "height": out_h,
+                    "mime": RAW_RGB_MIME,
+                }
             )
 
     return df.mapInPandas(run, schema=schema)
