@@ -224,46 +224,103 @@ def test_minhash_signatures_random_corpora_match_duckdb(spark, texts):
 def test_pack_arithmetic_random_token_counts_match_duckdb(spark, counts):
     """Sequence-packing arithmetic (sharded cumulative fill → integer
     pack id) must agree with DuckDB on random token-count sequences —
-    pins pmod/%, floor, and window-cumsum frame semantics across
-    engines."""
-    from pyspark.sql import Window
+    pins pmod/%, floor, window-cumsum frame semantics, and the 2⁴⁰
+    shard namespace across engines — driving the REAL op
+    (ops.text.pack_sequences), not an inline re-derivation."""
+    from pipetree_spark.ops import text as TX
 
     pdf = pd.DataFrame({"doc_id": range(len(counts)), "n_tokens": counts})
-    sdf = spark.createDataFrame(pdf).withColumn(
-        "shard", F.pmod("doc_id", F.lit(4))
-    )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    sdf = spark.createDataFrame(pdf)
     got = {
         r.doc_id: r.pack_id
-        for r in sdf.withColumn("fill", F.sum("n_tokens").over(w))
-        .select(
-            "doc_id",
-            (
-                F.col("shard") * 1_000_000
-                + F.floor((F.col("fill") - F.col("n_tokens")).cast("double") / 256.0).cast("long")
-            ).alias("pack_id"),
-        )
-        .collect()
+        for r in TX.pack_sequences(sdf, budget=256, num_shards=4).collect()
     }
     con = duckdb.connect()
     con.register("t", pdf)
     want = dict(
         con.execute(
-            """WITH filled AS (
+            f"""WITH filled AS (
                  SELECT doc_id, doc_id % 4 AS shard, n_tokens,
                         SUM(n_tokens) OVER (PARTITION BY doc_id % 4 ORDER BY doc_id
                                             ROWS UNBOUNDED PRECEDING) AS fill
                  FROM t)
                SELECT doc_id,
-                      shard * 1000000 + CAST(FLOOR(CAST(fill - n_tokens AS DOUBLE) / 256.0) AS BIGINT)
+                      shard * {TX.PACK_SHARD_STRIDE} + CAST(FLOOR(CAST(fill - n_tokens AS DOUBLE) / 256.0) AS BIGINT)
                FROM filled"""
         ).fetchall()
     )
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(min_value=1, max_value=150), min_size=1, max_size=12))
+def test_chunk_boundaries_random_lengths_cover_every_token(spark, lens):
+    """chunk_documents on random document lengths: the chunk count
+    formula, start arithmetic, last-chunk clipping, and the coverage
+    property (every token position appears in ≥1 chunk; consecutive
+    chunks overlap by exactly size-stride except the clipped last)
+    against a pure-Python reference."""
+    from pipetree_spark.ops import text as TX
+
+    size, stride = 10, 7
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(lens)),
+            "text": [" ".join(f"w{j}" for j in range(n)) for n in lens],
+        }
+    )
+    out = TX.chunk_documents(spark.createDataFrame(pdf), size=size, stride=stride).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for did, n in zip(range(len(lens)), lens):
+        chunks = sorted(by_doc[did], key=lambda r: r.chunk_id)
+        want_chunks = 1 if n <= size else 1 + (n - size + stride - 1) // stride
+        assert len(chunks) == want_chunks
+        covered: set[int] = set()
+        for i, r in enumerate(chunks):
+            assert r.chunk_id == i
+            assert r.chunk_start == i * stride + 1
+            want_len = min(size, n - i * stride)
+            assert r.chunk_n_tokens == want_len
+            assert r.chunk_text == " ".join(
+                f"w{j}" for j in range(i * stride, i * stride + want_len)
+            )
+            covered |= set(range(r.chunk_start, r.chunk_start + r.chunk_n_tokens))
+        assert covered == set(range(1, n + 1))
+
+
+@settings(**SETTINGS)
+@given(st.sets(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=30))
+def test_shuffle_shards_random_keys_bijective_and_engine_exact(spark, keys):
+    """shuffle_shards on arbitrary key sets: assignment is a bijection
+    onto (shard, 1..count) slots and the md5-rank hash matches the
+    DuckDB twin exactly (the conv/md5/substr portability trick)."""
+    from pipetree_spark.ops import text as TX
+
+    pdf = pd.DataFrame({"doc_id": sorted(keys)})
+    out = TX.shuffle_shards(spark.createDataFrame(pdf), num_shards=4, seed="pbt").collect()
+    assert len(out) == len(keys)
+    slots = {(r.shard, r.pos) for r in out}
+    assert len(slots) == len(keys)
+    per_shard: dict[int, list] = {}
+    for r in out:
+        per_shard.setdefault(r.shard, []).append(r.pos)
+    for poss in per_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = dict(
+        con.execute(
+            """WITH h AS (
+                 SELECT doc_id,
+                        CAST(concat('0x', substr(md5(concat('pbt|', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS hh
+                 FROM t)
+               SELECT doc_id, row_number() OVER (PARTITION BY hh % 4 ORDER BY hh, doc_id)
+               FROM h"""
+        ).fetchall()
+    )
+    assert {r.doc_id: r.pos for r in out} == want
 
 
 @settings(**SETTINGS)
