@@ -1744,3 +1744,107 @@ def q_text_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("__n").cast("int").alias("max_tokens"),
         )
     )
+
+
+@declare(
+    "q_dedup_cluster_lsh",
+    oracle=f"""
+WITH RECURSIVE norm AS (
+  SELECT doc_id, n_chars, text,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS nh
+  FROM documents
+),
+repmap AS (
+  SELECT doc_id, n_chars, nh, MIN(doc_id) OVER (PARTITION BY nh) AS rep_id
+  FROM norm
+),
+rep AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, row_number() OVER (PARTITION BY nh ORDER BY doc_id) AS rn
+    FROM norm) WHERE rn = 1
+),
+sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM rep)
+),
+sig AS (
+  SELECT doc_id, [{', '.join(_MH)}] AS m FROM sh
+),
+bands AS (
+  SELECT doc_id, j, CASE j {' '.join(f"WHEN {j} THEN {b}" for j, b in enumerate(_MH_BANDS8))} END AS bk
+  FROM sig CROSS JOIN generate_series(0, 7) AS g(j)
+  QUALIFY count(*) OVER (PARTITION BY j, bk) <= 1024
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.j = b.j AND a.bk = b.bk AND a.doc_id < b.doc_id
+),
+ver AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5
+),
+sym AS (SELECT id_a AS u, id_b AS v FROM ver UNION SELECT id_b, id_a FROM ver),
+reach(src, dst) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT r.src, s.v FROM reach r JOIN sym s ON r.dst = s.u
+),
+comp AS (SELECT src, MIN(dst) AS component FROM reach GROUP BY src),
+lab AS (
+  SELECT r.doc_id, r.n_chars, COALESCE(c.component, r.rep_id) AS component
+  FROM repmap r LEFT JOIN comp c ON r.rep_id = c.src
+)
+SELECT doc_id, component,
+       CAST(row_number() OVER (
+              PARTITION BY component ORDER BY n_chars DESC, doc_id) = 1
+            AS INT) AS is_kept
+FROM lab
+""",
+    tags=("dedup", "graph", "pipeline"),
+)
+def q_dedup_cluster_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE production clustered dedup END-TO-END, oracle-exact: LSH
+    banding candidates (flood-collapsed, bucket-capped) → exact-Jaccard
+    verify at 0.5 → connected components → keep the highest-quality doc
+    per cluster — with exact-duplicate members RE-ATTACHED through
+    their normalized-text representative, so every input doc gets a
+    (doc_id, component, is_kept) audit row. This is q_dedup_keep_best
+    rebuilt on the linear-scale pair path: where keep_best's exact
+    all-pairs stage is the oracle-parity formulation, THIS query is
+    what a 100 TB corpus actually runs.
+
+    Scale shape, stage by stage: exact-collapse = one map-side-combined
+    shuffle (flood-safe); banding = |uniques|×bands shuffle rows with
+    the 1024 bucket cap; verify = candidate-sized joins; CC = one
+    shuffle job per round on candidate edges (linear in TRUE near-dup
+    clusters — SCALING.md's trichotomy: raw pair OUTPUT is quadratic in
+    duplication density, clusters are not, which is exactly why the
+    production path consumes pairs here instead of materializing them);
+    member re-attach = normalized-hash groupBy + equi-join (both sides
+    hash-partitioned, no broadcast needed); keeper = one window per
+    component. Component id = global min doc_id (exact_dedup keeps the
+    min key per text, so min over reps = min over members) — the same
+    canonical-label contract as q_dedup_keep_best/q_dedup_semantic."""
+    from pipetree_spark.ops.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = TX.near_dup_pairs_lsh(d, threshold=0.5, num_hashes=16, bands=8).select(
+        "id_a", "id_b"
+    )
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    docs = d.select("doc_id", "n_chars", TX.text_hash("text").alias("__nh"))
+    reps = docs.groupBy("__nh").agg(F.min("doc_id").alias("rep_id"))
+    m = docs.join(reps, "__nh")
+    lab = m.join(cc, m["rep_id"] == cc["node"], "left").select(
+        "doc_id", "n_chars", F.coalesce("component", "rep_id").alias("component")
+    )
+    w = Window.partitionBy("component").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return lab.select(
+        "doc_id",
+        "component",
+        (F.row_number().over(w) == 1).cast("int").alias("is_kept"),
+    )
