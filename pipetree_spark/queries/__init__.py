@@ -89,7 +89,8 @@ PRIORITY: tuple[str, ...] = (
     "q_vec_decontam",        # NEW: semantic train/eval decontamination
     "q_text_length_hist",    # NEW: token-length histogram audit
     "q_dedup_cluster_lsh",   # NEW: production clustered dedup e2e
-    # slots 24-27: the remaining r6 re-certifications
+    "q_src_evolution",       # NEW: parquet schema evolution + partition discovery
+    # slots 25-28: the remaining r6 re-certifications
     "q_dedup_cc",            # RE-certify: uncapped pairs + CC rewrite
     "q_dedup_near_lsh",      # RE-certify: bucket cap in query + oracle
     "q_text_pack",           # RE-certify: 2^40 pack-id namespace

@@ -185,3 +185,45 @@ def q_src_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n_rows"), dsum("l_extendedprice").alias("sum_price")
     )
+
+
+@declare(
+    "q_src_evolution",
+    oracle=f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       {dsum_sql('c_acctbal')} AS sum_bal,
+       CAST(SUM(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_named
+FROM customer
+GROUP BY c_mktsegment
+""",
+    tags=("source",),
+)
+def q_src_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet SCHEMA EVOLUTION at the source (r6): batch 1 is written
+    without ``c_name``, batch 2 (a later producer version) adds it;
+    ``mergeSchema=true`` reconciles the footers into one widened schema
+    with nulls for the pre-evolution rows — the standard long-lived-
+    dataset pattern at 100 TB, where a sink's schema WILL change across
+    producer deployments and re-writing old partitions is not an
+    option. The batches land as hive-style ``batch=N`` partitions, so
+    this also exercises evolution + partition discovery together.
+    Verified by re-aggregating: row counts and sums over the merged
+    frame must equal the oracle over the original table, and ``n_named``
+    (non-null c_name) must count exactly the batch-2 rows."""
+    c = load_table(spark, sf_dir, "customer")
+    path = f"{_SCRATCH}/pipetree_spark_evolution"
+    old = c.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    new = c.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_mktsegment", "c_acctbal", "c_name"
+    )
+    old.write.mode("overwrite").parquet(f"{path}/batch=1")
+    new.write.mode("overwrite").parquet(f"{path}/batch=2")
+    back = spark.read.option("mergeSchema", True).parquet(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        dsum("c_acctbal").alias("sum_bal"),
+        F.count("c_name").alias("n_named"),
+    )
