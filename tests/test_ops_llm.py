@@ -963,3 +963,47 @@ def test_rawrgb_real_decode_resize_features(spark, sf_small):
         assert fr.px_std == ref_img.std()
     # pseudo-images are near-uniform noise: sanity band, not exactness
     assert all(100 < fr.mean_r < 155 for fr in feats.values())
+
+
+def test_corpus_mixture_shares_and_weights(spark, sf_small):
+    """Mixture-table invariants: token shares sum to 1 (exact integer
+    totals), weights are sqrt(share), and per-source counts cover the
+    corpus exactly."""
+    from pipetree_spark.queries import load_registry
+
+    rows = load_registry()["q_corpus_mixture"].fn(spark, sf_small).collect()
+    total_docs = sum(r.n_docs for r in rows)
+    total_tokens = sum(r.n_tokens for r in rows)
+    d = load_table(spark, sf_small, "documents")
+    assert total_docs == d.count()
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-12
+    for r in rows:
+        assert r.token_share == r.n_tokens / total_tokens
+        assert r.w_alpha05 == (r.n_tokens / total_tokens) ** 0.5
+
+
+def test_vec_decontam_flags_only_cross_split_pairs(spark):
+    """Decontamination invariants: every flagged pair crosses the
+    eval/train hash split, labels match (the blocking key), and the
+    flagged cosine really is >= the threshold per a numpy recompute.
+    Runs at sf0.01 — the sf0.001 eval split (~10 vectors) has no pair
+    over the threshold, which would vacuously pass."""
+    import numpy as np
+
+    from pipetree_spark.queries import load_registry
+
+    sf_med = "/root/testdata/sf0.01"
+    rows = load_registry()["q_vec_decontam"].fn(spark, sf_med).collect()
+    assert rows  # the sf0.01 corpus does contain contamination at 0.35
+    emb = {
+        r.vec_id: (r.label, np.array(r.embedding, dtype=np.float64))
+        for r in load_table(spark, sf_med, "embeddings").collect()
+    }
+    for r in rows:
+        assert r.eval_id % 19 == 0 and r.train_id % 19 != 0
+        le, ve = emb[r.eval_id]
+        lt, vt = emb[r.train_id]
+        assert le == lt == r.label
+        cos = float(ve @ vt / (np.linalg.norm(ve) * np.linalg.norm(vt)))
+        assert cos >= 0.35
+        assert abs(cos - r.cos_sim) < 5e-4  # emitted value is round(cos, 4)
