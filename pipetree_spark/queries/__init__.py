@@ -90,7 +90,8 @@ PRIORITY: tuple[str, ...] = (
     "q_text_length_hist",    # NEW: token-length histogram audit
     "q_dedup_cluster_lsh",   # NEW: production clustered dedup e2e
     "q_src_evolution",       # NEW: parquet schema evolution + partition discovery
-    # slots 25-28: the remaining r6 re-certifications
+    "q_join_nullsafe",       # NEW: null-safe equality join (<=>)
+    # slots 26-29: the remaining r6 re-certifications
     "q_dedup_cc",            # RE-certify: uncapped pairs + CC rewrite
     "q_dedup_near_lsh",      # RE-certify: bucket cap in query + oracle
     "q_text_pack",           # RE-certify: 2^40 pack-id namespace

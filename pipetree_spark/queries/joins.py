@@ -407,3 +407,43 @@ def q_join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
         sums={"revenue": (F.col("rev6") / F.lit(1e6), 6), "n_items_d": (F.col("n_i"), 0)},
     )
     return g.select("n_name", "revenue", F.col("n_items_d").cast("long").alias("n_items"))
+
+
+@declare(
+    "q_join_nullsafe",
+    oracle="""
+WITH o AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN NULL ELSE o_orderpriority END AS k,
+         o_totalprice
+  FROM orders
+),
+d AS (
+  SELECT DISTINCT CASE WHEN o_orderpriority = '1-URGENT' THEN NULL ELSE o_orderpriority END AS k
+  FROM orders
+)
+SELECT COALESCE(o.k, '<NULL>') AS k, COUNT(*) AS n_orders
+FROM o JOIN d ON o.k IS NOT DISTINCT FROM d.k
+GROUP BY COALESCE(o.k, '<NULL>')
+""",
+    tags=("join",),
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equality join (``<=>`` / ``IS NOT DISTINCT FROM``):
+    null keys MATCH null keys instead of vanishing — the join variant a
+    plain equi-join silently gets wrong when keys are nullable (the
+    '1-URGENT' priority is nulled out on both sides to manufacture the
+    case; its orders survive only because of null-safe semantics).
+    Plan note: Spark plans ``<=>`` as a hash join on a null-coalesced
+    key (BroadcastHashJoin here — the dim side is 5 rows), NOT a
+    nested-loop — null-safety costs nothing at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    nullk = F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(None)).otherwise(
+        F.col("o_orderpriority")
+    )
+    left = o.select(nullk.alias("k"), "o_totalprice")
+    dim = o.select(nullk.alias("kd")).distinct()
+    return (
+        left.join(F.broadcast(dim), left["k"].eqNullSafe(dim["kd"]))
+        .groupBy(F.coalesce("k", F.lit("<NULL>")).alias("k"))
+        .agg(F.count("*").alias("n_orders"))
+    )
