@@ -34,6 +34,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     eager_check: bool = True,
+    jump_after: int = 4,
 ) -> DataFrame:
     """Min-label connected components over an undirected edge list.
 
@@ -60,6 +61,19 @@ def connected_components(
     once (before its checkpoint), so each round's neighbor join
     exchanges only the (|nodes|-sized) label side, never the
     (2|edges|-sized) edge side.
+
+    Adaptive pointer-jumping (``jump_after``): plain min-label
+    propagation converges in O(component diameter) rounds — fine for
+    the star/clique components near-dup graphs actually produce (2-4
+    rounds), fatal for chain-shaped components (A≈B≈C≈… boilerplate
+    drift), which would exhaust ``max_iter`` at diameter > 25. From
+    round ``jump_after`` on, each round additionally contracts
+    ``label ← label[label]`` (one self-join on the round's checkpoint,
+    i.e. a second job), doubling the distance a label travels per
+    round — O(log diameter) rounds overall. Cheap graphs never pay
+    (they converge before the escalation kicks in); a converged
+    labeling is a fixed point of the jump, so the convergence contract
+    is unchanged. ``jump_after=None`` disables escalation.
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
@@ -72,7 +86,7 @@ def connected_components(
     own_type = labels.schema["component"].dataType
 
     converged = not eager_check
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # candidate label for u: min over (own label, neighbors' labels).
         # Own rows carry their label in __own, neighbor rows carry null
         # (min ignores nulls; each u has exactly one own row) — so the
@@ -89,6 +103,20 @@ def connected_components(
             .agg(F.min("component").alias("component"), F.min("__own").alias("__own"))
             .localCheckpoint(eager=True)
         )
+        if jump_after is not None and it >= jump_after:
+            # pointer jump: label ← label[label]. The lookup side reads
+            # the checkpoint just materialized (no recompute); every
+            # component value is itself a labeled node, so the inner
+            # join is total. Labels only decrease, so __own comparisons
+            # below remain valid.
+            lk = new_labels.select(
+                F.col("u").alias("__cu"), F.col("component").alias("__cc")
+            )
+            new_labels = (
+                new_labels.join(lk, new_labels["component"] == lk["__cu"])
+                .select("u", F.col("__cc").alias("component"), "__own")
+                .localCheckpoint(eager=True)
+            )
         if eager_check:
             # runs against the materialized checkpoint — no recompute,
             # no join: a label changed iff the new min beat the old one

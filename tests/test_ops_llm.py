@@ -1007,3 +1007,20 @@ def test_vec_decontam_flags_only_cross_split_pairs(spark):
         cos = float(ve @ vt / (np.linalg.norm(ve) * np.linalg.norm(vt)))
         assert cos >= 0.35
         assert abs(cos - r.cos_sim) < 5e-4  # emitted value is round(cos, 4)
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 60-node chain (diameter 59) would need 59 plain-propagation
+    rounds — far past max_iter=25. Adaptive pointer-jumping (label ←
+    label[label] from round 4 on) must converge it within the default
+    budget and label every node with the chain head. Also pins the
+    fixed-point property: a second pass over the already-converged
+    labeling is a no-op."""
+    from pipetree_spark.ops.graph import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(60)], ["src", "dst"])
+    got = {r.node: r.component for r in connected_components(chain).collect()}
+    assert got == {i: 0 for i in range(61)}
+    # without jumping the same graph must exhaust max_iter and raise
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=10, jump_after=None).collect()
