@@ -1848,3 +1848,225 @@ def q_dedup_cluster_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         (F.row_number().over(w) == 1).cast("int").alias("is_kept"),
     )
+
+
+@declare(
+    "q_text_unigram_lm",
+    oracle="""
+WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+n AS (SELECT COUNT(*) AS n_total FROM toks),
+per AS (
+  SELECT t.doc_id,
+         COUNT(*) AS n_tokens,
+         CAST(SUM(v.cnt) AS BIGINT) AS sum_cnt,
+         CAST(SUM(CASE WHEN v.cnt < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+  FROM toks t JOIN vocab v USING (tok) GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, sum_cnt,
+       (CAST(sum_cnt AS DOUBLE) / n_tokens) / n.n_total AS familiarity,
+       CAST(n_rare AS DOUBLE) / n_tokens AS rare_ratio
+FROM per CROSS JOIN n
+""",
+    tags=("text", "pipeline"),
+)
+def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality scoring (the CCNet idea, linear domain): train
+    a unigram model ON the corpus itself, then score every document by
+    how familiar its tokens are — ``familiarity`` = mean corpus
+    frequency of the doc's tokens normalized by total corpus tokens
+    (= mean unigram probability), plus ``rare_ratio`` = share of tokens
+    seen <3 times corpus-wide. A curation pipeline buckets on these to
+    drop gibberish (low familiarity, high rare_ratio) and boilerplate
+    (extreme familiarity) — the perplexity-filter stage of CCNet-style
+    pipelines with the LM swapped for its unigram core.
+
+    Stays linear-domain (mean probability, not mean log-prob) for the
+    same reason q_text_tfidf uses linear idf: every emitted value is an
+    integer sum followed by two correctly-rounded IEEE divides, so the
+    score is bit-identical cross-engine; a libm ``ln`` differs in the
+    last ulp between engines (SURVEY §2.0 drift class). The log-domain
+    swap is one line if absolute perplexity is needed downstream.
+
+    Scale shape (= q_text_tfidf's): the token stream shuffles ONCE on
+    doc_id (satisfies the per-doc aggregation); the vocab table —
+    sublinear in corpus size by Heaps' law — is built by a map-side-
+    combined groupBy(tok) and BROADCAST back onto the stream, so
+    stopword skew never forms a hot reduce bucket and the heavy side
+    never re-shuffles on token. Beyond broadcast range (≳10⁷ terms)
+    drop the hint and let AQE skew-split the join."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+    toks = toks.repartition("doc_id")
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    n_total = toks.agg(F.count("*").alias("n_total"))
+    per = (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("cnt").alias("sum_cnt"),
+            F.sum(F.when(F.col("cnt") < 3, 1).otherwise(0)).alias("n_rare"),
+        )
+    )
+    return per.crossJoin(F.broadcast(n_total)).select(
+        "doc_id",
+        "n_tokens",
+        "sum_cnt",
+        ((F.col("sum_cnt").cast("double") / F.col("n_tokens")) / F.col("n_total")).alias(
+            "familiarity"
+        ),
+        (F.col("n_rare").cast("double") / F.col("n_tokens")).alias("rare_ratio"),
+    )
+
+
+@declare(
+    "q_text_ngram_top",
+    oracle="""
+WITH grams AS (
+  SELECT lang, UNNEST(list_transform(generate_series(1, len(w) - 1),
+                                     i -> w[i] || ' ' || w[i + 1])) AS gram
+  FROM (SELECT lang, string_split(text, ' ') AS w FROM documents)
+),
+cnt AS (SELECT lang, gram, COUNT(*) AS n FROM grams GROUP BY lang, gram)
+SELECT lang, gram, n FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS rn FROM cnt
+) WHERE rn <= 20
+""",
+    tags=("text",),
+)
+def q_text_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigrams per language — the corpus n-gram frequency audit
+    (boilerplate detection: navigation chrome, cookie banners, and
+    license headers surface as impossibly frequent n-grams; the output
+    feeds a drop-list for q_text_clean). Bigrams come from
+    ops.text.word_ngrams WITH multiplicity — frequency counting needs
+    the duplicates that set-shingles deliberately remove.
+
+    Exact integer counts, deterministic ties on the gram string —
+    nothing here can drift cross-engine.
+
+    Scale shape: explode → ONE map-side-combined shuffle on
+    (lang, gram) — partial counts collapse the duplicated mass before
+    the exchange, so the wire carries ~|distinct grams|, not |tokens|.
+    The top-20 window partitions on lang over the already-aggregated
+    relation; per-lang sort cost is |distinct grams per lang| log k in
+    Spark's bounded-window path, and a 100 TB corpus caps it by
+    pre-filtering `n > threshold` before the window (rare grams can't
+    reach any top-20 — same monotone-prune argument as q_topk_global)."""
+    d = load_table(spark, sf_dir, "documents")
+    from pipetree_spark.ops.relational import topk_per_group
+
+    grams = d.select("lang", F.explode(TX.word_ngrams("text", 2)).alias("gram"))
+    cnt = grams.groupBy("lang", "gram").agg(F.count("*").alias("n"))
+    return topk_per_group(
+        cnt, ["lang"], [F.col("n").desc(), F.col("gram")], 20
+    ).select("lang", "gram", "n")
+
+
+@declare(
+    "q_dedup_incremental",
+    oracle=f"""
+WITH inc AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+base AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+ex AS (
+  SELECT DISTINCT i.doc_id
+  FROM inc i JOIN base b
+    ON md5(regexp_replace(lower(trim(i.text)), '\\s+', ' ', 'g')) =
+       md5(regexp_replace(lower(trim(b.text)), '\\s+', ' ', 'g'))
+),
+shi AS (
+  SELECT doc_id, lang, {{shingles}} AS s
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM inc)
+),
+shb AS (
+  SELECT doc_id, lang, {{shingles}} AS s
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM base)
+),
+near AS (
+  SELECT a.doc_id, COUNT(*) AS n_near
+  FROM shi a JOIN shb b ON a.lang = b.lang
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+  GROUP BY a.doc_id
+)
+SELECT i.doc_id AS doc_id,
+       CAST(e.doc_id IS NOT NULL AS INT) AS is_exact,
+       COALESCE(n.n_near, 0) AS n_near,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+            WHEN COALESCE(n.n_near, 0) > 0 THEN 'near'
+            ELSE 'unique' END AS dup_kind
+FROM inc i
+LEFT JOIN ex e ON i.doc_id = e.doc_id
+LEFT JOIN near n ON i.doc_id = n.doc_id
+""".replace("{shingles}", _SHINGLES_SQL),
+    tags=("dedup", "pipeline"),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the daily-crawl shape: classify each doc of
+    an incoming batch (deterministic hash split, doc_id % 10 = 0, ~10%)
+    against the existing corpus as ``exact`` (normalized-text hash
+    already present), ``near`` (shingle-Jaccard ≥ 0.5 to any corpus doc
+    in its language block), or ``unique``. Batch-vs-corpus is the dedup
+    variant every production pipeline actually runs day to day — the
+    full-corpus passes (q_dedup_cluster_lsh) are the rebuild, this is
+    the increment. Output is the per-incoming-doc audit row
+    (is_exact, n_near, dup_kind) a router drops/keeps on.
+
+    Everything is integer/string domain (md5 equality, integer-ratio
+    Jaccard) — bit-exact cross-engine.
+
+    Scale shape — the asymmetry IS the optimization: the increment is
+    small (a day ≈ 0.1% of a 100 TB corpus), so the increment side is
+    BROADCAST and the corpus STREAMS past it — the corpus is never
+    shuffled, never re-shingled into an exchange, and the scan
+    parallelism is the corpus partition count. Exact stage: corpus
+    hashes × broadcast(increment hashes) semi-style join; near stage:
+    corpus shingle-sets × broadcast(increment shingle-sets) on the lang
+    block. At 100 TB the lang block coarsens to LSH band buckets
+    (near_dup_pairs_lsh's banding) so each corpus row meets only
+    colliding increment docs instead of every same-lang one; the
+    broadcast-increment direction is unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    inc = d.filter(F.col("doc_id") % 10 == 0)
+    base = d.filter(F.col("doc_id") % 10 != 0)
+
+    # exact: corpus hash index joined against the broadcast increment
+    inc_h = inc.select("doc_id", TX.text_hash("text").alias("nh"))
+    base_h = base.select(TX.text_hash("text").alias("nh")).distinct()
+    ex = (
+        base_h.join(F.broadcast(inc_h), "nh")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__e", F.lit(1))
+    )
+
+    # near: corpus shingle stream × broadcast increment, lang-blocked
+    shi = inc.select(
+        F.col("doc_id").alias("iid"), "lang", TX.word_shingles("text").alias("s")
+    )
+    shb = base.select(
+        F.col("lang").alias("bl"), TX.word_shingles("text").alias("t")
+    )
+    near = (
+        shb.join(F.broadcast(shi), F.col("bl") == F.col("lang"))
+        .filter(TX.jaccard(F.col("s"), F.col("t")) >= 0.5)
+        .groupBy("iid")
+        .agg(F.count("*").alias("n_near"))
+        .withColumnRenamed("iid", "doc_id")
+    )
+
+    return (
+        inc.select("doc_id")
+        .join(ex, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("__e", F.lit(0)).alias("is_exact"),
+            F.coalesce("n_near", F.lit(0)).alias("n_near"),
+            F.when(F.col("__e").isNotNull(), F.lit("exact"))
+            .when(F.coalesce("n_near", F.lit(0)) > 0, F.lit("near"))
+            .otherwise(F.lit("unique"))
+            .alias("dup_kind"),
+        )
+    )

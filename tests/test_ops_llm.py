@@ -1024,3 +1024,90 @@ def test_connected_components_long_chain_pointer_jumping(spark):
     # without jumping the same graph must exhaust max_iter and raise
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=10, jump_after=None).collect()
+
+
+@pytest.fixture(scope="module")
+def planted_dir(spark, tmp_path_factory):
+    """A tiny documents.parquet with KNOWN duplicate structure against
+    the incremental split (doc_id % 10 = 0 → incoming):
+
+    - 10 is a whitespace/case variant of corpus doc 3  → exact
+    - 20 is a one-word mutation of corpus doc 5        → near
+    - 30 shares nothing with the corpus                → unique
+    - 40 is byte-identical to corpus doc 7 AND a near-dup of 8 → exact wins
+    """
+    rows = [
+        (3, "machine learning models require large amounts of clean training data", "en"),
+        (5, "spark structured streaming handles late data with watermarks and windows", "en"),
+        (7, "the quick brown fox jumps over the lazy dog near the river bank", "en"),
+        (8, "the quick brown fox jumps over the lazy dog near the river edge", "en"),
+        (9, "completely unrelated corpus sentence about cooking pasta with tomato sauce", "en"),
+        (10, "  Machine learning models require large amounts of clean training data ", "en"),
+        (20, "spark structured streaming handles late data with watermarks and triggers", "en"),
+        (30, "nothing here resembles anything stored in the existing corpus shards", "en"),
+        (40, "the quick brown fox jumps over the lazy dog near the river bank", "en"),
+    ]
+    d = spark.createDataFrame(
+        [(i, t, l, "web", len(t)) for i, t, l in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = str(tmp_path_factory.mktemp("planted_sf"))
+    d.coalesce(1).write.parquet(out + "/documents.parquet")
+    return out
+
+
+def test_dedup_incremental_classifies_planted(spark, planted_dir):
+    from pipetree_spark.queries.llm_ops import q_dedup_incremental
+
+    got = {r.doc_id: r for r in q_dedup_incremental(spark, planted_dir).collect()}
+    assert set(got) == {10, 20, 30, 40}
+    assert got[10].dup_kind == "exact" and got[10].is_exact == 1
+    assert got[20].dup_kind == "near" and got[20].is_exact == 0 and got[20].n_near >= 1
+    assert got[30].dup_kind == "unique" and got[30].n_near == 0
+    # exact outranks near even when both fire
+    assert got[40].dup_kind == "exact" and got[40].n_near >= 1
+
+
+def test_unigram_lm_familiarity_orders_common_vs_rare(spark, tmp_path):
+    """Docs of corpus-frequent tokens must score higher familiarity than
+    a doc of hapax tokens, and the hapax doc's rare_ratio must be 1."""
+    from pipetree_spark.queries.llm_ops import q_text_unigram_lm
+
+    common = "alpha beta gamma delta"
+    rows = [(i, common, "en", "web", len(common)) for i in range(8)]
+    rows.append((99, "xyzzy plugh quux corge", "en", "web", 22))
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / "sf")
+    d.coalesce(1).write.parquet(out + "/documents.parquet")
+    got = {r.doc_id: r for r in q_text_unigram_lm(spark, out).collect()}
+    assert got[0].familiarity > got[99].familiarity
+    assert got[99].rare_ratio == 1.0 and got[0].rare_ratio == 0.0
+    # mean unigram probability: common tokens each appear 8x in a
+    # 36-token stream → familiarity = 8/36 exactly
+    assert got[0].familiarity == pytest.approx(8 / 36, abs=0)
+    assert got[99].familiarity == pytest.approx(1 / 36, abs=0)
+
+
+def test_ngram_top_counts_multiplicity_and_ties(spark, tmp_path):
+    """Bigram counting must keep within-doc repetition (multiplicity)
+    and break count ties on the gram string."""
+    from pipetree_spark.queries.llm_ops import q_text_ngram_top
+
+    rows = [
+        (1, "click here click here click here", "en", "web", 32),
+        (2, "terms apply", "en", "web", 11),
+        (3, "apply now", "de", "web", 9),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / "sf")
+    d.coalesce(1).write.parquet(out + "/documents.parquet")
+    got = q_text_ngram_top(spark, out).collect()
+    en = [(r.gram, r.n) for r in got if r.lang == "en"]
+    # "click here" appears 3x (multiplicity within one doc), "here click" 2x
+    assert en[0] == ("click here", 3) and en[1] == ("here click", 2)
+    de = [(r.gram, r.n) for r in got if r.lang == "de"]
+    assert de == [("apply now", 1)]
