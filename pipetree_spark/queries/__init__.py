@@ -80,7 +80,7 @@ PRIORITY: tuple[str, ...] = (
     "q_tpch_q6",
     "q_udaf_pandas",         # r2
     "q_win_laglead",         # r2
-    # slots 17-28: the twelve r6-NEW ops — never graded, so they
+    # slots 17-30: the fourteen r6-NEW ops — never graded, so they
     # outrank every re-confirmation (first-time certification first)
     "q_text_chunk",          # NEW: sliding-window chunking
     "q_text_shuffle_shard",  # NEW: deterministic shuffle + sharding
@@ -94,7 +94,9 @@ PRIORITY: tuple[str, ...] = (
     "q_text_unigram_lm",     # NEW: corpus-LM familiarity scoring
     "q_text_ngram_top",      # NEW: per-lang frequent-bigram audit
     "q_dedup_incremental",   # NEW: incoming-batch-vs-corpus dedup
-    # slots 29-32: the remaining r6 re-certifications
+    "q_ts_sessionize",       # NEW: gaps-and-islands batch sessionization
+    "q_ts_anomaly",          # NEW: bit-exact rolling-z anomaly detection
+    # slots 31-34: the remaining r6 re-certifications
     "q_dedup_cc",            # RE-certify: uncapped pairs + CC rewrite
     "q_dedup_near_lsh",      # RE-certify: bucket cap in query + oracle
     "q_text_pack",           # RE-certify: 2^40 pack-id namespace
@@ -121,12 +123,10 @@ PRIORITY: tuple[str, ...] = (
     "q_fn_struct",
     "q_fn_from_json",
     "q_fn_editdist",
-    "q_fn_string2",
-    "q_join_broadcast",
-    # (q_join_smj/anti/theta, q_join_range, q_text_stats/tf/quality and
-    # the 8 simplest r1 shapes rotate to r7 — displaced by the twelve
-    # first-time certs; joins stay covered in-window by q_join_3way,
-    # q_join_nullsafe and q_join_broadcast)
+    # (q_fn_string2, q_join_broadcast/smj/anti/theta, q_join_range,
+    # q_text_stats/tf/quality and the 8 simplest r1 shapes rotate to r7
+    # — displaced by the fourteen first-time certs; joins stay covered
+    # in-window by q_join_3way and q_join_nullsafe)
     # --- 50-slot line: slots 51+ follow in registration order ---
 )
 

@@ -1899,7 +1899,10 @@ def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
     toks = toks.repartition("doc_id")
     vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    n_total = toks.agg(F.count("*").alias("n_total"))
+    # Σ vocab counts ≡ |token stream| — integer-exact, and it folds the
+    # corpus-total pass onto the tiny vocab relation instead of a third
+    # scan+explode of the corpus
+    n_total = vocab.agg(F.sum("cnt").alias("n_total"))
     per = (
         toks.join(F.broadcast(vocab), "tok")
         .groupBy("doc_id")
@@ -2056,10 +2059,12 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("iid", "doc_id")
     )
 
+    # assembly: ex and near are ⊆ the increment — broadcast both so the
+    # audit-row build never plans a sort-merge join on unknown stats
     return (
         inc.select("doc_id")
-        .join(ex, "doc_id", "left")
-        .join(near, "doc_id", "left")
+        .join(F.broadcast(ex), "doc_id", "left")
+        .join(F.broadcast(near), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("__e", F.lit(0)).alias("is_exact"),

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pipetree_spark.catalog import OPEN_INTERVAL_SENTINEL, load_table
-from pipetree_spark.exact import dsum, dsum_sql
+from pipetree_spark.exact import dec, dsum, dsum_sql
 from pipetree_spark.queries import declare
 
 # One-week hourly spine over the first 20 users: 20 × 168 = 3360 cells at
@@ -330,4 +330,142 @@ def q_ts_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Arrow-safe sentinel — rationale at catalog.OPEN_INTERVAL_SENTINEL.
         F.coalesce(nxt_date, F.lit(OPEN_INTERVAL_SENTINEL).cast("timestamp")).alias("valid_to"),
         F.when(nxt_key.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+@declare(
+    "q_ts_sessionize",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, (epoch_ns(ts) // 1000000000) AS sec, value FROM events
+),
+m AS (
+  SELECT *,
+         CASE WHEN LAG(sec) OVER w IS NULL OR sec - LAG(sec) OVER w > 1800
+              THEN 1 ELSE 0 END AS is_start
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+),
+s AS (
+  SELECT *,
+         CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM m
+)
+SELECT user_id, session_idx,
+       MIN(sec) AS session_start_sec,
+       MAX(sec) AS session_end_sec,
+       COUNT(*) AS n_events,
+       {dsum_sql('value')} AS sum_value
+FROM s GROUP BY user_id, session_idx
+""",
+    tags=("timeseries", "events", "window"),
+)
+def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH sessionization — the gaps-and-islands build: a session
+    starts at any event whose gap to the user's previous event exceeds
+    30 min; session id = running count of starts; one aggregate row per
+    session (start/end/size/spend). The batch counterpart of
+    q_stream_session's state-store sessions, and the standard rewrite
+    that replaces a per-user UDF loop with two window passes + one
+    groupBy — fully declarative, so Catalyst plans it.
+
+    Determinism: gap logic is pure int64 epoch-second arithmetic with
+    the unique event_id tie-break; the only float, session spend, goes
+    through the exact-decimal sum. Scale: both windows AND the final
+    groupBy cluster on user_id — Catalyst plans ONE exchange and reuses
+    it end-to-end; skew is bounded by one user's event count."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts_sec", "value")
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    gap = F.col("ts_sec") - F.lag("ts_sec").over(w)
+    is_start = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts_sec", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = e.withColumn("is_start", is_start).withColumn(
+        "session_idx", F.sum("is_start").over(run)
+    )
+    return s.groupBy("user_id", "session_idx").agg(
+        F.min("ts_sec").alias("session_start_sec"),
+        F.max("ts_sec").alias("session_end_sec"),
+        F.count("*").alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )
+
+
+@declare(
+    "q_ts_anomaly",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, (epoch_ns(ts) // 1000000000) AS sec, value FROM events
+),
+m AS (
+  SELECT *,
+         COUNT(value)                                    OVER w AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2)))          OVER w AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value * value AS DECIMAL(24,4)))  OVER w AS DOUBLE) AS s2
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, sec, value,
+       s1 / n AS baseline_mean,
+       (value - s1 / n) / SQRT((s2 - (s1 * s1) / n) / (n - 1)) AS z
+FROM m
+WHERE n = 20
+  AND (s2 - (s1 * s1) / n) / (n - 1) > 0
+  AND ABS((value - s1 / n) / SQRT((s2 - (s1 * s1) / n) / (n - 1))) > 3
+""",
+    tags=("timeseries", "events", "window"),
+)
+def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event is scored against
+    its user's TRAILING 20-event baseline (frame excludes the current
+    row — the score must not contaminate its own baseline) and flagged
+    when it sits >3σ out. The monitoring primitive every ingest
+    pipeline bolts onto a metric stream.
+
+    Determinism (the interesting part — rolling *variance* normally
+    drifts cross-engine): both moments are EXACT-DECIMAL window sums —
+    value has 2 dp so DECIMAL(18,2) is exact, value² has 4 dp and one
+    IEEE multiply of identical bits lands within 1 ulp of the true 4-dp
+    product, so DECIMAL(24,4) rounds identically in both engines. From
+    those identical doubles, mean/var/z is a pinned tree of correctly-
+    rounded IEEE ops (÷, −, ×, √) — bit-identical, no rounding policy
+    needed even though this is a statistical aggregate.
+
+    Scale: one exchange on user_id, one WindowExec pass computing all
+    three frame aggregates together; skew bounded by one user's events.
+    The n = 20 full-window gate drops each user's warm-up rows."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts_sec", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    # raw moments only in the window pass; divisions happen AFTER the
+    # n = 20 gate so ANSI mode never sees a 0-count warm-up row
+    m = (
+        e.withColumn("n", F.count("value").over(w))
+        .withColumn("s1", F.sum(dec("value")).over(w).cast("double"))
+        .withColumn(
+            "s2", F.sum(dec(F.col("value") * F.col("value"), 4, 24)).over(w).cast("double")
+        )
+        .filter(F.col("n") == 20)
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - (F.col("s1") * F.col("s1")) / F.col("n")) / (F.col("n") - 1)
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        m.withColumn("baseline_mean", mean)
+        .withColumn("var", var)
+        .withColumn("z", z)
+        .filter((F.col("var") > 0) & (F.abs(F.col("z")) > 3))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts_sec").alias("sec"),
+            "value",
+            "baseline_mean",
+            "z",
+        )
     )
