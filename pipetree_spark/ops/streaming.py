@@ -40,6 +40,8 @@ __all__ = [
     "running_user_counts",
     "running_user_max_tws",
     "run_to_memory",
+    "incremental_dedup_batch",
+    "incremental_dedup_sink",
 ]
 
 
@@ -260,3 +262,76 @@ def running_user_max_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def incremental_dedup_batch(
+    batch: DataFrame,
+    batch_id: int,
+    ledger_dir: str,
+    out_dir: str,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> int:
+    """foreachBatch body for INCREMENTAL dedup ingest — the streaming
+    twin of queries.llm_ops.q_dedup_incremental: each micro-batch is
+    deduped (a) within itself (keep smallest key per normalized-text
+    hash) and (b) against a persistent parquet LEDGER of every hash
+    ever admitted; only genuinely new docs append to ``out_dir`` and
+    their hashes (stamped with ``batch_id``) append to the ledger.
+
+    Exactly-once: foreachBatch gives at-least-once delivery — a retried
+    micro-batch re-runs with the SAME batch_id, so the ledger's
+    batch_id column doubles as an idempotence guard: a batch whose id
+    is already recorded is skipped wholesale instead of double-
+    appending. (The ledger write commits after the data write; a crash
+    between the two re-admits at most one batch's dups — dedup is
+    self-healing on the next pass, never lossy.)
+
+    Scale: the ledger is (hash, batch_id) only — ~40 bytes/doc, so the
+    anti-join builds on a relation ~1000× smaller than the corpus; at
+    100 TB it lives bucketed by hash so the anti-join is exchange-free
+    on the ledger side. Returns the number of admitted rows (test
+    hook)."""
+    from pyspark.sql import Window
+    from pyspark.sql.utils import AnalysisException
+
+    from pipetree_spark.ops import text as TX
+
+    spark = batch.sparkSession
+    try:
+        ledger = spark.read.parquet(ledger_dir)
+    except AnalysisException:
+        ledger = None
+    if ledger is not None and ledger.filter(F.col("batch_id") == batch_id).head(1):
+        return 0  # replayed micro-batch — already fully admitted
+    withh = batch.withColumn("__nh", TX.text_hash(text_col))
+    w = Window.partitionBy("__nh").orderBy(key_col)
+    firsts = (
+        withh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if ledger is not None:
+        firsts = firsts.join(
+            ledger.select(F.col("nh").alias("__seen")),
+            firsts["__nh"] == F.col("__seen"),
+            "left_anti",
+        )
+    # two actions over the same deterministic frame: data first, ledger
+    # last (the commit point — see docstring crash analysis)
+    admitted = firsts.count()
+    firsts.drop("__nh").write.mode("append").parquet(out_dir)
+    firsts.select(
+        F.col("__nh").alias("nh"), F.lit(batch_id).cast("long").alias("batch_id")
+    ).write.mode("append").parquet(ledger_dir)
+    return admitted
+
+
+def incremental_dedup_sink(ledger_dir: str, out_dir: str):
+    """Bind :func:`incremental_dedup_batch` into a foreachBatch callable:
+    ``sdf.writeStream.foreachBatch(incremental_dedup_sink(l, o))``."""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        incremental_dedup_batch(batch, batch_id, ledger_dir, out_dir)
+
+    return _process

@@ -80,7 +80,7 @@ PRIORITY: tuple[str, ...] = (
     "q_tpch_q6",
     "q_udaf_pandas",         # r2
     "q_win_laglead",         # r2
-    # slots 17-30: the fourteen r6-NEW ops — never graded, so they
+    # slots 17-33: the seventeen r6-NEW ops — never graded, so they
     # outrank every re-confirmation (first-time certification first)
     "q_text_chunk",          # NEW: sliding-window chunking
     "q_text_shuffle_shard",  # NEW: deterministic shuffle + sharding
@@ -96,12 +96,15 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_incremental",   # NEW: incoming-batch-vs-corpus dedup
     "q_ts_sessionize",       # NEW: gaps-and-islands batch sessionization
     "q_ts_anomaly",          # NEW: bit-exact rolling-z anomaly detection
-    # slots 31-34: the remaining r6 re-certifications
+    "q_agg_mode",            # NEW: grouped modal value, deterministic ties
+    "q_agg_weighted",        # NEW: exact-decimal weighted mean
+    "q_join_salted",         # NEW: salted skew join vs plain-join oracle
+    # slots 34-37: the remaining r6 re-certifications
     "q_dedup_cc",            # RE-certify: uncapped pairs + CC rewrite
     "q_dedup_near_lsh",      # RE-certify: bucket cap in query + oracle
     "q_text_pack",           # RE-certify: 2^40 pack-id namespace
     "q_dedup_keep_best",     # RE-certify: max_bucket=None pair path
-    # slots 27-50: the stalest r1 certifications (modules edited since)
+    # slots 38-50: the stalest r1 certifications (modules edited since)
     "q_agg_rollup",
     "q_agg_gsets",
     "q_agg_pivot",

@@ -13,7 +13,7 @@ operators; this family is the north-star extension surface [SURVEY §2.0].
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pipetree_spark.catalog import load_table
@@ -551,4 +551,68 @@ def q_agg_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem_gba_v
         GROUP BY ALL
         """
+    )
+
+
+@declare(
+    "q_agg_mode",
+    oracle="""
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY o_orderstatus ORDER BY n DESC, o_orderpriority) AS rn
+  FROM c
+) WHERE rn = 1
+""",
+    tags=("agg",),
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped MODE (most frequent value) — count-then-argmax, with the
+    deterministic tie-break (largest count, then smallest value) that a
+    bare ``mode()`` aggregate leaves unspecified in every engine.
+
+    Scale: the count is a map-side-combined groupBy whose output is
+    |groups × distinct values| — tiny — so the argmax window costs
+    nothing; the heavy relation is touched once."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("n").desc(), F.col("o_orderpriority"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n")
+    )
+
+
+@declare(
+    "q_agg_weighted",
+    oracle=f"""
+SELECT l_returnflag,
+       {dsum_sql('l_discount * l_quantity', 4, 24)}
+         / {dsum_sql('l_quantity', 2, 18)} AS wavg_discount,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg",),
+)
+def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted mean discount — Σ(w·x)/Σ(w) with BOTH sums in
+    exact decimal: discount has 2 dp and quantity is integral, so the
+    per-row product has exactly 2 dp (DECIMAL(24,4) holds it losslessly
+    after one IEEE multiply of identical bits) and each sum is
+    order-independent; the single final divide is correctly rounded —
+    the weighted aggregate stays bit-identical cross-engine, same
+    policy as the window moments in q_ts_anomaly."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        (
+            F.sum(dec(F.col("l_discount") * F.col("l_quantity"), 4, 24)).cast("double")
+            / F.sum(dec("l_quantity")).cast("double")
+        ).alias("wavg_discount"),
+        F.count("*").alias("n_rows"),
     )

@@ -447,3 +447,44 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce("k", F.lit("<NULL>")).alias("k"))
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+@declare(
+    "q_join_salted",
+    oracle=f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    tags=("join", "agg"),
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED skewed join — the replicate-and-salt rewrite, declared
+    against the plain-join oracle to prove it is semantics-preserving:
+    the fact side gets a deterministic salt in [0, 8), the build side is
+    replicated once per salt value, and the join key becomes
+    (key, salt) so one hot key's rows spread across 8 reducers instead
+    of collapsing onto one. ``shuffle_hash`` hint keeps the exercised
+    path the salted shuffle (a broadcast would bypass the salt — and at
+    the scale where salting matters, the build side no longer fits a
+    broadcast). This is the manual fallback for the skew AQE's
+    skew-join split cannot fix: a single key too hot for ANY unsalted
+    partitioning, at the cost of an 8× build-side replication — the
+    same two-phase trick as q_agg_salted on the join side."""
+    S = 8
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "__salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(S))
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1))))
+    c = c.withColumn("__salt", F.col("__salt").cast("long"))
+    j = o.join(
+        c.hint("shuffle_hash"),
+        (F.col("o_custkey") == F.col("c_custkey")) & (o["__salt"] == c["__salt"]),
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"), lsum("o_totalprice").alias("sum_price")
+    )

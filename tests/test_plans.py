@@ -334,3 +334,15 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_small):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_join_plans_shuffle_hash_not_broadcast(spark, sf_small, registry):
+    """q_join_salted exists to exercise the salted SHUFFLE path — a
+    broadcast would bypass the salt entirely (and at real skew scale the
+    build side can't broadcast). Pin the hint: the salted join must plan
+    as ShuffledHashJoin on the composite (key, salt) with zero
+    BroadcastHashJoin in the whole query."""
+    p = plan(q(registry, "q_join_salted", spark, sf_small))
+    assert n_nodes(p, "ShuffledHashJoin") == 1
+    assert n_nodes(p, "BroadcastHashJoin") == 0
+    assert n_nodes(p, "SortMergeJoin") == 0

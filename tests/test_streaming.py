@@ -228,3 +228,48 @@ def test_transform_with_state_running_max(spark, sf_small, events_stream_dir):
             assert abs(final[u] - mx) < 1e-12
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_foreachbatch_incremental_dedup_ingest(spark, tmp_path):
+    """foreachBatch incremental-dedup ingest: stream three micro-batches
+    with in-batch, cross-batch, and whitespace-variant duplicates; only
+    first-seen texts land in the sink, the ledger records one hash per
+    admitted doc, and replaying a batch_id is a no-op (idempotence)."""
+    schema = "doc_id long, text string, lang string"
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma", "en"), (2, "alpha beta gamma", "en"),
+         (3, "delta epsilon zeta", "en")],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(4, "  Alpha Beta Gamma ", "en"),  # normalized dup of doc 1
+         (5, "eta theta iota", "en")],
+        schema,
+    )
+    b3 = spark.createDataFrame([(6, "kappa lambda mu", "en")], schema)
+    feed = _write_chunks(
+        spark,
+        b1.unionByName(b2).unionByName(b3),
+        tmp_path / "feed",
+        n_chunks=3,
+        order_col="doc_id",
+    )
+    ledger, out, ckpt = (str(tmp_path / d) for d in ("ledger", "out", "ckpt"))
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .writeStream.foreachBatch(st.incremental_dedup_sink(ledger, out))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 3, 5, 6]  # 2 (in-batch dup), 4 (cross-batch) dropped
+    ledger_rows = spark.read.parquet(ledger).collect()
+    assert len(ledger_rows) == 4
+    # idempotence: re-running an already-recorded batch admits nothing
+    replay = st.incremental_dedup_batch(b1, 0, ledger, out)
+    assert replay == 0
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == got

@@ -62,6 +62,11 @@ QUERIES = [
     "q_text_shuffle_shard",  # r6: deterministic shuffle (window per shard)
     "q_dedup_semantic",    # r6: embcos pairs → CC → keeper (label-block join)
     "q_vec_decontam",      # r6: broadcast eval split × train cosine
+    "q_text_unigram_lm",   # r6: broadcast-vocab corpus-LM scoring
+    "q_text_ngram_top",    # r6: (lang, gram) map-side-combined counts
+    "q_dedup_incremental", # r6: broadcast-increment vs streaming corpus
+    "q_ts_sessionize",     # r6: gaps-and-islands, one user_id exchange
+    "q_ts_anomaly",        # r6: rolling-z window moments
 ]
 
 
