@@ -355,3 +355,73 @@ def test_repetition_features_random_corpora_match_duckdb(spark, texts):
         ).fetchall()
     }
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # user
+            st.integers(min_value=0, max_value=20000),  # epoch-sec offset
+        ),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    )
+)
+def test_sessionize_random_streams_match_python_reference(spark, evs):
+    """Gaps-and-islands sessionization vs a sequential python reference
+    on random (user, ts) streams — the window rewrite must agree with
+    the definitional one-pass loop on session count, sizes, and spans."""
+    from pipetree_spark.queries.timeseries import q_ts_sessionize
+    import collections
+
+    base = 1704067200
+    rows = sorted(set(evs))
+    data = [
+        (i, (base + off) * 10**9, uid, "click", 1.0, "{}")
+        for i, (uid, off) in enumerate(rows)
+    ]
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.LongType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
+        spark.createDataFrame(data, schema).coalesce(1).write.parquet(
+            os.path.join(td, "events.parquet")
+        )
+        got = {
+            (r.user_id, r.session_idx): (
+                r.session_start_sec,
+                r.session_end_sec,
+                r.n_events,
+            )
+            for r in q_ts_sessionize(spark, td).collect()
+        }
+    # sequential reference
+    per_user = collections.defaultdict(list)
+    for i, (uid, off) in enumerate(rows):
+        per_user[uid].append(base + off)
+    want = {}
+    for uid, secs in per_user.items():
+        secs.sort()
+        idx, start, prev, n = 0, None, None, 0
+        for s in secs:
+            if prev is None or s - prev > 1800:
+                if start is not None:
+                    want[(uid, idx)] = (start, prev, n)
+                idx, start, n = idx + 1, s, 0
+            n += 1
+            prev = s
+        want[(uid, idx)] = (start, prev, n)
+    assert got == want
