@@ -984,13 +984,45 @@ def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the contract to hold at every SF (current testdata's max posting
     list is 14 docs, which would MASK a divergence, not prevent it —
     the ADVICE latent-break class). Production clustering at 100 TB
-    would run the capped/banded pair path instead."""
+    would run the capped/banded pair path instead.
+
+    Exact-duplicate collapse (r6, second pass — the text-space twin of
+    q_dedup_semantic's vector collapse, PROVABLY semantics-preserving
+    against this uncapped oracle): byte-identical docs have identical
+    shingle sets ⇒ Jaccard 1 ⇒ they always form a clique with
+    component = group-min id. So collapse each (lang, raw-text-md5)
+    group to its min-id rep BEFORE the n² pair stage, run pairs+CC over
+    reps only, and re-attach members through their rep — emitting a
+    member row when the rep has an edge (its whole group joins the
+    rep's component) OR the group has k ≥ 2 (the clique exists even
+    edgeless). Group min = rep ⇒ component min over reps = min over all
+    members, and identical text ⇒ identical pair set, so no edge is
+    lost or invented. Raw md5, NOT the normalized text_hash — two docs
+    differing only in case/whitespace have different shingles and must
+    NOT collapse. 10× replicated corpus: the rep set equals the 1×
+    corpus, killing the quadratic pair blow-up (ratio 7.2 → ~1)."""
     from pipetree_spark.ops.graph import connected_components
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = TX.near_dup_pairs(d, threshold=0.2, max_bucket=None).select("id_a", "id_b")
+    h = d.select(
+        "doc_id", "lang", "text", F.md5(F.col("text").cast("binary")).alias("__rh")
+    )
+    grp = h.groupBy("lang", "__rh").agg(
+        F.min("doc_id").alias("rep_id"), F.count("*").alias("k")
+    )
+    reps = d.join(
+        grp.select(F.col("rep_id").alias("doc_id"), F.lit(1).alias("__isrep")),
+        "doc_id",
+    ).select("doc_id", "lang", "text")
+    pairs = TX.near_dup_pairs(reps, threshold=0.2, max_bucket=None).select(
+        "id_a", "id_b"
+    )
     cc = connected_components(pairs, src="id_a", dst="id_b")
-    return cc.select(F.col("node").alias("doc_id"), "component")
+    mem = h.select("doc_id", "lang", "__rh").join(grp, ["lang", "__rh"])
+    lab = mem.join(cc, mem["rep_id"] == cc["node"], "left")
+    return lab.filter(F.col("node").isNotNull() | (F.col("k") >= 2)).select(
+        "doc_id", F.coalesce("component", "rep_id").alias("component")
+    )
 
 
 @declare(

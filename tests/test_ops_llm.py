@@ -1111,3 +1111,32 @@ def test_ngram_top_counts_multiplicity_and_ties(spark, tmp_path):
     assert en[0] == ("click here", 3) and en[1] == ("here click", 2)
     de = [(r.gram, r.n) for r in got if r.lang == "de"]
     assert de == [("apply now", 1)]
+
+
+def test_dedup_cc_exact_collapse_edge_cases(spark, tmp_path):
+    """The q_dedup_cc exact-collapse must be invisible in the output:
+    (a) a byte-identical group with NO near-dup edges still emits its
+    clique with component = group min; (b) singletons never emit;
+    (c) case variants do NOT collapse (raw md5, not normalized) — they
+    only cluster if their shingles actually cross the Jaccard bar."""
+    from pipetree_spark.queries.llm_ops import q_dedup_cc
+
+    t_dup = "an isolated paragraph that matches nothing else in this corpus at all"
+    t_pair_a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    t_pair_b = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    rows = [
+        (1, t_dup, "en"),
+        (2, t_dup, "en"),          # byte-identical to 1, edgeless clique
+        (3, t_pair_a, "en"),
+        (4, t_pair_b, "en"),       # near-dup of 3
+        (5, t_pair_a, "en"),       # byte-identical to 3 → joins its cluster
+        (6, "completely different text about pasta sauce and cooking times", "en"),  # singleton
+    ]
+    d = spark.createDataFrame(
+        [(i, t, l, "web", len(t)) for i, t, l in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = str(tmp_path / "sf")
+    d.coalesce(1).write.parquet(out + "/documents.parquet")
+    got = {r.doc_id: r.component for r in q_dedup_cc(spark, out).collect()}
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3, 5: 3}

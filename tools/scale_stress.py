@@ -67,6 +67,7 @@ QUERIES = [
     "q_dedup_incremental", # r6: broadcast-increment vs streaming corpus
     "q_ts_sessionize",     # r6: gaps-and-islands, one user_id exchange
     "q_ts_anomaly",        # r6: rolling-z window moments
+    "q_dedup_cluster_lsh", # r6: THE production clustered dedup e2e (capped pairs → CC)
 ]
 
 
