@@ -1078,18 +1078,33 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     off — any posting list >1024 in a lang block would otherwise make
     query and oracle silently diverge (current testdata masks it at 14
     docs/shingle max). Production keep-best at 100 TB would feed the
-    capped/banded pair path into the same CC + argmax tail."""
+    capped/banded pair path into the same CC + argmax tail.
+
+    Exact-duplicate collapse (r6, same proof as q_dedup_cc): byte-
+    identical docs form J=1 cliques with component = group min, so
+    pairs+CC run over (lang, raw-md5) min-id reps only and members
+    re-attach through their rep — every doc still emits (this query's
+    contract is the FULL audit table), a true singleton's rep IS itself,
+    and the per-component quality argmax runs after re-attach, so the
+    is_kept flag is computed over the identical member set."""
     from pipetree_spark.ops.graph import connected_components
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = TX.near_dup_pairs(d, threshold=0.2, max_bucket=None).select("id_a", "id_b")
+    h = d.select(
+        "doc_id", "lang", "n_chars", F.md5(F.col("text").cast("binary")).alias("__rh")
+    )
+    grp = h.groupBy("lang", "__rh").agg(F.min("doc_id").alias("rep_id"))
+    reps = d.join(
+        grp.select(F.col("rep_id").alias("doc_id")).distinct(), "doc_id"
+    ).select("doc_id", "lang", "text")
+    pairs = TX.near_dup_pairs(reps, threshold=0.2, max_bucket=None).select("id_a", "id_b")
     cc = connected_components(pairs, src="id_a", dst="id_b")
+    mem = h.select("doc_id", "lang", "n_chars", "__rh").join(grp, ["lang", "__rh"])
     lab = (
-        d.select("doc_id", "n_chars")
-        .join(cc, d["doc_id"] == cc["node"], "left")
+        mem.join(cc, mem["rep_id"] == cc["node"], "left")
         .select(
             "doc_id",
-            F.coalesce("component", "doc_id").alias("component"),
+            F.coalesce("component", "rep_id").alias("component"),
             "n_chars",
         )
     )
