@@ -523,3 +523,42 @@ def q_fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr("p_name", "a").cast("long").alias("a_pos"),
         F.right("p_name", F.lit(3)).alias("last3"),
     )
+
+
+@declare(
+    "q_fn_regexp",
+    oracle="""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z]+e')) AS n_e_words,
+       array_to_string(list_sort(list_distinct(regexp_extract_all(text, '[a-z]+e'))), ',')
+         AS e_words_csv,
+       regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
+       CAST(regexp_matches(text, 'batch batch') AS INT) AS has_double_batch
+FROM documents
+""",
+    tags=("fn", "text"),
+)
+def q_fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family — extract_all / capture-group extract / match-test.
+
+    Dialect portability is the point: both engines must agree on greedy
+    backtracking ('[a-z]+e' over 'order' yields 'orde' — the + gives
+    back one char so the literal e can match), on capture-group
+    indexing, and on empty-match results ('' both sides). The pattern
+    set deliberately stays inside the RE2-safe subset (no backrefs, no
+    lookarounds — SURVEY §2.8 / clean_text's _PUNCT_SQUEEZE note), so
+    the same query runs on any RE2 engine. extract_all's match ORDER is
+    execution-defined only per-row (it is left-to-right in both
+    engines), but the csv output still sorts for belt-and-braces
+    determinism. Pure per-row scalar ops — no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    # idx=0 = whole match (Spark defaults to capture group 1; DuckDB's
+    # extract_all defaults to the whole match — pin them equal)
+    ew = F.regexp_extract_all("text", F.lit("[a-z]+e"), 0)
+    return d.select(
+        "doc_id",
+        F.size(ew).alias("n_e_words"),
+        F.array_join(F.array_sort(F.array_distinct(ew)), ",").alias("e_words_csv"),
+        F.regexp_extract("text", r"([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.col("text").rlike("batch batch").cast("int").alias("has_double_batch"),
+    )
