@@ -421,3 +421,120 @@ def resize_stage(
             )
 
     return df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+RAW_PCM_MIME = "audio/x-raw-pcm16le"
+
+PCM_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("zero_cross_rate", T.DoubleType()),
+    ]
+)
+
+
+def make_pcm_payload(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_samples: int = 2048,
+    sample_rate: int = 16000,
+) -> DataFrame:
+    """Synthesize a deterministic raw PCM16-LE payload per row (sha256
+    counter-mode over the text — testdata has no real audio) with the
+    (n_samples, sample_rate) metadata a raw waveform needs to be
+    decodable. Same mapInPandas plumbing as make_rgb_payload — the
+    audio twin of the image ingest stage."""
+    need = n_samples * 2
+    schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("mime", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                base = hashlib.sha256(b"pcm:" + str(t).encode()).digest()
+                buf = bytearray()
+                counter = 0
+                while len(buf) < need:
+                    buf += hashlib.sha256(base + counter.to_bytes(4, "big")).digest()
+                    counter += 1
+                payloads.append(bytes(buf[:need]))
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].astype("int64"),
+                    "content": payloads,
+                    "n_samples": n_samples,
+                    "sample_rate": sample_rate,
+                    "mime": RAW_PCM_MIME,
+                }
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def pcm_decode(payload: bytes, n_samples: int):
+    """REAL decode of a raw PCM16-LE payload: byte buffer → int16
+    sample array. Raises on size mismatch — a truncated waveform must
+    fail loudly, not analyze garbage."""
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype="<i2")
+    if arr.size != n_samples:
+        raise ValueError(
+            f"pcm16 payload has {arr.size} samples, expected {n_samples}"
+        )
+    return arr
+
+
+def pcm_downsample(payload: bytes, n_samples: int, factor: int) -> bytes:
+    """REAL stride decimation (every ``factor``-th sample) via numpy
+    slicing — the waveform analog of nearest-neighbor image resize.
+    (A production resampler would low-pass first; stride decimation is
+    the exact, dependency-free transform this container supports.)"""
+    return pcm_decode(payload, n_samples)[::factor].tobytes()
+
+
+def pcm_feature_stage(
+    df: DataFrame, content_col: str = "content", key_col: str = "doc_id"
+) -> DataFrame:
+    """REAL waveform statistics over raw PCM16 payloads (mapInPandas +
+    numpy — no audio lib needed): RMS, absolute peak, and zero-crossing
+    rate — the classic cheap features for silence / clipping / tone
+    detection in a multimodal curation pipeline. Expects
+    ``make_pcm_payload``'s layout (content + n_samples/sample_rate)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            durs, rmss, peaks, zcrs = [], [], [], []
+            for p, n, sr in zip(pdf[content_col], pdf["n_samples"], pdf["sample_rate"]):
+                x = pcm_decode(p, int(n)).astype(np.float64)
+                durs.append(float(int(n) / int(sr)))
+                rmss.append(float(np.sqrt(np.mean(x * x))))
+                peaks.append(int(np.abs(x).max()))
+                signs = np.signbit(x)
+                zcrs.append(float(np.count_nonzero(signs[1:] != signs[:-1]) / (len(x) - 1)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[key_col].astype("int64"),
+                    "n_samples": pdf["n_samples"].astype("int32"),
+                    "duration_sec": durs,
+                    "rms": rmss,
+                    "peak": peaks,
+                    "zero_cross_rate": zcrs,
+                }
+            )
+
+    return df.mapInPandas(run, schema=PCM_FEATURE_SCHEMA)

@@ -1140,3 +1140,38 @@ def test_dedup_cc_exact_collapse_edge_cases(spark, tmp_path):
     d.coalesce(1).write.parquet(out + "/documents.parquet")
     got = {r.doc_id: r.component for r in q_dedup_cc(spark, out).collect()}
     assert got == {1: 1, 2: 1, 3: 3, 4: 3, 5: 3}
+
+
+def test_rawpcm_real_decode_downsample_features(spark, sf_small):
+    """The REAL audio path (numpy-only, no codec libs): synth PCM16
+    payloads decode to the exact bytes, the feature stage matches a
+    numpy reference bit-for-bit, stride downsample keeps every k-th
+    sample, and a truncated payload fails loudly."""
+    import numpy as np
+
+    d = load_table(spark, sf_small, "documents").filter(F.col("doc_id") < 8)
+    pay = MM.make_pcm_payload(d, n_samples=256, sample_rate=8000)
+    rows = {r.doc_id: r for r in pay.collect()}
+    assert all(len(r.content) == 512 and r.mime == MM.RAW_PCM_MIME for r in rows.values())
+
+    feats = {r.doc_id: r for r in MM.pcm_feature_stage(pay).collect()}
+    assert set(feats) == set(rows)
+    for did, r in rows.items():
+        x = np.frombuffer(r.content, dtype="<i2").astype(np.float64)
+        f = feats[did]
+        assert f.duration_sec == 256 / 8000
+        assert f.rms == pytest.approx(float(np.sqrt(np.mean(x * x))), rel=0)
+        assert f.peak == int(np.abs(x).max())
+        signs = np.signbit(x)
+        assert f.zero_cross_rate == pytest.approx(
+            float(np.count_nonzero(signs[1:] != signs[:-1]) / 255), rel=0
+        )
+
+    some = next(iter(rows.values()))
+    down = MM.pcm_downsample(bytes(some.content), 256, 4)
+    assert np.array_equal(
+        np.frombuffer(down, dtype="<i2"),
+        np.frombuffer(bytes(some.content), dtype="<i2")[::4],
+    )
+    with pytest.raises(ValueError, match="expected 999"):
+        MM.pcm_decode(bytes(some.content), 999)
