@@ -1935,16 +1935,23 @@ def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     last ulp between engines (SURVEY §2.0 drift class). The log-domain
     swap is one line if absolute perplexity is needed downstream.
 
-    Scale shape (= q_text_tfidf's): the token stream shuffles ONCE on
-    doc_id (satisfies the per-doc aggregation); the vocab table —
-    sublinear in corpus size by Heaps' law — is built by a map-side-
-    combined groupBy(tok) and BROADCAST back onto the stream, so
-    stopword skew never forms a hot reduce bucket and the heavy side
-    never re-shuffles on token. Beyond broadcast range (≳10⁷ terms)
+    Scale shape: two branches off one scan, each map-side-combined
+    into its single exchange — the vocab table (sublinear in corpus
+    size by Heaps' law) combines per-partition before its tok shuffle
+    and is BROADCAST back onto the stream, so stopword skew never
+    forms a hot reduce bucket; the per-doc branch partial-aggregates
+    (doc_id) sums before its doc_id shuffle, so the wire carries
+    ~|docs| rows, not |tokens|. Beyond broadcast range (≳10⁷ terms)
     drop the hint and let AQE skew-split the join."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
-    toks = toks.repartition("doc_id")
+    # NO explicit repartition (r6 second pass): each branch partial-
+    # aggregates straight off the scan and ships only its combined rows
+    # through its one exchange — vocab on tok, per-doc on doc_id. A
+    # doc_id pre-partition (the tfidf trick) would force the FULL token
+    # stream through an extra exchange on the vocab branch and defeat
+    # the per-doc branch's map-side combine; here no window needs the
+    # clustering, so it's pure cost.
     vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     # Σ vocab counts ≡ |token stream| — integer-exact, and it folds the
     # corpus-total pass onto the tiny vocab relation instead of a third
