@@ -227,3 +227,47 @@ def q_src_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("c_acctbal").alias("sum_bal"),
         F.count("c_name").alias("n_named"),
     )
+
+
+@declare(
+    "q_src_corrupt_json",
+    oracle="""
+WITH p AS (
+  SELECT CASE WHEN event_id % 7 = 0 THEN substr(props, 1, len(props) - 1)
+              ELSE props END AS payload
+  FROM events
+)
+SELECT CAST(SUM(CASE WHEN json_valid(payload) THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       CAST(SUM(CASE WHEN json_valid(payload) THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid,
+       CAST(SUM(CASE WHEN json_valid(payload)
+                     THEN CAST(json_extract_string(payload, '$.k') AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS sum_k_valid
+FROM p
+""",
+    tags=("source", "fn", "events"),
+)
+def q_src_corrupt_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record ingest robustness — the PERMISSIVE-mode contract
+    a real JSON feed needs: ~1/7 of the props payloads are
+    deterministically truncated (the classic mid-write corruption), the
+    parser must classify valid vs corrupt WITHOUT failing the job, and
+    numeric extraction sums only the valid rows. Spark 4's
+    ``try_parse_json`` (NULL on malformed, never a throw) is the
+    validity test — the engine-side twin of DuckDB's ``json_valid`` —
+    and both parsers agree a truncated object is invalid.
+
+    At 100 TB this shape is the dead-letter audit every ingest job
+    emits: one map-side-combined global aggregate, corrupt rows counted
+    not crashed on, zero shuffle beyond the final 1-row combine."""
+    e = load_table(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 7 == 0,
+        F.expr("substring(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    valid = F.try_parse_json(payload).isNotNull()
+    k = F.get_json_object(payload, "$.k").cast("long")
+    return e.select(payload.alias("payload"), valid.alias("v"), k.alias("k")).agg(
+        F.sum(F.when(F.col("v"), 1).otherwise(0)).cast("long").alias("n_valid"),
+        F.sum(F.when(F.col("v"), 0).otherwise(1)).cast("long").alias("n_invalid"),
+        F.sum(F.when(F.col("v"), F.col("k")).otherwise(0)).cast("long").alias("sum_k_valid"),
+    )
