@@ -616,3 +616,63 @@ def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wavg_discount"),
         F.count("*").alias("n_rows"),
     )
+
+
+@declare(
+    "q_agg_moments",
+    oracle="""
+WITH m AS (
+  SELECT event_type,
+         COUNT(value) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value * value AS DECIMAL(24,4))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(value * value * value AS DECIMAL(38,6))) AS DOUBLE) AS s3
+  FROM events
+  GROUP BY event_type
+)
+SELECT event_type, n,
+       s1 / n AS mean,
+       (s2 - (s1 * s1) / n) / (n - 1) AS var_samp,
+       (s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+         / ((s2 / n - (s1 / n) * (s1 / n)) * SQRT(s2 / n - (s1 / n) * (s1 / n)))
+         AS skewness
+FROM m
+""",
+    tags=("agg", "events"),
+)
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIT-EXACT higher statistical moments — mean, sample variance, and
+    skewness per event_type, with no rounding policy. The standard line
+    (exact.py docstring, SURVEY §2.0) is that statistical aggregates
+    have no exact path; this query shows the exact-decimal-moment
+    technique (q_ts_anomaly's window trick, lifted to grouped aggs)
+    carries to the THIRD moment: value has 2 dp, so value²/value³ have
+    4/6 dp and one/two IEEE multiplies of identical bits land within
+    1 ulp of the true decimal — DECIMAL(24,4)/DECIMAL(38,6) round them
+    identically in both engines, every sum is order-independent, and
+    mean/var/skew derive through a pinned tree of correctly-rounded
+    ops. σ³ is spelled ``v·√v``, NOT ``pow(v, 1.5)`` — pow is a libm
+    transcendental with last-ulp drift across engines, while multiply
+    and sqrt are IEEE-correctly-rounded.
+
+    Scale: one map-side-combined groupBy; three decimal sums ride the
+    same partial-agg pass, |event types| final groups."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    m = e.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(dec(v)).cast("double").alias("s1"),
+        F.sum(dec(v * v, 4, 24)).cast("double").alias("s2"),
+        F.sum(dec(v * v * v, 6, 38)).cast("double").alias("s3"),
+    )
+    n, s1, s2, s3 = F.col("n"), F.col("s1"), F.col("s2"), F.col("s3")
+    mean = s1 / n
+    vp = s2 / n - mean * mean
+    m3c = s3 / n - F.lit(3) * mean * (s2 / n) + F.lit(2) * mean * mean * mean
+    return m.select(
+        "event_type",
+        "n",
+        mean.alias("mean"),
+        ((s2 - (s1 * s1) / n) / (n - 1)).alias("var_samp"),
+        (m3c / (vp * F.sqrt(vp))).alias("skewness"),
+    )
