@@ -328,3 +328,66 @@ def q_pipe_cagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.col("val6").cast("decimal(38,0)")).cast("double") / F.lit(1e6)).alias("sum_value"),
         )
     )
+
+
+@declare(
+    "q_pipe_expect",
+    oracle="""
+SELECT 'not_null:o_orderdate' AS rule, 'not_null' AS kind,
+       CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'in_range:o_totalprice:[0,100000]', 'in_range',
+       CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                      OR o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'known_priority', 'satisfies',
+       CAST(SUM(CASE WHEN NOT COALESCE(
+              o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'),
+              FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'unique:o_orderkey', 'unique',
+       CAST((SELECT COALESCE(SUM(c - 1), 0)
+             FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+             WHERE c > 1) AS BIGINT)
+UNION ALL
+SELECT 'fk:o_custkey->c_custkey', 'foreign_key',
+       CAST((SELECT COUNT(*)
+             FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+             WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL) AS BIGINT)
+""",
+    tags=("pipeline",),
+)
+def q_pipe_expect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite over orders (ops/quality.py) —
+    the batch gate every production ingest runs: null checks, value
+    ranges, domain membership, key uniqueness, referential integrity —
+    each emitted as an auditable (rule, kind, n_violations) row. The
+    in_range bound is set below the real price max so the suite
+    demonstrably FIRES on live data (n_violations > 0) instead of
+    vacuously passing.
+
+    Scale shape (ops/quality.py's contract): the three row-local rules
+    share ONE map-side-combined aggregate pass; uniqueness is one
+    groupBy on the key; the FK check is one left-anti join against the
+    broadcast dimension key set. Checking more row rules adds columns
+    to the same pass, not jobs."""
+    from pipetree_spark.ops import quality as Q
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rules = [
+        Q.not_null("o_orderdate"),
+        Q.in_range("o_totalprice", 0, 100000, name="in_range:o_totalprice:[0,100000]"),
+        Q.satisfies(
+            "known_priority",
+            F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+            ),
+        ),
+        Q.unique("o_orderkey"),
+        Q.foreign_key("o_custkey", c, "c_custkey"),
+    ]
+    return Q.evaluate(o, rules)

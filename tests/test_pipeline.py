@@ -448,3 +448,42 @@ def test_curation_pipeline_end_to_end(spark, sf_small, tmp_path):
     p2.run(spark, cache=cache)
     hits = {k: v for k, v in p2.last_run_report.items() if v == "hit"}
     assert set(hits) == {"quality", "keep_best", "sample", "pack"}
+
+
+def test_quality_gate_raises_on_planted_violations(spark):
+    """ops/quality.py semantics on a corpus with KNOWN defects: the
+    evaluate() counts must match the planted violation counts exactly,
+    and gate() must raise naming every violated rule."""
+    import pytest
+
+    from pipetree_spark.ops import quality as Q
+
+    d = spark.createDataFrame(
+        [
+            (1, 10.0, "A"),
+            (2, -5.0, "A"),     # range violation
+            (2, 20.0, None),    # dup key + null name
+            (3, 999.0, "Z"),    # range violation (hi) + unknown domain
+        ],
+        "k long, price double, name string",
+    )
+    dim = spark.createDataFrame([("A",), ("B",)], "name string")
+    rules = [
+        Q.not_null("name"),
+        Q.in_range("price", 0, 100),
+        Q.unique("k"),
+        Q.foreign_key("name", dim, "name"),
+        Q.satisfies("positive_key", F.col("k") > 0),
+    ]
+    got = {r.rule: r.n_violations for r in Q.evaluate(d, rules).collect()}
+    assert got == {
+        "not_null:name": 1,
+        "in_range:price:[0,100]": 2,
+        "unique:k": 1,           # 2 rows on key 2 → 1 excess row
+        "fk:name->name": 1,      # 'Z' orphan; NULL name not counted as orphan
+        "positive_key": 0,
+    }
+    with pytest.raises(ValueError, match="not_null:name"):
+        Q.gate(d, rules)
+    # a clean frame passes the gate silently
+    Q.gate(dim, [Q.not_null("name"), Q.unique("name")])
