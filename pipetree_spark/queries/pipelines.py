@@ -391,3 +391,63 @@ def q_pipe_expect(spark: SparkSession, sf_dir: str) -> DataFrame:
         Q.foreign_key("o_custkey", c, "c_custkey"),
     ]
     return Q.evaluate(o, rules)
+
+
+@declare(
+    "q_pipe_profile",
+    oracle="""
+SELECT 'o_orderkey' AS col,
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus',
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+       MIN(o_orderstatus), MAX(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice',
+       CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+       CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority',
+       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+       MIN(o_orderpriority), MAX(o_orderpriority)
+FROM orders
+""",
+    tags=("pipeline", "agg"),
+)
+def q_pipe_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — null count / distinct count / min / max per
+    column, the SUMMARIZE/describe audit a pipeline runs on every new
+    source before wiring it in. All four columns profile in ONE
+    aggregate pass (Spark plans the multi-distinct via expand +
+    two-phase agg); min/max compute in the NATIVE type and cast to
+    string only on emit (a lexicographic min over pre-cast numerics
+    would be wrong — '100' < '99'). String formatting of doubles is
+    shortest-roundtrip in both engines for these magnitudes; the
+    profile deliberately sticks to key/string/money columns, where the
+    cross-engine repr is stable."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__n{i}"),
+            F.count_distinct(F.col(c)).alias(f"__d{i}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn{i}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx{i}"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __n{i}, __d{i}, __mn{i}, __mx{i}" for i, c in enumerate(cols)
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (col, n_nulls, n_distinct, min_val, max_val)"
+    )
