@@ -140,3 +140,28 @@ def q_subq_exists_or(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+_LATERAL_SQL = """
+SELECT n_name, c.c_name, c.c_acctbal
+FROM nation, LATERAL (
+  SELECT c_name, c_acctbal FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 2
+) c
+"""
+
+
+@declare("q_subq_lateral", oracle=_LATERAL_SQL, tags=("subquery", "join"))
+def q_subq_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    SQL spelling of top-k-per-group (here: top-2 customers per nation
+    by balance, custkey tie-break). The same SQL text runs on both
+    engines; Spark decorrelates the lateral into a
+    DomainJoin/window-equivalent plan rather than re-executing the
+    inner query per outer row — the plan property that separates a
+    LATERAL that scales from one that is a hidden nested loop. The
+    DataFrame-API twin of this shape is q_topk_pergroup
+    (ops.relational.topk_per_group)."""
+    return _sql(spark, sf_dir, _LATERAL_SQL)
