@@ -255,3 +255,41 @@ def q_win_timerange(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * F.lit(10**6)).cast("long")).over(w) / F.lit(1e6)
         ).alias("sum_last_hour"),
     )
+
+
+@declare(
+    "q_win_ignorenulls",
+    oracle="""
+SELECT user_id, event_id,
+       LAST_VALUE(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY sec, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM (SELECT user_id, event_id, (epoch_ns(ts) // 1000000000) AS sec,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events)
+""",
+    tags=("window", "events", "timeseries"),
+)
+def q_win_ignorenulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``LAST_VALUE ... IGNORE NULLS`` carry-forward — the NATIVE LOCF
+    spelling (error readings nulled, then filled from the user's most
+    recent non-null observation). q_ts_locf implements the identical
+    semantics via the portable gaps-and-islands rewrite for engines
+    without IGNORE NULLS; this query certifies the direct form agrees
+    across Spark and DuckDB, so users can take whichever their other
+    engines support. Per-row value pick (no float aggregation) —
+    deterministic under the unique (sec, event_id) order."""
+    from pipetree_spark.catalog import load_table as _lt
+
+    e = _lt(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.last(v, ignorenulls=True).over(w).alias("filled"),
+    )
