@@ -68,6 +68,10 @@ QUERIES = [
     "q_ts_sessionize",     # r6: gaps-and-islands, one user_id exchange
     "q_ts_anomaly",        # r6: rolling-z window moments
     "q_dedup_cluster_lsh", # r6: THE production clustered dedup e2e (capped pairs → CC)
+    "q_agg_moments",       # r6: three exact-decimal moments in one agg pass
+    "q_join_salted",       # r6: salted shuffle-hash skew join
+    "q_win_ignorenulls",   # r6: IGNORE-NULLS carry-forward window
+    "q_pipe_expect",       # r6: expectation suite (one agg pass + 2 set rules)
 ]
 
 
