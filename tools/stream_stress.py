@@ -99,6 +99,51 @@ def provider_engaged(spark) -> str:
     ).rsplit(".", 1)[-1]
 
 
+def ingest_stress(spark, n_docs: int = 100_000, batches: int = 10) -> None:
+    """Incremental-dedup ingest throughput (ops.streaming
+    .incremental_dedup_batch): ``batches`` synthetic doc batches with a
+    20% cross-batch duplicate rate flow through the hash-ledger path.
+    The per-batch wall time must stay ~FLAT as the ledger grows — the
+    ledger anti-join is on the (hash, batch_id) metadata relation, not
+    the corpus — and admitted counts must reflect the dup rate."""
+    import shutil as _sh
+
+    base = "/tmp/pipetree_spark_ingeststress"
+    _sh.rmtree(base, ignore_errors=True)
+    per = n_docs // batches
+    times, admitted_tot = [], 0
+    for b in range(batches):
+        # 80% fresh docs, 20% repeats of batch-0 texts (cross-batch dups)
+        fresh = per * 8 // 10
+        df = spark.range(b * per, b * per + per).select(
+            F.col("id").alias("doc_id"),
+            F.when(
+                F.col("id") % per < fresh,
+                F.concat(F.lit("document body "), F.col("id").cast("string")),
+            )
+            .otherwise(
+                F.concat(F.lit("document body "), (F.col("id") % per).cast("string"))
+            )
+            .alias("text"),
+            F.lit("en").alias("lang"),
+        )
+        t0 = time.perf_counter()
+        admitted_tot += ST.incremental_dedup_batch(
+            df, b, f"{base}/ledger", f"{base}/out"
+        )
+        times.append(time.perf_counter() - t0)
+        print(f"  batch {b}: {times[-1]:.2f}s (ledger ~{admitted_tot} hashes)", flush=True)
+    head = sum(times[1:4]) / 3
+    tail = sum(times[-3:]) / 3
+    print(
+        f"  admitted {admitted_tot}/{n_docs} "
+        f"(dup rate {(n_docs - admitted_tot) / n_docs:.0%}); "
+        f"per-batch head {head:.2f}s vs tail {tail:.2f}s "
+        f"(flat-ledger target: tail ≲ 2× head)",
+        flush=True,
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=1_000_000)
@@ -118,6 +163,9 @@ def main() -> None:
         spark.conf.set(k, v)
     print("rocksdb state store:", flush=True)
     run_pipeline(spark, provider_engaged(spark), args.chunks)
+
+    print("incremental-dedup ingest (hash ledger):", flush=True)
+    ingest_stress(spark)
 
 
 if __name__ == "__main__":
