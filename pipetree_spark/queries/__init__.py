@@ -80,7 +80,7 @@ PRIORITY: tuple[str, ...] = (
     "q_tpch_q6",
     "q_udaf_pandas",         # r2
     "q_win_laglead",         # r2
-    # slots 17-40: the twenty-four r6-NEW ops — never graded, so they
+    # slots 17-41: the twenty-five r6-NEW ops — never graded, so they
     # outrank every re-confirmation (first-time certification first)
     "q_text_chunk",          # NEW: sliding-window chunking
     "q_text_shuffle_shard",  # NEW: deterministic shuffle + sharding
@@ -106,7 +106,8 @@ PRIORITY: tuple[str, ...] = (
     "q_pipe_profile",        # NEW: one-pass column profiling audit
     "q_subq_lateral",        # NEW: correlated LATERAL top-k-per-group
     "q_win_ignorenulls",     # NEW: native IGNORE-NULLS LOCF spelling
-    # slots 41-44: the remaining r6 re-certifications
+    "q_agg_countmin",        # NEW: oracle-exact count-min sketch
+    # slots 42-45: the remaining r6 re-certifications
     "q_dedup_cc",            # RE-certify: uncapped pairs + CC rewrite
     "q_dedup_near_lsh",      # RE-certify: bucket cap in query + oracle
     "q_text_pack",           # RE-certify: 2^40 pack-id namespace

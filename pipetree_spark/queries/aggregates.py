@@ -676,3 +676,100 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((s2 - (s1 * s1) / n) / (n - 1)).alias("var_samp"),
         (m3c / (vp * F.sqrt(vp))).alias("skewness"),
     )
+
+
+def _countmin_sql(depth: int = 4, width: int = 256) -> str:
+    """DuckDB twin of q_agg_countmin: same md5 base hash, same
+    minhash_coeffs literals, same (row, bucket) cells."""
+    from pipetree_spark.ops.text import MINHASH_P, minhash_coeffs
+
+    base = "CAST(concat('0x', substr(md5(CAST({k} AS VARCHAR)), 1, 15)) AS BIGINT)" \
+           f" % {MINHASH_P}"
+    coeffs = minhash_coeffs(depth)
+    build = "\nUNION ALL\n".join(
+        f"SELECT {i} AS i, (({a} * ({base.format(k='l_partkey')}) + {b}) % {MINHASH_P})"
+        f" % {width} AS bucket FROM lineitem"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    probe = "\nUNION ALL\n".join(
+        f"SELECT k, {i} AS i, (({a} * ({base.format(k='k')}) + {b}) % {MINHASH_P})"
+        f" % {width} AS bucket FROM probes"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    return f"""
+WITH cells AS ({build}),
+cms AS (SELECT i, bucket, COUNT(*) AS c FROM cells GROUP BY i, bucket),
+probes AS (SELECT UNNEST(range(1, 11)) AS k),
+pcells AS ({probe}),
+est AS (
+  SELECT p.k, MIN(COALESCE(m.c, 0)) AS est
+  FROM pcells p LEFT JOIN cms m ON p.i = m.i AND p.bucket = m.bucket
+  GROUP BY p.k
+),
+exact AS (SELECT l_partkey AS k, COUNT(*) AS exact_cnt FROM lineitem GROUP BY l_partkey)
+SELECT e.k AS probe_key, e.est,
+       COALESCE(x.exact_cnt, 0) AS exact_cnt,
+       e.est - COALESCE(x.exact_cnt, 0) AS overcount
+FROM est e LEFT JOIN exact x ON e.k = x.k
+"""
+
+
+@declare("q_agg_countmin", oracle=_countmin_sql(), tags=("agg", "approx"))
+def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-EXACT count-min sketch — the streaming heavy-hitter
+    sketch, built with the portable universal-hash family
+    (ops.text.minhash_coeffs: fixed literals, md5 base hash) instead of
+    seeded RNG, so unlike spark's HLL/GK sketches (rows-only by
+    design) the whole sketch AND its estimates hash-match DuckDB
+    bit-for-bit. Depth 4 × width 256; emits per probe key the CMS
+    estimate, the exact count, and the overcount — which the CMS
+    guarantee makes ≥ 0 (estimates never undercount), a property the
+    driver's hash compare re-proves every round.
+
+    Scale shape: the build is ONE map-side-combined groupBy over
+    depth·|rows| cells with a hard 1024-cell state bound — the classic
+    fixed-memory stream summary (this is what replaces exact counts
+    when the key space, not the data, is the problem); probes and the
+    sketch itself are broadcast-sized."""
+    from pipetree_spark.ops.text import MINHASH_P, minhash_coeffs
+
+    depth, width = 4, 256
+    coeffs = minhash_coeffs(depth)
+    l = load_table(spark, sf_dir, "lineitem")
+
+    def cells(df, key_col):
+        base = (
+            F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+            .cast("long") % MINHASH_P
+        )
+        structs = [
+            F.struct(
+                F.lit(i).alias("i"),
+                (((F.lit(a) * base + F.lit(b)) % MINHASH_P) % width).alias("bucket"),
+            )
+            for i, (a, b) in enumerate(coeffs)
+        ]
+        return df.select(key_col, F.explode(F.array(*structs)).alias("__c")).select(
+            key_col, F.col("__c.i").alias("i"), F.col("__c.bucket").alias("bucket")
+        )
+
+    cms = cells(l.select("l_partkey"), "l_partkey").groupBy("i", "bucket").agg(
+        F.count("*").alias("c")
+    )
+    probes = spark.range(1, 11).select(F.col("id").alias("k"))
+    est = (
+        cells(probes, "k")
+        .join(F.broadcast(cms), ["i", "bucket"], "left")
+        .groupBy("k")
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("est"))
+    )
+    exact = l.groupBy(F.col("l_partkey").alias("k")).agg(F.count("*").alias("exact_cnt"))
+    return (
+        est.join(F.broadcast(exact), "k", "left")
+        .select(
+            F.col("k").alias("probe_key"),
+            "est",
+            F.coalesce("exact_cnt", F.lit(0)).alias("exact_cnt"),
+            (F.col("est") - F.coalesce("exact_cnt", F.lit(0))).alias("overcount"),
+        )
+    )
