@@ -11,7 +11,11 @@ on Spark:
   the reference's parameter stage), ``sql`` (query over input views),
   ``python`` (callable over input DataFrames — the executor stage),
   ``grid`` (parameter grid fan-out: the sweep is DATA, a cross-joined
-  parameter frame, not a driver loop)
+  parameter frame, not a driver loop), ``op`` (r6: a REGISTERED library
+  operator by name + JSON kwargs — the fully-declarative executor
+  stage: a curation pipeline invokes dedup/chunk/pack/quality ops from
+  config with no python callables, so the whole spec stays
+  JSON-serializable and content-keyable)
 - execution: topological walk; with an :class:`ArtifactCache`, each
   stage's content key (spec + upstream keys) decides hit (read parquet,
   lineage cut) vs miss (compute + materialize) — the reference's
@@ -70,6 +74,8 @@ class Pipeline:
                 fn = _sql_fn(s["query"], inputs)
             elif kind == "python":
                 fn = s["fn"]  # direct-API only; not JSON-serializable
+            elif kind == "op":
+                fn = _op_fn(s["op"], inputs, s.get("args", {}))
             elif kind == "grid":
                 fn = _values_fn(
                     list(s["grid"].keys()),
@@ -261,6 +267,42 @@ def _source_fn(table: str, sf_dir: str) -> StageFn:
 def _values_fn(columns: list[str], rows: list[list]) -> StageFn:
     def fn(spark: SparkSession, _inputs: dict[str, DataFrame]) -> DataFrame:
         return spark.createDataFrame([tuple(r) for r in rows], schema=list(columns))
+
+    return fn
+
+
+#: JSON-spec-able library operators (the ``op`` stage type). Each entry
+#: is (df, **kwargs) -> DataFrame over the stage's single input. The
+#: whitelist IS the contract: an op must be deterministic and
+#: kwargs-JSON-able for the content key to be sound.
+def _op_registry() -> dict[str, Callable]:
+    from pipetree_spark.ops import text as TX
+
+    return {
+        "exact_dedup": TX.exact_dedup,
+        "near_dup_pairs": TX.near_dup_pairs,
+        "near_dup_pairs_lsh": TX.near_dup_pairs_lsh,
+        "minhash_signatures": TX.minhash_signatures,
+        "chunk_documents": TX.chunk_documents,
+        "shuffle_shards": TX.shuffle_shards,
+        "pack_sequences": TX.pack_sequences,
+        "quality_features": TX.quality_features,
+        "lang_id_scores": TX.lang_id_scores,
+        "repetition_features": TX.repetition_features,
+        "winnow_fingerprints": TX.winnow_fingerprints,
+    }
+
+
+def _op_fn(op: str, inputs: list[str], args: dict) -> StageFn:
+    reg = _op_registry()
+    if op not in reg:
+        raise ValueError(f"unknown op {op!r}; spec-able ops: {sorted(reg)}")
+    if len(inputs) != 1:
+        raise ValueError(f"op stage takes exactly one input, got {inputs!r}")
+    fn_ = reg[op]
+
+    def fn(spark: SparkSession, frames: dict[str, DataFrame]) -> DataFrame:
+        return fn_(frames[inputs[0]], **args)
 
     return fn
 

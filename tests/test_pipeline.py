@@ -487,3 +487,49 @@ def test_quality_gate_raises_on_planted_violations(spark):
         Q.gate(d, rules)
     # a clean frame passes the gate silently
     Q.gate(dim, [Q.not_null("name"), Q.unique("name")])
+
+
+def test_op_stage_curation_pipeline_end_to_end(spark, sf_small, tmp_path):
+    """The ``op`` stage type runs the shipped curation example spec
+    (examples/curation_pipeline.json): JSON-declared library operators
+    (LSH dedup pairs, chunking) compose with sql stages, re-running
+    hits the cache wholesale, and changing an op's JSON args recomputes
+    that stage (the content key covers the args)."""
+    import copy
+    import json
+    from pathlib import Path
+
+    spec = json.loads(
+        (Path(__file__).resolve().parent.parent / "examples/curation_pipeline.json")
+        .read_text()
+    )
+    spec["stages"]["documents"]["sf_dir"] = sf_small
+    cache = ArtifactCache(str(tmp_path))
+
+    p1 = Pipeline.from_spec(spec)
+    r1 = p1.run(spark, cache=cache)
+    row = r1["report"].collect()[0]
+    assert row.n_in == 500 and 0 < row.n_kept <= row.n_in
+    assert row.n_chunks >= row.n_kept  # every kept doc yields >= 1 chunk
+    assert p1.last_run_report["dedup_pairs"] == "materialized"
+
+    p2 = Pipeline.from_spec(copy.deepcopy(spec))
+    p2.run(spark, cache=cache)
+    assert p2.last_run_report["dedup_pairs"] == "hit"
+    assert p2.last_run_report["chunks"] == "hit"
+
+    # changing op args must recompute that stage and its dependents only
+    spec3 = copy.deepcopy(spec)
+    spec3["stages"]["chunks"]["args"]["size"] = 32
+    p3 = Pipeline.from_spec(spec3)
+    p3.run(spark, cache=cache)
+    assert p3.last_run_report["dedup_pairs"] == "hit"
+    assert p3.last_run_report["chunks"] == "materialized"
+
+    # unknown ops fail loudly at spec-build time
+    bad = copy.deepcopy(spec)
+    bad["stages"]["chunks"]["op"] = "no_such_op"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown op"):
+        Pipeline.from_spec(bad)
