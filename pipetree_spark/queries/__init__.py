@@ -80,7 +80,7 @@ PRIORITY: tuple[str, ...] = (
     "q_tpch_q6",
     "q_udaf_pandas",         # r2
     "q_win_laglead",         # r2
-    # slots 17-41: the twenty-five r6-NEW ops — never graded, so they
+    # slots 17-42: the twenty-six r6-NEW ops — never graded, so they
     # outrank every re-confirmation (first-time certification first)
     "q_text_chunk",          # NEW: sliding-window chunking
     "q_text_shuffle_shard",  # NEW: deterministic shuffle + sharding
@@ -107,7 +107,8 @@ PRIORITY: tuple[str, ...] = (
     "q_subq_lateral",        # NEW: correlated LATERAL top-k-per-group
     "q_win_ignorenulls",     # NEW: native IGNORE-NULLS LOCF spelling
     "q_agg_countmin",        # NEW: oracle-exact count-min sketch
-    # slots 42-45: the remaining r6 re-certifications
+    "q_pipe_curation",       # NEW: shipped curation spec e2e through Layer A
+    # slots 43-46: the remaining r6 re-certifications
     "q_dedup_cc",            # RE-certify: uncapped pairs + CC rewrite
     "q_dedup_near_lsh",      # RE-certify: bucket cap in query + oracle
     "q_text_pack",           # RE-certify: 2^40 pack-id namespace
