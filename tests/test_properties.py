@@ -425,3 +425,75 @@ def test_sessionize_random_streams_match_python_reference(spark, evs):
             prev = s
         want[(uid, idx)] = (start, prev, n)
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.integers(min_value=2, max_value=10),  # n stages
+    st.data(),
+)
+def test_pipeline_random_dags_topo_order_and_stable_keys(spark, n, data):
+    """Random DAGs through the spec walker: (a) execution order always
+    respects dependencies, (b) content keys are stable across two
+    builds of the same spec and (c) differ when any upstream spec
+    changes (the incremental-recompute correctness core)."""
+    from pipetree_spark.cache import content_key
+    from pipetree_spark.pipeline import Pipeline
+
+    # random DAG: each stage depends on a subset of earlier stages
+    deps = {
+        i: data.draw(
+            st.lists(st.integers(min_value=0, max_value=i - 1), max_size=3, unique=True)
+        )
+        if i
+        else []
+        for i in range(n)
+    }
+
+    def spec(base_where="l_quantity >= 0"):
+        stages = {}
+        for i in range(n):
+            if not deps[i]:
+                stages[f"s{i}"] = {
+                    "type": "sql",
+                    "inputs": [],
+                    "query": f"SELECT {i} AS k, COUNT(*) AS n FROM (VALUES (1),(2)) t(x) WHERE {base_where.replace('l_quantity', 'x')}",
+                }
+            else:
+                ins = [f"s{j}" for j in deps[i]]
+                sel = " UNION ALL ".join(f"SELECT k, n FROM {j}" for j in ins)
+                stages[f"s{i}"] = {"type": "sql", "inputs": ins, "query": sel}
+        return {"stages": stages}
+
+    p = Pipeline.from_spec(spec())
+    order = {name: pos for pos, name in enumerate(p._order)}
+    for i, ds in deps.items():
+        for j in ds:
+            assert order[f"s{j}"] < order[f"s{i}"]
+
+    # content keys: deterministic across rebuilds…
+    def keys(pl):
+        out = {}
+        for name in pl._order:
+            s = pl.stages[name]
+            out[name] = content_key(s.spec, [out[i] for i in s.inputs])
+        return out
+
+    k1, k2 = keys(Pipeline.from_spec(spec())), keys(Pipeline.from_spec(spec()))
+    assert k1 == k2
+    # …and any root change invalidates every downstream stage's key
+    k3 = keys(Pipeline.from_spec(spec(base_where="l_quantity >= 1")))
+    roots = {f"s{i}" for i, ds in deps.items() if not ds}
+    reach = set(roots)
+    changed_any = True
+    while changed_any:
+        changed_any = False
+        for i, ds in deps.items():
+            if f"s{i}" not in reach and any(f"s{j}" in reach for j in ds):
+                reach.add(f"s{i}")
+                changed_any = True
+    for name in k1:
+        if name in reach:
+            assert k3[name] != k1[name], name
+        else:
+            assert k3[name] == k1[name], name
