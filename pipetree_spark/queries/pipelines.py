@@ -534,3 +534,40 @@ def q_pipe_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = Pipeline.from_spec(spec, sf_dir=sf_dir)
     return p.run(spark)["report"]
+
+
+@declare(
+    "q_pipe_timetravel",
+    oracle="""
+SELECT a.lang, a.n_v0, b.n_latest
+FROM (SELECT lang, COUNT(*) AS n_v0 FROM documents WHERE doc_id % 2 = 0 GROUP BY lang) a
+JOIN (SELECT lang, COUNT(*) AS n_latest FROM documents GROUP BY lang) b USING (lang)
+""",
+    tags=("pipeline",),
+)
+def q_pipe_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table semantics driver-graded (pipetree_spark/
+    versioned.py): commit v0 = even doc_ids, append v1 = odd (table now
+    complete), overwrite v2 with a small subset (the 'bad ingest'),
+    roll back to v1 — then read BOTH version 0 (time travel) and latest
+    through the snapshot log and emit per-lang counts side by side. The
+    oracle knows nothing about versions: if the manifest log, the
+    append dir-list union, the overwrite, or the O(1) rollback got any
+    row wrong, the counts diverge and the hash compare fails.
+
+    The snapshot store is a throwaway tmp dir per invocation — the
+    query is self-contained and idempotent; at production scale the
+    same log lives next to the table and data dirs are immutable."""
+    import tempfile
+
+    from pipetree_spark.versioned import VersionedTable
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    t = VersionedTable(tempfile.mkdtemp(prefix="pipetree_vt_"), "docs")
+    t.write(d.filter(F.col("doc_id") % 2 == 0), mode="overwrite")  # v0
+    t.write(d.filter(F.col("doc_id") % 2 == 1), mode="append")     # v1 = all
+    t.write(d.filter(F.col("doc_id") < 10), mode="overwrite")      # v2: bad ingest
+    t.rollback(1)                                                  # v3 ≡ v1
+    v0 = t.read(spark, 0).groupBy("lang").agg(F.count("*").alias("n_v0"))
+    latest = t.read(spark).groupBy("lang").agg(F.count("*").alias("n_latest"))
+    return v0.join(latest, "lang")
