@@ -80,7 +80,7 @@ PRIORITY: tuple[str, ...] = (
     "q_tpch_q6",
     "q_udaf_pandas",         # r2
     "q_win_laglead",         # r2
-    # slots 17-43: the twenty-seven r6-NEW ops — never graded, so they
+    # slots 17-44: the twenty-eight r6-NEW ops — never graded, so they
     # outrank every re-confirmation (first-time certification first)
     "q_text_chunk",          # NEW: sliding-window chunking
     "q_text_shuffle_shard",  # NEW: deterministic shuffle + sharding
@@ -109,7 +109,8 @@ PRIORITY: tuple[str, ...] = (
     "q_agg_countmin",        # NEW: oracle-exact count-min sketch
     "q_pipe_curation",       # NEW: shipped curation spec e2e through Layer A
     "q_pipe_timetravel",     # NEW: versioned-table log/rollback driver-graded
-    # slots 44-47: the remaining r6 re-certifications
+    "q_agg_bloom",           # NEW: oracle-exact Bloom membership sketch
+    # slots 45-48: the remaining r6 re-certifications
     "q_dedup_cc",            # RE-certify: uncapped pairs + CC rewrite
     "q_dedup_near_lsh",      # RE-certify: bucket cap in query + oracle
     "q_text_pack",           # RE-certify: 2^40 pack-id namespace

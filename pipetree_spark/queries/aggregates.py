@@ -773,3 +773,102 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est") - F.coalesce("exact_cnt", F.lit(0))).alias("overcount"),
         )
     )
+
+
+def _bloom_sql(depth: int = 4, width: int = 1024) -> str:
+    """DuckDB twin of q_agg_bloom — same hash family as the count-min
+    oracle, bits represented as the distinct (i, pos) set."""
+    from pipetree_spark.ops.text import MINHASH_P, minhash_coeffs
+
+    base = "CAST(concat('0x', substr(md5(CAST({k} AS VARCHAR)), 1, 15)) AS BIGINT)" \
+           f" % {MINHASH_P}"
+    coeffs = minhash_coeffs(depth)
+    build = "\nUNION ALL\n".join(
+        f"SELECT DISTINCT {i} AS i, (({a} * ({base.format(k='o_custkey')}) + {b})"
+        f" % {MINHASH_P}) % {width} AS pos FROM orders"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    probe = "\nUNION ALL\n".join(
+        f"SELECT k, {i} AS i, (({a} * ({base.format(k='k')}) + {b})"
+        f" % {MINHASH_P}) % {width} AS pos FROM probes"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    return f"""
+WITH bits AS ({build}),
+probes AS (SELECT UNNEST(range(1, 6)) AS k UNION ALL
+           SELECT UNNEST(range(1000001, 1000006)) AS k),
+pcells AS ({probe}),
+hit AS (
+  SELECT p.k, CAST(MIN(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+           AS maybe_present
+  FROM pcells p LEFT JOIN bits b ON p.i = b.i AND p.pos = b.pos
+  GROUP BY p.k
+),
+truth AS (SELECT DISTINCT o_custkey AS k FROM orders)
+SELECT h.k AS probe_key, h.maybe_present,
+       CAST(t.k IS NOT NULL AS INT) AS actually_present
+FROM hit h LEFT JOIN truth t ON h.k = t.k
+"""
+
+
+@declare("q_agg_bloom", oracle=_bloom_sql(), tags=("agg", "approx"))
+def q_agg_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-EXACT Bloom filter — the membership sketch beside
+    q_agg_countmin's frequency sketch, same portable universal-hash
+    family (fixed literals, md5 base hash): build the filter over
+    orders.o_custkey as the distinct set of (hash-row, bit-position)
+    cells, then probe 5 known-present and 5 known-absent keys. Emits
+    (probe_key, maybe_present, actually_present); Bloom's one-sided
+    guarantee — maybe_present ≥ actually_present, no false negatives —
+    is re-proved by the driver's hash compare every round, and any
+    false POSITIVE the parameters produce is the same bit pattern in
+    both engines.
+
+    Scale shape: the filter is a map-side-combined DISTINCT over
+    depth·|rows| cells with a hard depth×width state bound (4×1024
+    bits here — a real deployment sizes width from the FP target);
+    probing is a broadcast join against the tiny bit set. This is the
+    build-side pattern of runtime join pruning (Spark's own
+    InjectRuntimeFilter builds exactly this and ships it to scans)."""
+    from pipetree_spark.ops.text import MINHASH_P, minhash_coeffs
+
+    depth, width = 4, 1024
+    coeffs = minhash_coeffs(depth)
+    o = load_table(spark, sf_dir, "orders")
+
+    def cells(df, key_col):
+        base = (
+            F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+            .cast("long") % MINHASH_P
+        )
+        structs = [
+            F.struct(
+                F.lit(i).alias("i"),
+                (((F.lit(a) * base + F.lit(b)) % MINHASH_P) % width).alias("pos"),
+            )
+            for i, (a, b) in enumerate(coeffs)
+        ]
+        return df.select(key_col, F.explode(F.array(*structs)).alias("__c")).select(
+            key_col, F.col("__c.i").alias("i"), F.col("__c.pos").alias("pos")
+        )
+
+    bits = cells(o.select("o_custkey"), "o_custkey").select("i", "pos").distinct()
+    probes = (
+        spark.range(1, 6).select(F.col("id").alias("k"))
+        .unionByName(spark.range(1000001, 1000006).select(F.col("id").alias("k")))
+    )
+    hit = (
+        cells(probes, "k")
+        .join(F.broadcast(bits.withColumn("__hit", F.lit(1))), ["i", "pos"], "left")
+        .groupBy("k")
+        .agg(F.min(F.coalesce("__hit", F.lit(0))).cast("int").alias("maybe_present"))
+    )
+    truth = o.select(F.col("o_custkey").alias("k")).distinct().withColumn("__t", F.lit(1))
+    return (
+        hit.join(F.broadcast(truth), "k", "left")
+        .select(
+            F.col("k").alias("probe_key"),
+            "maybe_present",
+            F.coalesce("__t", F.lit(0)).alias("actually_present"),
+        )
+    )
