@@ -280,18 +280,22 @@ def incremental_dedup_batch(
     their hashes (stamped with ``batch_id``) append to the ledger.
 
     Exactly-once: foreachBatch gives at-least-once delivery — a retried
-    micro-batch re-runs with the SAME batch_id, so the ledger's
-    batch_id column doubles as an idempotence guard: a batch whose id
-    is already recorded is skipped wholesale instead of double-
-    appending. (The ledger write commits after the data write; a crash
-    between the two re-admits at most one batch's dups — dedup is
-    self-healing on the next pass, never lossy.)
+    micro-batch re-runs with the SAME batch_id, and BOTH writes are
+    idempotent on that id: the data lands in the deterministic
+    partition ``out_dir/batch_id=<id>`` with mode=overwrite (a replay
+    overwrites its own partition instead of double-appending — no other
+    batch's partition is touched), and the ledger's batch_id column is
+    the commit point (a batch whose id is already recorded is skipped
+    wholesale). A crash between the data write and the ledger commit
+    therefore leaves ZERO duplicates in out_dir after the replay — the
+    replay overwrites the orphaned partition and then commits.
 
     Scale: the ledger is (hash, batch_id) only — ~40 bytes/doc, so the
     anti-join builds on a relation ~1000× smaller than the corpus; at
     100 TB it lives bucketed by hash so the anti-join is exchange-free
-    on the ledger side. Returns the number of admitted rows (test
-    hook)."""
+    on the ledger side. batch_id partitioning of the sink is also the
+    natural ingest layout (prunes by ingest batch downstream). Returns
+    the number of admitted rows (test hook)."""
     from pyspark.sql import Window
     from pyspark.sql.utils import AnalysisException
 
@@ -317,10 +321,11 @@ def incremental_dedup_batch(
             firsts["__nh"] == F.col("__seen"),
             "left_anti",
         )
-    # two actions over the same deterministic frame: data first, ledger
+    # two actions over the same deterministic frame: data first (into
+    # this batch's own partition, overwrite = replay-idempotent), ledger
     # last (the commit point — see docstring crash analysis)
     admitted = firsts.count()
-    firsts.drop("__nh").write.mode("append").parquet(out_dir)
+    firsts.drop("__nh").write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
     firsts.select(
         F.col("__nh").alias("nh"), F.lit(batch_id).cast("long").alias("batch_id")
     ).write.mode("append").parquet(ledger_dir)

@@ -19,10 +19,11 @@ implementation:
 - a read at version n is ``spark.read.parquet(*dirs)`` — Spark scans
   the union of the listed dirs in parallel; nothing is merged
   driver-side,
-- the commit point is the atomic ``rename`` of the version file; a
-  concurrent commit to the same version loses the rename race and
-  raises ``CommitConflict`` (optimistic concurrency, retry-at-caller —
-  the same contract Delta's log gives).
+- the commit point is the atomic PROMOTION of a fully-written temp
+  manifest to the version file; a concurrent commit to the same
+  version loses the promotion race and raises ``CommitConflict``
+  (optimistic concurrency, retry-at-caller — the same contract
+  Delta's log gives).
 
 Scale notes: manifests are O(commits) JSON files of directory paths —
 metadata, never data; append and rollback never rewrite rows, so a
@@ -31,11 +32,19 @@ deletes snapshot dirs unreachable from the retained version horizon
 (the only operation that destroys data, and it refuses to touch
 anything a retained version still references).
 
-Manifest I/O here is plain local-FS ``os`` calls (atomic rename is the
-POSIX contract the commit relies on); routing it through the Hadoop
-FileSystem API for ``s3a://`` roots is the same mechanical swap
-cache.py already demonstrates — data reads/writes are Spark-side and
-scheme-agnostic today.
+Manifest I/O routes through the Hadoop FileSystem API (the cache.py
+pattern), so ``file:``-scheme and ``s3a://`` roots run the same code
+as bare local paths. Commit atomicity is scheme-aware:
+
+- local roots (bare path or ``file:`` scheme): the temp manifest is
+  promoted with ``os.link`` — create-EXCLUSIVE at the kernel level, so
+  of two racing writers exactly one wins and the loser ALWAYS gets
+  ``CommitConflict`` (a bare ``os.rename`` would silently replace the
+  winner's manifest — the lost-commit bug this replaces);
+- remote schemes: exists-check + Hadoop ``rename`` (atomic and
+  dst-failing on HDFS). True object stores (s3a) lack atomic
+  rename-if-absent; there, as for Delta-on-S3 without a coordinating
+  LogStore, the contract is single-writer-per-table.
 
 Reference note: the reference (pipetree/pipetree — /root/reference is
 empty, SURVEY §0) versions artifacts implicitly via content hashes;
@@ -56,45 +65,105 @@ class CommitConflict(RuntimeError):
     """Another writer committed this version first — reread and retry."""
 
 
+def _local_path(path: str) -> str | None:
+    """The OS path for a bare or ``file:``-scheme location, else None."""
+    if "://" not in path and not path.startswith("file:"):
+        return path
+    if path.startswith("file://"):
+        return path[len("file://") :] or "/"
+    if path.startswith("file:"):
+        return path[len("file:") :]
+    return None
+
+
 class VersionedTable:
-    def __init__(self, root: str, name: str):
-        self.dir = os.path.join(root.rstrip("/"), name)
-        self.log_dir = os.path.join(self.dir, "_versions")
+    def __init__(self, root: str, name: str, spark: SparkSession | None = None):
+        self.dir = root.rstrip("/") + "/" + name
+        self.log_dir = self.dir + "/_versions"
+        self._spark = spark
+
+    # -- Hadoop FS plumbing (file:// and s3a:// roots, same code) --------
+    def _fs(self, path: str):
+        spark = self._spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "VersionedTable manifest I/O needs a SparkSession "
+                "(pass spark= or create one first)"
+            )
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
+
+    def _read_text(self, path: str) -> str:
+        fs, jpath, jvm = self._fs(path)
+        stream = fs.open(jpath)
+        try:
+            return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+
+    def _write_text(self, path: str, text: str) -> None:
+        fs, jpath, _ = self._fs(path)
+        out = fs.create(jpath, False)  # create-exclusive: no clobber
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
 
     # -- log plumbing ----------------------------------------------------
     def _version_file(self, n: int) -> str:
-        return os.path.join(self.log_dir, f"{n:06d}.json")
+        return f"{self.log_dir}/{n:06d}.json"
 
     def versions(self) -> list[int]:
-        if not os.path.isdir(self.log_dir):
+        fs, jlog, _ = self._fs(self.log_dir)
+        if not fs.exists(jlog):
             return []
-        return sorted(
-            int(f.split(".")[0]) for f in os.listdir(self.log_dir) if f.endswith(".json")
-        )
+        out = []
+        for status in fs.listStatus(jlog):
+            name = status.getPath().getName()
+            if name.endswith(".json") and ".tmp-" not in name:
+                out.append(int(name.split(".")[0]))
+        return sorted(out)
 
     def latest_version(self) -> int | None:
         vs = self.versions()
         return vs[-1] if vs else None
 
     def _manifest(self, n: int) -> dict:
-        with open(self._version_file(n)) as fh:
-            return json.load(fh)
+        return json.loads(self._read_text(self._version_file(n)))
 
     def _commit(self, dirs: list[str], action: str) -> int:
         """Atomically commit a new version whose content is ``dirs``.
-        The temp-write + rename is the commit point; losing the rename
-        race to a concurrent writer raises CommitConflict."""
-        os.makedirs(self.log_dir, exist_ok=True)
+        The temp manifest is written in full, then PROMOTED to the
+        version file in one atomic step; losing the promotion race to a
+        concurrent writer raises CommitConflict (see module docstring
+        for the per-scheme atomicity contract)."""
+        fs, jlog, _ = self._fs(self.log_dir)
+        fs.mkdirs(jlog)
         latest = self.latest_version()
         n = 0 if latest is None else latest + 1
         target = self._version_file(n)
         tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            json.dump({"version": n, "action": action, "dirs": dirs}, fh)
-        if os.path.exists(target):
-            os.unlink(tmp)
+        payload = json.dumps({"version": n, "action": action, "dirs": dirs})
+        local = _local_path(target)
+        if local is not None:
+            # kernel-level create-exclusive: link fails iff target exists
+            local_tmp = _local_path(tmp)
+            with open(local_tmp, "w") as fh:
+                fh.write(payload)
+            try:
+                os.link(local_tmp, local)
+            except FileExistsError:
+                raise CommitConflict(f"version {n} already committed") from None
+            finally:
+                os.unlink(local_tmp)
+            return n
+        self._write_text(tmp, payload)
+        _, jtarget, _ = self._fs(target)
+        _, jtmp, _ = self._fs(tmp)
+        if fs.exists(jtarget) or not fs.rename(jtmp, jtarget):
+            fs.delete(jtmp, False)
             raise CommitConflict(f"version {n} already committed")
-        os.rename(tmp, target)
         return n
 
     # -- public API ------------------------------------------------------
@@ -104,7 +173,7 @@ class VersionedTable:
         replaces the dir list. Returns the committed version."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-        snap = os.path.join(self.dir, f"snap-{uuid.uuid4().hex[:12]}")
+        snap = f"{self.dir}/snap-{uuid.uuid4().hex[:12]}"
         df.write.parquet(snap)
         latest = self.latest_version()
         prior = self._manifest(latest)["dirs"] if (latest is not None and mode == "append") else []
@@ -115,7 +184,10 @@ class VersionedTable:
         latest). The union of snapshot dirs is scanned by Spark in one
         parallel read — no driver-side merging."""
         v = self.latest_version() if version is None else version
-        if v is None or not os.path.exists(self._version_file(v)):
+        if v is None:
+            raise FileNotFoundError(f"no version {version!r} in {self.log_dir}")
+        fs, jfile, _ = self._fs(self._version_file(v))
+        if not fs.exists(jfile):
             raise FileNotFoundError(f"no version {version!r} in {self.log_dir}")
         dirs = self._manifest(v)["dirs"]
         if not dirs:
@@ -137,14 +209,17 @@ class VersionedTable:
         versions. Time travel to vacuumed versions stops working — this
         is the one destructive operation, and it never touches a dir a
         retained version references. Returns the deleted dirs."""
-        import shutil
-
         vs = self.versions()
-        keep = {d for n in vs[-retain_last:] for d in self._manifest(n)["dirs"]}
+        keep = {
+            d.rstrip("/").rsplit("/", 1)[-1]
+            for n in vs[-retain_last:]
+            for d in self._manifest(n)["dirs"]
+        }
+        fs, jdir, _ = self._fs(self.dir)
         deleted = []
-        for entry in os.listdir(self.dir):
-            full = os.path.join(self.dir, entry)
-            if entry.startswith("snap-") and full not in keep:
-                shutil.rmtree(full)
-                deleted.append(full)
+        for status in fs.listStatus(jdir):
+            entry = status.getPath().getName()
+            if entry.startswith("snap-") and entry not in keep:
+                fs.delete(status.getPath(), True)
+                deleted.append(f"{self.dir}/{entry}")
         return deleted

@@ -273,3 +273,28 @@ def test_foreachbatch_incremental_dedup_ingest(spark, tmp_path):
     replay = st.incremental_dedup_batch(b1, 0, ledger, out)
     assert replay == 0
     assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == got
+
+
+def test_incremental_dedup_replay_after_crash_is_duplicate_free(spark, tmp_path):
+    """The ADVICE crash window: data written, ledger commit lost. The
+    replayed micro-batch (same batch_id, no ledger record) must
+    OVERWRITE its own deterministic partition — out_dir ends up with
+    exactly one copy of the batch, not two."""
+    schema = "doc_id long, text string, lang string"
+    b = spark.createDataFrame(
+        [(1, "alpha beta", "en"), (2, "gamma delta", "en")], schema
+    )
+    ledger, out = str(tmp_path / "ledger"), str(tmp_path / "out")
+    # simulate the crash: perform only the data-write half of the batch
+    b.write.mode("overwrite").parquet(f"{out}/batch_id=0")
+    assert spark.read.parquet(out).count() == 2
+    # replay the full batch — guard doesn't fire (no ledger row), the
+    # partition overwrite replaces the orphan instead of appending
+    admitted = st.incremental_dedup_batch(b, 0, ledger, out)
+    assert admitted == 2
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r.doc_id for r in rows) == [1, 2]  # no duplicates
+    assert spark.read.parquet(ledger).count() == 2
+    # second replay now hits the ledger guard → no-op
+    assert st.incremental_dedup_batch(b, 0, ledger, out) == 0
+    assert spark.read.parquet(out).count() == 2
