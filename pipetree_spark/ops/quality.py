@@ -74,7 +74,11 @@ def evaluate(df: DataFrame, rules: list[Rule]) -> DataFrame:
     per rule, deterministic order by rule name downstream of the union.
     Row-local rules share ONE aggregate pass; set rules get their
     minimal dedicated shape each."""
-    spark = df.sparkSession
+    if not rules:
+        raise ValueError("evaluate() needs at least one rule")
+    unknown = [r.name for r in rules if r.violated is None and r.kind not in ("unique", "foreign_key")]
+    if unknown:
+        raise ValueError(f"rules with unrecognized kind and no predicate: {unknown}")
     parts: list[DataFrame] = []
 
     row_rules = [r for r in rules if r.violated is not None]
@@ -84,14 +88,21 @@ def evaluate(df: DataFrame, rules: list[Rule]) -> DataFrame:
             for i, r in enumerate(row_rules)
         ]
         wide = df.agg(*aggs)
-        # one aggregate row → unpivot to (rule, n) via stack
-        stack_args = ", ".join(
-            f"'{r.name}', '{r.kind}', __v{i}" for i, r in enumerate(row_rules)
+        # one aggregate row → unpivot via an inline struct array; rule
+        # names ride as literal COLUMNS (never interpolated into SQL
+        # text, so a quote in a name can't break or inject anything)
+        triples = F.array(
+            *[
+                F.struct(
+                    F.lit(r.name).alias("rule"),
+                    F.lit(r.kind).alias("kind"),
+                    F.col(f"__v{i}").alias("n_violations"),
+                )
+                for i, r in enumerate(row_rules)
+            ]
         )
         parts.append(
-            wide.selectExpr(
-                f"stack({len(row_rules)}, {stack_args}) AS (rule, kind, n_violations)"
-            )
+            wide.select(F.explode(triples).alias("__z")).select("__z.*")
         )
 
     for r in rules:

@@ -524,12 +524,17 @@ def q_pipe_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialize=true stage writes through the ArtifactCache instead
     and re-runs skip — exercised by tests/test_pipeline.py."""
     import json
-    from pathlib import Path
+    from importlib import resources
 
     from pipetree_spark.pipeline import Pipeline
 
+    # the spec ships as package data (works from a wheel / site-packages
+    # install, where the repo's examples/ dir doesn't exist); the repo
+    # copy in examples/ is the user-facing twin, pinned identical by
+    # tests/test_pipeline.py
     spec = json.loads(
-        (Path(__file__).resolve().parents[2] / "examples/curation_pipeline.json")
+        resources.files("pipetree_spark")
+        .joinpath("specs/curation_pipeline.json")
         .read_text()
     )
     p = Pipeline.from_spec(spec, sf_dir=sf_dir)
@@ -555,15 +560,26 @@ def q_pipe_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     append dir-list union, the overwrite, or the O(1) rollback got any
     row wrong, the counts diverge and the hash compare fails.
 
-    The snapshot store is a throwaway tmp dir per invocation — the
-    query is self-contained and idempotent; at production scale the
-    same log lives next to the table and data dirs are immutable."""
+    The snapshot store is a FIXED per-sf_dir scratch dir that every
+    invocation clears and rebuilds — repeated gradings reuse one
+    location instead of leaking two table copies into /tmp per run
+    (the query is self-contained and idempotent either way); at
+    production scale the same log lives next to the table and data
+    dirs are immutable."""
+    import hashlib
+    import shutil
     import tempfile
+    from pathlib import Path
 
     from pipetree_spark.versioned import VersionedTable
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    t = VersionedTable(tempfile.mkdtemp(prefix="pipetree_vt_"), "docs")
+    scratch = Path(tempfile.gettempdir()) / (
+        "pipetree_vt_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    scratch.mkdir(parents=True)
+    t = VersionedTable(str(scratch), "docs")
     t.write(d.filter(F.col("doc_id") % 2 == 0), mode="overwrite")  # v0
     t.write(d.filter(F.col("doc_id") % 2 == 1), mode="append")     # v1 = all
     t.write(d.filter(F.col("doc_id") < 10), mode="overwrite")      # v2: bad ingest

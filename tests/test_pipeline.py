@@ -489,6 +489,45 @@ def test_quality_gate_raises_on_planted_violations(spark):
     Q.gate(dim, [Q.not_null("name"), Q.unique("name")])
 
 
+def test_shipped_curation_spec_copies_are_identical():
+    """q_pipe_curation loads the spec from PACKAGE data (survives a
+    wheel install); examples/curation_pipeline.json is the user-facing
+    copy. They must never drift."""
+    import json
+    from importlib import resources
+    from pathlib import Path
+
+    pkg = json.loads(
+        resources.files("pipetree_spark").joinpath("specs/curation_pipeline.json").read_text()
+    )
+    repo = json.loads(
+        (Path(__file__).resolve().parent.parent / "examples/curation_pipeline.json").read_text()
+    )
+    assert pkg == repo
+
+
+def test_quality_rule_names_with_quotes_and_empty_suite(spark):
+    """Rule names are literal columns, not SQL text: a single quote in
+    a name (in_range's auto-name with string bounds produces one
+    trivially) must not break or inject into the unpivot; an empty or
+    all-unknown rule suite raises a descriptive error, not IndexError."""
+    import pytest
+
+    from pipetree_spark.ops import quality as Q
+
+    d = spark.createDataFrame([("a",), ("b'; DROP--",)], "name string")
+    rules = [
+        Q.in_range("name", "a'quoted", "z'z"),  # auto-name embeds quotes
+        Q.satisfies("it's positive", F.length("name") > 0),
+    ]
+    got = {r.rule: r.n_violations for r in Q.evaluate(d, rules).collect()}
+    assert got == {"in_range:name:[a'quoted,z'z]": 1, "it's positive": 0}
+    with pytest.raises(ValueError, match="at least one rule"):
+        Q.evaluate(d, [])
+    with pytest.raises(ValueError, match="unrecognized"):
+        Q.evaluate(d, [Q.Rule("mystery", "telepathy")])
+
+
 def test_op_stage_curation_pipeline_end_to_end(spark, sf_small, tmp_path):
     """The ``op`` stage type runs the shipped curation example spec
     (examples/curation_pipeline.json): JSON-declared library operators
