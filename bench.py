@@ -44,6 +44,12 @@ BENCH_QUERIES: dict[str, str] = {
     "q_dedup_near_lsh": "q_dedup_near_lsh",  # r5: the production dedup path
     "q_dedup_cc": "q_dedup_cc",  # r6: one-shuffle-per-round CC rewrite
     "q_dedup_semantic": "q_dedup_semantic",  # r6: embedding-space dedup e2e
+    # r7 (r6 verdict #7): the two E2E paths a real user runs nightly,
+    # tracked round-over-round like the dedup family, plus the new
+    # IVF-blocked semantic scale path
+    "q_dedup_cluster_lsh": "q_dedup_cluster_lsh",
+    "q_pipe_curation": "q_pipe_curation",
+    "q_dedup_semantic_ann": "q_dedup_semantic_ann",
 }
 
 RUNS = 3

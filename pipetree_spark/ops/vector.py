@@ -390,6 +390,58 @@ def kmeans_portable_fit(
     return a, cents
 
 
+def ivf_multiprobe_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    n_probe: int = 2,
+    n_clusters: int = 8,
+    iters: int = 2,
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Deterministic multi-probe IVF assignment: each key maps to its
+    ``n_probe`` nearest portable-Lloyd centroids (exact integer
+    distance, ties → smaller cid via the (d, cid) struct sort — the
+    same probe rule :func:`ivf_ann_portable` applies to queries, here
+    applied to the corpus itself). Returns ``(key, cluster)`` with
+    ``n_probe`` rows per key.
+
+    This is the standard recall lever for BLOCKED pairwise ops
+    (semantic dedup, decontamination): two vectors collide if ANY
+    probed cell is shared, so near-dups sitting just across a Voronoi
+    boundary — the single-probe miss mode — still pair up, at n_probe×
+    membership cost instead of n² pairs.
+
+    Scale shape: centroids are a k-row broadcast; assignment is a
+    narrow map + explode — no shuffle."""
+    _, cents = kmeans_portable_fit(
+        df, vec_col, key_col, k=n_clusters, iters=iters, scale=scale
+    )
+    q = df.select(
+        key_col,
+        F.transform(
+            vec_col, lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long")
+        ).alias("__qv"),
+    )
+    dist_cid = F.transform(
+        "__cs",
+        lambda cc: F.struct(
+            F.aggregate(
+                F.zip_with("__qv", cc["cv"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            cc["cid"].alias("cid"),
+        ),
+    )
+    return q.crossJoin(F.broadcast(cents)).select(
+        key_col,
+        F.explode(
+            F.transform(F.slice(F.array_sort(dist_cid), 1, n_probe), lambda s: s["cid"])
+        ).alias("cluster"),
+    )
+
+
 def ivf_ann_portable(
     queries: DataFrame,
     corpus: DataFrame,

@@ -45,102 +45,74 @@ def declare(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # The driver's correctness loop walks the registry in iteration order and
 # may stop early (every round so far: exactly the first 50 entries got
 # CORRECTNESS rows). PRIORITY pins the front of the registry; it is
-# ROTATED each round toward maximal marginal certification. After r5
-# every oracled query has ≥1 green driver row, so the r6 rotation
-# targets DRIFT RISK: (a) the five re-certifications this round's
-# changes require (q_dedup_minhash_band / q_dedup_near_lsh: band-bucket
-# cap added to query AND oracle; q_text_pack: 2⁴⁰ pack-id namespace;
-# q_dedup_keep_best / q_dedup_cc: max_bucket=None + the CC one-shuffle
-# rewrite), and (b) the stalest certifications — 41 queries were last
-# graded in r1 while their modules (aggregates/functions/joins/llm_ops)
-# have been edited since; 33 of them fit this window, the other 8
-# (structurally simplest shapes, still enforced every round by the
-# local parity gate) rotate in next round.
-# Invariants (pinned by tests/test_oracle_parity.py): slots 1-16 come
-# from 16 distinct operator modules (a cut at ANY point spans the most
-# families possible) and no rows-only query wastes a graded slot.
-# Already-certified queries follow in registration order — a wider
-# driver window re-confirms them for free.
-PRIORITY: tuple[str, ...] = (
-    # slots 1-16: one per module — oldest certification in the module,
-    # or this round's re-certification where the module has one
-    "q_agg_cube",            # r1
-    "q_fn_array",            # r1
-    "q_join_3way",           # r1
-    "q_dedup_minhash_band",  # RE-certify: bucket cap in query + oracle
-    "q_pipe_param",          # r2
-    "q_case_when",           # r2
-    "q_sample_hash",
-    "q_set_union_all",       # r2
-    "q_limit",               # r2
-    "q_src_events",          # r2 (the ns-timestamp gotcha path)
-    "q_stream_dedup",        # r2
-    "q_subq_notin",          # r2
-    "q_ts_gapfill",          # r2
-    "q_tpch_q6",
-    "q_udaf_pandas",         # r2
-    "q_win_laglead",         # r2
-    # slots 17-44: the twenty-eight r6-NEW ops — never graded, so they
-    # outrank every re-confirmation (first-time certification first)
-    "q_text_chunk",          # NEW: sliding-window chunking
-    "q_text_shuffle_shard",  # NEW: deterministic shuffle + sharding
-    "q_dedup_semantic",      # NEW: embedding-space dedup end-to-end
-    "q_corpus_mixture",      # NEW: per-source mixture weighting
-    "q_vec_decontam",        # NEW: semantic train/eval decontamination
-    "q_text_length_hist",    # NEW: token-length histogram audit
-    "q_dedup_cluster_lsh",   # NEW: production clustered dedup e2e
-    "q_src_evolution",       # NEW: parquet schema evolution + partition discovery
-    "q_join_nullsafe",       # NEW: null-safe equality join (<=>)
-    "q_text_unigram_lm",     # NEW: corpus-LM familiarity scoring
-    "q_text_ngram_top",      # NEW: per-lang frequent-bigram audit
-    "q_dedup_incremental",   # NEW: incoming-batch-vs-corpus dedup
-    "q_ts_sessionize",       # NEW: gaps-and-islands batch sessionization
-    "q_ts_anomaly",          # NEW: bit-exact rolling-z anomaly detection
-    "q_agg_mode",            # NEW: grouped modal value, deterministic ties
-    "q_agg_weighted",        # NEW: exact-decimal weighted mean
-    "q_join_salted",         # NEW: salted skew join vs plain-join oracle
-    "q_fn_regexp",           # NEW: RE2-portable regex extract family
-    "q_src_corrupt_json",    # NEW: malformed-record ingest audit
-    "q_agg_moments",         # NEW: bit-exact mean/var/skewness moments
-    "q_pipe_expect",         # NEW: data-quality expectation suite
-    "q_pipe_profile",        # NEW: one-pass column profiling audit
-    "q_subq_lateral",        # NEW: correlated LATERAL top-k-per-group
-    "q_win_ignorenulls",     # NEW: native IGNORE-NULLS LOCF spelling
-    "q_agg_countmin",        # NEW: oracle-exact count-min sketch
-    "q_pipe_curation",       # NEW: shipped curation spec e2e through Layer A
-    "q_pipe_timetravel",     # NEW: versioned-table log/rollback driver-graded
-    "q_agg_bloom",           # NEW: oracle-exact Bloom membership sketch
-    # slots 45-48: the remaining r6 re-certifications
-    "q_dedup_cc",            # RE-certify: uncapped pairs + CC rewrite
-    "q_dedup_near_lsh",      # RE-certify: bucket cap in query + oracle
-    "q_text_pack",           # RE-certify: 2^40 pack-id namespace
-    "q_dedup_keep_best",     # RE-certify: max_bucket=None pair path
-    # slots 38-50: the stalest r1 certifications (modules edited since)
-    "q_agg_rollup",
-    "q_agg_gsets",
-    "q_agg_pivot",
-    "q_agg_stats",
-    "q_agg_percentile",
-    "q_agg_events",
-    "q_agg_distinct_global",
-    "q_agg_salted",
-    "q_agg_unpivot",
-    "q_agg_stragg",
+# ROTATED each round toward maximal marginal certification.
+#
+# r7 discipline (the r6 verdict's #1 directive, followed exactly): new
+# declarations are FROZEN this round except the verdict-mandated
+# q_dedup_semantic_ann, and the whole window burns down the stale-
+# certification backlog. For the record (the r6 comment here overstated
+# the r6 rotation — it promised 33 r1-stale re-certifications but the 28
+# new declarations consumed the window and only 5 landed): computed from
+# CORRECTNESS_r01–r06.json, 36 queries' latest green driver row is still
+# r1 while their modules kept being edited. The r7 window is therefore:
+#   slot 1      — q_dedup_semantic_ann (the one never-graded oracled
+#                 query; first-time certification outranks everything),
+#   slots 2-37  — ALL 36 r1-stale queries, round-robin across their four
+#                 modules (aggregates/functions/joins/llm_ops) so any
+#                 early cut still spans all of them,
+#   slots 38-43 — re-confirmations of queries whose code changed this
+#                 round (versioned.py Hadoop-FS commit → q_pipe_timetravel;
+#                 package-data spec → q_pipe_curation; quality.py unpivot
+#                 → q_pipe_expect; the _semantic_dedup_audit refactor →
+#                 q_dedup_semantic; plus the two new bench E2E paths
+#                 q_dedup_cluster_lsh / q_dedup_incremental),
+#   slots 44-50 — the 7 rows-only entries the driver has NEVER sampled
+#                 (q_dedup_minhash/simhash, q_vec_kmeans/pca/ann_ivf,
+#                 q_sample_bernoulli/strat): they can only yield an
+#                 err=no_oracle row, but that row proves they RUN — a
+#                 crash in one is currently invisible to the driver.
+#                 They sit last so every green-capable slot cuts first.
+# The r1–r6 "all 16 modules in the window" invariant is deliberately
+# suspended for this one round (10 modules have no stale entries left —
+# their freshest certifications are r4–r6); tests/test_oracle_parity.py
+# pins THIS composition instead. Already-certified queries follow in
+# registration order — a wider driver window re-confirms them for free.
+_R1_STALE: tuple[str, ...] = (
+    # round-robin agg → fn → join → llm_ops (36 = 12 agg, 11 fn, 10 join,
+    # 3 text), so a cut at any depth spans all four backlogged modules
+    "q_agg_global", "q_fn_date", "q_join_broadcast", "q_text_stats",
+    "q_agg_having", "q_fn_math", "q_join_smj", "q_text_tf",
+    "q_agg_distinct", "q_fn_map", "q_join_left", "q_text_quality",
+    "q_agg_pivot", "q_fn_json", "q_join_right",
+    "q_agg_stats", "q_fn_variant", "q_join_full",
+    "q_agg_percentile", "q_fn_interval", "q_join_semi",
+    "q_agg_events", "q_fn_bitwise", "q_join_anti",
+    "q_agg_distinct_global", "q_fn_struct", "q_join_cross",
+    "q_agg_salted", "q_fn_from_json", "q_join_theta",
+    "q_agg_unpivot", "q_fn_editdist", "q_join_range",
+    "q_agg_stragg", "q_fn_string2",
     "q_agg_groupby_all",
-    "q_fn_date",
-    "q_fn_math",
-    "q_fn_map",
-    "q_fn_json",
-    "q_fn_variant",
-    "q_fn_interval",
-    "q_fn_bitwise",
-    "q_fn_struct",
-    "q_fn_from_json",
-    "q_fn_editdist",
-    # (q_fn_string2, q_join_broadcast/smj/anti/theta, q_join_range,
-    # q_text_stats/tf/quality and the 8 simplest r1 shapes rotate to r7
-    # — displaced by the fourteen first-time certs; joins stay covered
-    # in-window by q_join_3way and q_join_nullsafe)
+)
+
+_R7_RECONFIRM: tuple[str, ...] = (
+    "q_pipe_timetravel",    # versioned.py: Hadoop-FS + create-exclusive commit
+    "q_pipe_curation",      # spec now loads as package data
+    "q_pipe_expect",        # quality.py: literal-column unpivot
+    "q_dedup_semantic",     # refactored onto _semantic_dedup_audit
+    "q_dedup_cluster_lsh",  # new bench headline (r6 verdict #7)
+    "q_dedup_incremental",  # new bench headline + streaming twin changed
+)
+
+_NEVER_SAMPLED_ROWS_ONLY: tuple[str, ...] = (
+    "q_dedup_minhash", "q_dedup_simhash", "q_vec_kmeans", "q_vec_pca",
+    "q_vec_ann_ivf", "q_sample_bernoulli", "q_sample_strat",
+)
+
+PRIORITY: tuple[str, ...] = (
+    ("q_dedup_semantic_ann",)   # NEW: IVF-blocked semantic dedup (r6 verdict #4)
+    + _R1_STALE
+    + _R7_RECONFIRM
+    + _NEVER_SAMPLED_ROWS_ONLY
     # --- 50-slot line: slots 51+ follow in registration order ---
 )
 

@@ -1177,17 +1177,19 @@ def q_text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_cte(k: int = 8, scale: int = 1 << 20) -> str:
+def _kmeans_cte(k: int = 8, scale: int = 1 << 20, recursive: bool = False) -> str:
     """Shared DuckDB CTE chain for ops.vector.kmeans_portable_fit
     (2 unrolled Lloyd iterations): ends with ``c2`` (final quantized
     centroids) and ``a2`` (final assignment). Every assignment-deciding
-    value is exact integer math — see the op's docstring."""
+    value is exact integer math — see the op's docstring.
+    ``recursive=True`` emits ``WITH RECURSIVE`` so a recursive CTE can
+    be appended to the chain (q_dedup_semantic_ann)."""
     dist = (
         "CAST(list_sum(list_transform(list_zip(v.qv, c.cv),"
         " p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
     )
     return f"""
-WITH q AS (
+WITH {"RECURSIVE " if recursive else ""}q AS (
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(FLOOR(CAST(x AS DOUBLE) * {float(scale)}) AS BIGINT)) AS qv
@@ -1632,39 +1634,159 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair stage sees only distinct vectors. Semantics-preserving ⇒ the
     oracle needs no cap mirror — unlike the text banding cap. 10×
     stress: 32 s → ~4 s, ratio 9.6 → ~1."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return _semantic_dedup_audit(e.select("vec_id", F.col("label").alias("block"), "embedding"))
+
+
+def _semantic_dedup_audit(eb: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """Shared engine for the semantic-dedup family: ``eb`` is
+    (vec_id, block, embedding) — the BLOCK column decides which vector
+    pairs are even considered (label for the exact-anchor variant,
+    IVF-quantizer cluster for the scale path). Pipeline: exact-vector
+    collapse per (block, embedding) → within-block cosine pairs at
+    ``threshold`` → connected components → min-id keeper, members
+    re-attached by their collapse key. Emits the audit table
+    (vec_id, component, is_kept)."""
     from pipetree_spark.ops.graph import connected_components
 
-    e = load_table(spark, sf_dir, "embeddings")
-    grp = e.groupBy("label", "embedding").agg(F.min("vec_id").alias("rep_id"))
-    reps = grp.select("rep_id", "label", "embedding")
-    a = reps.select(
-        F.col("rep_id").alias("id_a"), "label",
-        F.col("embedding").alias("va"), VX.l2_norm(F.col("embedding")).alias("na"),
-    )
-    b = reps.select(
-        F.col("rep_id").alias("id_b"), F.col("label").alias("lb"),
-        F.col("embedding").alias("vb"), VX.l2_norm(F.col("embedding")).alias("nb"),
-    )
-    cos = VX.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    pairs = (
-        a.join(b, a["label"] == b["lb"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cos >= 0.35)
-        .select("id_a", "id_b")
-    )
+    grp = eb.groupBy("block", "embedding").agg(F.min("vec_id").alias("rep_id"))
+    reps = grp.select("rep_id", "block", "embedding")
+    pairs = _cos_pairs(reps, threshold)
     cc = connected_components(pairs, src="id_a", dst="id_b")
     rep_comp = reps.join(cc, reps["rep_id"] == cc["node"], "left").select(
-        "rep_id", "label", "embedding",
+        "rep_id", "block", "embedding",
         F.coalesce("component", "rep_id").alias("component"),
     )
     return (
-        e.select("vec_id", "label", "embedding")
-        .join(rep_comp, ["label", "embedding"])
+        eb.select("vec_id", "block", "embedding")
+        .join(rep_comp, ["block", "embedding"])
         .select(
             "vec_id",
             "component",
             (F.col("vec_id") == F.col("component")).cast("int").alias("is_kept"),
         )
+    )
+
+
+def _cos_pairs(memberships: DataFrame, threshold: float) -> DataFrame:
+    """Within-block cosine candidate pairs: ``memberships`` is
+    (rep_id, block, embedding), possibly with SEVERAL rows per rep
+    (multi-probe blocking). Self-join on block, id_a < id_b, fixed-order
+    double cosine ≥ threshold — the bit-identical-across-engines pair
+    stage shared by the semantic-dedup family."""
+    a = memberships.select(
+        F.col("rep_id").alias("id_a"), "block",
+        F.col("embedding").alias("va"), VX.l2_norm(F.col("embedding")).alias("na"),
+    )
+    b = memberships.select(
+        F.col("rep_id").alias("id_b"), F.col("block").alias("bb"),
+        F.col("embedding").alias("vb"), VX.l2_norm(F.col("embedding")).alias("nb"),
+    )
+    cos = VX.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, a["block"] == b["bb"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def _semantic_ann_sql(
+    k: int = 8, scale: int = 1 << 20, threshold: float = 0.35, n_probe: int = 3
+) -> str:
+    """DuckDB twin of q_dedup_semantic_ann: the portable-Lloyd kmeans
+    CTE chain (coarse quantizer — the same integer-exact assignment the
+    q_vec_ann_ivf_port oracle certifies) supplies MULTI-PROBE block
+    keys (each vector's n_probe nearest final centroids, ties → smaller
+    cid), then the q_dedup_semantic recursive-CTE component chain runs
+    over quantizer-assigned blocks instead of labels."""
+    cos = (
+        "list_sum(list_transform(generate_series(1, 64),"
+        " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+        f" / (SQRT({_SQ_SUM.format(v='a.embedding')}) * SQRT({_SQ_SUM.format(v='b.embedding')}))"
+    )
+    dist = (
+        "CAST(list_sum(list_transform(list_zip(v.qv, c.cv),"
+        " p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+    )
+    return (
+        _kmeans_cte(k, scale, recursive=True)
+        + f""",
+pr AS (
+  SELECT vec_id, cid AS blk FROM (
+    SELECT v.vec_id, c.cid, {dist} AS d
+    FROM q v CROSS JOIN c2 c
+  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) <= {n_probe}
+),
+eb AS (
+  SELECT e.vec_id, pr.blk, e.embedding
+  FROM embeddings e JOIN pr ON pr.vec_id = e.vec_id
+),
+p AS (
+  SELECT DISTINCT a.vec_id AS u, b.vec_id AS v
+  FROM eb a JOIN eb b ON a.blk = b.blk AND a.vec_id < b.vec_id
+  WHERE {cos} >= {threshold}
+),
+sym AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+reach(src, dst) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT r.src, s.v FROM reach r JOIN sym s ON r.dst = s.u
+),
+comp AS (SELECT src AS vec_id, MIN(dst) AS component FROM reach GROUP BY src)
+SELECT e.vec_id, COALESCE(c.component, e.vec_id) AS component,
+       CAST(e.vec_id = COALESCE(c.component, e.vec_id) AS INT) AS is_kept
+FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.vec_id
+"""
+    )
+
+
+@declare("q_dedup_semantic_ann", oracle=_semantic_ann_sql(), tags=("dedup", "vector", "graph"))
+def q_dedup_semantic_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_semantic's 100 TB shape made EXECUTABLE (r6 verdict
+    Next-round #4): the pair-stage block key is the portable-Lloyd IVF
+    coarse quantizer's MULTI-PROBE cell assignment
+    (ops.vector.ivf_multiprobe_assign — integer-exact, the
+    q_vec_ann_ivf_port quantizer) instead of the metadata label.
+    Blocking by quantizer cell is the standard embedding-dedup recipe
+    at 10⁹+ vectors: cells are bounded by k (chosen ∝ corpus size,
+    e.g. √n), so the within-block pairwise stage stays near-linear
+    while labels — which can be absent or million-row skewed — never
+    enter the plan. n_probe=3 membership is the recall lever: a
+    near-dup pair is missed only when NONE of the probed cells overlap
+    (measured pair-recall vs the label-blocked exact anchor, SCALING.md:
+    single-probe 0.33–0.43, n_probe=2 0.70–0.79, n_probe=3 0.96–1.00 —
+    clears the 0.8 bar with candidate pairs up only ~14%).
+
+    Pipeline: exact-vector collapse (groupBy embedding — blocks are a
+    pure function of the vector, so byte-identical embeddings share
+    probe sets and provably land in one component) → quantizer trained
+    on the FULL corpus (oracle parity: duplicates weight the centroid
+    means) → 3-probe memberships on the collapsed reps → distinct
+    within-cell cosine pairs → connected components → min-id keeper.
+
+    Scale shape: centroids are a k-row broadcast, assignment a narrow
+    map + explode (no shuffle); memberships are 2×|distinct vectors|;
+    pairs/CC inherit the certified q_dedup_semantic shapes."""
+    from pipetree_spark.ops.graph import connected_components
+
+    e = load_table(spark, sf_dir, "embeddings")
+    grp = e.groupBy("embedding").agg(F.min("vec_id").alias("rep_id"))
+    probes = VX.ivf_multiprobe_assign(
+        e, "embedding", "vec_id", n_probe=3, n_clusters=8, iters=2
+    )
+    memberships = grp.join(
+        probes, grp["rep_id"] == probes["vec_id"]
+    ).select("rep_id", F.col("cluster").alias("block"), "embedding")
+    pairs = _cos_pairs(memberships, 0.35).distinct()
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    rep_comp = grp.join(cc, grp["rep_id"] == cc["node"], "left").select(
+        "embedding", F.coalesce("component", "rep_id").alias("component")
+    )
+    return e.join(rep_comp, "embedding").select(
+        "vec_id",
+        "component",
+        (F.col("vec_id") == F.col("component")).cast("int").alias("is_kept"),
     )
 
 

@@ -291,6 +291,36 @@ def test_plan_audit_heuristic_detects_single_reducer_windows(spark, sf_small, re
         assert unpartitioned_windows(plan(q(registry, name, spark, sf_small))) == 0, name
 
 
+def test_plan_audit_fails_on_dead_waivers():
+    """A whitelist entry whose query has NO unpartitioned window left in
+    its plan is a DEAD waiver — it would pre-excuse a future
+    single-reducer regression unnoticed (r6 verdict finding #2). The
+    audit must flag exactly the unmatched entries; every current
+    whitelist entry must be exercised by the live test positives or the
+    audit run itself."""
+    sys_path = __import__("sys").path
+    from pathlib import Path
+
+    tools = str(Path(__file__).resolve().parent.parent / "tools")
+    if tools not in sys_path:
+        sys_path.insert(0, tools)
+    from plan_audit import UNPARTITIONED_WINDOW_OK, dead_waivers
+
+    rows = [
+        {"name": n, "unpart_windows": 1, "cartesian": 0}
+        for n in UNPARTITIONED_WINDOW_OK
+    ]
+    assert dead_waivers(rows) == []                      # all live → none dead
+    assert dead_waivers(rows[1:]) == [rows[0]["name"]]   # missing → flagged
+    # an errored query must NOT count as live (error rows lack features)
+    errored = [{"name": rows[0]["name"], "error": "boom"}] + rows[1:]
+    assert dead_waivers(errored) == [rows[0]["name"]]
+    # the four r6 dead waivers stay pruned
+    assert not {"q_limit", "q_subq_recursive", "q_tpch_q2", "q_vec_pca_port"} & set(
+        UNPARTITIONED_WINDOW_OK
+    )
+
+
 def test_aqe_splits_skewed_join_partitions(spark, sf_small):
     """Skew discipline at join time is AQE's job (SURVEY §4.3): with a
     deliberately skewed key (60% of rows on one user) and thresholds

@@ -37,14 +37,20 @@ from pipetree_spark.session import get_spark  # noqa: E402
 #: is a certification replay that never ships as a production plan).
 UNPARTITIONED_WINDOW_OK = {
     "q_sort_multi": "window input is the 100-row TakeOrdered result",
-    "q_limit": "rank over the 50-row TakeOrdered result",
     "q_stream_watermark": "definitional arrival-order replay; production path is Structured Streaming (ops/streaming.py)",
     "q_vec_kmeans_port": "row_number over the k=8-row init frame",
     "q_vec_ann_ivf_port": "row_number over the k=8-row init frame",
-    "q_vec_pca_port": "64-row per-dim frames only",
-    "q_subq_recursive": "iterative frontier is bounded by recursion depth",
-    "q_tpch_q2": "rank over the per-part min-cost relation (|parts| after selective filters)",
 }
+
+
+def dead_waivers(rows: list[dict]) -> list[str]:
+    """Whitelist entries whose query currently has NO unpartitioned
+    window in its plan. A dead waiver would silently pre-excuse a
+    future single-reducer regression in that query (the r6 verdict's
+    finding: four such rows), so the audit fails on them — prune the
+    entry when the plan shape improves."""
+    live = {r["name"] for r in rows if "error" not in r and r["unpart_windows"] > 0}
+    return sorted(set(UNPARTITIONED_WINDOW_OK) - live)
 
 
 def plan_str(df) -> str:
@@ -143,6 +149,7 @@ def main() -> int:
         and (r["unpart_windows"] > 0 and r["name"] not in UNPARTITIONED_WINDOW_OK)
     ]
     cart = [r for r in rows if "error" not in r and r["cartesian"] > 0]
+    dead = dead_waivers(rows)
 
     ok = [r for r in rows if "error" not in r]
     lines = [
@@ -164,14 +171,14 @@ def main() -> int:
         f"{sum(r['bnlj'] for r in ok)} broadcast-NL, "
         f"{sum(r['cartesian'] for r in ok)} cartesian; "
         f"{sum(r['unpart_windows'] for r in ok)} unpartitioned windows, "
-        f"all whitelisted: {not red and not cart}.",
+        f"all whitelisted: {not red and not cart}; dead waivers: {len(dead)}.",
         "",
         "## Whitelisted unpartitioned windows (bounded by construction)",
         "",
     ]
     for qname, why in sorted(UNPARTITIONED_WINDOW_OK.items()):
         used = any(r["name"] == qname and r["unpart_windows"] for r in ok)
-        lines.append(f"- `{qname}` — {why}{'' if used else ' *(currently not present in plan)*'}")
+        lines.append(f"- `{qname}` — {why}{'' if used else ' ⚠ DEAD WAIVER (audit fails)'}")
     lines += [
         "",
         "## Per-query features",
@@ -198,10 +205,15 @@ def main() -> int:
         print(f"RED  {r['name']}: {r['unpart_windows']} unpartitioned window(s) not whitelisted")
     for r in cart:
         print(f"RED  {r['name']}: CartesianProduct in plan")
+    for w in dead:
+        print(f"RED  {w}: dead whitelist waiver (no unpartitioned window in plan — prune it)")
     for r in errors:
         print(f"ERR  {r['name']}: {r['error']}")
-    print(f"{len(ok)} audited, {len(red)} red, {len(cart)} cartesian, {len(errors)} errors")
-    return 1 if (red or cart or errors) else 0
+    print(
+        f"{len(ok)} audited, {len(red)} red, {len(cart)} cartesian, "
+        f"{len(dead)} dead waivers, {len(errors)} errors"
+    )
+    return 1 if (red or cart or dead or errors) else 0
 
 
 if __name__ == "__main__":

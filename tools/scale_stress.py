@@ -61,6 +61,7 @@ QUERIES = [
     "q_text_chunk",        # r6: sliding-window chunking (no shuffle — must be ~flat)
     "q_text_shuffle_shard",  # r6: deterministic shuffle (window per shard)
     "q_dedup_semantic",    # r6: embcos pairs → CC → keeper (label-block join)
+    "q_dedup_semantic_ann",  # r7: same, block = portable-IVF quantizer cell
     "q_vec_decontam",      # r6: broadcast eval split × train cosine
     "q_text_unigram_lm",   # r6: broadcast-vocab corpus-LM scoring
     "q_text_ngram_top",    # r6: (lang, gram) map-side-combined counts
@@ -165,6 +166,31 @@ def ann_recall(spark, sf_dir: str) -> dict[str, tuple[float, float]]:
     return {"ivf_uniform_recall@10": (r_ivf, t_ivf), "lsh_neardup_source@1": (hits / len(pert), t_lsh)}
 
 
+def semantic_ann_pair_recall(spark, registry, sf_dir: str) -> float:
+    """Pair-recall of the IVF-blocked semantic dedup (q_dedup_semantic_ann)
+    against the label-blocked exact anchor (q_dedup_semantic): the
+    fraction of exact-path duplicate pairs (same component) that the
+    quantizer-blocked path also clusters together. A pair is missed only
+    when the coarse quantizer splits it across cells — the documented
+    ANN trade (target ≥ 0.8, the r6-verdict bar)."""
+
+    def comp_pairs(df) -> set[tuple[int, int]]:
+        comps: dict[int, list[int]] = {}
+        for r in df.collect():
+            comps.setdefault(r["component"], []).append(r["vec_id"])
+        out: set[tuple[int, int]] = set()
+        for members in comps.values():
+            members.sort()
+            out.update(
+                (a, b) for i, a in enumerate(members) for b in members[i + 1 :]
+            )
+        return out
+
+    exact = comp_pairs(registry["q_dedup_semantic"].fn(spark, sf_dir))
+    ann = comp_pairs(registry["q_dedup_semantic_ann"].fn(spark, sf_dir))
+    return len(ann & exact) / len(exact) if exact else 1.0
+
+
 def flood_stress(spark, n_copies: int = 100_000) -> dict[str, float]:
     """Exact-duplicate flood: n_copies byte-identical boilerplate docs +
     a handful of genuine near-dups. Without the ``collapse_exact`` guard
@@ -220,6 +246,8 @@ def main() -> None:
     for sf_dir, label in ((SRC, "1x"), (DST, "10x")):
         for name, (rec, secs) in ann_recall(spark, sf_dir).items():
             print(f"  {label:3s} {name:24s} recall {rec:5.3f}  ({secs:.2f}s)")
+        rec = semantic_ann_pair_recall(spark, registry, sf_dir)
+        print(f"  {label:3s} {'semantic_ann_pair_recall':24s} recall {rec:5.3f}")
     print("\nexact-dup flood guard (banding must not expand the flood bucket):")
     flood_stress(spark)
 
