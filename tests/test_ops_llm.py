@@ -394,6 +394,30 @@ def test_kmeans_portable_assignment_properties(spark, sf_small):
     assert avg_purity > 1.5 / n_labels, avg_purity  # well above chance
 
 
+def test_ivf_multiprobe_assign_contains_primary_cell(spark, sf_small):
+    """Multi-probe assignment (r7, the q_dedup_semantic_ann recall
+    lever): exactly n_probe distinct cells per key, and the FIRST-choice
+    cell always equals kmeans_portable's single assignment (same
+    integer distance + smaller-cid tie-break), so multi-probe strictly
+    widens — never changes — the blocking."""
+    e = load_table(spark, sf_small, "embeddings")
+    n = e.count()
+    m = VX.ivf_multiprobe_assign(e, "embedding", "vec_id", n_probe=3, n_clusters=8, iters=2)
+    per = m.groupBy("vec_id").agg(
+        F.count("*").alias("n"), F.count_distinct("cluster").alias("nd")
+    )
+    assert per.filter((F.col("n") != 3) | (F.col("nd") != 3)).count() == 0
+    assert per.count() == n
+    single = VX.kmeans_portable(e, "embedding", "vec_id", k=8, iters=2)
+    # primary membership ⊇ single-probe assignment
+    missing = single.join(
+        m.withColumnRenamed("cluster", "mc"),
+        (single["vec_id"] == m["vec_id"]) & (F.col("cluster") == F.col("mc")),
+        "left_anti",
+    )
+    assert missing.count() == 0
+
+
 def test_pca_portable_matches_numpy_simulation(spark, sf_small):
     """pca_power_portable is a DEFINED deterministic statistic (3-step
     integer power iteration), so the distributed result must equal an
