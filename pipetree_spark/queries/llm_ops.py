@@ -1766,8 +1766,12 @@ def q_dedup_semantic_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-cell cosine pairs → connected components → min-id keeper.
 
     Scale shape: centroids are a k-row broadcast, assignment a narrow
-    map + explode (no shuffle); memberships are 2×|distinct vectors|;
-    pairs/CC inherit the certified q_dedup_semantic shapes."""
+    map + explode (no shuffle); memberships are 3×|distinct vectors|;
+    the within-cell pairwise runs as the Arrow-vectorized per-cell
+    batch (ops.vector.blocked_cos_pairs_arrow — dim-sequential
+    accumulation, bit-identical to the expression fold, ~9× faster at
+    this cell volume); CC inherits the certified q_dedup_semantic
+    shape."""
     from pipetree_spark.ops.graph import connected_components
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -1778,7 +1782,7 @@ def q_dedup_semantic_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     memberships = grp.join(
         probes, grp["rep_id"] == probes["vec_id"]
     ).select("rep_id", F.col("cluster").alias("block"), "embedding")
-    pairs = _cos_pairs(memberships, 0.35).distinct()
+    pairs = VX.blocked_cos_pairs_arrow(memberships, 0.35).distinct()
     cc = connected_components(pairs, src="id_a", dst="id_b")
     rep_comp = grp.join(cc, grp["rep_id"] == cc["node"], "left").select(
         "embedding", F.coalesce("component", "rep_id").alias("component")
