@@ -476,6 +476,15 @@ def blocked_cos_pairs_arrow(
         ids = pdf[id_col].to_numpy()
         V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         n, d = V.shape
+        if n >= 2:
+            # zero-norm vectors: cosine undefined, never near-dups —
+            # excluded exactly as the expression twin's na>0 filter
+            s = V[:, 0] * V[:, 0]
+            for i in range(1, d):
+                s = s + V[:, i] * V[:, i]
+            keep = s > 0
+            ids, V = ids[keep], V[keep]
+            n = len(ids)
         if n < 2:
             return pd.DataFrame(
                 {"id_a": np.array([], dtype="int64"), "id_b": np.array([], dtype="int64")}

@@ -1673,15 +1673,24 @@ def _cos_pairs(memberships: DataFrame, threshold: float) -> DataFrame:
     (rep_id, block, embedding), possibly with SEVERAL rows per rep
     (multi-probe blocking). Self-join on block, id_a < id_b, fixed-order
     double cosine ≥ threshold — the bit-identical-across-engines pair
-    stage shared by the semantic-dedup family."""
+    stage shared by the semantic-dedup family.
+
+    Zero-norm vectors are filtered out BEFORE the join: cosine is
+    undefined for them (they can never be near-dups), and under ANSI
+    mode the division would raise DIVIDE_BY_ZERO even on rows a later
+    filter drops (the r6 gotcha). The Arrow twin
+    (ops.vector.blocked_cos_pairs_arrow) applies the same exclusion, so
+    the pair sets stay identical. The norm product of two non-zero-norm
+    vectors cannot underflow to 0.0 (min float32 subnormal² sums are
+    ≫ the double underflow bound), so the guarded division is total."""
     a = memberships.select(
         F.col("rep_id").alias("id_a"), "block",
         F.col("embedding").alias("va"), VX.l2_norm(F.col("embedding")).alias("na"),
-    )
+    ).filter(F.col("na") > 0)
     b = memberships.select(
         F.col("rep_id").alias("id_b"), F.col("block").alias("bb"),
         F.col("embedding").alias("vb"), VX.l2_norm(F.col("embedding")).alias("nb"),
-    )
+    ).filter(F.col("nb") > 0)
     cos = VX.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, a["block"] == b["bb"])

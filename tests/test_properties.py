@@ -497,3 +497,41 @@ def test_pipeline_random_dags_topo_order_and_stable_keys(spark, n, data):
             assert k3[name] != k1[name], name
         else:
             assert k3[name] == k1[name], name
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=24,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_blocked_cos_pairs_arrow_bitexact_vs_expression(spark, vecs, n_blocks):
+    """The Arrow pair stage (ops.vector.blocked_cos_pairs_arrow) claims
+    BIT-IDENTICAL pair sets to the JVM-expression fold (_cos_pairs) via
+    dim-sequential accumulation. Pin it on RANDOM vectors and random
+    block assignments — any summation-order drift (SIMD reassociation,
+    chunk boundary bug) near the 0.35 threshold would diverge the sets."""
+    from pipetree_spark.ops import vector as VX
+    from pipetree_spark.queries.llm_ops import _cos_pairs
+
+    rows = [
+        (i, i % n_blocks, [float(x) for x in v]) for i, v in enumerate(vecs)
+    ]
+    m = spark.createDataFrame(
+        rows, "rep_id long, block long, embedding array<float>"
+    )
+    want = {
+        (r.id_a, r.id_b) for r in _cos_pairs(m, 0.35).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in VX.blocked_cos_pairs_arrow(m, 0.35, chunk=5).collect()
+    }
+    assert got == want
