@@ -1199,3 +1199,21 @@ def test_rawpcm_real_decode_downsample_features(spark, sf_small):
     )
     with pytest.raises(ValueError, match="expected 999"):
         MM.pcm_decode(bytes(some.content), 999)
+
+
+def test_zero_norm_vectors_dont_crash_cosine_paths(spark):
+    """ANSI-mode regression (r7): a zero-norm embedding (an empty doc's
+    vector) used to raise DIVIDE_BY_ZERO inside every cosine path. The
+    nullif-guarded division yields NULL — DuckDB's exact float
+    semantics — so zero vectors simply never rank or pair."""
+    rows = [(0, [0.0] * 8), (1, [1.0] + [0.0] * 7), (2, [1.0] + [0.0] * 7)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.select(F.col("vec_id").alias("query_id"), "embedding")
+    knn = VX.knn_bruteforce(q, df, k=2).collect()
+    # the zero vector pairs score NULL and never outrank a real match
+    got = {(r.query_id, r.vec_id): r.cos_sim for r in knn}
+    assert got[(1, 2)] == 1.0 and got[(2, 1)] == 1.0
+    assert got.get((1, 0)) is None and got.get((2, 0)) is None
+    norm = df.select(VX.l2_normalize(F.col("embedding")).alias("u")).collect()
+    flat = [r.u for r in norm]
+    assert [v for u in flat for v in u].count(None) == 8  # zero vec -> NULLs
