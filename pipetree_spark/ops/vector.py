@@ -523,6 +523,120 @@ def blocked_cos_pairs_arrow(
     return memberships.groupBy(block_col).applyInPandas(per_block, "id_a long, id_b long")
 
 
+def cos_pairs_blocked(
+    memberships: DataFrame,
+    threshold: float,
+    id_col: str = "rep_id",
+    block_col: str = "block",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Within-block cosine candidate pairs, JVM-expression variant:
+    self-join on block, id_a < id_b, fixed-order double cosine ≥
+    threshold. ``memberships`` may carry several rows per id
+    (multi-probe blocking). Zero-norm vectors are filtered out BEFORE
+    the join: cosine is undefined for them (never near-dups), and under
+    ANSI mode the division would raise DIVIDE_BY_ZERO even on rows a
+    later filter drops. The Arrow twin
+    (:func:`blocked_cos_pairs_arrow`) applies the same exclusion and
+    the same summation order, so the two engines' pair sets are
+    identical — pinned by a hypothesis test. The norm product of two
+    non-zero-norm vectors cannot underflow to 0.0 (min float32
+    subnormal² sums are ≫ the double underflow bound)."""
+    a = memberships.select(
+        F.col(id_col).alias("id_a"), F.col(block_col).alias("block"),
+        F.col(vec_col).alias("va"), l2_norm(F.col(vec_col)).alias("na"),
+    ).filter(F.col("na") > 0)
+    b = memberships.select(
+        F.col(id_col).alias("id_b"), F.col(block_col).alias("bb"),
+        F.col(vec_col).alias("vb"), l2_norm(F.col(vec_col)).alias("nb"),
+    ).filter(F.col("nb") > 0)
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, a["block"] == b["bb"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    block_col: str = "label",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Blocked SEMANTIC dedup audit table — the engine behind
+    q_dedup_semantic: exact-vector collapse per (block, vector) →
+    within-block cosine pairs at ``threshold`` → connected components →
+    min-id keeper; members re-attach by their collapse key. Emits
+    (key, component, is_kept). JSON-declarable through the pipeline
+    ``op`` stage type."""
+    from pipetree_spark.ops.graph import connected_components
+
+    eb = df.select(
+        F.col(key_col).alias("vec_id"),
+        F.col(block_col).alias("block"),
+        F.col(vec_col).alias("embedding"),
+    )
+    grp = eb.groupBy("block", "embedding").agg(F.min("vec_id").alias("rep_id"))
+    reps = grp.select("rep_id", "block", "embedding")
+    pairs = cos_pairs_blocked(reps, threshold)
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    rep_comp = reps.join(cc, reps["rep_id"] == cc["node"], "left").select(
+        "rep_id", "block", "embedding",
+        F.coalesce("component", "rep_id").alias("component"),
+    )
+    return (
+        eb.join(rep_comp, ["block", "embedding"])
+        .select(
+            F.col("vec_id").alias(key_col),
+            "component",
+            (F.col("vec_id") == F.col("component")).cast("int").alias("is_kept"),
+        )
+    )
+
+
+def semantic_dedup_ann(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    n_clusters: int = 8,
+    n_probe: int = 3,
+    iters: int = 2,
+) -> DataFrame:
+    """Label-free semantic dedup — the engine behind
+    q_dedup_semantic_ann (the at-scale shape): block by the portable
+    IVF coarse quantizer's multi-probe cell assignment instead of a
+    metadata column. Exact-vector collapse (blocks are a pure function
+    of the vector) → quantizer trained on the FULL input → ``n_probe``
+    memberships per collapsed rep → Arrow-vectorized within-cell
+    cosine pairs → connected components → min-id keeper. Emits
+    (key, component, is_kept). JSON-declarable through the pipeline
+    ``op`` stage type."""
+    from pipetree_spark.ops.graph import connected_components
+
+    e = df.select(F.col(key_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    grp = e.groupBy("embedding").agg(F.min("vec_id").alias("rep_id"))
+    probes = ivf_multiprobe_assign(
+        e, "embedding", "vec_id", n_probe=n_probe, n_clusters=n_clusters, iters=iters
+    )
+    memberships = grp.join(
+        probes, grp["rep_id"] == probes["vec_id"]
+    ).select("rep_id", F.col("cluster").alias("block"), "embedding")
+    pairs = blocked_cos_pairs_arrow(memberships, threshold).distinct()
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    rep_comp = grp.join(cc, grp["rep_id"] == cc["node"], "left").select(
+        "embedding", F.coalesce("component", "rep_id").alias("component")
+    )
+    return e.join(rep_comp, "embedding").select(
+        F.col("vec_id").alias(key_col),
+        "component",
+        (F.col("vec_id") == F.col("component")).cast("int").alias("is_kept"),
+    )
+
+
 def ivf_ann_portable(
     queries: DataFrame,
     corpus: DataFrame,

@@ -277,6 +277,7 @@ def _values_fn(columns: list[str], rows: list[list]) -> StageFn:
 #: kwargs-JSON-able for the content key to be sound.
 def _op_registry() -> dict[str, Callable]:
     from pipetree_spark.ops import text as TX
+    from pipetree_spark.ops import vector as VX
 
     return {
         "exact_dedup": TX.exact_dedup,
@@ -290,6 +291,11 @@ def _op_registry() -> dict[str, Callable]:
         "lang_id_scores": TX.lang_id_scores,
         "repetition_features": TX.repetition_features,
         "winnow_fingerprints": TX.winnow_fingerprints,
+        # vector-space curation ops (r7): semantic dedup declarable
+        # next to the text dedups it mirrors
+        "semantic_dedup": VX.semantic_dedup,
+        "semantic_dedup_ann": VX.semantic_dedup_ann,
+        "ivf_multiprobe_assign": VX.ivf_multiprobe_assign,
     }
 
 

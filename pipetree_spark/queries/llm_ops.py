@@ -1635,69 +1635,13 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle needs no cap mirror — unlike the text banding cap. 10×
     stress: 32 s → ~4 s, ratio 9.6 → ~1."""
     e = load_table(spark, sf_dir, "embeddings")
-    return _semantic_dedup_audit(e.select("vec_id", F.col("label").alias("block"), "embedding"))
+    return VX.semantic_dedup(e, key_col="vec_id", block_col="label")
 
 
-def _semantic_dedup_audit(eb: DataFrame, threshold: float = 0.35) -> DataFrame:
-    """Shared engine for the semantic-dedup family: ``eb`` is
-    (vec_id, block, embedding) — the BLOCK column decides which vector
-    pairs are even considered (label for the exact-anchor variant,
-    IVF-quantizer cluster for the scale path). Pipeline: exact-vector
-    collapse per (block, embedding) → within-block cosine pairs at
-    ``threshold`` → connected components → min-id keeper, members
-    re-attached by their collapse key. Emits the audit table
-    (vec_id, component, is_kept)."""
-    from pipetree_spark.ops.graph import connected_components
-
-    grp = eb.groupBy("block", "embedding").agg(F.min("vec_id").alias("rep_id"))
-    reps = grp.select("rep_id", "block", "embedding")
-    pairs = _cos_pairs(reps, threshold)
-    cc = connected_components(pairs, src="id_a", dst="id_b")
-    rep_comp = reps.join(cc, reps["rep_id"] == cc["node"], "left").select(
-        "rep_id", "block", "embedding",
-        F.coalesce("component", "rep_id").alias("component"),
-    )
-    return (
-        eb.select("vec_id", "block", "embedding")
-        .join(rep_comp, ["block", "embedding"])
-        .select(
-            "vec_id",
-            "component",
-            (F.col("vec_id") == F.col("component")).cast("int").alias("is_kept"),
-        )
-    )
-
-
-def _cos_pairs(memberships: DataFrame, threshold: float) -> DataFrame:
-    """Within-block cosine candidate pairs: ``memberships`` is
-    (rep_id, block, embedding), possibly with SEVERAL rows per rep
-    (multi-probe blocking). Self-join on block, id_a < id_b, fixed-order
-    double cosine ≥ threshold — the bit-identical-across-engines pair
-    stage shared by the semantic-dedup family.
-
-    Zero-norm vectors are filtered out BEFORE the join: cosine is
-    undefined for them (they can never be near-dups), and under ANSI
-    mode the division would raise DIVIDE_BY_ZERO even on rows a later
-    filter drops (the r6 gotcha). The Arrow twin
-    (ops.vector.blocked_cos_pairs_arrow) applies the same exclusion, so
-    the pair sets stay identical. The norm product of two non-zero-norm
-    vectors cannot underflow to 0.0 (min float32 subnormal² sums are
-    ≫ the double underflow bound), so the guarded division is total."""
-    a = memberships.select(
-        F.col("rep_id").alias("id_a"), "block",
-        F.col("embedding").alias("va"), VX.l2_norm(F.col("embedding")).alias("na"),
-    ).filter(F.col("na") > 0)
-    b = memberships.select(
-        F.col("rep_id").alias("id_b"), F.col("block").alias("bb"),
-        F.col("embedding").alias("vb"), VX.l2_norm(F.col("embedding")).alias("nb"),
-    ).filter(F.col("nb") > 0)
-    cos = VX.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, a["block"] == b["bb"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cos >= threshold)
-        .select("id_a", "id_b")
-    )
+#: engine moved to the ops layer (r7) so the pipeline ``op`` stage type
+#: can declare semantic dedup from JSON; the query stays a thin
+#: declaration. Alias kept for the property-test import surface.
+_cos_pairs = VX.cos_pairs_blocked
 
 
 def _semantic_ann_sql(
@@ -1780,26 +1724,11 @@ def q_dedup_semantic_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch (ops.vector.blocked_cos_pairs_arrow — dim-sequential
     accumulation, bit-identical to the expression fold, ~9× faster at
     this cell volume); CC inherits the certified q_dedup_semantic
-    shape."""
-    from pipetree_spark.ops.graph import connected_components
-
+    shape. Engine: ops.vector.semantic_dedup_ann (JSON-declarable
+    through the pipeline ``op`` stage)."""
     e = load_table(spark, sf_dir, "embeddings")
-    grp = e.groupBy("embedding").agg(F.min("vec_id").alias("rep_id"))
-    probes = VX.ivf_multiprobe_assign(
-        e, "embedding", "vec_id", n_probe=3, n_clusters=8, iters=2
-    )
-    memberships = grp.join(
-        probes, grp["rep_id"] == probes["vec_id"]
-    ).select("rep_id", F.col("cluster").alias("block"), "embedding")
-    pairs = VX.blocked_cos_pairs_arrow(memberships, 0.35).distinct()
-    cc = connected_components(pairs, src="id_a", dst="id_b")
-    rep_comp = grp.join(cc, grp["rep_id"] == cc["node"], "left").select(
-        "embedding", F.coalesce("component", "rep_id").alias("component")
-    )
-    return e.join(rep_comp, "embedding").select(
-        "vec_id",
-        "component",
-        (F.col("vec_id") == F.col("component")).cast("int").alias("is_kept"),
+    return VX.semantic_dedup_ann(
+        e, key_col="vec_id", threshold=0.35, n_clusters=8, n_probe=3, iters=2
     )
 
 

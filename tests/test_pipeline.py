@@ -572,3 +572,30 @@ def test_op_stage_curation_pipeline_end_to_end(spark, sf_small, tmp_path):
 
     with _pytest.raises(ValueError, match="unknown op"):
         Pipeline.from_spec(bad)
+
+
+def test_semantic_dedup_ann_is_json_declarable(spark, sf_small):
+    """The r7 vector-space curation ops route through the same JSON
+    ``op`` stage type as the text dedups: a spec-declared
+    semantic_dedup_ann stage must emit exactly the declared query's
+    audit table (same engine, spec-driven)."""
+    spec = {
+        "stages": {
+            "embeddings": {"type": "source", "table": "embeddings"},
+            "dedup": {
+                "type": "op",
+                "op": "semantic_dedup_ann",
+                "inputs": ["embeddings"],
+                "args": {"threshold": 0.35, "n_clusters": 8, "n_probe": 3},
+            },
+        }
+    }
+    p = Pipeline.from_spec(spec, sf_dir=sf_small)
+    got = {(r.vec_id, r.component, r.is_kept) for r in p.run(spark)["dedup"].collect()}
+    from pipetree_spark.queries import load_registry
+
+    want = {
+        (r.vec_id, r.component, r.is_kept)
+        for r in load_registry()["q_dedup_semantic_ann"].fn(spark, sf_small).collect()
+    }
+    assert got == want and len(got) > 0
