@@ -669,8 +669,10 @@ def q_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join → JVM-side cosine (higher-order fns, no UDF) → threshold.
     Cosine is a fixed-order double sum, bit-identical across engines;
     rounded on emit only. At 100 TB the label block becomes an LSH/IVF
-    bucket key (q_vec_ann_lsh path) so the self-join never goes n²; a
-    hot block is salt-able because cosine needs no other co-location."""
+    bucket key — executable since r7 via ops.vector.semantic_dedup_ann /
+    ivf_multiprobe_assign (q_dedup_semantic_ann) — so the self-join
+    never goes n²; a hot block is salt-able because cosine needs no
+    other co-location."""
     e = load_table(spark, sf_dir, "embeddings")
     a = e.select(
         F.col("vec_id").alias("id_a"),
@@ -1619,9 +1621,11 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cosine is a fixed-order double sum (bit-identical across engines),
     components use the one-shuffle min-label rounds, and the keeper
     rule is component = MIN(vec_id) — so even the clustering tail of
-    the semantic path is oracle-exact. At 100 TB the label block
-    becomes an IVF/LSH bucket (q_vec_ann_ivf_port path) so the pair
-    stage never goes n².
+    the semantic path is oracle-exact. The at-scale variant is no
+    longer a promise: q_dedup_semantic_ann (r7) runs this exact
+    pipeline with the block key swapped for the IVF quantizer's
+    multi-probe cell, so the pair stage never goes n² — this query
+    stays the label-blocked exact anchor it is oracle-certified as.
 
     Exact-duplicate collapse (r6, the vector-space ``collapse_exact``):
     byte-identical embeddings (duplicate docs embed identically — the
@@ -1806,7 +1810,8 @@ def q_vec_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     set), so it is broadcast and the train corpus streams past it —
     one broadcast-hash join on the label block, no shuffle of the big
     side, no n² pairs. At 100 TB the label block becomes an IVF/LSH
-    bucket exactly as in q_dedup_semantic. Cosine is the fixed-order
+    bucket exactly as in q_dedup_semantic_ann (the r7 executable path:
+    swap the join key for ivf_multiprobe_assign's cell id). Cosine is the fixed-order
     double sum (bit-identical across engines), rounded on emit only."""
     e = load_table(spark, sf_dir, "embeddings")
     ev = e.filter(F.col("vec_id") % 19 == 0).select(
