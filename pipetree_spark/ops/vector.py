@@ -579,7 +579,18 @@ def semantic_dedup(
         F.col(block_col).alias("block"),
         F.col(vec_col).alias("embedding"),
     )
-    grp = eb.groupBy("block", "embedding").agg(F.min("vec_id").alias("rep_id"))
+    # zero-norm vectors bypass the collapse: the dedup predicate is
+    # "cosine ≥ threshold", which is UNDEFINED for them — so even
+    # byte-identical zero vectors stay singletons (exactly what the
+    # pairwise oracle derives: NULL cosine never links). Collapsing
+    # them would over-merge relative to the definition.
+    zero = eb.filter(~(l2_norm(F.col("embedding")) > 0)).select(
+        F.col("vec_id").alias(key_col),
+        F.col("vec_id").alias("component"),
+        F.lit(1).alias("is_kept"),
+    )
+    nz = eb.filter(l2_norm(F.col("embedding")) > 0)
+    grp = nz.groupBy("block", "embedding").agg(F.min("vec_id").alias("rep_id"))
     reps = grp.select("rep_id", "block", "embedding")
     pairs = cos_pairs_blocked(reps, threshold)
     cc = connected_components(pairs, src="id_a", dst="id_b")
@@ -588,12 +599,13 @@ def semantic_dedup(
         F.coalesce("component", "rep_id").alias("component"),
     )
     return (
-        eb.join(rep_comp, ["block", "embedding"])
+        nz.join(rep_comp, ["block", "embedding"])
         .select(
             F.col("vec_id").alias(key_col),
             "component",
             (F.col("vec_id") == F.col("component")).cast("int").alias("is_kept"),
         )
+        .unionByName(zero)
     )
 
 
@@ -618,7 +630,15 @@ def semantic_dedup_ann(
     from pipetree_spark.ops.graph import connected_components
 
     e = df.select(F.col(key_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
-    grp = e.groupBy("embedding").agg(F.min("vec_id").alias("rep_id"))
+    # zero-norm vectors stay singletons (see semantic_dedup — cosine is
+    # undefined for them, so the pairwise definition never links them)
+    zero = e.filter(~(l2_norm(F.col("embedding")) > 0)).select(
+        F.col("vec_id").alias(key_col),
+        F.col("vec_id").alias("component"),
+        F.lit(1).alias("is_kept"),
+    )
+    nz = e.filter(l2_norm(F.col("embedding")) > 0)
+    grp = nz.groupBy("embedding").agg(F.min("vec_id").alias("rep_id"))
     probes = ivf_multiprobe_assign(
         e, "embedding", "vec_id", n_probe=n_probe, n_clusters=n_clusters, iters=iters
     )
@@ -630,10 +650,14 @@ def semantic_dedup_ann(
     rep_comp = grp.join(cc, grp["rep_id"] == cc["node"], "left").select(
         "embedding", F.coalesce("component", "rep_id").alias("component")
     )
-    return e.join(rep_comp, "embedding").select(
-        F.col("vec_id").alias(key_col),
-        "component",
-        (F.col("vec_id") == F.col("component")).cast("int").alias("is_kept"),
+    return (
+        nz.join(rep_comp, "embedding")
+        .select(
+            F.col("vec_id").alias(key_col),
+            "component",
+            (F.col("vec_id") == F.col("component")).cast("int").alias("is_kept"),
+        )
+        .unionByName(zero)
     )
 
 

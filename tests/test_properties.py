@@ -535,3 +535,69 @@ def test_blocked_cos_pairs_arrow_bitexact_vs_expression(spark, vecs, n_blocks):
         for r in VX.blocked_cos_pairs_arrow(m, 0.35, chunk=5).collect()
     }
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),  # label block
+            st.lists(
+                st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+                min_size=4,
+                max_size=4,
+            ),
+        ),
+        min_size=2,
+        max_size=14,
+    )
+)
+def test_semantic_dedup_random_corpora_match_duckdb(spark, rows):
+    """The whole semantic-dedup engine (collapse → blocked cosine pairs
+    → connected components → min-id keeper) must agree with an
+    independent DuckDB recursive-CTE re-derivation on RANDOM vectors
+    and labels — the differential analog of the minhash property test,
+    covering the graph tail the fixed-corpus oracle only samples."""
+    from pipetree_spark.ops import vector as VX
+
+    data = [(i, lab, [float(x) for x in v]) for i, (lab, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "vec_id long, label long, embedding array<float>")
+    got = {
+        (r.vec_id, r.component, r.is_kept)
+        for r in VX.semantic_dedup(df, threshold=0.35).collect()
+    }
+    con = duckdb.connect()
+    pdf = pd.DataFrame(
+        {"vec_id": [d[0] for d in data], "label": [d[1] for d in data],
+         "embedding": [d[2] for d in data]}
+    )
+    con.register("embeddings", pdf)
+    sq = "list_sum(list_transform({v}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
+    cos = (
+        "list_sum(list_transform(generate_series(1, 4),"
+        " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+        f" / (SQRT({sq.format(v='a.embedding')}) * SQRT({sq.format(v='b.embedding')}))"
+    )
+    want = set(
+        tuple(r)
+        for r in con.execute(
+            f"""
+WITH RECURSIVE p AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {cos} >= 0.35
+),
+sym AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+reach(src, dst) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT r.src, s.v FROM reach r JOIN sym s ON r.dst = s.u
+),
+comp AS (SELECT src AS vec_id, MIN(dst) AS component FROM reach GROUP BY src)
+SELECT e.vec_id, COALESCE(c.component, e.vec_id) AS component,
+       CAST(e.vec_id = COALESCE(c.component, e.vec_id) AS INT) AS is_kept
+FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.vec_id
+"""
+        ).fetchall()
+    )
+    assert got == want
