@@ -759,6 +759,15 @@ def chunk_documents(
     UnsafeArrayData, not JVM objects)."""
     if stride <= 0 or size <= 0:
         raise ValueError("chunk_documents requires size > 0 and stride > 0")
+    if stride > size:
+        # gap windows would emit phantom zero-token chunks past the end
+        # of short docs (engines even disagree on the empty slice's
+        # string form — property-test finding, r7); overlapping or
+        # contiguous windows are the only meaningful chunking setups
+        raise ValueError(
+            f"chunk_documents requires stride <= size (got stride={stride} > size={size}); "
+            "a stride larger than the window would skip tokens"
+        )
     toks = tokens(text_col)
     n = F.size(toks)
     # positive-operand integer div only (floor/truncate agree) — the

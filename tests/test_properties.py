@@ -601,3 +601,120 @@ FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.vec_id
         ).fetchall()
     )
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=18),
+            st.integers(min_value=0, max_value=18),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_connected_components_random_graphs_match_duckdb(spark, edges):
+    """The distributed min-label CC (one-shuffle rounds + pointer
+    jumping, ops/graph.py) must agree with an independent DuckDB
+    recursive-reachability derivation on RANDOM graphs — including
+    self-loops, duplicate and reversed edges, and chains long enough to
+    cross the jump_after=4 pointer-jumping boundary."""
+    from pipetree_spark.ops.graph import connected_components
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.node, r.component) for r in connected_components(df).collect()}
+    con = duckdb.connect()
+    con.register("e", pd.DataFrame({"src": [a for a, _ in edges], "dst": [b for _, b in edges]}))
+    want = set(
+        tuple(r)
+        for r in con.execute(
+            """
+WITH RECURSIVE sym AS (
+  SELECT src AS u, dst AS v FROM e
+  UNION SELECT dst, src FROM e
+),
+reach(src, dst) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT r.src, s.v FROM reach r JOIN sym s ON r.dst = s.u
+)
+SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src
+"""
+        ).fetchall()
+    )
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(st.integers(min_value=5, max_value=30))
+def test_connected_components_long_chain(spark, n):
+    """A single path graph 0-1-2-…-n is the worst case for min-label
+    propagation (diameter = n): pointer jumping must still converge
+    inside max_iter and label every node with 0."""
+    from pipetree_spark.ops.graph import connected_components
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(n)], "src long, dst long")
+    got = {(r.node, r.component) for r in connected_components(df).collect()}
+    assert got == {(i, 0) for i in range(n + 1)}
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=0, max_size=17).map(" ".join),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=6),
+)
+def test_chunk_documents_random_corpora_match_duckdb(spark, texts, size, stride):
+    """Sliding-window chunking on RANDOM docs (incl. empty strings) and
+    RANDOM (size, stride <= size) must match the DuckDB
+    integer-arithmetic twin byte-for-byte — pins the ceil-div chunk
+    count, 1-chunk-minimum, slice boundaries, and the split-on-space
+    empty-string convention across engines. stride > size is rejected
+    by contract (phantom empty chunks — the r7 property-test finding).
+    """
+    import pytest as _pytest
+
+    from pipetree_spark.ops import text as TX
+
+    if stride > size:
+        with _pytest.raises(ValueError, match="stride <= size"):
+            TX.chunk_documents(
+                spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["a"]})),
+                "text", "doc_id", size=size, stride=stride,
+            )
+        return
+
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        (r.doc_id, r.chunk_id, r.chunk_start, r.chunk_n_tokens, r.chunk_text)
+        for r in TX.chunk_documents(sdf, "text", "doc_id", size=size, stride=stride).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = set(
+        tuple(r)
+        for r in con.execute(
+            f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+c AS (
+  SELECT doc_id, w,
+         CASE WHEN len(w) <= {size} THEN 1
+              ELSE 1 + (len(w) - {size} + {stride} - 1) // {stride} END AS n_chunks
+  FROM t
+),
+e AS (SELECT doc_id, w, UNNEST(generate_series(1, n_chunks)) AS i FROM c)
+SELECT doc_id, CAST(i - 1 AS INT) AS chunk_id,
+       CAST((i-1)*{stride} + 1 AS INT) AS chunk_start,
+       CAST(len(w[(i-1)*{stride}+1 : (i-1)*{stride}+{size}]) AS INT) AS chunk_n_tokens,
+       array_to_string(w[(i-1)*{stride}+1 : (i-1)*{stride}+{size}], ' ') AS chunk_text
+FROM e
+"""
+        ).fetchall()
+    )
+    assert got == want
