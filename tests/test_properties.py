@@ -718,3 +718,94 @@ FROM e
         ).fetchall()
     )
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40, unique=True),
+    st.integers(min_value=1, max_value=9),
+)
+def test_shuffle_shards_random_keys_match_duckdb(spark, keys, num_shards):
+    """The deterministic training-order shuffle (60-bit md5 rank →
+    shard → pos) must replay the identical permutation in DuckDB for
+    RANDOM key sets and shard counts — pins the hex-prefix→decimal
+    conversion, pmod, and the (hash, key) window order across engines."""
+    from pipetree_spark.ops import text as TX
+
+    pdf = pd.DataFrame({"doc_id": keys})
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        (r.doc_id, r.shard, r.pos)
+        for r in TX.shuffle_shards(sdf, "doc_id", num_shards=num_shards, seed="seed42")
+        .select("doc_id", "shard", "pos")
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = set(
+        tuple(r)
+        for r in con.execute(
+            f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(concat('seed42|', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS hh
+  FROM documents
+)
+SELECT doc_id, CAST(hh % {num_shards} AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY hh % {num_shards} ORDER BY hh, doc_id) AS INT) AS pos
+FROM h
+"""
+        ).fetchall()
+    )
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(
+            ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+        ), min_size=0, max_size=10).map(" ".join),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_near_dup_pairs_random_corpora_match_duckdb(spark, texts):
+    """The inverted-index exact shingle-Jaccard pair op must equal the
+    naive DuckDB pairwise formulation on RANDOM corpora — including
+    docs too short to shingle and identical docs (J = 1 cliques)."""
+    from pipetree_spark.ops import text as TX
+    from pipetree_spark.queries.llm_ops import _SHINGLES_SQL
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(texts)), "lang": ["en"] * len(texts), "text": texts}
+    )
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in TX.near_dup_pairs(sdf, threshold=0.3, max_bucket=None)
+        .select("id_a", "id_b", "jaccard")
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = set(
+        tuple(r)
+        for r in con.execute(
+            f"""
+WITH sh AS (
+  SELECT doc_id, lang, {_SHINGLES_SQL} AS s
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) > 0
+)
+SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.3
+"""
+        ).fetchall()
+    )
+    assert got == want
