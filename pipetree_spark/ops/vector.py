@@ -36,7 +36,7 @@ def l2_norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: _d(x) * _d(x)), F.lit(0.0), lambda s, v: s + v))
 
 
-def _safe_div(num: Column, den: Column) -> Column:
+def safe_div(num: Column, den: Column) -> Column:
     """ANSI-safe division matching DuckDB's float semantics: x/0.0 is
     NULL there, but raises DIVIDE_BY_ZERO under Spark ANSI mode — a
     zero-norm embedding (empty doc) would crash every cosine path.
@@ -46,7 +46,7 @@ def _safe_div(num: Column, den: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _safe_div(dot(a, b), l2_norm(a) * l2_norm(b))
+    return safe_div(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def l2_normalize(a: Column, norm: Column | None = None) -> Column:
@@ -90,7 +90,7 @@ def knn_bruteforce(
         query_key,
         corpus_key,
         F.round(
-            _safe_div(dot(F.col("__qv"), F.col("__cv")), F.col("__qn") * F.col("__cn")), round_digits
+            safe_div(dot(F.col("__qv"), F.col("__cv")), F.col("__qn") * F.col("__cn")), round_digits
         ).alias("cos_sim"),
     )
     return topk_per_group(
@@ -212,7 +212,7 @@ def ivf_ann(
         query_key,
         corpus_key,
         F.round(
-            _safe_div(dot(F.col("__qv"), F.col("__cv")), F.col("__qn") * F.col("__cn")), 4
+            safe_div(dot(F.col("__qv"), F.col("__cv")), F.col("__qn") * F.col("__cn")), 4
         ).alias("cos_sim"),
     )  # pairs are already unique: each corpus vector lives in exactly one cluster
     return topk_per_group(
@@ -285,7 +285,7 @@ def lsh_bucket_ann(
         query_key,
         corpus_key,
         F.round(
-            _safe_div(dot(F.col("__qv"), F.col("__cv")), F.col("__qn") * F.col("__cn")), 4
+            safe_div(dot(F.col("__qv"), F.col("__cv")), F.col("__qn") * F.col("__cn")), 4
         ).alias("cos_sim"),
     )
     return topk_per_group(
@@ -739,7 +739,7 @@ def ivf_ann_portable(
         query_key,
         corpus_key,
         F.round(
-            _safe_div(dot(F.col("__mv"), F.col("__cv")), F.col("__qn") * F.col("__cn")), 4
+            safe_div(dot(F.col("__mv"), F.col("__cv")), F.col("__qn") * F.col("__cn")), 4
         ).alias("cos_sim"),
     )
     return topk_per_group(

@@ -686,7 +686,10 @@ def q_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("vb"),
         VX.l2_norm(F.col("embedding")).alias("nb"),
     )
-    cos = VX.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # safe_div: zero-norm vectors give NULL cosine (DuckDB semantics) —
+    # the threshold filter drops them identically in both engines, and
+    # ANSI mode no longer raises DIVIDE_BY_ZERO (fuzz-harness finding)
+    cos = VX.safe_div(VX.dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb"))
     return (
         a.join(b, ["label"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -1822,7 +1825,7 @@ def q_vec_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("train_id"), F.col("label").alias("lt"),
         F.col("embedding").alias("vt"), VX.l2_norm(F.col("embedding")).alias("nt"),
     )
-    cos = VX.dot(F.col("ve"), F.col("vt")) / (F.col("ne") * F.col("nt"))
+    cos = VX.safe_div(VX.dot(F.col("ve"), F.col("vt")), F.col("ne") * F.col("nt"))
     return (
         tr.join(F.broadcast(ev), ev["label"] == tr["lt"])
         .filter(cos >= 0.35)
