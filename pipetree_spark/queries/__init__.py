@@ -60,18 +60,21 @@ def declare(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #   slots 2-37  — ALL 36 r1-stale queries, round-robin across their four
 #                 modules (aggregates/functions/joins/llm_ops) so any
 #                 early cut still spans all of them,
-#   slots 38-43 — re-confirmations of queries whose code changed this
-#                 round (versioned.py Hadoop-FS commit → q_pipe_timetravel;
-#                 package-data spec → q_pipe_curation; quality.py unpivot
-#                 → q_pipe_expect; the _semantic_dedup_audit refactor →
-#                 q_dedup_semantic; plus the two new bench E2E paths
-#                 q_dedup_cluster_lsh / q_dedup_incremental),
-#   slots 44-50 — the 7 rows-only entries the driver has NEVER sampled
-#                 (q_dedup_minhash/simhash, q_vec_kmeans/pca/ann_ivf,
+#   slots 38-45 — re-confirmations of queries whose code or oracle
+#                 changed this round (versioned.py Hadoop-FS commit →
+#                 q_pipe_timetravel; package-data spec → q_pipe_curation;
+#                 quality.py unpivot → q_pipe_expect; the ops-layer
+#                 semantic engine + zero-norm fix → q_dedup_semantic;
+#                 the two new bench E2E paths q_dedup_cluster_lsh /
+#                 q_dedup_incremental; and the two r7 fuzz-harness
+#                 contract fixes q_agg_moments / q_fn_regexp),
+#   slots 46-50 — 5 of the 7 rows-only entries the driver has NEVER
+#                 sampled (q_dedup_minhash/simhash, q_vec_ann_ivf,
 #                 q_sample_bernoulli/strat): they can only yield an
 #                 err=no_oracle row, but that row proves they RUN — a
 #                 crash in one is currently invisible to the driver.
-#                 They sit last so every green-capable slot cuts first.
+#                 They sit last so every green-capable slot cuts first;
+#                 q_vec_kmeans / q_vec_pca rotate to r8.
 # The r1–r6 "all 16 modules in the window" invariant is deliberately
 # suspended for this one round (10 modules have no stale entries left —
 # their freshest certifications are r4–r6); tests/test_oracle_parity.py
@@ -98,13 +101,19 @@ _R7_RECONFIRM: tuple[str, ...] = (
     "q_pipe_timetravel",    # versioned.py: Hadoop-FS + create-exclusive commit
     "q_pipe_curation",      # spec now loads as package data
     "q_pipe_expect",        # quality.py: literal-column unpivot
-    "q_dedup_semantic",     # refactored onto _semantic_dedup_audit
+    "q_dedup_semantic",     # ops-layer engine + zero-norm singleton fix
     "q_dedup_cluster_lsh",  # new bench headline (r6 verdict #7)
     "q_dedup_incremental",  # new bench headline + streaming twin changed
+    "q_agg_moments",        # integer-cents moments (fuzz-harness fix, query + oracle)
+    "q_fn_regexp",          # empty-list csv COALESCE (fuzz-harness fix, oracle)
 )
 
+#: 5 of the 7 never-sampled rows-only entries fit after the two
+#: fuzz-fix re-certifications joined the window; q_vec_kmeans /
+#: q_vec_pca rotate to r8 (their oracle-exact portable twins are
+#: certified, and pytest covers the seeded paths every round).
 _NEVER_SAMPLED_ROWS_ONLY: tuple[str, ...] = (
-    "q_dedup_minhash", "q_dedup_simhash", "q_vec_kmeans", "q_vec_pca",
+    "q_dedup_minhash", "q_dedup_simhash",
     "q_vec_ann_ivf", "q_sample_bernoulli", "q_sample_strat",
 )
 

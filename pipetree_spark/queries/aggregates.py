@@ -621,13 +621,16 @@ def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare(
     "q_agg_moments",
     oracle="""
-WITH m AS (
+WITH c AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS HUGEINT) AS c FROM events
+),
+m AS (
   SELECT event_type,
-         COUNT(value) AS n,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
-         CAST(SUM(CAST(value * value AS DECIMAL(24,4))) AS DOUBLE) AS s2,
-         CAST(SUM(CAST(value * value * value AS DECIMAL(38,6))) AS DOUBLE) AS s3
-  FROM events
+         COUNT(*) AS n,
+         CAST(SUM(c) AS DOUBLE) / 1e2 AS s1,
+         CAST(SUM(c * c) AS DOUBLE) / 1e4 AS s2,
+         CAST(SUM(c * c * c) AS DOUBLE) / 1e6 AS s3
+  FROM c
   GROUP BY event_type
 )
 SELECT event_type, n,
@@ -642,28 +645,31 @@ FROM m
 )
 def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BIT-EXACT higher statistical moments — mean, sample variance, and
-    skewness per event_type, with no rounding policy. The standard line
-    (exact.py docstring, SURVEY §2.0) is that statistical aggregates
-    have no exact path; this query shows the exact-decimal-moment
-    technique (q_ts_anomaly's window trick, lifted to grouped aggs)
-    carries to the THIRD moment: value has 2 dp, so value²/value³ have
-    4/6 dp and one/two IEEE multiplies of identical bits land within
-    1 ulp of the true decimal — DECIMAL(24,4)/DECIMAL(38,6) round them
-    identically in both engines, every sum is order-independent, and
-    mean/var/skew derive through a pinned tree of correctly-rounded
-    ops. σ³ is spelled ``v·√v``, NOT ``pow(v, 1.5)`` — pow is a libm
-    transcendental with last-ulp drift across engines, while multiply
-    and sqrt are IEEE-correctly-rounded.
+    skewness per event_type, with no rounding policy. The moments are
+    INTEGER-CENTS sums: value has 2 dp, so c = round(value·100) is an
+    exact integer in both engines, c/c²/c³ are exact DECIMAL products
+    (never a double→decimal cast of a 16-digit value — the r7 fuzz
+    harness caught the previous DECIMAL(38,6) spelling diverging
+    per-row at value³ magnitudes, where Spark's shortest-repr HALF_UP
+    cast and DuckDB's binary scaling can round a borderline 6th digit
+    apart), their sums are order-independent, and s1/s2/s3 come out
+    through one correctly-rounded cast + one pinned IEEE division
+    each. mean/var/skew then derive through a pinned tree of
+    correctly-rounded ops. σ³ is spelled ``v·√v``, NOT ``pow(v, 1.5)``
+    — pow is a libm transcendental with last-ulp drift across engines,
+    while multiply and sqrt are IEEE-correctly-rounded. Domain bound:
+    |value| < 10¹⁰ (DECIMAL(12,0) cents; c³ ≤ DECIMAL(38,0)) — ANSI
+    overflows loudly rather than drifting silently beyond it.
 
     Scale: one map-side-combined groupBy; three decimal sums ride the
     same partial-agg pass, |event types| final groups."""
     e = load_table(spark, sf_dir, "events")
-    v = F.col("value")
+    c = F.round(F.col("value") * 100).cast("decimal(12,0)")
     m = e.groupBy("event_type").agg(
-        F.count("value").alias("n"),
-        F.sum(dec(v)).cast("double").alias("s1"),
-        F.sum(dec(v * v, 4, 24)).cast("double").alias("s2"),
-        F.sum(dec(v * v * v, 6, 38)).cast("double").alias("s3"),
+        F.count("*").alias("n"),
+        (F.sum(c).cast("double") / F.lit(1e2)).alias("s1"),
+        (F.sum(c * c).cast("double") / F.lit(1e4)).alias("s2"),
+        (F.sum(c * c * c).cast("double") / F.lit(1e6)).alias("s3"),
     )
     n, s1, s2, s3 = F.col("n"), F.col("s1"), F.col("s2"), F.col("s3")
     mean = s1 / n

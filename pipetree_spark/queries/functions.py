@@ -530,7 +530,7 @@ def q_fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id,
        len(regexp_extract_all(text, '[a-z]+e')) AS n_e_words,
-       array_to_string(list_sort(list_distinct(regexp_extract_all(text, '[a-z]+e'))), ',')
+       COALESCE(array_to_string(list_sort(list_distinct(regexp_extract_all(text, '[a-z]+e'))), ','), '')
          AS e_words_csv,
        regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
        CAST(regexp_matches(text, 'batch batch') AS INT) AS has_double_batch
@@ -544,7 +544,11 @@ def q_fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     Dialect portability is the point: both engines must agree on greedy
     backtracking ('[a-z]+e' over 'order' yields 'orde' — the + gives
     back one char so the literal e can match), on capture-group
-    indexing, and on empty-match results ('' both sides). The pattern
+    indexing, and on empty results: no-match extract is '' in BOTH
+    engines, but DuckDB's array_to_string over an EMPTY match list is
+    NULL where Spark's array_join is '' — the oracle COALESCEs to ''
+    (r7 fuzz-harness finding; invisible on the fixed corpus, where
+    every doc has an e-word). The pattern
     set deliberately stays inside the RE2-safe subset (no backrefs, no
     lookarounds — SURVEY §2.8 / clean_text's _PUNCT_SQUEEZE note), so
     the same query runs on any RE2 engine. extract_all's match ORDER is
