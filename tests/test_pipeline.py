@@ -558,8 +558,10 @@ def test_op_stage_curation_pipeline_end_to_end(spark, sf_small, tmp_path):
     assert p2.last_run_report["chunks"] == "hit"
 
     # changing op args must recompute that stage and its dependents only
+    # (size AND stride move together — stride <= size is enforced, r7)
     spec3 = copy.deepcopy(spec)
     spec3["stages"]["chunks"]["args"]["size"] = 32
+    spec3["stages"]["chunks"]["args"]["stride"] = 24
     p3 = Pipeline.from_spec(spec3)
     p3.run(spark, cache=cache)
     assert p3.last_run_report["dedup_pairs"] == "hit"
