@@ -169,6 +169,7 @@ def generate(spark, out: str, seed: int) -> None:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=2)
+    ap.add_argument("--seed-base", type=int, default=0, help="first seed (run fresh seeds each round)")
     ap.add_argument("--only", nargs="*", default=None)
     args = ap.parse_args()
 
@@ -176,7 +177,7 @@ def main() -> int:
     registry = load_registry()
     names = args.only or list(registry)
     failures: list[tuple[int, str, str]] = []
-    for seed in range(args.seeds):
+    for seed in range(args.seed_base, args.seed_base + args.seeds):
         out = tempfile.mkdtemp(prefix=f"pipetree_fuzz_s{seed}_")
         print(f"seed {seed}: generating random dataset at {out}", flush=True)
         generate(spark, out, seed)
