@@ -576,6 +576,30 @@ def test_op_stage_curation_pipeline_end_to_end(spark, sf_small, tmp_path):
         Pipeline.from_spec(bad)
 
 
+def test_shipped_embedding_dedup_spec_runs(spark, sf_small, tmp_path):
+    """The shipped embedding-dedup example spec
+    (examples/embedding_dedup_pipeline.json) runs end-to-end through
+    the cache layer: the report's keep-count equals the dedup stage's
+    is_kept total, and a re-run hits the cache wholesale."""
+    import json
+    from pathlib import Path
+
+    spec = json.loads(
+        (Path(__file__).resolve().parent.parent / "examples/embedding_dedup_pipeline.json")
+        .read_text()
+    )
+    cache = ArtifactCache(str(tmp_path))
+    p1 = Pipeline.from_spec(spec, sf_dir=sf_small)
+    r1 = p1.run(spark, cache=cache)
+    row = r1["report"].collect()[0]
+    assert 0 < row.n_kept <= row.n_in
+    assert row.n_components == row.n_kept  # one keeper per component
+    p2 = Pipeline.from_spec(spec, sf_dir=sf_small)
+    p2.run(spark, cache=cache)
+    assert p2.last_run_report["dedup"] == "hit"
+    assert p2.last_run_report["keep"] == "hit"
+
+
 def test_semantic_dedup_ann_is_json_declarable(spark, sf_small):
     """The r7 vector-space curation ops route through the same JSON
     ``op`` stage type as the text dedups: a spec-declared
