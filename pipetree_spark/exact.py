@@ -27,6 +27,18 @@ MONEY = (18, 2)  # decimal(precision, scale) for 2-dp money columns
 DERIVED = (24, 6)  # for per-row derived products (price * (1-disc) ...)
 
 
+def safe_div(num: Column, den: Column) -> Column:
+    """ANSI-safe division matching DuckDB's float semantics: x/0.0 is
+    NULL there, but raises DIVIDE_BY_ZERO under Spark ANSI mode even on
+    rows a later filter would drop. nullif(den, 0) reproduces the NULL
+    result bit-for-bit; downstream filters/aggregations treat the NULL
+    identically in both engines. Use for every denominator that can hit
+    zero on legal data: zero-norm embeddings, (n-1) on singleton
+    groups, zero variance on constant groups (both r7 torture-test
+    findings)."""
+    return num / F.nullif(den.cast("double"), F.lit(0.0))
+
+
 def dec(col: Column | str, scale: int = 2, precision: int = 18) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return c.cast(f"decimal({precision},{scale})")

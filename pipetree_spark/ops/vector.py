@@ -36,13 +36,10 @@ def l2_norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: _d(x) * _d(x)), F.lit(0.0), lambda s, v: s + v))
 
 
-def safe_div(num: Column, den: Column) -> Column:
-    """ANSI-safe division matching DuckDB's float semantics: x/0.0 is
-    NULL there, but raises DIVIDE_BY_ZERO under Spark ANSI mode — a
-    zero-norm embedding (empty doc) would crash every cosine path.
-    nullif(den, 0) reproduces the NULL result; downstream threshold
-    filters drop NULLs identically in both engines."""
-    return num / F.nullif(den, F.lit(0.0))
+#: ANSI-safe division (NULL on zero denominator — DuckDB's float
+#: semantics); canonical definition lives with the other cross-engine
+#: numeric policy in exact.py.
+from pipetree_spark.exact import safe_div  # noqa: E402,F401
 
 
 def cosine(a: Column, b: Column) -> Column:

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pipetree_spark.catalog import load_table
-from pipetree_spark.exact import davg_sql, dec, dsum, dsum_sql, exact_sums, lsum
+from pipetree_spark.exact import davg_sql, dec, dsum, dsum_sql, exact_sums, lsum, safe_div
 from pipetree_spark.queries import declare
 
 SHIP_CUTOFF = "2000-12-01 00:00:00"
@@ -675,12 +675,16 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean = s1 / n
     vp = s2 / n - mean * mean
     m3c = s3 / n - F.lit(3) * mean * (s2 / n) + F.lit(2) * mean * mean * mean
+    # safe_div: singleton groups (n-1 = 0) and constant-value groups
+    # (vp = 0) yield NULL var/skew — exactly what the oracle's x/0
+    # division produces in DuckDB (r7 torture-test finding; ANSI mode
+    # would otherwise raise DIVIDE_BY_ZERO)
     return m.select(
         "event_type",
         "n",
         mean.alias("mean"),
-        ((s2 - (s1 * s1) / n) / (n - 1)).alias("var_samp"),
-        (m3c / (vp * F.sqrt(vp))).alias("skewness"),
+        safe_div(s2 - (s1 * s1) / n, (n - 1).cast("double")).alias("var_samp"),
+        safe_div(m3c, vp * F.sqrt(vp)).alias("skewness"),
     )
 
 

@@ -184,3 +184,30 @@ def test_vec_queries_survive_random_embeddings(spark, tmp_path_factory, rows):
         data, "vec_id long, embedding array<float>, label int"
     ).write.parquet(f"{sf}/embeddings.parquet")
     _replay(spark, sf, VEC_QUERIES, {"embeddings": f"{sf}/embeddings.parquet"})
+
+
+def test_moments_singleton_and_constant_groups_match_oracle(spark, tmp_path):
+    """Torture case for hand-built variance math (r7): a singleton
+    group makes (n-1) zero and a constant-value group makes the
+    skewness denominator zero — DuckDB NULLs both through, and under
+    ANSI mode Spark must NOT raise DIVIDE_BY_ZERO. Replays the declared
+    query against its own oracle on exactly that shape."""
+    import datetime as dt
+
+    rows = [
+        (0, dt.datetime(2024, 1, 2, 12, 0), 0, "view", 5.0, "{}"),
+        (1, dt.datetime(2024, 1, 2, 12, 1), 0, "click", 7.0, "{}"),
+        (2, dt.datetime(2024, 1, 2, 12, 2), 1, "click", 7.0, "{}"),
+        (3, dt.datetime(2024, 1, 2, 12, 3), 1, "click", 7.0, "{}"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+    _replay(spark, sf, ["q_agg_moments"], {"events": f"{sf}/events.parquet"})
+    got = {
+        (r.event_type, r.n, r.var_samp, r.skewness)
+        for r in REGISTRY["q_agg_moments"].fn(spark, sf).collect()
+    }
+    assert got == {("click", 3, 0.0, None), ("view", 1, None, None)}
