@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pipetree_spark.catalog import OPEN_INTERVAL_SENTINEL, load_table
-from pipetree_spark.exact import dec, dsum, dsum_sql
+from pipetree_spark.exact import dec, dsum, dsum_sql, safe_div
 from pipetree_spark.queries import declare
 
 # One-week hourly spine over the first 20 users: 20 × 168 = 3360 cells at
@@ -454,7 +454,11 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean = F.col("s1") / F.col("n")
     var = (F.col("s2") - (F.col("s1") * F.col("s1")) / F.col("n")) / (F.col("n") - 1)
-    z = (F.col("value") - mean) / F.sqrt(var)
+    # safe_div: a constant 20-event window has var = 0; relying on the
+    # conjunct order of the (var > 0) filter to shield the division is
+    # plan-order fragile under ANSI — NULL z is dropped by |z| > 3
+    # exactly as DuckDB's x/0 NULL is (r7 hardening)
+    z = safe_div(F.col("value") - mean, F.sqrt(var))
     return (
         m.withColumn("baseline_mean", mean)
         .withColumn("var", var)
