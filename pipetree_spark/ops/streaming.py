@@ -294,7 +294,14 @@ def incremental_dedup_batch(
     anti-join builds on a relation ~1000× smaller than the corpus; at
     100 TB it lives bucketed by hash so the anti-join is exchange-free
     on the ledger side. batch_id partitioning of the sink is also the
-    natural ingest layout (prunes by ingest batch downstream). Returns
+    natural ingest layout (prunes by ingest batch downstream).
+
+    MIGRATION NOTE (r7 layout change): out_dir moved from flat appended
+    part-files to hive ``batch_id=<id>`` partitions. A PRE-EXISTING
+    flat out_dir must be migrated before the next batch (one-off: move
+    the flat files under e.g. ``batch_id=-1/``) — Spark refuses mixed
+    flat + partitioned layouts at read time, and readers now see a
+    ``batch_id`` partition column. Fresh sinks need nothing. Returns
     the number of admitted rows (test hook)."""
     from pyspark.sql import Window
     from pyspark.sql.utils import AnalysisException

@@ -404,6 +404,8 @@ def ivf_multiprobe_assign(
     n_clusters: int = 8,
     iters: int = 2,
     scale: int = 1 << 20,
+    assign_to: DataFrame | None = None,
+    assign_key: str | None = None,
 ) -> DataFrame:
     """Deterministic multi-probe IVF assignment: each key maps to its
     ``n_probe`` nearest portable-Lloyd centroids (exact integer
@@ -423,8 +425,15 @@ def ivf_multiprobe_assign(
     _, cents = kmeans_portable_fit(
         df, vec_col, key_col, k=n_clusters, iters=iters, scale=scale
     )
-    q = df.select(
-        key_col,
+    # train on df, assign to assign_to (default df): blocks are a pure
+    # function of the vector, so a dup-heavy corpus can collapse first
+    # and probe only its distinct reps — the quantizer still trains on
+    # the FULL corpus (duplicates weight the centroid means, which is
+    # what any oracle re-derivation sees)
+    tgt = df if assign_to is None else assign_to
+    tgt_key = key_col if assign_key is None else assign_key
+    q = tgt.select(
+        F.col(tgt_key).alias(key_col) if tgt_key != key_col else key_col,
         F.transform(
             vec_col, lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long")
         ).alias("__qv"),
@@ -482,23 +491,23 @@ def blocked_cos_pairs_arrow(
         ids = pdf[id_col].to_numpy()
         V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         n, d = V.shape
+        nrm = None
         if n >= 2:
             # zero-norm vectors: cosine undefined, never near-dups —
-            # excluded exactly as the expression twin's na>0 filter
+            # excluded exactly as the expression twin's na>0 filter.
+            # Masking rows does not change per-row dim-sequential sums,
+            # so the surviving norms are reused as-is.
             s = V[:, 0] * V[:, 0]
             for i in range(1, d):
                 s = s + V[:, i] * V[:, i]
             keep = s > 0
             ids, V = ids[keep], V[keep]
+            nrm = np.sqrt(s[keep])
             n = len(ids)
         if n < 2:
             return pd.DataFrame(
                 {"id_a": np.array([], dtype="int64"), "id_b": np.array([], dtype="int64")}
             )
-        s = V[:, 0] * V[:, 0]
-        for i in range(1, d):
-            s = s + V[:, i] * V[:, i]
-        nrm = np.sqrt(s)
         outs_a, outs_b = [], []
         for lo in range(0, n, chunk):
             C = V[lo : lo + chunk]
@@ -511,8 +520,6 @@ def blocked_cos_pairs_arrow(
             mask = ia < jb
             outs_a.append(ia[mask])
             outs_b.append(jb[mask])
-        import numpy as np
-
         return pd.DataFrame(
             {"id_a": np.concatenate(outs_a), "id_b": np.concatenate(outs_b)}
         )
@@ -636,8 +643,13 @@ def semantic_dedup_ann(
     )
     nz = e.filter(l2_norm(F.col("embedding")) > 0)
     grp = nz.groupBy("embedding").agg(F.min("vec_id").alias("rep_id"))
+    # train on the FULL corpus (oracle parity: duplicates weight the
+    # centroids) but assign probes only to the collapsed reps — on a
+    # dup-heavy corpus this skips the k-distance pass over every copy
     probes = ivf_multiprobe_assign(
-        e, "embedding", "vec_id", n_probe=n_probe, n_clusters=n_clusters, iters=iters
+        e, "embedding", "vec_id",
+        n_probe=n_probe, n_clusters=n_clusters, iters=iters,
+        assign_to=grp.select("rep_id", "embedding"), assign_key="rep_id",
     )
     memberships = grp.join(
         probes, grp["rep_id"] == probes["vec_id"]

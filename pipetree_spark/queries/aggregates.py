@@ -626,20 +626,24 @@ WITH c AS (
 ),
 m AS (
   SELECT event_type,
-         COUNT(*) AS n,
+         COUNT(c) AS n,
          CAST(SUM(c) AS DOUBLE) / 1e2 AS s1,
          CAST(SUM(c * c) AS DOUBLE) / 1e4 AS s2,
          CAST(SUM(c * c * c) AS DOUBLE) / 1e6 AS s3
   FROM c
   GROUP BY event_type
+),
+d AS (
+  SELECT event_type, n, s1 / n AS mean,
+         s2 / n - (s1 / n) * (s1 / n) AS vp,
+         s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3c,
+         s2, s1
+  FROM m
 )
-SELECT event_type, n,
-       s1 / n AS mean,
-       (s2 - (s1 * s1) / n) / (n - 1) AS var_samp,
-       (s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
-         / ((s2 / n - (s1 / n) * (s1 / n)) * SQRT(s2 / n - (s1 / n) * (s1 / n)))
-         AS skewness
-FROM m
+SELECT event_type, n, mean,
+       (s2 - (s1 * s1) / n) / NULLIF(CAST(n - 1 AS DOUBLE), 0) AS var_samp,
+       CASE WHEN vp > 0 THEN m3c / (vp * SQRT(vp)) END AS skewness
+FROM d
 """,
     tags=("agg", "events"),
 )
@@ -666,7 +670,7 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     c = F.round(F.col("value") * 100).cast("decimal(12,0)")
     m = e.groupBy("event_type").agg(
-        F.count("*").alias("n"),
+        F.count(c).alias("n"),
         (F.sum(c).cast("double") / F.lit(1e2)).alias("s1"),
         (F.sum(c * c).cast("double") / F.lit(1e4)).alias("s2"),
         (F.sum(c * c * c).cast("double") / F.lit(1e6)).alias("s3"),
@@ -675,16 +679,19 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean = s1 / n
     vp = s2 / n - mean * mean
     m3c = s3 / n - F.lit(3) * mean * (s2 / n) + F.lit(2) * mean * mean * mean
-    # safe_div: singleton groups (n-1 = 0) and constant-value groups
-    # (vp = 0) yield NULL var/skew — exactly what the oracle's x/0
-    # division produces in DuckDB (r7 torture-test finding; ANSI mode
-    # would otherwise raise DIVIDE_BY_ZERO)
+    # Degenerate-group policy (r7 torture + review findings), mirrored
+    # in the oracle: singleton groups (n-1 = 0) → NULL var_samp;
+    # skewness is gated on vp > 0 BEFORE the sqrt — a constant group
+    # with fractional cents cancels to a TINY NEGATIVE vp (≈ -1e-20),
+    # where an unguarded SQRT crashes DuckDB outright and Spark emits
+    # NaN. n counts non-NULL values (COUNT(c)) so NULL rows can never
+    # skew the ratio of a count against NULL-skipping sums.
     return m.select(
         "event_type",
         "n",
         mean.alias("mean"),
         safe_div(s2 - (s1 * s1) / n, (n - 1).cast("double")).alias("var_samp"),
-        safe_div(m3c, vp * F.sqrt(vp)).alias("skewness"),
+        F.when(vp > 0, m3c / (vp * F.sqrt(vp))).alias("skewness"),
     )
 
 

@@ -567,6 +567,7 @@ def q_pipe_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     production scale the same log lives next to the table and data
     dirs are immutable."""
     import hashlib
+    import os
     import shutil
     import tempfile
     from pathlib import Path
@@ -574,11 +575,15 @@ def q_pipe_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipetree_spark.versioned import VersionedTable
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    # keyed by (uid, sf_dir): no cross-user /tmp collision, and the
+    # rmtree only ever clobbers THIS user's previous invocation (driver
+    # grading is serial; concurrent same-user invocations are out of
+    # contract for this self-contained demo query)
     scratch = Path(tempfile.gettempdir()) / (
-        "pipetree_vt_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        f"pipetree_vt_{os.getuid()}_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     )
     shutil.rmtree(scratch, ignore_errors=True)
-    scratch.mkdir(parents=True)
+    scratch.mkdir(parents=True, exist_ok=True)
     t = VersionedTable(str(scratch), "docs")
     t.write(d.filter(F.col("doc_id") % 2 == 0), mode="overwrite")  # v0
     t.write(d.filter(F.col("doc_id") % 2 == 1), mode="append")     # v1 = all

@@ -407,13 +407,21 @@ m AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
 )
-SELECT event_id, user_id, sec, value,
-       s1 / n AS baseline_mean,
-       (value - s1 / n) / SQRT((s2 - (s1 * s1) / n) / (n - 1)) AS z
-FROM m
-WHERE n = 20
-  AND (s2 - (s1 * s1) / n) / (n - 1) > 0
-  AND ABS((value - s1 / n) / SQRT((s2 - (s1 * s1) / n) / (n - 1))) > 3
+SELECT event_id, user_id, sec, value, baseline_mean, z
+FROM (
+  -- SQRT is gated on var > 0 INSIDE a CASE, not by conjunct order:
+  -- a constant fractional-cents window cancels var to a tiny NEGATIVE
+  -- double, and an unguarded SQRT in a reorderable WHERE conjunct
+  -- could crash the engine (mirrors the query's safe_div hardening)
+  SELECT event_id, user_id, sec, value, n,
+         s1 / n AS baseline_mean,
+         CASE WHEN (s2 - (s1 * s1) / n) / (n - 1) > 0
+              THEN (value - s1 / n) / SQRT((s2 - (s1 * s1) / n) / (n - 1))
+         END AS z
+  FROM m
+  WHERE n = 20
+)
+WHERE ABS(z) > 3
 """,
     tags=("timeseries", "events", "window"),
 )

@@ -36,7 +36,8 @@ Manifest I/O routes through the Hadoop FileSystem API (the cache.py
 pattern), so ``file:``-scheme and ``s3a://`` roots run the same code
 as bare local paths. Commit atomicity is scheme-aware:
 
-- local roots (bare path or ``file:`` scheme): the temp manifest is
+- roots RESOLVING to the local filesystem (``file:`` scheme, or a
+  bare path when ``fs.defaultFS`` is local): the temp manifest is
   promoted with ``os.link`` — create-EXCLUSIVE at the kernel level, so
   of two racing writers exactly one wins and the loser ALWAYS gets
   ``CommitConflict`` (a bare ``os.rename`` would silently replace the
@@ -65,15 +66,17 @@ class CommitConflict(RuntimeError):
     """Another writer committed this version first — reread and retry."""
 
 
-def _local_path(path: str) -> str | None:
-    """The OS path for a bare or ``file:``-scheme location, else None."""
-    if "://" not in path and not path.startswith("file:"):
-        return path
-    if path.startswith("file://"):
-        return path[len("file://") :] or "/"
-    if path.startswith("file:"):
-        return path[len("file:") :]
-    return None
+def _local_path(fs, jpath) -> str | None:
+    """The OS path when the RESOLVED filesystem is the local one, else
+    None. Resolution goes through Hadoop (``fs`` is what the path's
+    scheme — or ``fs.defaultFS`` for bare paths — actually binds to),
+    so a bare path on a cluster whose defaultFS is HDFS correctly takes
+    the Hadoop branch instead of silently committing manifests to the
+    driver's local disk; ``file://host/path`` URIs also resolve through
+    ``toUri().getPath()`` instead of string surgery."""
+    if fs.getUri().getScheme() != "file":
+        return None
+    return jpath.toUri().getPath()
 
 
 class VersionedTable:
@@ -145,10 +148,12 @@ class VersionedTable:
         target = self._version_file(n)
         tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
         payload = json.dumps({"version": n, "action": action, "dirs": dirs})
-        local = _local_path(target)
+        _, jtarget_probe, _ = self._fs(target)
+        local = _local_path(fs, jtarget_probe)
         if local is not None:
             # kernel-level create-exclusive: link fails iff target exists
-            local_tmp = _local_path(tmp)
+            _, jtmp_probe, _ = self._fs(tmp)
+            local_tmp = _local_path(fs, jtmp_probe)
             with open(local_tmp, "w") as fh:
                 fh.write(payload)
             try:

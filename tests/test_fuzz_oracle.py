@@ -199,6 +199,13 @@ def test_moments_singleton_and_constant_groups_match_oracle(spark, tmp_path):
         (1, dt.datetime(2024, 1, 2, 12, 1), 0, "click", 7.0, "{}"),
         (2, dt.datetime(2024, 1, 2, 12, 2), 1, "click", 7.0, "{}"),
         (3, dt.datetime(2024, 1, 2, 12, 3), 1, "click", 7.0, "{}"),
+        # fractional-cents constant group: vp cancels to a TINY NEGATIVE
+        # double (-1e-20) — an unguarded SQRT crashes DuckDB and NaNs
+        # Spark (r7 review finding; the integer groups above cancel to
+        # exactly 0 and would never catch it)
+        (4, dt.datetime(2024, 1, 2, 12, 4), 2, "error", 0.01, "{}"),
+        (5, dt.datetime(2024, 1, 2, 12, 5), 2, "error", 0.01, "{}"),
+        (6, dt.datetime(2024, 1, 2, 12, 6), 2, "error", 0.01, "{}"),
     ]
     sf = str(tmp_path)
     spark.createDataFrame(
@@ -210,4 +217,8 @@ def test_moments_singleton_and_constant_groups_match_oracle(spark, tmp_path):
         (r.event_type, r.n, r.var_samp, r.skewness)
         for r in REGISTRY["q_agg_moments"].fn(spark, sf).collect()
     }
-    assert got == {("click", 3, 0.0, None), ("view", 1, None, None)}
+    by_type = {t: (n, v, sk) for t, n, v, sk in got}
+    assert by_type["view"] == (1, None, None)
+    assert by_type["click"] == (3, 0.0, None)
+    n, v, sk = by_type["error"]
+    assert n == 3 and sk is None and abs(v) < 1e-18  # tiny-negative var, NULL skew

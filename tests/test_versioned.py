@@ -99,7 +99,7 @@ def test_commit_hadoop_rename_branch(spark, tmp_path, monkeypatch):
     """Route the commit through the non-local (Hadoop rename) branch by
     disabling the local-path fast path — the code an hdfs:// root runs,
     exercised against the local FileSystem implementation."""
-    monkeypatch.setattr(V, "_local_path", lambda path: None)
+    monkeypatch.setattr(V, "_local_path", lambda fs, jpath: None)
     t = VersionedTable(f"file://{tmp_path}", "docs")
     assert t._commit(["snap-a"], "overwrite") == 0
     assert t._manifest(0)["dirs"] == ["snap-a"]
