@@ -44,92 +44,92 @@ def declare(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 # The driver's correctness loop walks the registry in iteration order and
 # may stop early (every round so far: exactly the first 50 entries got
-# CORRECTNESS rows). PRIORITY pins the front of the registry; it is
-# ROTATED each round toward maximal marginal certification.
+# CORRECTNESS rows). The front of the registry is therefore a scarce
+# certification window, ROTATED each round toward maximal marginal
+# certification.
 #
-# r7 discipline (the r6 verdict's #1 directive, followed exactly): new
-# declarations are FROZEN this round except the verdict-mandated
-# q_dedup_semantic_ann, and the whole window burns down the stale-
-# certification backlog. For the record (the r6 comment here overstated
-# the r6 rotation — it promised 33 r1-stale re-certifications but the 28
-# new declarations consumed the window and only 5 landed): computed from
-# CORRECTNESS_r01–r06.json, 36 queries' latest green driver row is still
-# r1 while their modules kept being edited. The r7 window is therefore:
-#   slot 1      — q_dedup_semantic_ann (the one never-graded oracled
-#                 query; first-time certification outranks everything),
-#   slots 2-37  — ALL 36 r1-stale queries, round-robin across their four
-#                 modules (aggregates/functions/joins/llm_ops) so any
-#                 early cut still spans all of them,
-#   slots 38-45 — re-confirmations of queries whose code or oracle
-#                 changed this round (versioned.py Hadoop-FS commit →
-#                 q_pipe_timetravel; package-data spec → q_pipe_curation;
-#                 quality.py unpivot → q_pipe_expect; the ops-layer
-#                 semantic engine + zero-norm fix → q_dedup_semantic;
-#                 the two new bench E2E paths q_dedup_cluster_lsh /
-#                 q_dedup_incremental; and the two r7 fuzz-harness
-#                 contract fixes q_agg_moments / q_fn_regexp),
-#   slots 46-50 — 5 of the 7 rows-only entries the driver has NEVER
-#                 sampled (q_dedup_minhash/simhash, q_vec_ann_ivf,
-#                 q_sample_bernoulli/strat): they can only yield an
-#                 err=no_oracle row, but that row proves they RUN — a
-#                 crash in one is currently invisible to the driver.
-#                 They sit last so every green-capable slot cuts first;
-#                 q_vec_kmeans / q_vec_pca rotate to r8.
-# The r1–r6 "all 16 modules in the window" invariant is deliberately
-# suspended for this one round (10 modules have no stale entries left —
-# their freshest certifications are r4–r6); tests/test_oracle_parity.py
-# pins THIS composition instead. Already-certified queries follow in
-# registration order — a wider driver window re-confirms them for free.
-_R1_STALE: tuple[str, ...] = (
-    # round-robin agg → fn → join → llm_ops (36 = 12 agg, 11 fn, 10 join,
-    # 3 text), so a cut at any depth spans all four backlogged modules
-    "q_agg_global", "q_fn_date", "q_join_broadcast", "q_text_stats",
-    "q_agg_having", "q_fn_math", "q_join_smj", "q_text_tf",
-    "q_agg_distinct", "q_fn_map", "q_join_left", "q_text_quality",
-    "q_agg_pivot", "q_fn_json", "q_join_right",
-    "q_agg_stats", "q_fn_variant", "q_join_full",
-    "q_agg_percentile", "q_fn_interval", "q_join_semi",
-    "q_agg_events", "q_fn_bitwise", "q_join_anti",
-    "q_agg_distinct_global", "q_fn_struct", "q_join_cross",
-    "q_agg_salted", "q_fn_from_json", "q_join_theta",
-    "q_agg_unpivot", "q_fn_editdist", "q_join_range",
-    "q_agg_stragg", "q_fn_string2",
-    "q_agg_groupby_all",
+# r8 discipline (the r7 verdict's #2 directive): the rotation is now
+# DERIVED FROM THE RECORD at load time instead of hand-pinned — the two
+# rounds of comment/tuple/test drift this caused (r6 overstated the
+# rotation; r7's hardcoded pin self-invalidated when the round
+# succeeded) end here. The rule, applied to CORRECTNESS_r*.json:
+#   effective_round(q) = latest round with a fully green row (oracled)
+#                        or any ran-row (rows-only; they can't go green),
+#                        0 if the driver has never produced a row for q.
+# The window is the stalest-first ordering under that key (ties broken
+# by registration order), with RECONFIRM — the queries whose code or
+# oracle changed THIS round — forced into the tail of the 50 slots.
+# Never-graded queries sort first (round 0), so first-time
+# certifications always outrank re-confirmations, and completing a
+# round automatically produces the next round's rotation.
+
+WINDOW = 50  # observed driver cut, constant across r1–r7
+
+#: Queries whose implementation or oracle changed this round and whose
+#: certification is therefore stale regardless of the record. The ONLY
+#: hand-maintained part of the rotation.
+RECONFIRM: tuple[str, ...] = (
+    "q_dedup_semantic_ann",  # auto-sized IVF quantizer + centroid injection + NaN guard
+    "q_dedup_semantic",      # shared pair-engine NaN-vector contract fix
+    "q_pipe_timetravel",     # private scratch dir (predictable-/tmp fix)
 )
 
-_R7_RECONFIRM: tuple[str, ...] = (
-    "q_pipe_timetravel",    # versioned.py: Hadoop-FS + create-exclusive commit
-    "q_pipe_curation",      # spec now loads as package data
-    "q_pipe_expect",        # quality.py: literal-column unpivot
-    "q_dedup_semantic",     # ops-layer engine + zero-norm singleton fix
-    "q_dedup_cluster_lsh",  # new bench headline (r6 verdict #7)
-    "q_dedup_incremental",  # new bench headline + streaming twin changed
-    "q_agg_moments",        # integer-cents moments (fuzz-harness fix, query + oracle)
-    "q_fn_regexp",          # empty-list csv COALESCE (fuzz-harness fix, oracle)
-)
 
-#: 5 of the 7 never-sampled rows-only entries fit after the two
-#: fuzz-fix re-certifications joined the window; q_vec_kmeans /
-#: q_vec_pca rotate to r8 (their oracle-exact portable twins are
-#: certified, and pytest covers the seeded paths every round).
-_NEVER_SAMPLED_ROWS_ONLY: tuple[str, ...] = (
-    "q_dedup_minhash", "q_dedup_simhash",
-    "q_vec_ann_ivf", "q_sample_bernoulli", "q_sample_strat",
-)
+def _effective_rounds() -> dict[str, int]:
+    """Latest useful driver round per query, from CORRECTNESS_r*.json.
 
-PRIORITY: tuple[str, ...] = (
-    ("q_dedup_semantic_ann",)   # NEW: IVF-blocked semantic dedup (r6 verdict #4)
-    + _R1_STALE
-    + _R7_RECONFIRM
-    + _NEVER_SAMPLED_ROWS_ONLY
-    # --- 50-slot line: slots 51+ follow in registration order ---
-)
+    Oracled queries count only fully green rows (an errored grade means
+    the certification is stale); rows-only queries count any row — a
+    ``no_oracle`` row is the strongest evidence they can produce.
+    Queries absent from every file map to 0.
+    """
+    import json
+    from pathlib import Path
+
+    latest: dict[str, int] = {}
+    root = Path(__file__).resolve().parents[2]
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rnd = int(p.stem.split("_r")[1])
+            rows = json.loads(p.read_text())
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        for qname, row in rows.items():
+            green = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and not row.get("err")
+            )
+            ran_rows_only = row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            if green or ran_rows_only:
+                latest[qname] = max(latest.get(qname, 0), rnd)
+    return latest
+
+
+def priority_order(names: list[str]) -> list[str]:
+    """Stalest-first window ordering over ``names`` (registration order).
+
+    Returns all names reordered: the 50-slot window is the stalest
+    ``WINDOW - len(RECONFIRM)`` names plus RECONFIRM at the window tail;
+    the remainder follow, also stalest-first (a wider driver cut still
+    grades in marginal-value order).
+    """
+    eff = _effective_rounds()
+    pos = {n: i for i, n in enumerate(names)}
+    auto = sorted(
+        (n for n in names if n not in RECONFIRM),
+        key=lambda n: (eff.get(n, 0), pos[n]),
+    )
+    head = auto[: WINDOW - len(RECONFIRM)]
+    tail = [n for n in RECONFIRM if n in pos]
+    rest = auto[WINDOW - len(RECONFIRM):]
+    return head + tail + rest
 
 
 def load_registry() -> dict[str, DeclaredQuery]:
     """Import every query module (side effect: registration) and return
-    the registry, PRIORITY names first (see above), the rest in
-    registration order."""
+    the registry ordered stalest-first (see :func:`priority_order`)."""
     from pipetree_spark.queries import (  # noqa: F401
         aggregates,
         functions,
@@ -149,9 +149,7 @@ def load_registry() -> dict[str, DeclaredQuery]:
         windows,
     )
 
-    missing = [n for n in PRIORITY if n not in REGISTRY]
+    missing = [n for n in RECONFIRM if n not in REGISTRY]
     if missing:
-        raise RuntimeError(f"PRIORITY names not declared: {missing}")
-    ordered = {n: REGISTRY[n] for n in PRIORITY}
-    ordered.update((n, q) for n, q in REGISTRY.items() if n not in ordered)
-    return ordered
+        raise RuntimeError(f"RECONFIRM names not declared: {missing}")
+    return {n: REGISTRY[n] for n in priority_order(list(REGISTRY))}

@@ -90,61 +90,51 @@ def test_driver_contract_shape():
     assert all(isinstance(s, str) and s.strip() for s in osql.values())
 
 
-def test_driver_window_is_the_r7_backlog_burndown():
+def test_driver_window_is_stalest_first():
     """The driver's correctness loop grades the first ~50 registry
-    entries (observed r1–r6: exactly 50). The r7 window follows the r6
-    verdict's directive exactly: the one new declaration first, then
-    ALL queries whose latest green driver row is still r1 (computed
-    from the CORRECTNESS history, not asserted from memory), then the
-    re-confirmations of this round's code changes, then the 7 rows-only
-    entries the driver has never sampled — LAST, so every green-capable
-    slot cuts first. The r1–r6 every-module invariant is suspended for
-    this one round (see queries/__init__.py); this test pins the
-    replacement composition."""
-    import json
+    entries (observed r1–r7: exactly 50). r7 pinned the window as a
+    hardcoded tuple and the pin self-invalidated the moment the round
+    succeeded (r7 verdict #1); the rotation is now DERIVED from the
+    CORRECTNESS record at load time, and this test asserts the
+    derivation's invariants — properties that stay true when a new
+    round's file lands, not a frozen composition.
 
+    Invariants:
+    1. No query outside the window is staler than any auto-slotted
+       query inside it (the window IS the stalest cohort).
+    2. RECONFIRM (code changed this round) occupies the window tail.
+    3. Never-driver-rowed queries sort first — first-time
+       certifications outrank everything.
+    4. Past the window, order remains stalest-first (a wider driver
+       cut still grades in marginal-value order).
+    """
     from pipetree_spark.queries import (
-        _NEVER_SAMPLED_ROWS_ONLY,
-        _R1_STALE,
-        _R7_RECONFIRM,
-        PRIORITY,
+        RECONFIRM,
+        WINDOW,
+        _effective_rounds,
     )
 
     reg = load_registry()
-    first50 = list(reg)[:50]
-    assert len(PRIORITY) == 50 and first50 == list(PRIORITY)
+    order = list(reg)
+    window = order[:WINDOW]
+    eff = _effective_rounds()
+    rnd = lambda n: eff.get(n, 0)  # noqa: E731
 
-    # _R1_STALE must equal the actual r1-stale set from the record
-    latest_green: dict[str, int] = {}
-    root = Path(__file__).resolve().parent.parent
-    for p in sorted(root.glob("CORRECTNESS_r*.json")):
-        rnd = int(p.stem.split("_r")[1])
-        for qname, row in json.loads(p.read_text()).items():
-            if (
-                row.get("rows_match") and row.get("schema_match")
-                and row.get("hash_match") and not row.get("err")
-            ):
-                latest_green[qname] = max(latest_green.get(qname, 0), rnd)
-    stale = {q for q, r in latest_green.items() if r == 1}
-    assert set(_R1_STALE) == stale, (
-        set(_R1_STALE) ^ stale or "r1-stale set drifted"
+    assert all(n in window for n in RECONFIRM)
+    assert window[-len(RECONFIRM):] == list(RECONFIRM)
+
+    auto_in = [n for n in window if n not in RECONFIRM]
+    outside = [n for n in order[WINDOW:] if n not in RECONFIRM]
+    assert max(rnd(n) for n in auto_in) <= min(rnd(n) for n in outside), (
+        "a staler query sits outside the window"
     )
-    # round-robin property: any prefix of the stale block spans all four
-    # backlogged modules once it is ≥4 deep
-    mod = lambda n: REGISTRY[n].fn.__module__.rsplit(".", 1)[-1]  # noqa: E731
-    assert {mod(n) for n in _R1_STALE[:4]} == {
-        "aggregates", "functions", "joins", "llm_ops"
-    }
-    # rows-only entries: exactly the planned never-sampled five, dead last
-    graded_ever = set()
-    for p in sorted(root.glob("CORRECTNESS_r*.json")):
-        graded_ever |= set(json.loads(p.read_text()))
-    rows_only_in_window = [n for n in first50 if REGISTRY[n].oracle is None]
-    assert rows_only_in_window == list(_NEVER_SAMPLED_ROWS_ONLY)
-    assert first50[-5:] == list(_NEVER_SAMPLED_ROWS_ONLY)
-    assert not (set(_NEVER_SAMPLED_ROWS_ONLY) & graded_ever)
-    # re-confirmations of r7-changed code sit between stale and rows-only
-    assert first50[37:45] == list(_R7_RECONFIRM)
+    # stalest-first is monotone across the auto ordering, window and beyond
+    auto_all = auto_in + outside
+    rounds = [rnd(n) for n in auto_all]
+    assert rounds == sorted(rounds), "auto ordering is not stalest-first"
+    # never-rowed queries (round 0) lead the window
+    never = [n for n in reg if rnd(n) == 0]
+    assert window[: len(never)] == never
 
 
 def test_driver_window_maximizes_new_certifications():
