@@ -46,6 +46,19 @@ def cosine(a: Column, b: Column) -> Column:
     return safe_div(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
+def finite_pos_norm(norm: Column) -> Column:
+    """True iff ``norm`` is a finite positive double — the vectors for
+    which cosine is DEFINED. Zero-norm (cosine 0/0) and non-finite
+    (NaN/Inf elements) vectors both fail it and are routed around
+    pairwise stages as singletons. One predicate covers both in Spark
+    semantics: NaN compares GREATER than everything (so ``NaN > 0`` is
+    true but ``NaN < inf`` is false) and ``inf < inf`` is false —
+    mirrored by numpy's ``isfinite(s) & (s > 0)`` in the Arrow twin, so
+    the two pair engines keep identical pair sets on any input (the r7
+    advice's NaN-divergence fix)."""
+    return (norm > 0) & (norm < F.lit(float("inf")))
+
+
 def l2_normalize(a: Column, norm: Column | None = None) -> Column:
     """Unit-normalize. Pass a precomputed ``norm`` ATTRIBUTE column in
     hot paths: higher-order lambdas evaluate interpreted (no CSE), so a
@@ -493,14 +506,15 @@ def blocked_cos_pairs_arrow(
         n, d = V.shape
         nrm = None
         if n >= 2:
-            # zero-norm vectors: cosine undefined, never near-dups —
-            # excluded exactly as the expression twin's na>0 filter.
-            # Masking rows does not change per-row dim-sequential sums,
-            # so the surviving norms are reused as-is.
+            # zero-norm and non-finite vectors: cosine undefined, never
+            # near-dups — excluded exactly as the expression twin's
+            # finite_pos_norm filter. Masking rows does not change
+            # per-row dim-sequential sums, so surviving norms are
+            # reused as-is.
             s = V[:, 0] * V[:, 0]
             for i in range(1, d):
                 s = s + V[:, i] * V[:, i]
-            keep = s > 0
+            keep = np.isfinite(s) & (s > 0)
             ids, V = ids[keep], V[keep]
             nrm = np.sqrt(s[keep])
             n = len(ids)
@@ -537,23 +551,23 @@ def cos_pairs_blocked(
     """Within-block cosine candidate pairs, JVM-expression variant:
     self-join on block, id_a < id_b, fixed-order double cosine ≥
     threshold. ``memberships`` may carry several rows per id
-    (multi-probe blocking). Zero-norm vectors are filtered out BEFORE
-    the join: cosine is undefined for them (never near-dups), and under
-    ANSI mode the division would raise DIVIDE_BY_ZERO even on rows a
-    later filter drops. The Arrow twin
-    (:func:`blocked_cos_pairs_arrow`) applies the same exclusion and
-    the same summation order, so the two engines' pair sets are
-    identical — pinned by a hypothesis test. The norm product of two
-    non-zero-norm vectors cannot underflow to 0.0 (min float32
-    subnormal² sums are ≫ the double underflow bound)."""
+    (multi-probe blocking). Zero-norm and non-finite vectors are
+    filtered out BEFORE the join (:func:`finite_pos_norm`): cosine is
+    undefined for them (never near-dups), and under ANSI mode the
+    division would raise DIVIDE_BY_ZERO even on rows a later filter
+    drops. The Arrow twin (:func:`blocked_cos_pairs_arrow`) applies
+    the same exclusion and the same summation order, so the two
+    engines' pair sets are identical — pinned by a hypothesis test.
+    The norm product of two surviving vectors cannot underflow to 0.0
+    (min float32 subnormal² sums are ≫ the double underflow bound)."""
     a = memberships.select(
         F.col(id_col).alias("id_a"), F.col(block_col).alias("block"),
         F.col(vec_col).alias("va"), l2_norm(F.col(vec_col)).alias("na"),
-    ).filter(F.col("na") > 0)
+    ).filter(finite_pos_norm(F.col("na")))
     b = memberships.select(
         F.col(id_col).alias("id_b"), F.col(block_col).alias("bb"),
         F.col(vec_col).alias("vb"), l2_norm(F.col(vec_col)).alias("nb"),
-    ).filter(F.col("nb") > 0)
+    ).filter(finite_pos_norm(F.col("nb")))
     cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, a["block"] == b["bb"])
@@ -583,17 +597,17 @@ def semantic_dedup(
         F.col(block_col).alias("block"),
         F.col(vec_col).alias("embedding"),
     )
-    # zero-norm vectors bypass the collapse: the dedup predicate is
-    # "cosine ≥ threshold", which is UNDEFINED for them — so even
-    # byte-identical zero vectors stay singletons (exactly what the
-    # pairwise oracle derives: NULL cosine never links). Collapsing
+    # zero-norm and non-finite vectors bypass the collapse: the dedup
+    # predicate is "cosine ≥ threshold", which is UNDEFINED for them —
+    # so even byte-identical such vectors stay singletons (exactly what
+    # the pairwise oracle derives: NULL cosine never links). Collapsing
     # them would over-merge relative to the definition.
-    zero = eb.filter(~(l2_norm(F.col("embedding")) > 0)).select(
+    zero = eb.filter(~finite_pos_norm(l2_norm(F.col("embedding")))).select(
         F.col("vec_id").alias(key_col),
         F.col("vec_id").alias("component"),
         F.lit(1).alias("is_kept"),
     )
-    nz = eb.filter(l2_norm(F.col("embedding")) > 0)
+    nz = eb.filter(finite_pos_norm(l2_norm(F.col("embedding"))))
     grp = nz.groupBy("block", "embedding").agg(F.min("vec_id").alias("rep_id"))
     reps = grp.select("rep_id", "block", "embedding")
     pairs = cos_pairs_blocked(reps, threshold)
@@ -634,20 +648,25 @@ def semantic_dedup_ann(
     from pipetree_spark.ops.graph import connected_components
 
     e = df.select(F.col(key_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
-    # zero-norm vectors stay singletons (see semantic_dedup — cosine is
-    # undefined for them, so the pairwise definition never links them)
-    zero = e.filter(~(l2_norm(F.col("embedding")) > 0)).select(
+    # zero-norm and non-finite vectors stay singletons (see
+    # semantic_dedup — cosine is undefined for them, so the pairwise
+    # definition never links them)
+    zero = e.filter(~finite_pos_norm(l2_norm(F.col("embedding")))).select(
         F.col("vec_id").alias(key_col),
         F.col("vec_id").alias("component"),
         F.lit(1).alias("is_kept"),
     )
-    nz = e.filter(l2_norm(F.col("embedding")) > 0)
+    nz = e.filter(finite_pos_norm(l2_norm(F.col("embedding"))))
     grp = nz.groupBy("embedding").agg(F.min("vec_id").alias("rep_id"))
-    # train on the FULL corpus (oracle parity: duplicates weight the
-    # centroids) but assign probes only to the collapsed reps — on a
-    # dup-heavy corpus this skips the k-distance pass over every copy
+    # train on the FULL corpus (oracle parity: duplicates and zero
+    # vectors weight the centroids) minus non-finite vectors — the
+    # quantizer's floor() would raise on NaN under ANSI, and a vector
+    # that can never pair has no business steering centroids; assign
+    # probes only to the collapsed reps — on a dup-heavy corpus this
+    # skips the k-distance pass over every copy
     probes = ivf_multiprobe_assign(
-        e, "embedding", "vec_id",
+        e.filter(l2_norm(F.col("embedding")) < F.lit(float("inf"))),
+        "embedding", "vec_id",
         n_probe=n_probe, n_clusters=n_clusters, iters=iters,
         assign_to=grp.select("rep_id", "embedding"), assign_key="rep_id",
     )

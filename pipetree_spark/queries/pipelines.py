@@ -541,6 +541,12 @@ def q_pipe_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.run(spark)["report"]
 
 
+#: per-(process, sf_dir) private scratch roots for q_pipe_timetravel —
+#: created by mkdtemp (unpredictable name, 0700), reused across
+#: invocations within one process
+_timetravel_scratch_roots: dict[str, str] = {}
+
+
 @declare(
     "q_pipe_timetravel",
     oracle="""
@@ -560,14 +566,15 @@ def q_pipe_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     append dir-list union, the overwrite, or the O(1) rollback got any
     row wrong, the counts diverge and the hash compare fails.
 
-    The snapshot store is a FIXED per-sf_dir scratch dir that every
-    invocation clears and rebuilds — repeated gradings reuse one
-    location instead of leaking two table copies into /tmp per run
-    (the query is self-contained and idempotent either way); at
+    The snapshot store is a per-PROCESS private scratch dir (one
+    ``mkdtemp`` per (process, sf_dir), cleared and rebuilt on each
+    invocation) — repeated gradings in one process reuse one location
+    instead of leaking two table copies into /tmp per run, while the
+    unpredictable mkdtemp name + 0700 mode close the fixed-path /tmp
+    squat the r7 advice flagged (a foreign pre-created dir would have
+    survived rmtree(ignore_errors=True) and been silently adopted); at
     production scale the same log lives next to the table and data
     dirs are immutable."""
-    import hashlib
-    import os
     import shutil
     import tempfile
     from pathlib import Path
@@ -575,13 +582,11 @@ def q_pipe_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipetree_spark.versioned import VersionedTable
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    # keyed by (uid, sf_dir): no cross-user /tmp collision, and the
-    # rmtree only ever clobbers THIS user's previous invocation (driver
-    # grading is serial; concurrent same-user invocations are out of
-    # contract for this self-contained demo query)
-    scratch = Path(tempfile.gettempdir()) / (
-        f"pipetree_vt_{os.getuid()}_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    )
+    root = _timetravel_scratch_roots.get(sf_dir)
+    if root is None or not Path(root).is_dir():
+        root = tempfile.mkdtemp(prefix="pipetree_vt_")
+        _timetravel_scratch_roots[sf_dir] = root
+    scratch = Path(root) / "store"
     shutil.rmtree(scratch, ignore_errors=True)
     scratch.mkdir(parents=True, exist_ok=True)
     t = VersionedTable(str(scratch), "docs")

@@ -1217,3 +1217,36 @@ def test_zero_norm_vectors_dont_crash_cosine_paths(spark):
     norm = df.select(VX.l2_normalize(F.col("embedding")).alias("u")).collect()
     flat = [r.u for r in norm]
     assert [v for u in flat for v in u].count(None) == 8  # zero vec -> NULLs
+
+
+def test_nonfinite_vectors_are_singletons_in_both_pair_twins(spark):
+    """r7-advice regression: NaN-norm vectors used to slip through the
+    JVM pair stage's na > 0 filter (Spark: NaN > 0 is TRUE) while the
+    Arrow twin's numpy s > 0 dropped them — breaking the twins'
+    identical-pair-set contract and raising under ANSI in the quantizer
+    (floor(NaN)). Contract now: cosine is undefined for zero-norm AND
+    non-finite vectors, so both twins exclude them and both semantic
+    dedup engines emit them as kept singletons."""
+    nan, inf = float("nan"), float("inf")
+    rows = [
+        (0, 0, [1.0, 0.0, 0.0, 0.0]),
+        (1, 0, [1.0, 0.0, 0.0, 0.0]),     # exact dup of 0 → pairs/merges
+        (2, 0, [nan, 1.0, 0.0, 0.0]),     # NaN norm → singleton
+        (3, 0, [inf, 1.0, 0.0, 0.0]),     # Inf norm → singleton
+        (4, 0, [0.0, 0.0, 0.0, 0.0]),     # zero norm → singleton
+        (5, 0, [nan, 1.0, 0.0, 0.0]),     # byte-identical NaN → still singleton
+    ]
+    m = spark.createDataFrame(rows, "rep_id long, block long, embedding array<float>")
+    jvm = {(r.id_a, r.id_b) for r in VX.cos_pairs_blocked(m, 0.35).collect()}
+    arrow = {(r.id_a, r.id_b) for r in VX.blocked_cos_pairs_arrow(m, 0.35).collect()}
+    assert jvm == arrow == {(0, 1)}
+
+    df = m.select(F.col("rep_id").alias("vec_id"), F.col("block").alias("label"), "embedding")
+    for res in (
+        VX.semantic_dedup(df, key_col="vec_id", block_col="label", threshold=0.35),
+        VX.semantic_dedup_ann(df, key_col="vec_id", threshold=0.35, n_clusters=2, n_probe=1),
+    ):
+        got = {r.vec_id: (r.component, r.is_kept) for r in res.collect()}
+        assert got[0] == (0, 1) and got[1] == (0, 0)
+        for vid in (2, 3, 4, 5):
+            assert got[vid] == (vid, 1)
