@@ -409,8 +409,93 @@ def kmeans_portable_fit(
     return a, cents
 
 
-def ivf_multiprobe_assign(
+def ivf_train(
     df: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    n_clusters: int = 8,
+    iters: int = 2,
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Train the portable-Lloyd coarse quantizer and return its 1-row
+    centroid frame (``__cs: array<struct<cid, cv>>``) — the injectable
+    model state :func:`ivf_multiprobe_assign` and
+    :func:`semantic_dedup_ann` accept via ``centroids=``.
+
+    This is the production amortization point (r7 verdict #5): at 10⁹
+    vectors you train ONCE on a sample (``df.sample(...)``) or load a
+    cached centroid frame, then every assignment pass is a narrow map —
+    the full-corpus Lloyd rescan the certified query keeps for oracle
+    parity never runs. Blocks are a pure function of (vector,
+    centroids), so any training corpus yields a valid blocking; only
+    recall, not correctness, depends on centroid quality."""
+    _, cents = kmeans_portable_fit(
+        df, vec_col, key_col, k=n_clusters, iters=iters, scale=scale
+    )
+    return cents
+
+
+def _multiprobe_assign_arrow(
+    tgt: DataFrame,
+    cents_row: list,
+    n_probe: int,
+    key_col: str,
+    vec_col: str,
+    scale: int,
+    carry_cols: tuple[str, ...],
+) -> DataFrame:
+    """Arrow twin of the HOF multi-probe assignment: numpy int64
+    distance matrix against the collected centroid array. All math is
+    exact integer (quantization is the identical IEEE floor(x·scale);
+    int64 sums of squared diffs cannot overflow at scale=2²⁰, dim 64),
+    and the (d, cid) tie rule is reproduced by argsorting d·k + cid —
+    bit-identical probes to the expression twin, pinned by pytest. For
+    k ≳ 100 the interpreted per-row k×dim HOF fold dominates the
+    expression path; this twin keeps assignment O(n·k·d) in BLAS-speed
+    numpy (the FAISS shape)."""
+    import pandas as pd
+
+    C = np.array([list(s["cv"]) for s in sorted(cents_row, key=lambda s: s["cid"])],
+                 dtype=np.int64)
+    cids = np.array([s["cid"] for s in sorted(cents_row, key=lambda s: s["cid"])],
+                    dtype=np.int64)
+    k = len(cids)
+    out_schema = ", ".join(
+        [f"{key_col} {tgt.schema[key_col].dataType.simpleString()}"]
+        + [f"{c} {tgt.schema[c].dataType.simpleString()}" for c in carry_cols]
+        + ["cluster long"]
+    )
+
+    def assign_batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy())
+            Q = np.floor(V.astype(np.float64) * float(scale)).astype(np.int64)
+            # ||q-c||² = q·q - 2q·c + c·c, all exact int64
+            d2 = (
+                (Q * Q).sum(axis=1)[:, None]
+                - 2 * (Q @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            )
+            enc = d2 * np.int64(k) + cids[None, :]
+            probes = np.argsort(enc, axis=1, kind="stable")[:, :n_probe]
+            chosen = cids[probes]  # (n, n_probe)
+            n = len(pdf)
+            base = {key_col: pdf[key_col].to_numpy().repeat(n_probe)}
+            for c in carry_cols:
+                base[c] = pdf[c].to_numpy().repeat(n_probe)
+            base["cluster"] = chosen.reshape(-1)
+            yield pd.DataFrame(base)
+
+    in_cols = [key_col] + [c for c in carry_cols if c != key_col]
+    if vec_col not in in_cols:
+        in_cols.append(vec_col)
+    return tgt.select(*in_cols).mapInPandas(assign_batches, out_schema)
+
+
+def ivf_multiprobe_assign(
+    df: DataFrame | None,
     vec_col: str = "embedding",
     key_col: str = "vec_id",
     n_probe: int = 2,
@@ -419,13 +504,18 @@ def ivf_multiprobe_assign(
     scale: int = 1 << 20,
     assign_to: DataFrame | None = None,
     assign_key: str | None = None,
+    centroids: DataFrame | None = None,
+    carry_cols: tuple[str, ...] = (),
+    via: str = "expr",
 ) -> DataFrame:
     """Deterministic multi-probe IVF assignment: each key maps to its
     ``n_probe`` nearest portable-Lloyd centroids (exact integer
     distance, ties → smaller cid via the (d, cid) struct sort — the
     same probe rule :func:`ivf_ann_portable` applies to queries, here
-    applied to the corpus itself). Returns ``(key, cluster)`` with
-    ``n_probe`` rows per key.
+    applied to the corpus itself). Returns ``(key, *carry_cols,
+    cluster)`` with ``n_probe`` rows per key — ``carry_cols`` ride the
+    narrow assignment map so callers need no re-join against the
+    assignment output (the r7 plan shaved one shuffle join this way).
 
     This is the standard recall lever for BLOCKED pairwise ops
     (semantic dedup, decontamination): two vectors collide if ANY
@@ -433,20 +523,35 @@ def ivf_multiprobe_assign(
     boundary — the single-probe miss mode — still pair up, at n_probe×
     membership cost instead of n² pairs.
 
-    Scale shape: centroids are a k-row broadcast; assignment is a
-    narrow map + explode — no shuffle."""
-    _, cents = kmeans_portable_fit(
-        df, vec_col, key_col, k=n_clusters, iters=iters, scale=scale
-    )
-    # train on df, assign to assign_to (default df): blocks are a pure
-    # function of the vector, so a dup-heavy corpus can collapse first
-    # and probe only its distinct reps — the quantizer still trains on
-    # the FULL corpus (duplicates weight the centroid means, which is
-    # what any oracle re-derivation sees)
+    ``centroids`` injects a pre-trained quantizer (see
+    :func:`ivf_train`) and skips the Lloyd fit entirely; ``df`` may
+    then be None. ``via="arrow"`` switches the per-row k-centroid
+    distance scan from the interpreted HOF fold to the bit-identical
+    numpy twin (:func:`_multiprobe_assign_arrow`) — the right engine
+    once auto-sizing pushes k past ~100.
+
+    Scale shape: centroids are a k-row broadcast (expr) or a
+    closure-shipped int64 matrix (arrow); assignment is a narrow map +
+    explode — no shuffle."""
+    if centroids is None:
+        # train on df, assign to assign_to (default df): blocks are a
+        # pure function of the vector, so a dup-heavy corpus can
+        # collapse first and probe only its distinct reps — the
+        # quantizer still trains on the FULL corpus (duplicates weight
+        # the centroid means, which is what any oracle re-derivation
+        # sees)
+        centroids = ivf_train(df, vec_col, key_col, n_clusters, iters, scale)
     tgt = df if assign_to is None else assign_to
     tgt_key = key_col if assign_key is None else assign_key
-    q = tgt.select(
-        F.col(tgt_key).alias(key_col) if tgt_key != key_col else key_col,
+    renamed = tgt if tgt_key == key_col else tgt.withColumnRenamed(tgt_key, key_col)
+    if via == "arrow":
+        cents_row = centroids.collect()[0]["__cs"]  # 1-row model state
+        return _multiprobe_assign_arrow(
+            renamed, cents_row, n_probe, key_col, vec_col, scale, carry_cols
+        )
+    q = renamed.select(
+        key_col,
+        *carry_cols,
         F.transform(
             vec_col, lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long")
         ).alias("__qv"),
@@ -462,8 +567,9 @@ def ivf_multiprobe_assign(
             cc["cid"].alias("cid"),
         ),
     )
-    return q.crossJoin(F.broadcast(cents)).select(
+    return q.crossJoin(F.broadcast(centroids)).select(
         key_col,
+        *carry_cols,
         F.explode(
             F.transform(F.slice(F.array_sort(dist_cid), 1, n_probe), lambda s: s["cid"])
         ).alias("cluster"),
@@ -477,6 +583,7 @@ def blocked_cos_pairs_arrow(
     block_col: str = "block",
     vec_col: str = "embedding",
     chunk: int = 2048,
+    contract: bool = False,
 ) -> DataFrame:
     """Within-block all-pairs cosine candidates via applyInPandas — the
     Arrow-vectorized twin of the JVM-expression pair stage (llm_ops
@@ -495,7 +602,19 @@ def blocked_cos_pairs_arrow(
     numpy pass (chunked rows bound memory at chunk×m doubles); cell
     size m is the quantizer knob (k ∝ √n keeps m ~√n). Emits each
     ordered pair once per shared block — multi-probe callers dedup
-    with .distinct()."""
+    with .distinct().
+
+    ``contract=True`` (the CC feeder mode, r8): instead of every
+    qualifying pair, emit each block-local connected component as a
+    STAR — (member, local-min-id) edges from a union-find over the
+    block's pairs. The union of per-block stars has the same
+    transitive closure as the union of all within-block pairs, so
+    downstream connected components are IDENTICAL, but edge volume
+    drops from O(Σ m²) to O(Σ m) and chain-shaped components collapse
+    to ~2 hops — measured 12 plain label-propagation rounds → 3 on the
+    sf0.1 threshold-0.35 graph. Only the final component labeling may
+    consume contracted output; anything needing the actual pair set
+    (recall measurement, verify stages) must keep contract=False."""
     import pandas as pd
 
     def per_block(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -534,9 +653,34 @@ def blocked_cos_pairs_arrow(
             mask = ia < jb
             outs_a.append(ia[mask])
             outs_b.append(jb[mask])
-        return pd.DataFrame(
-            {"id_a": np.concatenate(outs_a), "id_b": np.concatenate(outs_b)}
-        )
+        id_a, id_b = np.concatenate(outs_a), np.concatenate(outs_b)
+        if contract and len(id_a):
+            # per-block union-find → star edges (member, local-min id)
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for x, y in zip(id_a.tolist(), id_b.tolist()):
+                rx, ry = find(x), find(y)
+                if rx != ry:
+                    # union by value: smaller id stays root, so the
+                    # final root IS the component's min id
+                    if rx < ry:
+                        parent[ry] = rx
+                    else:
+                        parent[rx] = ry
+            members = sorted({int(x) for x in id_a} | {int(x) for x in id_b})
+            roots = np.array([find(x) for x in members], dtype="int64")
+            members = np.array(members, dtype="int64")
+            keep = roots != members
+            id_a, id_b = roots[keep], members[keep]
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b})
 
     return memberships.groupBy(block_col).applyInPandas(per_block, "id_a long, id_b long")
 
@@ -610,7 +754,12 @@ def semantic_dedup(
     nz = eb.filter(finite_pos_norm(l2_norm(F.col("embedding"))))
     grp = nz.groupBy("block", "embedding").agg(F.min("vec_id").alias("rep_id"))
     reps = grp.select("rep_id", "block", "embedding")
-    pairs = cos_pairs_blocked(reps, threshold)
+    # Arrow pair twin (bit-identical to cos_pairs_blocked — pinned by
+    # the hypothesis twin test) in contract mode: per-label union-find
+    # emits star edges, so CC sees O(Σm) edges and ~2-hop components
+    # instead of diameter-long chains (same final components). The
+    # distinct() is CC's ReusedExchange point (see semantic_dedup_ann).
+    pairs = blocked_cos_pairs_arrow(reps, threshold, block_col="block", contract=True).distinct()
     cc = connected_components(pairs, src="id_a", dst="id_b")
     rep_comp = reps.join(cc, reps["rep_id"] == cc["node"], "left").select(
         "rep_id", "block", "embedding",
@@ -632,9 +781,11 @@ def semantic_dedup_ann(
     key_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.35,
-    n_clusters: int = 8,
-    n_probe: int = 3,
+    n_clusters: int | str = 8,
+    n_probe: int | str = 3,
     iters: int = 2,
+    centroids: DataFrame | None = None,
+    assign_via: str = "expr",
 ) -> DataFrame:
     """Label-free semantic dedup — the engine behind
     q_dedup_semantic_ann (the at-scale shape): block by the portable
@@ -644,7 +795,26 @@ def semantic_dedup_ann(
     memberships per collapsed rep → Arrow-vectorized within-cell
     cosine pairs → connected components → min-id keeper. Emits
     (key, component, is_kept). JSON-declarable through the pipeline
-    ``op`` stage type."""
+    ``op`` stage type.
+
+    Production knobs (r7 verdict #4/#5):
+
+    - ``n_clusters="auto"`` sizes the quantizer to ⌈√n_reps⌉ (floor 8)
+      — cells stay ~√n rows so the per-cell m² pair stage is
+      near-linear overall; a fixed k dies at 1000× because cells grow
+      linearly. ``n_probe="auto"`` co-scales probes as ⌈log₂k⌉ (floor
+      3; calibrated at the shipped k=8/p=3 point): more, smaller cells
+      need more probes to keep boundary-straddling near-dup pairs
+      colliding — SCALING.md measured k=32 at FIXED p=3 losing recall
+      to 0.59, so the two knobs must move together.
+    - ``centroids=`` injects a pre-trained quantizer
+      (:func:`ivf_train` on a sample, or cached) and skips the
+      full-corpus Lloyd rescan — identical components whenever the
+      same centroid frame is supplied (blocks are a pure function of
+      (vector, centroids); pinned by pytest).
+    - ``assign_via="arrow"`` uses the bit-identical numpy assignment
+      twin — the right engine once auto-sizing pushes k past ~100.
+    """
     from pipetree_spark.ops.graph import connected_components
 
     e = df.select(F.col(key_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
@@ -658,22 +828,37 @@ def semantic_dedup_ann(
     )
     nz = e.filter(finite_pos_norm(l2_norm(F.col("embedding"))))
     grp = nz.groupBy("embedding").agg(F.min("vec_id").alias("rep_id"))
+    if n_clusters == "auto" or n_probe == "auto":
+        import math
+
+        n_reps = grp.count()
+        if n_clusters == "auto":
+            n_clusters = max(8, math.isqrt(max(n_reps - 1, 0)) + 1)  # ⌈√n⌉
+        if n_probe == "auto":
+            n_probe = max(3, math.ceil(math.log2(n_clusters)))
     # train on the FULL corpus (oracle parity: duplicates and zero
     # vectors weight the centroids) minus non-finite vectors — the
     # quantizer's floor() would raise on NaN under ANSI, and a vector
     # that can never pair has no business steering centroids; assign
     # probes only to the collapsed reps — on a dup-heavy corpus this
-    # skips the k-distance pass over every copy
-    probes = ivf_multiprobe_assign(
+    # skips the k-distance pass over every copy. The embedding rides
+    # the (narrow, shuffle-free) assignment map, so memberships need
+    # no join back against the reps.
+    memberships = ivf_multiprobe_assign(
         e.filter(l2_norm(F.col("embedding")) < F.lit(float("inf"))),
         "embedding", "vec_id",
         n_probe=n_probe, n_clusters=n_clusters, iters=iters,
         assign_to=grp.select("rep_id", "embedding"), assign_key="rep_id",
-    )
-    memberships = grp.join(
-        probes, grp["rep_id"] == probes["vec_id"]
-    ).select("rep_id", F.col("cluster").alias("block"), "embedding")
-    pairs = blocked_cos_pairs_arrow(memberships, threshold).distinct()
+        centroids=centroids, carry_cols=("embedding",), via=assign_via,
+    ).select(F.col("vec_id").alias("rep_id"), F.col("cluster").alias("block"), "embedding")
+    # contract=True: per-block union-find emits star edges instead of
+    # all pairs — identical transitive closure, O(Σm) instead of O(Σm²)
+    # edges into the shuffle, and chain components collapse to ~2 hops
+    # so CC converges in ~3 rounds instead of diameter-many. The
+    # distinct() both dedups multi-probe duplicate edges and gives
+    # CC's two-branch symmetric union a ReusedExchange point — without
+    # it each branch re-runs the Arrow pair stage (measured +1 s).
+    pairs = blocked_cos_pairs_arrow(memberships, threshold, contract=True).distinct()
     cc = connected_components(pairs, src="id_a", dst="id_b")
     rep_comp = grp.join(cc, grp["rep_id"] == cc["node"], "left").select(
         "embedding", F.coalesce("component", "rep_id").alias("component")

@@ -1219,6 +1219,80 @@ def test_zero_norm_vectors_dont_crash_cosine_paths(spark):
     assert [v for u in flat for v in u].count(None) == 8  # zero vec -> NULLs
 
 
+def test_semantic_ann_centroid_injection_and_arrow_assign(spark):
+    """r7 verdict #4/#5: (a) supplying a pre-trained centroid frame
+    (ivf_train) must yield IDENTICAL components to the integrated
+    full-corpus-training run — blocks are a pure function of (vector,
+    centroids); (b) the numpy assignment twin (via='arrow') must be
+    bit-identical to the HOF expression fold — exact integer math on
+    both sides; (c) n_clusters='auto' on a small corpus floors at the
+    shipped k=8/p=3 point, so auto equals fixed there."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((6, 8)).astype(np.float32)
+    rows = []
+    # 60 unique vectors → ⌈√60⌉ = 8 = the auto floor, so the auto run
+    # resolves to the shipped k=8/p=3 point and must equal the fixed run
+    for i in range(60):
+        v = base[i % 6] + rng.standard_normal(8).astype(np.float32) * 0.02
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def comps(res):
+        return {(r.vec_id, r.component, r.is_kept) for r in res.collect()}
+
+    want = comps(VX.semantic_dedup_ann(df, threshold=0.8, n_clusters=8, n_probe=3))
+    cents = VX.ivf_train(df, "embedding", "vec_id", n_clusters=8, iters=2)
+    got_inj = comps(
+        VX.semantic_dedup_ann(df, threshold=0.8, n_clusters=8, n_probe=3, centroids=cents)
+    )
+    assert got_inj == want
+    got_arrow = comps(
+        VX.semantic_dedup_ann(
+            df, threshold=0.8, n_clusters=8, n_probe=3, centroids=cents, assign_via="arrow"
+        )
+    )
+    assert got_arrow == want
+    got_auto = comps(VX.semantic_dedup_ann(df, threshold=0.8, n_clusters="auto", n_probe="auto"))
+    assert got_auto == want
+
+    # sample-trained centroids: different blocking, still a valid dedup
+    # (every key labeled exactly once; keeper iff key == component)
+    sample_cents = VX.ivf_train(
+        df.sample(0.3, seed=1), "embedding", "vec_id", n_clusters=8, iters=2
+    )
+    got_sample = VX.semantic_dedup_ann(
+        df, threshold=0.8, n_clusters=8, n_probe=3, centroids=sample_cents
+    ).collect()
+    assert len(got_sample) == 60 and len({r.vec_id for r in got_sample}) == 60
+    assert all((r.vec_id == r.component) == bool(r.is_kept) for r in got_sample)
+
+
+def test_multiprobe_assign_arrow_bitexact_vs_expr(spark):
+    """The Arrow assignment twin must produce the exact probe set of
+    the HOF expression fold on random vectors — including the
+    (distance, cid) tie rule, which the twin encodes as argsort of
+    d·k + cid."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(8).astype(np.float32)]) for i in range(60)]
+    # planted exact ties: duplicate vectors equidistant to every centroid
+    rows += [(100 + i, rows[i][1]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = VX.ivf_train(df, "embedding", "vec_id", n_clusters=8, iters=2)
+    expr = VX.ivf_multiprobe_assign(
+        df, "embedding", "vec_id", n_probe=3, centroids=cents, via="expr"
+    )
+    arrow = VX.ivf_multiprobe_assign(
+        df, "embedding", "vec_id", n_probe=3, centroids=cents, via="arrow"
+    )
+    assert {(r.vec_id, r.cluster) for r in expr.collect()} == {
+        (r.vec_id, r.cluster) for r in arrow.collect()
+    }
+
+
 def test_nonfinite_vectors_are_singletons_in_both_pair_twins(spark):
     """r7-advice regression: NaN-norm vectors used to slip through the
     JVM pair stage's na > 0 filter (Spark: NaN > 0 is TRUE) while the

@@ -535,6 +535,31 @@ def test_blocked_cos_pairs_arrow_bitexact_vs_expression(spark, vecs, n_blocks):
         for r in VX.blocked_cos_pairs_arrow(m, 0.35, chunk=5).collect()
     }
     assert got == want
+    # contract=True (the CC feeder mode): the per-block union-find star
+    # edges must have the SAME transitive closure as the full pair set
+    star = [
+        (r.id_a, r.id_b)
+        for r in VX.blocked_cos_pairs_arrow(m, 0.35, chunk=5, contract=True).collect()
+    ]
+
+    def closure(pairs):
+        parent = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {n for p in pairs for n in p}
+        return {frozenset(n2 for n2 in nodes if find(n2) == r) for r in {find(n) for n in nodes}}
+
+    assert closure(star) == closure(want)
+    # star edges always point member → its component's min id
+    assert all(a == min(c) for c in closure(star) for a, b in star if b in c)
 
 
 @settings(**SETTINGS)
