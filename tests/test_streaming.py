@@ -298,3 +298,89 @@ def test_incremental_dedup_replay_after_crash_is_duplicate_free(spark, tmp_path)
     # second replay now hits the ledger guard → no-op
     assert st.incremental_dedup_batch(b, 0, ledger, out) == 0
     assert spark.read.parquet(out).count() == 2
+
+
+def test_incremental_dedup_survives_query_restart(spark, tmp_path):
+    """r7 verdict #7: crash-replay idempotence proven ACROSS A QUERY
+    RESTART, not just a same-process re-call. Phase 1 runs the stream
+    (checkpointed file source) over the first chunk only and stops —
+    batch 0 is committed to the checkpoint. The crash is then staged
+    exactly in the documented window for the NEXT batch: its data
+    partition exists (with a poison duplicate row, as a half-written
+    replay could leave) but no ledger commit and no checkpoint commit.
+    The restarted query — same checkpointLocation — must replay that
+    batch under the same batch_id, OVERWRITE the orphan partition, and
+    finish with the admitted set IDENTICAL to an uninterrupted twin run
+    into fresh dirs. The sink's durable state is the ledger + the
+    checkpoint offsets; no stateful-operator store is involved."""
+    schema = "doc_id long, text string, lang string"
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma", "en"), (2, "alpha beta gamma", "en"),
+         (3, "delta epsilon zeta", "en")],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(4, "  Alpha Beta Gamma ", "en"), (5, "eta theta iota", "en")],
+        schema,
+    )
+    b3 = spark.createDataFrame([(6, "kappa lambda mu", "en")], schema)
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+
+    def add_chunk(df, i):
+        tmp = tmp_path / f"stage_chunk{i}"
+        df.coalesce(1).write.parquet(str(tmp))
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.rename(str(tmp / part), str(feed / f"{i:03d}.parquet"))
+
+    ledger, out, ckpt = (str(tmp_path / d) for d in ("ledger", "out", "ckpt"))
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed))
+            .writeStream.foreachBatch(st.incremental_dedup_sink(ledger, out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # phase 1: only chunk 1 visible → batch 0 commits, query stops
+    add_chunk(b1, 1)
+    run_stream()
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [1, 3]
+
+    # stage the crash window for the next batch: orphan data partition
+    # (with a poison dup of doc 1's text) but NO ledger / checkpoint commit
+    add_chunk(b2, 2)
+    add_chunk(b3, 3)
+    poison = b2.unionByName(
+        spark.createDataFrame([(999, "alpha beta gamma", "en")], schema)
+    )
+    poison.write.mode("overwrite").parquet(f"{out}/batch_id=1")
+    assert 999 in {r.doc_id for r in spark.read.parquet(out).collect()}
+
+    # phase 2: restart from the same checkpoint — replays batch 1 over
+    # the orphan, then batch 2
+    run_stream()
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+
+    # uninterrupted twin run (fresh dirs, same feed)
+    l2, o2, c2 = (str(tmp_path / d) for d in ("ledger2", "out2", "ckpt2"))
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+        .writeStream.foreachBatch(st.incremental_dedup_sink(l2, o2))
+        .option("checkpointLocation", c2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    want = sorted(r.doc_id for r in spark.read.parquet(o2).collect())
+
+    assert got == want == [1, 3, 5, 6]  # poison row gone, no dups, no losses
+    assert spark.read.parquet(ledger).count() == 4

@@ -145,3 +145,102 @@ def test_streaming_dedup_ingest_into_versioned_table(spark, tmp_path):
     # O(1) rollback of the last ingest
     t.rollback(1)
     assert sorted(r.doc_id for r in t.read(spark).collect()) == [1, 2, 4]
+
+
+_RACER = r"""
+import json, os, sys, time
+sys.path.insert(0, "__REPO__")
+from pyspark.sql import SparkSession
+from pipetree_spark.versioned import CommitConflict, VersionedTable
+
+root, name, tag, rounds, go_file, out_file = sys.argv[1:7]
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.ui.showConsoleProgress", "false")
+    .getOrCreate()
+)
+t = VersionedTable(root, name)
+dirs = t._manifest(0)["dirs"]
+open(out_file + ".ready", "w").close()
+deadline = time.time() + 60
+while not os.path.exists(go_file):
+    if time.time() > deadline:
+        raise SystemExit("no go signal")
+    time.sleep(0.005)
+wins, conflicts = [], 0
+for i in range(int(rounds)):
+    while True:
+        try:
+            wins.append(t._commit(dirs, f"{tag}-{i}"))
+            break
+        except CommitConflict:
+            conflicts += 1
+with open(out_file, "w") as fh:
+    json.dump({"wins": wins, "conflicts": conflicts}, fh)
+"""
+
+
+def test_concurrent_writers_exactly_one_winner_per_version(spark, root, tmp_path):
+    """r7 verdict #6: optimistic concurrency was only ever exercised
+    in-process. Race a REAL second JVM/process against this session on
+    one root (both the bare-path and file:-scheme params, covering the
+    resolved-scheme os.link fast path): both sides fire `rounds`
+    commits as fast as they can from a filesystem start barrier, losers
+    retry on CommitConflict. Linearizability contract: every version
+    number is claimed by exactly one writer, the log is contiguous, and
+    every loser retried cleanly to a win (no lost commits, no orphan
+    temp manifests)."""
+    import json
+    import subprocess
+    import sys
+    import time
+    from pathlib import Path
+
+    repo = str(Path(__file__).resolve().parent.parent)
+    t = VersionedTable(root, "docs")
+    t.write(spark.createDataFrame([(1, "a")], "k long, v string"), mode="overwrite")
+    dirs = t._manifest(0)["dirs"]
+
+    rounds = 15
+    go = tmp_path / "go"
+    out = tmp_path / "child.json"
+    child = subprocess.Popen(
+        [sys.executable, "-c", _RACER.replace("__REPO__", repo),
+         root, "docs", "child", str(rounds), str(go), str(out)],
+        cwd=repo,
+    )
+    try:
+        deadline = time.time() + 120
+        while not (tmp_path / "child.json.ready").exists():
+            assert time.time() < deadline, "child session never came up"
+            assert child.poll() is None, "child died during startup"
+            time.sleep(0.05)
+        go.touch()
+        my_wins, my_conflicts = [], 0
+        for i in range(rounds):
+            while True:
+                try:
+                    my_wins.append(t._commit(dirs, f"parent-{i}"))
+                    break
+                except CommitConflict:
+                    my_conflicts += 1
+        assert child.wait(timeout=120) == 0
+    finally:
+        if child.poll() is None:
+            child.kill()
+    res = json.loads(out.read_text())
+    child_wins = res["wins"]
+    # exactly one winner per version, nothing lost, nothing doubled
+    assert not (set(my_wins) & set(child_wins))
+    assert sorted(my_wins + child_wins) == list(range(1, 2 * rounds + 1))
+    assert t.versions() == list(range(0, 2 * rounds + 1))
+    # every manifest belongs to the writer that believes it won
+    actions = {m["version"]: m["action"] for m in t.history()}
+    assert all(actions[v].startswith("parent-") for v in my_wins)
+    assert all(actions[v].startswith("child-") for v in child_wins)
+    # no orphan temp manifests survive the race
+    log_dir = t.log_dir
+    if log_dir.startswith("file://"):
+        log_dir = log_dir[len("file://"):]
+    assert [f for f in os.listdir(log_dir) if ".tmp-" in f] == []

@@ -226,10 +226,95 @@ def flood_stress(spark, n_copies: int = 100_000) -> dict[str, float]:
     return {"seconds": secs, "pairs": len(pairs), "planted_ok": float(ok)}
 
 
+def unique_vector_stress(spark, n_bases: int = 2000, copies: int = 100) -> dict:
+    """r7 verdict #4: the 10×/100× replication checks kept distinct-vector
+    volume at 2k (exact-collapse ate the copies), so the auto-sized
+    quantizer was never stressed on UNIQUE vectors. This plants
+    ``n_bases × copies`` unique vectors (base vectors from sf0.1
+    embeddings, each jittered ``copies`` times with σ=0.01 noise —
+    within-cluster cosine ≥ ~0.99, cross-base well below) and runs the
+    PRODUCTION path end-to-end: sample-trained centroids (ivf_train on
+    a 5% sample, injected), n_clusters='auto' (⌈√n⌉), n_probe='auto'
+    (⌈log₂k⌉), assign_via='arrow'.
+
+    Reports pair-recall against the planted truth (a pair is planted
+    iff both vectors jitter the same base; recall = Σ_g C(n_g,2) /
+    (n_bases·C(copies,2)) over (planted, component) groups — computed
+    in Spark, no driver pair sets) plus per-cell occupancy, so the
+    'cells stay ~p·√n, never n/k_fixed' claim is measured, not
+    asserted."""
+    import numpy as np
+
+    from pipetree_spark.catalog import load_table
+    from pipetree_spark.ops import vector as VX
+
+    base = load_table(spark, SRC, "embeddings").orderBy("vec_id").limit(n_bases).collect()
+    B = np.stack([np.array(r["embedding"], dtype=np.float64) for r in base])[:n_bases]
+    rng = np.random.RandomState(13)
+    rows = []
+    for b in range(len(B)):
+        noise = rng.normal(0.0, 0.01, size=(copies, B.shape[1]))
+        V = (B[b][None, :] + noise).astype(np.float32)
+        for c in range(copies):
+            rows.append((b * copies + c, [float(x) for x in V[c]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(32)
+    df = df.localCheckpoint(eager=True)  # the corpus, materialized once
+    n = df.count()
+
+    t0 = time.perf_counter()
+    cents = VX.ivf_train(df.sample(0.05, seed=3), "embedding", "vec_id",
+                         n_clusters=max(8, int(n ** 0.5) + 1), iters=2)
+    cents = cents.localCheckpoint(eager=True)
+    t_train = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    res = VX.semantic_dedup_ann(
+        df, threshold=0.9, n_clusters="auto", n_probe="auto",
+        centroids=cents, assign_via="arrow",
+    ).localCheckpoint(eager=True)
+    assert res.count() == n
+    t_dedup = time.perf_counter() - t0
+
+    planted = res.withColumn("planted", (F.col("vec_id") / copies).cast("long"))
+    co = planted.groupBy("planted", "component").count()
+    num = co.select(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("s")).collect()[0]["s"]
+    denom = n_bases * copies * (copies - 1) / 2
+    recall = float(num) / denom
+
+    # occupancy of the auto-sized blocking (same params the dedup used)
+    import math
+    k = max(8, math.isqrt(max(n - 1, 0)) + 1)
+    p = max(3, math.ceil(math.log2(k)))
+    memb = VX.ivf_multiprobe_assign(
+        df, "embedding", "vec_id", n_probe=p, centroids=cents, via="arrow"
+    )
+    occ = memb.groupBy("cluster").count().agg(
+        F.max("count").alias("mx"), F.avg("count").alias("avg"),
+        F.count("*").alias("nonempty"),
+    ).collect()[0]
+    print(
+        f"  unique-vec stress n={n} (k={k}, p={p}): train {t_train:.1f}s, "
+        f"dedup {t_dedup:.1f}s, pair-recall {recall:.3f}, "
+        f"cell occupancy avg {occ['avg']:.0f} / max {occ['mx']} "
+        f"({occ['nonempty']}/{k} cells nonempty; fixed k=8 would be {n // 8}/cell)",
+        flush=True,
+    )
+    return {"n": n, "k": k, "p": p, "train_s": t_train, "dedup_s": t_dedup,
+            "recall": recall, "cell_avg": float(occ["avg"]), "cell_max": occ["mx"]}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument("--unique-vec", action="store_true",
+                    help="run only the unique-vector quantizer stress (10x and 100x uniques)")
     args = ap.parse_args()
+    if args.unique_vec:
+        spark = get_spark("pipetree-spark-uvec-stress")
+        print("unique-vector stress (auto-k quantizer, sample-trained, arrow assign):", flush=True)
+        unique_vector_stress(spark, n_bases=2000, copies=10)    # 20k uniques
+        unique_vector_stress(spark, n_bases=2000, copies=100)   # 200k uniques
+        return
     spark = get_spark("pipetree-spark-scale-stress")
     if not args.skip_gen:
         print("generating 10x dataset ...", flush=True)
