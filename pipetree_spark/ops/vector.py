@@ -682,7 +682,22 @@ def blocked_cos_pairs_arrow(
             id_a, id_b = roots[keep], members[keep]
         return pd.DataFrame({"id_a": id_a, "id_b": id_b})
 
-    return memberships.groupBy(block_col).applyInPandas(per_block, "id_a long, id_b long")
+    # Explicit hash repartition on the block key BEFORE the grouped map:
+    # this stage is COMPUTE-bound (per-cell m² GEMM), not byte-bound, so
+    # AQE's size-based coalescing is exactly wrong here — measured on the
+    # 200k-unique stress it folded ~540 MB of memberships into 3 post-
+    # shuffle partitions and serialized the whole pair pass onto 3
+    # cores. A numbered repartition is exempt from AQE coalescing and
+    # satisfies the grouped-map's clustered-distribution requirement, so
+    # no second exchange is added.
+    spark = memberships.sparkSession
+    n_tasks = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+        spark.sparkContext.defaultParallelism,
+    )
+    return memberships.repartition(n_tasks, block_col).groupBy(block_col).applyInPandas(
+        per_block, "id_a long, id_b long"
+    )
 
 
 def cos_pairs_blocked(
