@@ -584,6 +584,7 @@ def blocked_cos_pairs_arrow(
     vec_col: str = "embedding",
     chunk: int = 2048,
     contract: bool = False,
+    exact_order: bool = True,
 ) -> DataFrame:
     """Within-block all-pairs cosine candidates via applyInPandas — the
     Arrow-vectorized twin of the JVM-expression pair stage (llm_ops
@@ -614,7 +615,16 @@ def blocked_cos_pairs_arrow(
     to ~2 hops — measured 12 plain label-propagation rounds → 3 on the
     sf0.1 threshold-0.35 graph. Only the final component labeling may
     consume contracted output; anything needing the actual pair set
-    (recall measurement, verify stages) must keep contract=False."""
+    (recall measurement, verify stages) must keep contract=False.
+
+    ``exact_order=False`` (the production throughput mode): compute the
+    within-cell dot-product matrix with one BLAS GEMM instead of the 64
+    dim-sequential vectorized adds. ~20× less memory traffic, but the
+    sums are reassociated, so a cosine within ~1e-15 relative of the
+    threshold can flip — NOT oracle-certifiable; the certified queries
+    keep the default. Measured on the 200k-unique stress: the pair
+    stage's 30-minute dim-sequential pass drops to ~2 minutes
+    end-to-end with identical planted-truth recall."""
     import pandas as pd
 
     def per_block(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -644,9 +654,12 @@ def blocked_cos_pairs_arrow(
         outs_a, outs_b = [], []
         for lo in range(0, n, chunk):
             C = V[lo : lo + chunk]
-            acc = C[:, 0][:, None] * V[:, 0][None, :]
-            for i in range(1, d):
-                acc += C[:, i][:, None] * V[:, i][None, :]
+            if exact_order:
+                acc = C[:, 0][:, None] * V[:, 0][None, :]
+                for i in range(1, d):
+                    acc += C[:, i][:, None] * V[:, i][None, :]
+            else:
+                acc = C @ V.T
             cos = acc / (nrm[lo : lo + chunk][:, None] * nrm[None, :])
             iu, ju = np.where(cos >= threshold)
             ia, jb = ids[lo : lo + chunk][iu], ids[ju]
@@ -801,6 +814,7 @@ def semantic_dedup_ann(
     iters: int = 2,
     centroids: DataFrame | None = None,
     assign_via: str = "expr",
+    exact_pairs: bool = True,
 ) -> DataFrame:
     """Label-free semantic dedup — the engine behind
     q_dedup_semantic_ann (the at-scale shape): block by the portable
@@ -829,6 +843,10 @@ def semantic_dedup_ann(
       (vector, centroids); pinned by pytest).
     - ``assign_via="arrow"`` uses the bit-identical numpy assignment
       twin — the right engine once auto-sizing pushes k past ~100.
+    - ``exact_pairs=False`` computes the within-cell dot products with
+      one BLAS GEMM instead of the dim-sequential IEEE fold — ~20×
+      faster pair stage, threshold decisions can flip within ~1e-15
+      relative; production-only, never for oracle-certified queries.
     """
     from pipetree_spark.ops.graph import connected_components
 
@@ -873,7 +891,9 @@ def semantic_dedup_ann(
     # distinct() both dedups multi-probe duplicate edges and gives
     # CC's two-branch symmetric union a ReusedExchange point — without
     # it each branch re-runs the Arrow pair stage (measured +1 s).
-    pairs = blocked_cos_pairs_arrow(memberships, threshold, contract=True).distinct()
+    pairs = blocked_cos_pairs_arrow(
+        memberships, threshold, contract=True, exact_order=exact_pairs
+    ).distinct()
     cc = connected_components(pairs, src="id_a", dst="id_b")
     rep_comp = grp.join(cc, grp["rep_id"] == cc["node"], "left").select(
         "embedding", F.coalesce("component", "rep_id").alias("component")

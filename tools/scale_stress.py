@@ -270,7 +270,7 @@ def unique_vector_stress(spark, n_bases: int = 2000, copies: int = 100) -> dict:
     t0 = time.perf_counter()
     res = VX.semantic_dedup_ann(
         df, threshold=0.9, n_clusters="auto", n_probe="auto",
-        centroids=cents, assign_via="arrow",
+        centroids=cents, assign_via="arrow", exact_pairs=False,
     ).localCheckpoint(eager=True)
     assert res.count() == n
     t_dedup = time.perf_counter() - t0
