@@ -585,6 +585,7 @@ def blocked_cos_pairs_arrow(
     chunk: int = 2048,
     contract: bool = False,
     exact_order: bool = True,
+    cell_cap: int | None = None,
 ) -> DataFrame:
     """Within-block all-pairs cosine candidates via applyInPandas — the
     Arrow-vectorized twin of the JVM-expression pair stage (llm_ops
@@ -624,14 +625,35 @@ def blocked_cos_pairs_arrow(
     threshold can flip — NOT oracle-certifiable; the certified queries
     keep the default. Measured on the 200k-unique stress: the pair
     stage's 30-minute dim-sequential pass drops to ~2 minutes
-    end-to-end with identical planted-truth recall."""
+    end-to-end with identical planted-truth recall.
+
+    ``cell_cap`` (the skew knob, r8): a k-means quantizer's occupancy
+    is skewed (measured max ≈ 5× average at 200k uniques), and one
+    oversized cell serializes onto one task. With a cap, each block of
+    m > cap rows is TILED: rows hash into T = ⌈m/cap⌉ buckets and the
+    all-pairs work splits into the T(T+1)/2 bucket-pair tiles (every
+    row replicated into its T tiles). A mixed tile (i, j) evaluates
+    ONLY the cross i×j matrix — each unordered pair once, reoriented
+    to (min, max) on emit (commutative per-dim products, so the
+    per-pair dim-sequential sum is bit-identical either way); the
+    diagonal tile (i, i) evaluates its full matrix with the usual
+    a<b halving. Every pair is therefore evaluated exactly once, the
+    emitted pair set is identical to the untiled pass (pinned by the
+    hypothesis twin test), and total matrix work is ~HALF the untiled
+    full-matrix pass (which computes both orientations). Pure
+    parallelism, no recall trade, unlike sub-quantization; cost is ×T
+    row replication of the oversized cells only."""
     import pandas as pd
+
+    tiled = cell_cap is not None
 
     def per_block(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
 
         ids = pdf[id_col].to_numpy()
         V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        bks = pdf["__bk"].to_numpy() if tiled else None
+        mixed = tiled and len(pdf) and pdf["__ti"].iat[0] != pdf["__tj"].iat[0]
         n, d = V.shape
         nrm = None
         if n >= 2:
@@ -645,6 +667,8 @@ def blocked_cos_pairs_arrow(
                 s = s + V[:, i] * V[:, i]
             keep = np.isfinite(s) & (s > 0)
             ids, V = ids[keep], V[keep]
+            if tiled:
+                bks = bks[keep]
             nrm = np.sqrt(s[keep])
             n = len(ids)
         if n < 2:
@@ -652,20 +676,54 @@ def blocked_cos_pairs_arrow(
                 {"id_a": np.array([], dtype="int64"), "id_b": np.array([], dtype="int64")}
             )
         outs_a, outs_b = [], []
-        for lo in range(0, n, chunk):
-            C = V[lo : lo + chunk]
-            if exact_order:
-                acc = C[:, 0][:, None] * V[:, 0][None, :]
-                for i in range(1, d):
-                    acc += C[:, i][:, None] * V[:, i][None, :]
-            else:
-                acc = C @ V.T
-            cos = acc / (nrm[lo : lo + chunk][:, None] * nrm[None, :])
-            iu, ju = np.where(cos >= threshold)
-            ia, jb = ids[lo : lo + chunk][iu], ids[ju]
-            mask = ia < jb
-            outs_a.append(ia[mask])
-            outs_b.append(jb[mask])
+
+        def scan(c_ids, c_V, c_nrm, r_ids, r_V, r_nrm, full):
+            # full=True: self all-pairs — scan only the block-upper
+            # triangle (R = rows[lo:], keep strictly-later POSITIONS
+            # ju > iu), so each unordered pair's matrix entry is
+            # computed exactly once regardless of id order, then
+            # reorient ids to (min, max) on emit. Per-pair sums are
+            # unchanged (commutative per-dim products).
+            # full=False: cross product — each pair once, reorient.
+            for lo in range(0, len(c_ids), chunk):
+                C = c_V[lo : lo + chunk]
+                if full:
+                    R_ids, R_V, R_nrm = r_ids[lo:], r_V[lo:], r_nrm[lo:]
+                else:
+                    R_ids, R_V, R_nrm = r_ids, r_V, r_nrm
+                if exact_order:
+                    acc = C[:, 0][:, None] * R_V[:, 0][None, :]
+                    for i in range(1, d):
+                        acc += C[:, i][:, None] * R_V[:, i][None, :]
+                else:
+                    acc = C @ R_V.T
+                cos = acc / (c_nrm[lo : lo + chunk][:, None] * R_nrm[None, :])
+                iu, ju = np.where(cos >= threshold)
+                if full:
+                    # R is positionally aligned to C at offset lo, so
+                    # ju > iu keeps the strict upper triangle (and
+                    # drops the cos(a,a)=1 diagonal)
+                    keep_ut = ju > iu
+                    iu, ju = iu[keep_ut], ju[keep_ut]
+                ia, jb = c_ids[lo : lo + chunk][iu], R_ids[ju]
+                outs_a.append(np.minimum(ia, jb))
+                outs_b.append(np.maximum(ia, jb))
+
+        if mixed:
+            # a mixed tile (i, j) owns ONLY cross-bucket pairs —
+            # intra-bucket pairs belong to the diagonal tiles. Scan the
+            # i×j cross matrix directly (half the work of masking a
+            # full matrix; measured 1793 s → 2914 s regression when the
+            # first cut did the latter).
+            sel = bks == pdf["__ti"].iat[0]
+            if sel.any() and (~sel).any():
+                scan(ids[sel], V[sel], nrm[sel], ids[~sel], V[~sel], nrm[~sel], False)
+        else:
+            scan(ids, V, nrm, ids, V, nrm, True)
+        if not outs_a:
+            return pd.DataFrame(
+                {"id_a": np.array([], dtype="int64"), "id_b": np.array([], dtype="int64")}
+            )
         id_a, id_b = np.concatenate(outs_a), np.concatenate(outs_b)
         if contract and len(id_a):
             # per-block union-find → star edges (member, local-min id)
@@ -708,7 +766,28 @@ def blocked_cos_pairs_arrow(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
         spark.sparkContext.defaultParallelism,
     )
-    return memberships.repartition(n_tasks, block_col).groupBy(block_col).applyInPandas(
+    src, group_cols = memberships, [block_col]
+    if tiled:
+        # tile oversized blocks: T = ⌈m/cap⌉ hash buckets per block,
+        # each row exploded into its T bucket-pair tiles. The sizes
+        # frame is k rows — broadcast, never a shuffle. The input is
+        # lazily checkpointed first: sizes AND the join both consume
+        # it, and without the materialization the (possibly expensive)
+        # membership-producing stage runs twice — measured 2× the whole
+        # pair pass on the 200k stress.
+        src = memberships.localCheckpoint(eager=False)
+        sizes = src.groupBy(block_col).agg(F.count("*").alias("__m"))
+        src = (
+            src.join(F.broadcast(sizes), block_col)
+            .withColumn("__nt", F.ceil(F.col("__m") / F.lit(cell_cap)).cast("int"))
+            .withColumn("__bk", F.pmod(F.xxhash64(F.col(id_col)), F.col("__nt")).cast("int"))
+            .withColumn("__ot", F.explode(F.sequence(F.lit(0), F.col("__nt") - 1)))
+            .withColumn("__ti", F.least("__bk", "__ot"))
+            .withColumn("__tj", F.greatest("__bk", "__ot"))
+            .drop("__m", "__nt", "__ot")
+        )
+        group_cols = [block_col, "__ti", "__tj"]
+    return src.repartition(n_tasks, *group_cols).groupBy(*group_cols).applyInPandas(
         per_block, "id_a long, id_b long"
     )
 
@@ -815,6 +894,7 @@ def semantic_dedup_ann(
     centroids: DataFrame | None = None,
     assign_via: str = "expr",
     exact_pairs: bool = True,
+    cell_cap: int | None = None,
 ) -> DataFrame:
     """Label-free semantic dedup — the engine behind
     q_dedup_semantic_ann (the at-scale shape): block by the portable
@@ -847,6 +927,9 @@ def semantic_dedup_ann(
       one BLAS GEMM instead of the dim-sequential IEEE fold — ~20×
       faster pair stage, threshold decisions can flip within ~1e-15
       relative; production-only, never for oracle-certified queries.
+    - ``cell_cap`` tiles quantizer cells above the cap into bucket-pair
+      tasks — identical pair set (no recall trade), parallelizes the
+      skewed-cell tail (see :func:`blocked_cos_pairs_arrow`).
     """
     from pipetree_spark.ops.graph import connected_components
 
@@ -892,7 +975,8 @@ def semantic_dedup_ann(
     # CC's two-branch symmetric union a ReusedExchange point — without
     # it each branch re-runs the Arrow pair stage (measured +1 s).
     pairs = blocked_cos_pairs_arrow(
-        memberships, threshold, contract=True, exact_order=exact_pairs
+        memberships, threshold, contract=True, exact_order=exact_pairs,
+        cell_cap=cell_cap,
     ).distinct()
     cc = connected_components(pairs, src="id_a", dst="id_b")
     rep_comp = grp.join(cc, grp["rep_id"] == cc["node"], "left").select(

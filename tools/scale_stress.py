@@ -268,6 +268,11 @@ def unique_vector_stress(spark, n_bases: int = 2000, copies: int = 100) -> dict:
     t_train = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    # cell_cap deliberately unset here: in BLAS pair mode the stage is
+    # not straggler-bound at this scale, and tiling's materialize +
+    # replicate overhead nets NEGATIVE (measured 75 s → 143 s at 200k).
+    # The cap's regime is the bit-exact dim-sequential mode, where the
+    # skewed-cell tail dominates (1793 s → see SCALING.md).
     res = VX.semantic_dedup_ann(
         df, threshold=0.9, n_clusters="auto", n_probe="auto",
         centroids=cents, assign_via="arrow", exact_pairs=False,
