@@ -1208,3 +1208,181 @@ def pca_power_portable(
         F.col("component").cast("long").alias("component"),
         F.col("loading").cast("long").alias("loading"),
     )
+
+
+def _pq_quantize(vec_col: str, scale: int) -> Column:
+    return F.transform(
+        vec_col, lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long")
+    )
+
+
+def _pq_subvectors(qv: Column, m: int, dim: int) -> Column:
+    d_sub = dim // m
+    return F.array(*[F.slice(qv, s * d_sub + 1, d_sub) for s in range(m)])
+
+
+def pq_fit_portable(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    iters: int = 2,
+    scale: int = 1 << 20,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic, engine-portable product quantization (PQ): split
+    each vector into ``m`` contiguous subvectors of ``dim/m`` dims and
+    Lloyd-cluster every subspace into ``n_codes`` codes. Returns
+    ``(codes, codebook)`` — ``codes`` is ``(key, codes: array<long>)``
+    (the ``m``-byte compressed representation: 64 float32 dims → m
+    small ints, 64× memory cut at m=4/n_codes=16), ``codebook`` the
+    1-row frame ``__cb: array<struct<sub, cid, cv>>`` every decode /
+    ADC pass broadcasts.
+
+    This is :func:`kmeans_portable_fit` generalized with a subspace
+    grouping key, under the same certification contract — every
+    assignment-deciding value is exact integer math (floor-quantized
+    inputs, integer squared distances, ``min(dist·n_codes+cid)``
+    argmin-with-tie-break, ``floor(sum/count)`` centroid recompute),
+    so any engine reproduces codes bit-identically:
+
+    - init: subspace ``s``'s codebook = the ``n_codes`` smallest keys'
+      ``s``-th subvectors, cid = key rank (seed-free);
+    - each iteration is ONE assignment pass (narrow map against the
+      broadcast codebook — all m subspaces assigned in a single
+      expression, no per-subspace job) + ONE ``groupBy(sub, code,
+      dim)`` recompute shuffle with map-side partial sums.
+
+    Scale shape: the corpus never replicates (the exploded sv frame is
+    m narrow rows per vector), the model state is m·n_codes rows
+    broadcast once per pass — the same distributed-Lloyd shape as the
+    coarse quantizer. Production trains on a sample and injects the
+    codebook, exactly like :func:`ivf_train` (r7 verdict #5 pattern).
+    """
+    d_sub = dim // m
+    if d_sub * m != dim:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    from pyspark.sql import Window
+
+    sv = df.select(
+        key_col, F.posexplode(_pq_subvectors(_pq_quantize(vec_col, scale), m, dim)).alias("sub", "__qsv")
+    )
+    ranked = (
+        df.orderBy(key_col)
+        .limit(n_codes)
+        .withColumn("cid", (F.row_number().over(Window.orderBy(key_col)) - 1).cast("long"))
+        .select(key_col, "cid")
+    )
+    cb = (
+        sv.join(F.broadcast(ranked), key_col)
+        .select(F.struct(F.col("sub"), F.col("cid"), F.col("__qsv").alias("cv")).alias("e"))
+        .agg(F.collect_list("e").alias("__cb"))
+    )
+
+    def assign(cb_row: DataFrame) -> DataFrame:
+        enc = F.array_min(
+            F.transform(
+                F.filter("__cb", lambda e: e["sub"] == F.col("sub")),
+                lambda c: F.aggregate(
+                    F.zip_with("__qsv", c["cv"], lambda x, y: (x - y) * (x - y)),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
+                * F.lit(n_codes).cast("long")
+                + c["cid"],
+            )
+        )
+        return sv.crossJoin(F.broadcast(cb_row)).select(
+            key_col, "sub", "__qsv", (enc % n_codes).alias("code")
+        )
+
+    a = assign(cb)
+    for _ in range(iters - 1):
+        comp = (
+            a.select("sub", "code", F.posexplode("__qsv").alias("__i", "__x"))
+            .groupBy("sub", "code", "__i")
+            .agg(F.floor(F.sum("__x").cast("double") / F.count("*")).cast("long").alias("__cd"))
+        )
+        cb = (
+            comp.groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("__i", "__cd"))).alias("__s"))
+            .select(
+                F.col("sub"),
+                F.col("code").alias("cid"),
+                F.transform("__s", lambda t: t["__cd"]).alias("cv"),
+            )
+            .agg(F.collect_list(F.struct("sub", "cid", "cv")).alias("__cb"))
+        )
+        a = assign(cb)
+    codes = a.groupBy(key_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))), lambda t: t["code"]
+        ).alias("codes")
+    )
+    return codes, cb
+
+
+def pq_adc_topk_portable(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    query_key: str = "query_id",
+    corpus_key: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query keeps
+    its full quantized subvectors; every candidate is represented ONLY
+    by its m codes, scored as Σ_s ‖q_s − codebook[s][code_s]‖² — the
+    FAISS-style scan where the corpus never rehydrates its floats.
+    Exact integer math end-to-end, so the ranking (dist, key tie-break)
+    is engine-portable and oracle-certifiable.
+
+    Scale shape: the query side and the m·n_codes codebook broadcast;
+    the scan is a narrow map over the codes frame (m longs per corpus
+    vector instead of 64 floats — the point of PQ at 10⁹ vectors), then
+    one top-k shuffle on query_id. Production composes this with IVF
+    blocking (probe cells → ADC shortlist → exact re-rank on the
+    shortlist only).
+    """
+    qprep = queries.select(
+        F.col(query_key),
+        _pq_subvectors(_pq_quantize(vec_col, scale), m, dim).alias("__qsubs"),
+    )
+    j = (
+        codes.crossJoin(F.broadcast(qprep))
+        .crossJoin(F.broadcast(codebook))
+        .filter(F.col(query_key) != F.col(corpus_key))
+    )
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.aggregate(
+            F.zip_with(
+                F.element_at("__qsubs", s + 1),
+                F.element_at(
+                    F.filter(
+                        "__cb",
+                        lambda e: (e["sub"] == s) & (e["cid"] == F.element_at("codes", s + 1)),
+                    ),
+                    1,
+                )["cv"],
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc2, v: acc2 + v,
+        ),
+    )
+    scored = j.select(query_key, corpus_key, dist.alias("adc_dist"))
+    return topk_per_group(
+        scored,
+        partition_by=[query_key],
+        order_by=[F.col("adc_dist").asc(), F.col(corpus_key).asc()],
+        k=k,
+    )

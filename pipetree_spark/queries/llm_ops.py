@@ -1380,6 +1380,139 @@ def q_vec_ann_ivf_port(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_cte(
+    m: int = 4, n_codes: int = 16, dim: int = 64, scale: int = 1 << 20
+) -> str:
+    """DuckDB CTE chain twin of ops.vector.pq_fit_portable (2 unrolled
+    Lloyd iterations per subspace): ends with ``sv`` (quantized
+    subvectors), ``cb2`` (final per-subspace codebook) and ``a2``
+    (final code assignment). Same exact-integer contract as
+    :func:`_kmeans_cte`, with ``(sub)`` added to every grouping key."""
+    d_sub = dim // m
+    dist = (
+        "CAST(list_sum(list_transform(list_zip(sv.qsv, c.cv),"
+        " p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * {float(scale)}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+sv AS (
+  SELECT q.vec_id, subs.sub,
+         list_slice(qv, subs.sub*{d_sub}+1, subs.sub*{d_sub}+{d_sub}) AS qsv
+  FROM q CROSS JOIN (SELECT UNNEST(range({m})) AS sub) subs
+),
+ranked AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+  FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT {n_codes})
+),
+cb1 AS (
+  SELECT sv.sub, r.cid, sv.qsv AS cv FROM sv JOIN ranked r USING (vec_id)
+),
+a1 AS (
+  SELECT sv.vec_id, sv.sub, sv.qsv,
+         MIN({dist} * {n_codes} + c.cid) % {n_codes} AS code
+  FROM sv JOIN cb1 c ON c.sub = sv.sub
+  GROUP BY sv.vec_id, sv.sub, sv.qsv
+),
+m1 AS (
+  SELECT sub, code, UNNEST(list_zip(qsv, range(1, {d_sub + 1}))) AS p FROM a1
+),
+cb2 AS (
+  SELECT sub, code AS cid, list(cd ORDER BY i) AS cv
+  FROM (
+    SELECT sub, code, p[2] AS i,
+           CAST(FLOOR(CAST(SUM(p[1]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cd
+    FROM m1 GROUP BY sub, code, p[2]
+  ) GROUP BY sub, code
+),
+a2 AS (
+  SELECT sv.vec_id, sv.sub,
+         MIN({dist} * {n_codes} + c.cid) % {n_codes} AS code
+  FROM sv JOIN cb2 c ON c.sub = sv.sub
+  GROUP BY sv.vec_id, sv.sub
+)"""
+
+
+def _pq_codes_sql(m: int = 4, n_codes: int = 16, dim: int = 64) -> str:
+    return (
+        _pq_cte(m, n_codes, dim)
+        + """
+SELECT vec_id, array_to_string(list(code ORDER BY sub), ',') AS pq_code
+FROM a2 GROUP BY vec_id
+"""
+    )
+
+
+def _pq_adc_sql(
+    k: int = 5, m: int = 4, n_codes: int = 16, dim: int = 64
+) -> str:
+    """ADC top-k twin: query subvectors stay exact-quantized, every
+    candidate is scored ONLY through its codes' codebook entries."""
+    qdist = (
+        "CAST(list_sum(list_transform(list_zip(qs.qsv, c.cv),"
+        " p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+    )
+    return (
+        _pq_cte(m, n_codes, dim)
+        + f""",
+qs AS (SELECT vec_id AS query_id, sub, qsv FROM sv WHERE vec_id < 5),
+adc AS (
+  SELECT qs.query_id, a2.vec_id, CAST(SUM({qdist}) AS BIGINT) AS adc_dist
+  FROM qs
+  JOIN a2 ON a2.sub = qs.sub AND a2.vec_id != qs.query_id
+  JOIN cb2 c ON c.sub = a2.sub AND c.cid = a2.code
+  GROUP BY qs.query_id, a2.vec_id
+)
+SELECT query_id, vec_id, adc_dist,
+       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rnk
+FROM adc
+QUALIFY rnk <= {k}
+"""
+    )
+
+
+@declare("q_vec_pq_codes", oracle=_pq_codes_sql(), tags=("vector",))
+def q_vec_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization compression (ops.vector.pq_fit_portable):
+    64 float32 dims → m=4 small-int codes per vector (64× memory cut),
+    one Lloyd sub-clustering per contiguous subspace. Emits every
+    vector's code word as a CSV string — certifying the full fit
+    (init, integer argmin with tie-break, centroid recompute,
+    reassignment) bit-exactly against the DuckDB twin. The codes frame
+    is what a 10⁹-vector corpus would persist for ADC scans."""
+    e = load_table(spark, sf_dir, "embeddings")
+    codes, _ = VX.pq_fit_portable(e, "embedding", "vec_id", m=4, n_codes=16, dim=64)
+    return codes.select(
+        "vec_id",
+        F.array_join(
+            F.transform("codes", lambda c: c.cast("string")), ","
+        ).alias("pq_code"),
+    )
+
+
+@declare("q_vec_pq_adc", oracle=_pq_adc_sql(), tags=("vector",))
+def q_vec_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (ops.vector.pq_adc_topk_portable):
+    the FAISS-style scan where candidates never rehydrate their floats —
+    each is scored as Σ_s ‖q_s − codebook[s][code_s]‖² from its m=4
+    codes alone. Exact integer math end-to-end, so the ANN ranking
+    itself (not just a recall bound) is driver-certifiable. Production
+    composes this with IVF blocking: probe cells → ADC shortlist →
+    exact re-rank on the shortlist only."""
+    e = load_table(spark, sf_dir, "embeddings")
+    codes, cb = VX.pq_fit_portable(e, "embedding", "vec_id", m=4, n_codes=16, dim=64)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return VX.pq_adc_topk_portable(q, codes, cb, k=5, m=4, n_codes=16, dim=64).select(
+        "query_id", F.col("vec_id"), "adc_dist", "rnk"
+    )
+
+
 @declare("q_vec_kmeans_port", oracle=_kmeans_sql(), tags=("vector", "dedup"))
 def q_vec_kmeans_port(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-portable Lloyd k-means (ops.vector.kmeans_portable, k=8,

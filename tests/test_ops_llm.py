@@ -314,6 +314,53 @@ def test_ivf_portable_recall_vs_exact(spark, sf_small):
     assert full == exact
 
 
+def test_pq_codes_shape_and_diversity(spark, sf_small):
+    """pq_fit_portable compresses every 64-dim vector to m=4 codes in
+    [0, n_codes); the code words must stay diverse (≥90% distinct on
+    the test corpus) or the codebook collapsed."""
+    e = load_table(spark, sf_small, "embeddings")
+    codes, cb = VX.pq_fit_portable(e, "embedding", "vec_id", m=4, n_codes=16, dim=64)
+    rows = codes.collect()
+    assert len(rows) == e.count()
+    assert all(len(r.codes) == 4 and all(0 <= c < 16 for c in r.codes) for r in rows)
+    assert len({tuple(r.codes) for r in rows}) >= 0.9 * len(rows)
+    # the broadcastable model state: one row, ≤ m*n_codes entries
+    (cb_row,) = cb.collect()
+    assert len(cb_row["__cb"]) <= 4 * 16
+
+
+def test_pq_adc_shortlist_recall_vs_exact(spark, sf_small):
+    """ADC scoring from m=4 codes alone is lossy by design; the
+    production contract is shortlist-then-exact-rerank. Measured on
+    this corpus: direct top-5 recall 0.26, shortlist@50 recall of the
+    exact top-5 is 0.74 — assert safe floors, plus the structural
+    contract (k rows per query, contiguous rnk, non-negative dists)."""
+    import numpy as np
+
+    e = load_table(spark, sf_small, "embeddings")
+    V = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in e.collect()}
+    codes, cb = VX.pq_fit_portable(e, "embedding", "vec_id", m=4, n_codes=16, dim=64)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = set()
+    for qid in range(10):
+        d = sorted(
+            (float(np.sum((V[qid] - v) ** 2)), k) for k, v in V.items() if k != qid
+        )
+        exact |= {(qid, k) for _, k in d[:5]}
+    short = VX.pq_adc_topk_portable(q, codes, cb, k=50, m=4, n_codes=16, dim=64).collect()
+    assert all(r.adc_dist >= 0 for r in short)
+    per_q = {}
+    for r in short:
+        per_q.setdefault(r.query_id, []).append(r.rnk)
+    assert all(sorted(v) == list(range(1, 51)) for v in per_q.values())
+    short_set = {(r.query_id, r.vec_id) for r in short}
+    assert len(short_set & exact) / len(exact) >= 0.6
+    top5 = {(r.query_id, r.vec_id) for r in short if r.rnk <= 5}
+    assert len(top5 & exact) / len(exact) >= 0.15
+
+
 def test_embed_stage_deterministic_unit_vectors(spark, sf_small):
     import numpy as np
 

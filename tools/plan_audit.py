@@ -40,6 +40,8 @@ UNPARTITIONED_WINDOW_OK = {
     "q_stream_watermark": "definitional arrival-order replay; production path is Structured Streaming (ops/streaming.py)",
     "q_vec_kmeans_port": "row_number over the k=8-row init frame",
     "q_vec_ann_ivf_port": "row_number over the k=8-row init frame",
+    "q_vec_pq_codes": "row_number over the n_codes=16-row codebook-init frame",
+    "q_vec_pq_adc": "row_number over the n_codes=16-row codebook-init frame (codes + codebook branches each replay it)",
 }
 
 
