@@ -73,6 +73,8 @@ QUERIES = [
     "q_join_salted",       # r6: salted shuffle-hash skew join
     "q_win_ignorenulls",   # r6: IGNORE-NULLS carry-forward window
     "q_pipe_expect",       # r6: expectation suite (one agg pass + 2 set rules)
+    "q_vec_pq_codes",      # r8: PQ fit (per-subspace Lloyd, codes frame)
+    "q_vec_pq_adc",        # r8: PQ asymmetric-distance top-k scan
 ]
 
 
@@ -268,14 +270,15 @@ def unique_vector_stress(spark, n_bases: int = 2000, copies: int = 100) -> dict:
     t_train = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    # cell_cap deliberately unset here: in BLAS pair mode the stage is
-    # not straggler-bound at this scale, and tiling's materialize +
-    # replicate overhead nets NEGATIVE (measured 75 s → 143 s at 200k).
-    # The cap's regime is the bit-exact dim-sequential mode, where the
-    # skewed-cell tail dominates (1793 s → see SCALING.md).
+    # cell_cap=4096: decided by tools/uvec_cap_matrix.py (interleaved
+    # clean-machine reps, 2 independent runs at 200k uniques) — capped
+    # tiling wins 3 of 4 pairs, mean 62.7 s vs 113.1 s uncapped and 3×
+    # on cold JVMs (the max cell is ~5× average; tiling breaks that
+    # straggler). An earlier single-shot 75→143 s reading that said
+    # the opposite was measurement noise — trust the matrix.
     res = VX.semantic_dedup_ann(
         df, threshold=0.9, n_clusters="auto", n_probe="auto",
-        centroids=cents, assign_via="arrow", exact_pairs=False,
+        centroids=cents, assign_via="arrow", exact_pairs=False, cell_cap=4096,
     ).localCheckpoint(eager=True)
     assert res.count() == n
     t_dedup = time.perf_counter() - t0
