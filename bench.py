@@ -50,6 +50,9 @@ BENCH_QUERIES: dict[str, str] = {
     "q_dedup_cluster_lsh": "q_dedup_cluster_lsh",
     "q_pipe_curation": "q_pipe_curation",
     "q_dedup_semantic_ann": "q_dedup_semantic_ann",
+    # r8: the production ANN composition (IVF probe → ADC shortlist →
+    # exact re-rank), tracked from its first round
+    "q_vec_ann_pq_ivf": "q_vec_ann_pq_ivf",
 }
 
 RUNS = 3

@@ -894,7 +894,7 @@ def semantic_dedup_ann(
     centroids: DataFrame | None = None,
     assign_via: str = "expr",
     exact_pairs: bool = True,
-    cell_cap: int | None = None,
+    cell_cap: int | None = 4096,
 ) -> DataFrame:
     """Label-free semantic dedup — the engine behind
     q_dedup_semantic_ann (the at-scale shape): block by the portable
@@ -929,7 +929,11 @@ def semantic_dedup_ann(
       relative; production-only, never for oracle-certified queries.
     - ``cell_cap`` tiles quantizer cells above the cap into bucket-pair
       tasks — identical pair set (no recall trade), parallelizes the
-      skewed-cell tail (see :func:`blocked_cos_pairs_arrow`).
+      skewed-cell tail (see :func:`blocked_cos_pairs_arrow`). Default
+      4096 per the r8 interleaved cap matrix (SCALING.md: mean 1.8×,
+      3× on cold JVMs at 200k uniques); a no-op while every cell is
+      under the cap, so small corpora plan identically. ``None``
+      disables tiling.
     """
     from pipetree_spark.ops.graph import connected_components
 
@@ -1359,7 +1363,20 @@ def pq_adc_topk_portable(
         .crossJoin(F.broadcast(codebook))
         .filter(F.col(query_key) != F.col(corpus_key))
     )
-    dist = F.aggregate(
+    scored = j.select(query_key, corpus_key, _pq_adc_dist(m).alias("adc_dist"))
+    return topk_per_group(
+        scored,
+        partition_by=[query_key],
+        order_by=[F.col("adc_dist").asc(), F.col(corpus_key).asc()],
+        k=k,
+    )
+
+
+def _pq_adc_dist(m: int) -> Column:
+    """Σ_s ‖__qsubs[s] − __cb[s][codes[s]]‖² as exact integer math;
+    expects columns ``__qsubs`` (query), ``codes`` (candidate) and
+    ``__cb`` (broadcast codebook row) in scope."""
+    return F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0).cast("long"),
         lambda acc, s: acc
@@ -1379,10 +1396,105 @@ def pq_adc_topk_portable(
             lambda acc2, v: acc2 + v,
         ),
     )
-    scored = j.select(query_key, corpus_key, dist.alias("adc_dist"))
+
+
+def pq_ivf_ann_portable(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    n_clusters: int = 8,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    shortlist: int = 20,
+    iters: int = 2,
+    query_key: str = "query_id",
+    corpus_key: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """The full production ANN composition, every stage deterministic:
+    IVF coarse quantizer (probe ``n_probe`` cells) → ADC shortlist
+    (candidates scored from their m PQ codes alone — floats never
+    rehydrated during the scan) → exact rounded-cosine re-rank on the
+    ``shortlist`` survivors only. This is the FAISS IVF-PQ shape on
+    DataFrames: at 10⁹ vectors the probed-cell scan touches m longs
+    per candidate, and per-query float work is bounded by
+    ``shortlist``, not cell size.
+
+    Both quantizers are the portable exact-integer Lloyd fits
+    (:func:`kmeans_portable_fit`, :func:`pq_fit_portable`), so the
+    end-to-end result — probing, shortlist membership, final ranking —
+    is oracle-certifiable. (Classical IVF-PQ encodes residuals against
+    the coarse centroid; this keeps plain PQ so the codes frame is
+    shared with :func:`pq_adc_topk_portable` — a recall knob, not a
+    scale knob.) Re-rank float policy = q_vec_cosine_knn's
+    ROUND(·,4) + key tie-break.
+    """
+    assign_df, cents = kmeans_portable_fit(
+        corpus, vec_col, corpus_key, k=n_clusters, iters=iters, scale=scale
+    )
+    codes, cb = pq_fit_portable(
+        corpus, vec_col, corpus_key, m=m, n_codes=n_codes, dim=dim, scale=scale
+    )
+    cand_codes = codes.join(assign_df.select(corpus_key, "cluster"), corpus_key)
+
+    qq = queries.select(
+        F.col(query_key),
+        F.col(vec_col).alias("__mv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+        _pq_quantize(vec_col, scale).alias("__qv"),
+        _pq_subvectors(_pq_quantize(vec_col, scale), m, dim).alias("__qsubs"),
+    )
+    dist_cid = F.transform(
+        "__cs",
+        lambda cc: F.struct(
+            F.aggregate(
+                F.zip_with("__qv", cc["cv"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            cc["cid"].alias("cid"),
+        ),
+    )
+    probes = qq.crossJoin(F.broadcast(cents)).select(
+        query_key,
+        "__mv",
+        "__qn",
+        "__qsubs",
+        F.explode(
+            F.transform(F.slice(F.array_sort(dist_cid), 1, n_probe), lambda s: s["cid"])
+        ).alias("cluster"),
+    )
+    cand = (
+        probes.join(cand_codes, on="cluster")
+        .filter(F.col(query_key) != F.col(corpus_key))
+        .crossJoin(F.broadcast(cb))
+    )
+    short = topk_per_group(
+        cand.select(
+            query_key, corpus_key, "__mv", "__qn", _pq_adc_dist(m).alias("adc_dist")
+        ),
+        partition_by=[query_key],
+        order_by=[F.col("adc_dist").asc(), F.col(corpus_key).asc()],
+        k=shortlist,
+    )
+    emb = corpus.select(
+        F.col(corpus_key),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    scored = short.join(emb, corpus_key).select(
+        query_key,
+        corpus_key,
+        F.round(
+            safe_div(dot(F.col("__mv"), F.col("__cv")), F.col("__qn") * F.col("__cn")), 4
+        ).alias("cos_sim"),
+    )
     return topk_per_group(
         scored,
         partition_by=[query_key],
-        order_by=[F.col("adc_dist").asc(), F.col(corpus_key).asc()],
+        order_by=[F.col("cos_sim").desc(), F.col(corpus_key).asc()],
         k=k,
     )

@@ -272,30 +272,36 @@ def _values_fn(columns: list[str], rows: list[list]) -> StageFn:
 
 
 #: JSON-spec-able library operators (the ``op`` stage type). Each entry
-#: is (df, **kwargs) -> DataFrame over the stage's single input. The
-#: whitelist IS the contract: an op must be deterministic and
-#: kwargs-JSON-able for the content key to be sound.
-def _op_registry() -> dict[str, Callable]:
+#: is (df, ..., **kwargs) -> DataFrame over the stage's inputs, passed
+#: POSITIONALLY in spec order (most ops take one frame; ANN-class ops
+#: take (queries, corpus)). The whitelist IS the contract: an op must
+#: be deterministic and kwargs-JSON-able for the content key to be
+#: sound, and its frame arity is pinned here so a spec can't mis-wire.
+def _op_registry() -> dict[str, tuple[Callable, int]]:
     from pipetree_spark.ops import text as TX
     from pipetree_spark.ops import vector as VX
 
     return {
-        "exact_dedup": TX.exact_dedup,
-        "near_dup_pairs": TX.near_dup_pairs,
-        "near_dup_pairs_lsh": TX.near_dup_pairs_lsh,
-        "minhash_signatures": TX.minhash_signatures,
-        "chunk_documents": TX.chunk_documents,
-        "shuffle_shards": TX.shuffle_shards,
-        "pack_sequences": TX.pack_sequences,
-        "quality_features": TX.quality_features,
-        "lang_id_scores": TX.lang_id_scores,
-        "repetition_features": TX.repetition_features,
-        "winnow_fingerprints": TX.winnow_fingerprints,
+        "exact_dedup": (TX.exact_dedup, 1),
+        "near_dup_pairs": (TX.near_dup_pairs, 1),
+        "near_dup_pairs_lsh": (TX.near_dup_pairs_lsh, 1),
+        "minhash_signatures": (TX.minhash_signatures, 1),
+        "chunk_documents": (TX.chunk_documents, 1),
+        "shuffle_shards": (TX.shuffle_shards, 1),
+        "pack_sequences": (TX.pack_sequences, 1),
+        "quality_features": (TX.quality_features, 1),
+        "lang_id_scores": (TX.lang_id_scores, 1),
+        "repetition_features": (TX.repetition_features, 1),
+        "winnow_fingerprints": (TX.winnow_fingerprints, 1),
         # vector-space curation ops (r7): semantic dedup declarable
         # next to the text dedups it mirrors
-        "semantic_dedup": VX.semantic_dedup,
-        "semantic_dedup_ann": VX.semantic_dedup_ann,
-        "ivf_multiprobe_assign": VX.ivf_multiprobe_assign,
+        "semantic_dedup": (VX.semantic_dedup, 1),
+        "semantic_dedup_ann": (VX.semantic_dedup_ann, 1),
+        "ivf_multiprobe_assign": (VX.ivf_multiprobe_assign, 1),
+        # two-frame ANN ops (r8): (queries, corpus) in spec order
+        "knn_bruteforce": (VX.knn_bruteforce, 2),
+        "ivf_ann_portable": (VX.ivf_ann_portable, 2),
+        "pq_ivf_ann": (VX.pq_ivf_ann_portable, 2),
     }
 
 
@@ -303,12 +309,14 @@ def _op_fn(op: str, inputs: list[str], args: dict) -> StageFn:
     reg = _op_registry()
     if op not in reg:
         raise ValueError(f"unknown op {op!r}; spec-able ops: {sorted(reg)}")
-    if len(inputs) != 1:
-        raise ValueError(f"op stage takes exactly one input, got {inputs!r}")
-    fn_ = reg[op]
+    fn_, arity = reg[op]
+    if len(inputs) != arity:
+        raise ValueError(
+            f"op {op!r} takes exactly {arity} input(s), got {inputs!r}"
+        )
 
     def fn(spark: SparkSession, frames: dict[str, DataFrame]) -> DataFrame:
-        return fn_(frames[inputs[0]], **args)
+        return fn_(*[frames[i] for i in inputs], **args)
 
     return fn
 

@@ -1381,59 +1381,73 @@ def q_vec_ann_ivf_port(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_cte(
-    m: int = 4, n_codes: int = 16, dim: int = 64, scale: int = 1 << 20
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    scale: int = 1 << 20,
+    p: str = "",
+    lead: bool = True,
 ) -> str:
     """DuckDB CTE chain twin of ops.vector.pq_fit_portable (2 unrolled
     Lloyd iterations per subspace): ends with ``sv`` (quantized
     subvectors), ``cb2`` (final per-subspace codebook) and ``a2``
     (final code assignment). Same exact-integer contract as
-    :func:`_kmeans_cte`, with ``(sub)`` added to every grouping key."""
+    :func:`_kmeans_cte`, with ``(sub)`` added to every grouping key.
+    ``p`` prefixes every CTE name and ``lead=False`` drops the
+    ``WITH q`` head so the chain composes with :func:`_kmeans_cte`
+    (which defines the identical ``q`` plus clashing a1/m1/a2 names) —
+    used by the IVF-PQ composition oracle."""
     d_sub = dim // m
     dist = (
-        "CAST(list_sum(list_transform(list_zip(sv.qsv, c.cv),"
+        f"CAST(list_sum(list_transform(list_zip({p}sv.qsv, c.cv),"
         " p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
     )
-    return f"""
+    head = (
+        f"""
 WITH q AS (
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(FLOOR(CAST(x AS DOUBLE) * {float(scale)}) AS BIGINT)) AS qv
   FROM embeddings
-),
-sv AS (
+),"""
+        if lead
+        else ","
+    )
+    return f"""{head}
+{p}sv AS (
   SELECT q.vec_id, subs.sub,
          list_slice(qv, subs.sub*{d_sub}+1, subs.sub*{d_sub}+{d_sub}) AS qsv
   FROM q CROSS JOIN (SELECT UNNEST(range({m})) AS sub) subs
 ),
-ranked AS (
+{p}ranked AS (
   SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
   FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT {n_codes})
 ),
-cb1 AS (
-  SELECT sv.sub, r.cid, sv.qsv AS cv FROM sv JOIN ranked r USING (vec_id)
+{p}cb1 AS (
+  SELECT {p}sv.sub, r.cid, {p}sv.qsv AS cv FROM {p}sv JOIN {p}ranked r USING (vec_id)
 ),
-a1 AS (
-  SELECT sv.vec_id, sv.sub, sv.qsv,
+{p}a1 AS (
+  SELECT {p}sv.vec_id, {p}sv.sub, {p}sv.qsv,
          MIN({dist} * {n_codes} + c.cid) % {n_codes} AS code
-  FROM sv JOIN cb1 c ON c.sub = sv.sub
-  GROUP BY sv.vec_id, sv.sub, sv.qsv
+  FROM {p}sv JOIN {p}cb1 c ON c.sub = {p}sv.sub
+  GROUP BY {p}sv.vec_id, {p}sv.sub, {p}sv.qsv
 ),
-m1 AS (
-  SELECT sub, code, UNNEST(list_zip(qsv, range(1, {d_sub + 1}))) AS p FROM a1
+{p}m1 AS (
+  SELECT sub, code, UNNEST(list_zip(qsv, range(1, {d_sub + 1}))) AS p FROM {p}a1
 ),
-cb2 AS (
+{p}cb2 AS (
   SELECT sub, code AS cid, list(cd ORDER BY i) AS cv
   FROM (
     SELECT sub, code, p[2] AS i,
            CAST(FLOOR(CAST(SUM(p[1]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cd
-    FROM m1 GROUP BY sub, code, p[2]
+    FROM {p}m1 GROUP BY sub, code, p[2]
   ) GROUP BY sub, code
 ),
-a2 AS (
-  SELECT sv.vec_id, sv.sub,
+{p}a2 AS (
+  SELECT {p}sv.vec_id, {p}sv.sub,
          MIN({dist} * {n_codes} + c.cid) % {n_codes} AS code
-  FROM sv JOIN cb2 c ON c.sub = sv.sub
-  GROUP BY sv.vec_id, sv.sub
+  FROM {p}sv JOIN {p}cb2 c ON c.sub = {p}sv.sub
+  GROUP BY {p}sv.vec_id, {p}sv.sub
 )"""
 
 
@@ -1511,6 +1525,97 @@ def q_vec_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VX.pq_adc_topk_portable(q, codes, cb, k=5, m=4, n_codes=16, dim=64).select(
         "query_id", F.col("vec_id"), "adc_dist", "rnk"
     )
+
+
+def _pq_ivf_sql(
+    k: int = 5,
+    n_probe: int = 2,
+    n_clusters: int = 8,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    shortlist: int = 20,
+    scale: int = 1 << 20,
+) -> str:
+    """DuckDB twin of ops.vector.pq_ivf_ann_portable: the kmeans CTE
+    chain (coarse quantizer + probes, shared with _ivf_port_sql) + the
+    prefixed PQ chain + ADC shortlist + the q_vec_cosine_knn rounded-
+    cosine re-rank on the shortlist only."""
+    cdist = (
+        "CAST(list_sum(list_transform(list_zip(s.qv, c.cv),"
+        " p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+    )
+    qdist = (
+        "CAST(list_sum(list_transform(list_zip(qsub.qsv, cb.cv),"
+        " p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+    )
+    return (
+        _kmeans_cte(n_clusters, scale)
+        + _pq_cte(m, n_codes, dim, scale, p="pq_", lead=False)
+        + f""",
+qs AS (SELECT vec_id AS query_id, qv FROM q WHERE vec_id < 5),
+pd AS (
+  SELECT s.query_id, c.cid, {cdist} AS dist
+  FROM qs s CROSS JOIN c2 c
+),
+pr AS (
+  SELECT query_id, cid AS cluster FROM pd
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, cid) <= {n_probe}
+),
+cand AS (
+  SELECT pr.query_id, a2.vec_id
+  FROM pr JOIN a2 ON a2.cluster = pr.cluster
+  WHERE a2.vec_id != pr.query_id
+),
+qsub AS (SELECT vec_id AS query_id, sub, qsv FROM pq_sv WHERE vec_id < 5),
+adc AS (
+  SELECT cand.query_id, cand.vec_id, CAST(SUM({qdist}) AS BIGINT) AS adc_dist
+  FROM cand
+  JOIN pq_a2 ON pq_a2.vec_id = cand.vec_id
+  JOIN qsub ON qsub.query_id = cand.query_id AND qsub.sub = pq_a2.sub
+  JOIN pq_cb2 cb ON cb.sub = pq_a2.sub AND cb.cid = pq_a2.code
+  GROUP BY cand.query_id, cand.vec_id
+),
+short AS (
+  SELECT query_id, vec_id FROM adc
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) <= {shortlist}
+),
+sc AS (
+  SELECT short.query_id, short.vec_id,
+         ROUND(
+           list_sum(list_transform(generate_series(1, {dim}),
+                                   i -> CAST(eq.embedding[i] AS DOUBLE) * CAST(ec.embedding[i] AS DOUBLE)))
+           / (SQRT({_SQ_SUM.format(v='eq.embedding')}) * SQRT({_SQ_SUM.format(v='ec.embedding')})), 4) AS cos_sim
+  FROM short
+  JOIN embeddings eq ON eq.vec_id = short.query_id
+  JOIN embeddings ec ON ec.vec_id = short.vec_id
+)
+SELECT * FROM (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM sc
+) WHERE rnk <= {k}
+"""
+    )
+
+
+@declare("q_vec_ann_pq_ivf", oracle=_pq_ivf_sql(), tags=("vector",))
+def q_vec_ann_pq_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production ANN composition, oracle-exact end-to-end
+    (ops.vector.pq_ivf_ann_portable): IVF coarse probing → ADC
+    shortlist scored from m=4 PQ codes alone → exact rounded-cosine
+    re-rank on the 20-row shortlist only. The FAISS IVF-PQ shape on
+    DataFrames — at 10⁹ vectors the scan touches m longs per probed
+    candidate and per-query float work is bounded by the shortlist —
+    with every stage (both Lloyd fits, probing, shortlist membership,
+    final ranking) deterministic and driver-certifiable."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return VX.pq_ivf_ann_portable(
+        q, e, k=5, n_probe=2, n_clusters=8, m=4, n_codes=16, dim=64, shortlist=20
+    ).select("query_id", "vec_id", "cos_sim", "rnk")
 
 
 @declare("q_vec_kmeans_port", oracle=_kmeans_sql(), tags=("vector", "dedup"))

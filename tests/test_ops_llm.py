@@ -361,6 +361,33 @@ def test_pq_adc_shortlist_recall_vs_exact(spark, sf_small):
     assert len(top5 & exact) / len(exact) >= 0.15
 
 
+def test_pq_ivf_composition_recall_and_completeness(spark, sf_small):
+    """pq_ivf_ann_portable = IVF probe → ADC shortlist → exact rerank.
+    Probing ALL cells with a corpus-sized shortlist must recover exact
+    kNN (no stage silently drops candidates); the production setting
+    (partial probes, 20-row shortlist) keeps useful recall."""
+    e = load_table(spark, sf_small, "embeddings")
+    n = e.count()
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.vec_id) for r in VX.knn_bruteforce(q, e, k=5).collect()}
+    full = {
+        (r.query_id, r.vec_id)
+        for r in VX.pq_ivf_ann_portable(
+            q, e, k=5, n_clusters=4, n_probe=4, shortlist=n
+        ).collect()
+    }
+    assert full == exact
+    prod = {
+        (r.query_id, r.vec_id)
+        for r in VX.pq_ivf_ann_portable(
+            q, e, k=5, n_clusters=4, n_probe=3, shortlist=20
+        ).collect()
+    }
+    assert len(prod & exact) / len(exact) >= 0.3
+
+
 def test_embed_stage_deterministic_unit_vectors(spark, sf_small):
     import numpy as np
 

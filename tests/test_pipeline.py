@@ -600,6 +600,59 @@ def test_shipped_embedding_dedup_spec_runs(spark, sf_small, tmp_path):
     assert p2.last_run_report["keep"] == "hit"
 
 
+def test_shipped_ann_search_spec_runs(spark, sf_small, tmp_path):
+    """The shipped ANN-search example spec
+    (examples/ann_search_pipeline.json) drives the two-frame op stage
+    (r8): pq_ivf_ann over (queries, corpus) wired positionally from
+    spec order. The ann stage must equal the declared query's result,
+    and a re-run must hit the cache."""
+    import json
+    from pathlib import Path
+
+    spec = json.loads(
+        (Path(__file__).resolve().parent.parent / "examples/ann_search_pipeline.json")
+        .read_text()
+    )
+    cache = ArtifactCache(str(tmp_path))
+    p1 = Pipeline.from_spec(spec, sf_dir=sf_small)
+    r1 = p1.run(spark, cache=cache)
+    got = {
+        (r.query_id, r.vec_id, r.cos_sim, r.rnk) for r in r1["ann"].collect()
+    }
+    from pipetree_spark.queries import load_registry
+
+    want = {
+        (r.query_id, r.vec_id, r.cos_sim, r.rnk)
+        for r in load_registry()["q_vec_ann_pq_ivf"].fn(spark, sf_small).collect()
+    }
+    assert got == want and len(got) == 25
+    rep = {r.query_id: r.n_hits for r in r1["report"].collect()}
+    assert rep == {i: 5 for i in range(5)}
+    p2 = Pipeline.from_spec(spec, sf_dir=sf_small)
+    p2.run(spark, cache=cache)
+    assert p2.last_run_report["ann"] == "hit"
+
+
+def test_op_stage_arity_is_enforced(spark, sf_small):
+    """A two-frame op declared with one input (or vice versa) must
+    fail at spec-build time with the op's pinned arity in the
+    message, not at run time with a confusing TypeError."""
+    import pytest as _pytest
+
+    bad = {
+        "stages": {
+            "embeddings": {"type": "source", "table": "embeddings"},
+            "ann": {
+                "type": "op",
+                "op": "pq_ivf_ann",
+                "inputs": ["embeddings"],
+            },
+        }
+    }
+    with _pytest.raises(ValueError, match="exactly 2"):
+        Pipeline.from_spec(bad, sf_dir=sf_small)
+
+
 def test_semantic_dedup_ann_is_json_declarable(spark, sf_small):
     """The r7 vector-space curation ops route through the same JSON
     ``op`` stage type as the text dedups: a spec-declared

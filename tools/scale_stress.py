@@ -75,6 +75,7 @@ QUERIES = [
     "q_pipe_expect",       # r6: expectation suite (one agg pass + 2 set rules)
     "q_vec_pq_codes",      # r8: PQ fit (per-subspace Lloyd, codes frame)
     "q_vec_pq_adc",        # r8: PQ asymmetric-distance top-k scan
+    "q_vec_ann_pq_ivf",    # r8: IVF probe -> ADC shortlist -> exact rerank (IVF-PQ e2e)
 ]
 
 
