@@ -1234,6 +1234,7 @@ def pq_fit_portable(
     dim: int = 64,
     iters: int = 2,
     scale: int = 1 << 20,
+    quantized_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic, engine-portable product quantization (PQ): split
     each vector into ``m`` contiguous subvectors of ``dim/m`` dims and
@@ -1263,14 +1264,23 @@ def pq_fit_portable(
     broadcast once per pass — the same distributed-Lloyd shape as the
     coarse quantizer. Production trains on a sample and injects the
     codebook, exactly like :func:`ivf_train` (r7 verdict #5 pattern).
+
+    ``quantized_col`` feeds an already-integer vector column (e.g. the
+    residuals of :func:`ivfpq_residual_ann_portable`) straight into the
+    subspace split, skipping the float quantization step.
     """
     d_sub = dim // m
     if d_sub * m != dim:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     from pyspark.sql import Window
 
+    qv = (
+        F.col(quantized_col)
+        if quantized_col is not None
+        else _pq_quantize(vec_col, scale)
+    )
     sv = df.select(
-        key_col, F.posexplode(_pq_subvectors(_pq_quantize(vec_col, scale), m, dim)).alias("sub", "__qsv")
+        key_col, F.posexplode(_pq_subvectors(qv, m, dim)).alias("sub", "__qsv")
     )
     ranked = (
         df.orderBy(key_col)
@@ -1466,6 +1476,135 @@ def pq_ivf_ann_portable(
         F.explode(
             F.transform(F.slice(F.array_sort(dist_cid), 1, n_probe), lambda s: s["cid"])
         ).alias("cluster"),
+    )
+    cand = (
+        probes.join(cand_codes, on="cluster")
+        .filter(F.col(query_key) != F.col(corpus_key))
+        .crossJoin(F.broadcast(cb))
+    )
+    short = topk_per_group(
+        cand.select(
+            query_key, corpus_key, "__mv", "__qn", _pq_adc_dist(m).alias("adc_dist")
+        ),
+        partition_by=[query_key],
+        order_by=[F.col("adc_dist").asc(), F.col(corpus_key).asc()],
+        k=shortlist,
+    )
+    emb = corpus.select(
+        F.col(corpus_key),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    scored = short.join(emb, corpus_key).select(
+        query_key,
+        corpus_key,
+        F.round(
+            safe_div(dot(F.col("__mv"), F.col("__cv")), F.col("__qn") * F.col("__cn")), 4
+        ).alias("cos_sim"),
+    )
+    return topk_per_group(
+        scored,
+        partition_by=[query_key],
+        order_by=[F.col("cos_sim").desc(), F.col(corpus_key).asc()],
+        k=k,
+    )
+
+
+def ivfpq_residual_ann_portable(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    n_clusters: int = 8,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    shortlist: int = 20,
+    iters: int = 2,
+    query_key: str = "query_id",
+    corpus_key: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Classical residual-encoded IVF-PQ (the FAISS IndexIVFPQ layout),
+    every stage deterministic: each corpus vector's PQ codes encode its
+    RESIDUAL against its coarse-cell centroid, and a query probing cell
+    c scores candidates with its own residual against c's centroid.
+    When the coarse quantizer explains real variance (clustered
+    corpora: ‖residual‖ ≪ ‖vector‖), the same m·n_codes codebook
+    quantizes residuals much more finely than raw vectors — recall at
+    equal compression is what this buys over
+    :func:`pq_ivf_ann_portable`'s plain PQ. On weakly-clustered data
+    it's a wash: the test corpus has mean ‖residual‖/‖vector‖ = 0.98
+    (neighbors at cos ≈ 0.35), and measured shortlist recall there is
+    0.48 residual vs 0.56 plain — pick per corpus, the completeness
+    contract (all probes + corpus-sized shortlist ⇒ exact kNN) holds
+    for both.
+
+    Everything stays exact integer math (quantized vectors minus
+    integer centroids), so codes, shortlist membership and the final
+    ranking remain oracle-certifiable. Scale shape is unchanged from
+    the plain composition: centroids and codebook broadcast, the scan
+    touches m longs per probed candidate, one top-k shuffle, float
+    work bounded by ``shortlist``. Each candidate is scored in exactly
+    one cell — its own — whenever the query probes it.
+    """
+    assign_df, cents = kmeans_portable_fit(
+        corpus, vec_col, corpus_key, k=n_clusters, iters=iters, scale=scale
+    )
+    cell_cv = lambda: F.element_at(  # noqa: E731 — centroid of row's cluster
+        F.filter("__cs", lambda c: c["cid"] == F.col("cluster")), 1
+    )["cv"]
+    rv = (
+        assign_df.crossJoin(F.broadcast(cents))
+        .select(
+            corpus_key,
+            "cluster",
+            F.zip_with("__qv", cell_cv(), lambda x, y: x - y).alias("__rv"),
+        )
+    )
+    codes, cb = pq_fit_portable(
+        rv, key_col=corpus_key, m=m, n_codes=n_codes, dim=dim, scale=scale,
+        quantized_col="__rv",
+    )
+    cand_codes = codes.join(rv.select(corpus_key, "cluster"), corpus_key)
+
+    qq = queries.select(
+        F.col(query_key),
+        F.col(vec_col).alias("__mv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+        _pq_quantize(vec_col, scale).alias("__qv"),
+    )
+    dist_cid = F.transform(
+        "__cs",
+        lambda cc: F.struct(
+            F.aggregate(
+                F.zip_with("__qv", cc["cv"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            cc["cid"].alias("cid"),
+        ),
+    )
+    probed = qq.crossJoin(F.broadcast(cents)).select(
+        query_key,
+        "__mv",
+        "__qn",
+        "__qv",
+        "__cs",
+        F.explode(
+            F.transform(F.slice(F.array_sort(dist_cid), 1, n_probe), lambda s: s["cid"])
+        ).alias("cluster"),
+    )
+    # per-(query, probed cell) residual → its subvectors for ADC
+    probes = probed.withColumn(
+        "__qrv", F.zip_with("__qv", cell_cv(), lambda x, y: x - y)
+    ).select(
+        query_key,
+        "__mv",
+        "__qn",
+        "cluster",
+        _pq_subvectors(F.col("__qrv"), m, dim).alias("__qsubs"),
     )
     cand = (
         probes.join(cand_codes, on="cluster")

@@ -302,6 +302,7 @@ def _op_registry() -> dict[str, tuple[Callable, int]]:
         "knn_bruteforce": (VX.knn_bruteforce, 2),
         "ivf_ann_portable": (VX.ivf_ann_portable, 2),
         "pq_ivf_ann": (VX.pq_ivf_ann_portable, 2),
+        "ivfpq_residual_ann": (VX.ivfpq_residual_ann_portable, 2),
     }
 
 

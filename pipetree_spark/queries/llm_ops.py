@@ -1387,6 +1387,7 @@ def _pq_cte(
     scale: int = 1 << 20,
     p: str = "",
     lead: bool = True,
+    src: str = "q",
 ) -> str:
     """DuckDB CTE chain twin of ops.vector.pq_fit_portable (2 unrolled
     Lloyd iterations per subspace): ends with ``sv`` (quantized
@@ -1396,7 +1397,9 @@ def _pq_cte(
     ``p`` prefixes every CTE name and ``lead=False`` drops the
     ``WITH q`` head so the chain composes with :func:`_kmeans_cte`
     (which defines the identical ``q`` plus clashing a1/m1/a2 names) —
-    used by the IVF-PQ composition oracle."""
+    used by the IVF-PQ composition oracles. ``src`` points the chain
+    at an alternative ``(vec_id, qv)`` CTE (the residual frame in
+    q_vec_ann_ivfpq_res)."""
     d_sub = dim // m
     dist = (
         f"CAST(list_sum(list_transform(list_zip({p}sv.qsv, c.cv),"
@@ -1415,13 +1418,13 @@ WITH q AS (
     )
     return f"""{head}
 {p}sv AS (
-  SELECT q.vec_id, subs.sub,
+  SELECT {src}.vec_id, subs.sub,
          list_slice(qv, subs.sub*{d_sub}+1, subs.sub*{d_sub}+{d_sub}) AS qsv
-  FROM q CROSS JOIN (SELECT UNNEST(range({m})) AS sub) subs
+  FROM {src} CROSS JOIN (SELECT UNNEST(range({m})) AS sub) subs
 ),
 {p}ranked AS (
   SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
-  FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT {n_codes})
+  FROM (SELECT vec_id FROM {src} ORDER BY vec_id LIMIT {n_codes})
 ),
 {p}cb1 AS (
   SELECT {p}sv.sub, r.cid, {p}sv.qsv AS cv FROM {p}sv JOIN {p}ranked r USING (vec_id)
@@ -1614,6 +1617,108 @@ def q_vec_ann_pq_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return VX.pq_ivf_ann_portable(
+        q, e, k=5, n_probe=2, n_clusters=8, m=4, n_codes=16, dim=64, shortlist=20
+    ).select("query_id", "vec_id", "cos_sim", "rnk")
+
+
+def _ivfpq_res_sql(
+    k: int = 5,
+    n_probe: int = 2,
+    n_clusters: int = 8,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    shortlist: int = 20,
+    scale: int = 1 << 20,
+) -> str:
+    """DuckDB twin of ops.vector.ivfpq_residual_ann_portable: the
+    kmeans chain, a residual frame (vector minus its cell centroid),
+    the prefixed PQ chain pointed at the residuals, per-(query, probed
+    cell) query residuals for the ADC scan, then the rounded-cosine
+    re-rank."""
+    d_sub = dim // m
+    cdist = (
+        "CAST(list_sum(list_transform(list_zip(s.qv, c.cv),"
+        " p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+    )
+    qdist = (
+        "CAST(list_sum(list_transform(list_zip(qres.qsv, cb.cv),"
+        " p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+    )
+    return (
+        _kmeans_cte(n_clusters, scale)
+        + """,
+rq AS (
+  SELECT a2.vec_id, list_transform(list_zip(q.qv, c.cv), p -> p[1]-p[2]) AS qv
+  FROM a2 JOIN q USING (vec_id) JOIN c2 c ON c.cid = a2.cluster
+)"""
+        + _pq_cte(m, n_codes, dim, scale, p="pq_", lead=False, src="rq")
+        + f""",
+qs AS (SELECT vec_id AS query_id, qv FROM q WHERE vec_id < 5),
+pd AS (
+  SELECT s.query_id, c.cid, {cdist} AS dist
+  FROM qs s CROSS JOIN c2 c
+),
+pr AS (
+  SELECT query_id, cid AS cluster FROM pd
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, cid) <= {n_probe}
+),
+qres AS (
+  SELECT pr.query_id, pr.cluster, subs.sub,
+         list_slice(list_transform(list_zip(qs.qv, c.cv), p -> p[1]-p[2]),
+                    subs.sub*{d_sub}+1, subs.sub*{d_sub}+{d_sub}) AS qsv
+  FROM pr
+  JOIN qs USING (query_id)
+  JOIN c2 c ON c.cid = pr.cluster
+  CROSS JOIN (SELECT UNNEST(range({m})) AS sub) subs
+),
+adc AS (
+  SELECT qres.query_id, ca.vec_id, CAST(SUM({qdist}) AS BIGINT) AS adc_dist
+  FROM qres
+  JOIN a2 ca ON ca.cluster = qres.cluster AND ca.vec_id != qres.query_id
+  JOIN pq_a2 ON pq_a2.vec_id = ca.vec_id AND pq_a2.sub = qres.sub
+  JOIN pq_cb2 cb ON cb.sub = pq_a2.sub AND cb.cid = pq_a2.code
+  GROUP BY qres.query_id, ca.vec_id
+),
+short AS (
+  SELECT query_id, vec_id FROM adc
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) <= {shortlist}
+),
+sc AS (
+  SELECT short.query_id, short.vec_id,
+         ROUND(
+           list_sum(list_transform(generate_series(1, {dim}),
+                                   i -> CAST(eq.embedding[i] AS DOUBLE) * CAST(ec.embedding[i] AS DOUBLE)))
+           / (SQRT({_SQ_SUM.format(v='eq.embedding')}) * SQRT({_SQ_SUM.format(v='ec.embedding')})), 4) AS cos_sim
+  FROM short
+  JOIN embeddings eq ON eq.vec_id = short.query_id
+  JOIN embeddings ec ON ec.vec_id = short.vec_id
+)
+SELECT * FROM (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM sc
+) WHERE rnk <= {k}
+"""
+    )
+
+
+@declare("q_vec_ann_ivfpq_res", oracle=_ivfpq_res_sql(), tags=("vector",))
+def q_vec_ann_ivfpq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVF-PQ (ops.vector.ivfpq_residual_ann_portable
+    — the FAISS IndexIVFPQ layout): PQ codes encode each vector's
+    residual against its coarse-cell centroid, and a query probing
+    cell c scores candidates with ITS residual against c. On clustered
+    corpora (‖residual‖ ≪ ‖vector‖) the same codebook quantizes
+    residuals far more finely than raw vectors — the classical recall
+    win; on this weakly-clustered test corpus it's a wash (see the op
+    docstring for measured numbers). Exact integer math end-to-end
+    keeps the whole thing driver-certifiable."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return VX.ivfpq_residual_ann_portable(
         q, e, k=5, n_probe=2, n_clusters=8, m=4, n_codes=16, dim=64, shortlist=20
     ).select("query_id", "vec_id", "cos_sim", "rnk")
 

@@ -388,6 +388,38 @@ def test_pq_ivf_composition_recall_and_completeness(spark, sf_small):
     assert len(prod & exact) / len(exact) >= 0.3
 
 
+def test_ivfpq_residual_recall_and_completeness(spark, sf_small):
+    """ivfpq_residual_ann_portable (FAISS IndexIVFPQ layout): same
+    completeness contract as the plain composition — all probes + a
+    corpus-sized shortlist must recover exact kNN — plus the
+    production-setting recall floor (measured 0.48 on this corpus;
+    the residual-vs-plain recall ordering is corpus-dependent: this
+    corpus has mean ‖residual‖/‖vector‖ = 0.98, so no advantage is
+    asserted — see the op docstring)."""
+    import numpy as np  # noqa: F401
+
+    e = load_table(spark, sf_small, "embeddings")
+    n = e.count()
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.vec_id) for r in VX.knn_bruteforce(q, e, k=5).collect()}
+    full = {
+        (r.query_id, r.vec_id)
+        for r in VX.ivfpq_residual_ann_portable(
+            q, e, k=5, n_clusters=4, n_probe=4, shortlist=n
+        ).collect()
+    }
+    assert full == exact
+    prod = {
+        (r.query_id, r.vec_id)
+        for r in VX.ivfpq_residual_ann_portable(
+            q, e, k=5, n_clusters=4, n_probe=3, shortlist=20
+        ).collect()
+    }
+    assert len(prod & exact) / len(exact) >= 0.3
+
+
 def test_embed_stage_deterministic_unit_vectors(spark, sf_small):
     import numpy as np
 

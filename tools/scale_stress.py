@@ -76,6 +76,7 @@ QUERIES = [
     "q_vec_pq_codes",      # r8: PQ fit (per-subspace Lloyd, codes frame)
     "q_vec_pq_adc",        # r8: PQ asymmetric-distance top-k scan
     "q_vec_ann_pq_ivf",    # r8: IVF probe -> ADC shortlist -> exact rerank (IVF-PQ e2e)
+    "q_vec_ann_ivfpq_res", # r8: residual-encoded IVF-PQ (FAISS IndexIVFPQ layout)
 ]
 
 
