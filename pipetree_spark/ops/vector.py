@@ -327,6 +327,7 @@ def kmeans_portable_fit(
     k: int = 8,
     iters: int = 2,
     scale: int = 1 << 20,
+    centroids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic, engine-portable Lloyd k-means: returns
     ``(assignment, centroids)`` after ``iters`` iterations — the
@@ -353,6 +354,13 @@ def kmeans_portable_fit(
     the recompute is ONE shuffle per iteration keyed (cluster, dim)
     with map-side partial sums. ``iters`` is fixed for certification;
     production loops until centroid movement < ε.
+
+    ``centroids=`` injects a pre-trained 1-row ``__cs`` frame (fit on
+    a sample, or cached from a prior run) and skips init + iterations
+    entirely — ONE assignment pass, the r7-verdict-#5 amortization
+    pattern. Assignments are a pure function of (vector, centroids),
+    so injecting a full fit's own centroid frame reproduces its
+    assignment bit-exactly (pinned by pytest).
     """
     q = df.select(
         key_col,
@@ -361,14 +369,6 @@ def kmeans_portable_fit(
         ).alias("__qv"),
     )
     from pyspark.sql import Window
-
-    init = (
-        q.orderBy(key_col)
-        .limit(k)
-        .withColumn("cid", F.row_number().over(Window.orderBy(key_col)) - 1)
-        .select(F.col("cid").cast("long").alias("cid"), F.col("__qv").alias("cv"))
-    )
-    cents = init.agg(F.collect_list(F.struct("cid", "cv")).alias("__cs"))
 
     def assign(centroid_row: DataFrame) -> DataFrame:
         enc = F.array_min(
@@ -386,6 +386,17 @@ def kmeans_portable_fit(
         return q.crossJoin(F.broadcast(centroid_row)).select(
             key_col, "__qv", (enc % k).alias("cluster")
         )
+
+    if centroids is not None:
+        return assign(centroids), centroids
+
+    init = (
+        q.orderBy(key_col)
+        .limit(k)
+        .withColumn("cid", F.row_number().over(Window.orderBy(key_col)) - 1)
+        .select(F.col("cid").cast("long").alias("cid"), F.col("__qv").alias("cv"))
+    )
+    cents = init.agg(F.collect_list(F.struct("cid", "cv")).alias("__cs"))
 
     a = assign(cents)
     for _ in range(iters - 1):
@@ -1235,6 +1246,7 @@ def pq_fit_portable(
     iters: int = 2,
     scale: int = 1 << 20,
     quantized_col: str | None = None,
+    codebook: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic, engine-portable product quantization (PQ): split
     each vector into ``m`` contiguous subvectors of ``dim/m`` dims and
@@ -1268,6 +1280,13 @@ def pq_fit_portable(
     ``quantized_col`` feeds an already-integer vector column (e.g. the
     residuals of :func:`ivfpq_residual_ann_portable`) straight into the
     subspace split, skipping the float quantization step.
+
+    ``codebook=`` injects a pre-trained 1-row ``__cb`` frame (fit on a
+    sample, or cached) and skips init + iterations: ONE encode pass —
+    the r7-verdict-#5 amortization pattern, same as ``centroids=`` on
+    :func:`kmeans_portable_fit`. Codes are a pure function of
+    (vector, codebook), so injecting a full fit's own codebook
+    reproduces its codes bit-exactly (pinned by pytest).
     """
     d_sub = dim // m
     if d_sub * m != dim:
@@ -1281,17 +1300,6 @@ def pq_fit_portable(
     )
     sv = df.select(
         key_col, F.posexplode(_pq_subvectors(qv, m, dim)).alias("sub", "__qsv")
-    )
-    ranked = (
-        df.orderBy(key_col)
-        .limit(n_codes)
-        .withColumn("cid", (F.row_number().over(Window.orderBy(key_col)) - 1).cast("long"))
-        .select(key_col, "cid")
-    )
-    cb = (
-        sv.join(F.broadcast(ranked), key_col)
-        .select(F.struct(F.col("sub"), F.col("cid"), F.col("__qsv").alias("cv")).alias("e"))
-        .agg(F.collect_list("e").alias("__cb"))
     )
 
     def assign(cb_row: DataFrame) -> DataFrame:
@@ -1311,6 +1319,28 @@ def pq_fit_portable(
             key_col, "sub", "__qsv", (enc % n_codes).alias("code")
         )
 
+    def to_codes(a_df: DataFrame) -> DataFrame:
+        return a_df.groupBy(key_col).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda t: t["code"],
+            ).alias("codes")
+        )
+
+    if codebook is not None:
+        return to_codes(assign(codebook)), codebook
+
+    ranked = (
+        df.orderBy(key_col)
+        .limit(n_codes)
+        .withColumn("cid", (F.row_number().over(Window.orderBy(key_col)) - 1).cast("long"))
+        .select(key_col, "cid")
+    )
+    cb = (
+        sv.join(F.broadcast(ranked), key_col)
+        .select(F.struct(F.col("sub"), F.col("cid"), F.col("__qsv").alias("cv")).alias("e"))
+        .agg(F.collect_list("e").alias("__cb"))
+    )
     a = assign(cb)
     for _ in range(iters - 1):
         comp = (
@@ -1329,12 +1359,7 @@ def pq_fit_portable(
             .agg(F.collect_list(F.struct("sub", "cid", "cv")).alias("__cb"))
         )
         a = assign(cb)
-    codes = a.groupBy(key_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("sub", "code"))), lambda t: t["code"]
-        ).alias("codes")
-    )
-    return codes, cb
+    return to_codes(a), cb
 
 
 def pq_adc_topk_portable(
@@ -1423,6 +1448,8 @@ def pq_ivf_ann_portable(
     corpus_key: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1 << 20,
+    centroids: DataFrame | None = None,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """The full production ANN composition, every stage deterministic:
     IVF coarse quantizer (probe ``n_probe`` cells) → ADC shortlist
@@ -1441,12 +1468,23 @@ def pq_ivf_ann_portable(
     shared with :func:`pq_adc_topk_portable` — a recall knob, not a
     scale knob.) Re-rank float policy = q_vec_cosine_knn's
     ROUND(·,4) + key tie-break.
+
+    ``centroids=`` / ``codebook=`` inject pre-trained model state
+    (sample-fit or cached — the r7-verdict-#5 amortization pattern):
+    the full-corpus Lloyd passes are skipped and both quantizers run
+    one encode pass each. Injecting a full fit's own state reproduces
+    the integrated result bit-exactly (pytest-pinned); the
+    completeness contract (all probes + corpus-sized shortlist ⇒
+    exact kNN) holds for ANY injected model, since model quality only
+    steers which candidates are scanned first.
     """
     assign_df, cents = kmeans_portable_fit(
-        corpus, vec_col, corpus_key, k=n_clusters, iters=iters, scale=scale
+        corpus, vec_col, corpus_key, k=n_clusters, iters=iters, scale=scale,
+        centroids=centroids,
     )
     codes, cb = pq_fit_portable(
-        corpus, vec_col, corpus_key, m=m, n_codes=n_codes, dim=dim, scale=scale
+        corpus, vec_col, corpus_key, m=m, n_codes=n_codes, dim=dim, scale=scale,
+        codebook=codebook,
     )
     cand_codes = codes.join(assign_df.select(corpus_key, "cluster"), corpus_key)
 
@@ -1525,6 +1563,8 @@ def ivfpq_residual_ann_portable(
     corpus_key: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1 << 20,
+    centroids: DataFrame | None = None,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Classical residual-encoded IVF-PQ (the FAISS IndexIVFPQ layout),
     every stage deterministic: each corpus vector's PQ codes encode its
@@ -1548,9 +1588,15 @@ def ivfpq_residual_ann_portable(
     touches m longs per probed candidate, one top-k shuffle, float
     work bounded by ``shortlist``. Each candidate is scored in exactly
     one cell — its own — whenever the query probes it.
+
+    ``centroids=`` / ``codebook=`` inject pre-trained model state
+    (see :func:`pq_ivf_ann_portable` — same amortization pattern;
+    here the injected codebook must have been fit on RESIDUALS
+    against the same centroids).
     """
     assign_df, cents = kmeans_portable_fit(
-        corpus, vec_col, corpus_key, k=n_clusters, iters=iters, scale=scale
+        corpus, vec_col, corpus_key, k=n_clusters, iters=iters, scale=scale,
+        centroids=centroids,
     )
     cell_cv = lambda: F.element_at(  # noqa: E731 — centroid of row's cluster
         F.filter("__cs", lambda c: c["cid"] == F.col("cluster")), 1
@@ -1565,7 +1611,7 @@ def ivfpq_residual_ann_portable(
     )
     codes, cb = pq_fit_portable(
         rv, key_col=corpus_key, m=m, n_codes=n_codes, dim=dim, scale=scale,
-        quantized_col="__rv",
+        quantized_col="__rv", codebook=codebook,
     )
     cand_codes = codes.join(rv.select(corpus_key, "cluster"), corpus_key)
 

@@ -420,6 +420,63 @@ def test_ivfpq_residual_recall_and_completeness(spark, sf_small):
     assert len(prod & exact) / len(exact) >= 0.3
 
 
+def test_pq_model_injection_reproduces_and_amortizes(spark, sf_small):
+    """The r7-verdict-#5 amortization pattern applied to the PQ stack:
+    injecting a full fit's own centroid frame / codebook skips all
+    Lloyd passes and must reproduce the integrated result BIT-EXACTLY
+    (assignments and codes are pure functions of (vector, model)).
+    Sample-trained model state keeps the completeness contract — model
+    quality only steers scan order, never membership of a corpus-sized
+    shortlist."""
+    e = load_table(spark, sf_small, "embeddings")
+    n = e.count()
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # bit-exact reproduction from injected full-fit state
+    a_full, cents = VX.kmeans_portable_fit(e, "embedding", "vec_id", k=4, iters=2)
+    a_inj, _ = VX.kmeans_portable_fit(
+        e, "embedding", "vec_id", k=4, centroids=cents
+    )
+    assert {(r.vec_id, r.cluster) for r in a_inj.collect()} == {
+        (r.vec_id, r.cluster) for r in a_full.collect()
+    }
+    codes_full, cb = VX.pq_fit_portable(e, "embedding", "vec_id", m=4, n_codes=16, dim=64)
+    codes_inj, _ = VX.pq_fit_portable(
+        e, "embedding", "vec_id", m=4, n_codes=16, dim=64, codebook=cb
+    )
+    assert {(r.vec_id, tuple(r.codes)) for r in codes_inj.collect()} == {
+        (r.vec_id, tuple(r.codes)) for r in codes_full.collect()
+    }
+    got = {
+        (r.query_id, r.vec_id, r.cos_sim, r.rnk)
+        for r in VX.pq_ivf_ann_portable(
+            q, e, k=5, n_clusters=4, n_probe=3, shortlist=20,
+            centroids=cents, codebook=cb,
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.vec_id, r.cos_sim, r.rnk)
+        for r in VX.pq_ivf_ann_portable(
+            q, e, k=5, n_clusters=4, n_probe=3, shortlist=20
+        ).collect()
+    }
+    assert got == want and len(got) == 50
+    # sample-trained model state: completeness survives model quality
+    sample = e.filter(F.col("vec_id") % 3 == 0)
+    _, s_cents = VX.kmeans_portable_fit(sample, "embedding", "vec_id", k=4, iters=2)
+    _, s_cb = VX.pq_fit_portable(sample, "embedding", "vec_id", m=4, n_codes=16, dim=64)
+    exact = {(r.query_id, r.vec_id) for r in VX.knn_bruteforce(q, e, k=5).collect()}
+    full = {
+        (r.query_id, r.vec_id)
+        for r in VX.pq_ivf_ann_portable(
+            q, e, k=5, n_clusters=4, n_probe=4, shortlist=n,
+            centroids=s_cents, codebook=s_cb,
+        ).collect()
+    }
+    assert full == exact
+
+
 def test_embed_stage_deterministic_unit_vectors(spark, sf_small):
     import numpy as np
 
