@@ -862,3 +862,54 @@ def pack_sequences(
     return filled.withColumn(
         "pack_id", F.col("shard") * F.lit(PACK_SHARD_STRIDE) + pack_idx
     ).drop("__fill")
+
+
+def ngram_decontam(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Token-n-gram containment decontamination — the classical
+    train/eval leak check (find training documents that contain an
+    eval document's word n-grams verbatim; the lexical complement of
+    :func:`pipetree_spark.ops.vector`'s semantic decontam). Emits
+    ``(train_id, eval_id, n_overlap)`` for every pair sharing at least
+    ``min_overlap`` DISTINCT n-grams (per-doc grams are distinct by
+    :func:`word_shingles`, so the count is set-intersection size).
+
+    Scale shape: the eval side is small by definition (a benchmark
+    suite, not a corpus) — its distinct gram set BROADCASTS, so the
+    100 TB train side is one narrow explode + broadcast-hash join +
+    one ``groupBy(train, eval)`` shuffle bounded by contamination
+    volume, never by corpus size. ``max_gram_df`` is the production
+    hub-gram knob: drop grams whose TRAIN-side document frequency
+    exceeds the cap (boilerplate/stop-phrases that would fan the join
+    out quadratically) — same discipline as the near-dup hub-shingle
+    cap; leave ``None`` for the certified pure-containment semantics.
+    """
+    ev = eval_df.select(
+        F.col(key_col).alias("eval_id"),
+        F.explode(word_shingles(text_col, n)).alias("gram"),
+    )
+    tr = train.select(
+        F.col(key_col).alias("train_id"),
+        F.explode(word_shingles(text_col, n)).alias("gram"),
+    )
+    if max_gram_df is not None:
+        hubs = (
+            tr.groupBy("gram")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_gram_df)
+            .select("gram")
+        )
+        tr = tr.join(F.broadcast(hubs), "gram", "left_anti")
+    pairs = tr.join(F.broadcast(ev), "gram")
+    return (
+        pairs.groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )

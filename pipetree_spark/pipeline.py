@@ -298,7 +298,9 @@ def _op_registry() -> dict[str, tuple[Callable, int]]:
         "semantic_dedup": (VX.semantic_dedup, 1),
         "semantic_dedup_ann": (VX.semantic_dedup_ann, 1),
         "ivf_multiprobe_assign": (VX.ivf_multiprobe_assign, 1),
-        # two-frame ANN ops (r8): (queries, corpus) in spec order
+        # two-frame ops (r8), inputs in each op's positional order:
+        # ngram_decontam(train, eval); the ANN ops (queries, corpus)
+        "ngram_decontam": (TX.ngram_decontam, 2),
         "knn_bruteforce": (VX.knn_bruteforce, 2),
         "ivf_ann_portable": (VX.ivf_ann_portable, 2),
         "pq_ivf_ann": (VX.pq_ivf_ann_portable, 2),

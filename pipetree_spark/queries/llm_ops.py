@@ -2177,6 +2177,43 @@ def q_vec_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "q_text_decontam_pairs",
+    oracle="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, UNNEST(
+    CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(
+      generate_series(1, len(w)-4),
+      i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))
+    ELSE [array_to_string(w, ' ')] END) AS gram
+  FROM d
+),
+ev AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 17 = 0),
+tr AS (SELECT doc_id AS train_id, gram FROM g WHERE doc_id % 17 <> 0)
+SELECT tr.train_id, ev.eval_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+FROM tr JOIN ev USING (gram)
+GROUP BY tr.train_id, ev.eval_id
+HAVING COUNT(*) >= 2
+""",
+    tags=("text", "dedup", "pipeline"),
+)
+def q_text_decontam_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-attributed n-gram decontamination
+    (ops.text.ngram_decontam): q_text_decontam answers "is this train
+    doc contaminated?"; this answers "by WHICH eval doc, how badly" —
+    the removal-audit view (5-word grams, ≥2 distinct shared, split
+    doc_id % 17). Same scale shape (eval gram set broadcasts, train
+    side streams, one groupBy bounded by contamination volume); the
+    op's ``max_gram_df`` hub-gram cap is the production knob for
+    boilerplate phrases and stays off here for pure-containment
+    oracle semantics."""
+    d = load_table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 17 == 0)
+    tr = d.filter(F.col("doc_id") % 17 != 0)
+    return TX.ngram_decontam(tr, ev, n=5, min_overlap=2)
+
+
+@declare(
     "q_text_length_hist",
     oracle="""
 SELECT CAST((len(string_split(text, ' ')) // 16) * 16 AS INT) AS bin_lo,

@@ -1196,6 +1196,54 @@ def test_vec_decontam_flags_only_cross_split_pairs(spark):
         assert abs(cos - r.cos_sim) < 5e-4  # emitted value is round(cos, 4)
 
 
+def test_ngram_decontam_planted_pairs_and_hub_cap(spark):
+    """Planted lexical leak: train doc 100 contains eval doc 0's
+    5-gram verbatim (twice-shifted → 2 distinct shared grams), train
+    doc 101 shares only a boilerplate phrase that appears in EVERY
+    train doc. Pure containment flags both pairs; the max_gram_df hub
+    cap must drop the boilerplate gram (train-side DF 3 > cap 2) and
+    keep the genuine leak."""
+    boiler = "all rights reserved by the publisher"
+    leak = "the quick brown fox jumps over lazy dogs"
+    ev = spark.createDataFrame(
+        [(0, leak), (1, "completely unrelated eval text with many words here")],
+        "doc_id long, text string",
+    )
+    tr = spark.createDataFrame(
+        [
+            (100, f"prefix words {leak} suffix words {boiler}"),
+            (101, f"some filler text of words and then {boiler}"),
+            (102, f"other totally different content entirely {boiler}"),
+        ],
+        "doc_id long, text string",
+    )
+    from pipetree_spark.ops import text as TX2
+
+    got = {
+        (r.train_id, r.eval_id): r.n_overlap
+        for r in TX2.ngram_decontam(tr, ev, n=5, min_overlap=1).collect()
+    }
+    assert (100, 0) in got and got[(100, 0)] >= 2  # genuine multi-gram leak
+    # boilerplate grams overlap eval? they don't appear in eval texts,
+    # so only the genuine leak links train->eval here; plant the hub by
+    # adding the boilerplate to an eval doc
+    # boundary grams must not collide with any train doc's boundary
+    # (e.g. "then {boiler}..." would share "then all rights reserved by"
+    # with doc 101 — a genuine non-hub gram), so pick unique lead words
+    ev2 = ev.union(spark.createDataFrame([(2, f"unique intro {boiler}")], ev.schema))
+    got2 = {
+        (r.train_id, r.eval_id)
+        for r in TX2.ngram_decontam(tr, ev2, n=5, min_overlap=1).collect()
+    }
+    assert all((t, 2) in got2 for t in (100, 101, 102))  # hub fans out
+    capped = {
+        (r.train_id, r.eval_id)
+        for r in TX2.ngram_decontam(tr, ev2, n=5, min_overlap=1, max_gram_df=2).collect()
+    }
+    assert (100, 0) in capped  # genuine leak survives the cap
+    assert not any(e == 2 for _, e in capped)  # hub-only pairs dropped
+
+
 def test_connected_components_long_chain_pointer_jumping(spark):
     """A 60-node chain (diameter 59) would need 59 plain-propagation
     rounds — far past max_iter=25. Adaptive pointer-jumping (label ←

@@ -77,6 +77,7 @@ QUERIES = [
     "q_vec_pq_adc",        # r8: PQ asymmetric-distance top-k scan
     "q_vec_ann_pq_ivf",    # r8: IVF probe -> ADC shortlist -> exact rerank (IVF-PQ e2e)
     "q_vec_ann_ivfpq_res", # r8: residual-encoded IVF-PQ (FAISS IndexIVFPQ layout)
+    "q_text_decontam_pairs",  # r8: pair-attributed n-gram decontam (broadcast eval grams)
 ]
 
 
