@@ -244,3 +244,53 @@ def test_concurrent_writers_exactly_one_winner_per_version(spark, root, tmp_path
     if log_dir.startswith("file://"):
         log_dir = log_dir[len("file://"):]
     assert [f for f in os.listdir(log_dir) if ".tmp-" in f] == []
+
+
+def test_pq_index_persists_and_queries_identically(spark, tmp_path):
+    """The build-once / query-many ANN workflow: fit the PQ model on
+    the corpus, persist codes + codebook as versioned tables, reload
+    them in place of the in-memory frames, and the ADC top-k must be
+    IDENTICAL (codes and distances are exact integers — parquet
+    round-trips them losslessly, including the nested codebook
+    struct). This is the production shape at 10⁹ vectors: the index
+    tables are committed once and every query batch reads them,
+    rather than re-running the Lloyd fits per batch."""
+    from pipetree_spark.catalog import load_table
+    from pipetree_spark.ops import vector as VX
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    codes, cb = VX.pq_fit_portable(e, "embedding", "vec_id", m=4, n_codes=16, dim=64)
+    t_codes = VersionedTable(str(tmp_path), "pq_codes")
+    t_cb = VersionedTable(str(tmp_path), "pq_codebook")
+    t_codes.write(codes, mode="overwrite")
+    t_cb.write(cb, mode="overwrite")
+
+    codes_rt = t_codes.read(spark)
+    cb_rt = t_cb.read(spark)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    want = {
+        (r.query_id, r.vec_id, r.adc_dist, r.rnk)
+        for r in VX.pq_adc_topk_portable(q, codes, cb, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id, r.adc_dist, r.rnk)
+        for r in VX.pq_adc_topk_portable(q, codes_rt, cb_rt, k=5).collect()
+    }
+    assert got == want and len(got) == 25
+    # and the composition accepts a reloaded codebook as injected state
+    comp = {
+        (r.query_id, r.vec_id, r.cos_sim, r.rnk)
+        for r in VX.pq_ivf_ann_portable(
+            q, e, k=5, n_clusters=4, n_probe=3, shortlist=20, codebook=cb_rt
+        ).collect()
+    }
+    base = {
+        (r.query_id, r.vec_id, r.cos_sim, r.rnk)
+        for r in VX.pq_ivf_ann_portable(
+            q, e, k=5, n_clusters=4, n_probe=3, shortlist=20
+        ).collect()
+    }
+    assert comp == base
