@@ -890,12 +890,19 @@ def ngram_decontam(
     exceeds the cap (boilerplate/stop-phrases that would fan the join
     out quadratically) — same discipline as the near-dup hub-shingle
     cap; leave ``None`` for the certified pure-containment semantics.
+
+    NULL texts are skipped on both sides (a NULL document can leak
+    nothing): Spark's ``concat_ws`` would otherwise collapse a NULL
+    token array to the ``''`` gram — linking every NULL doc to every
+    other — where SQL NULL semantics link none. Empty-string texts
+    keep their single ``''`` whole-text shingle, identically in both
+    engines (fuzz-covered).
     """
-    ev = eval_df.select(
+    ev = eval_df.filter(F.col(text_col).isNotNull()).select(
         F.col(key_col).alias("eval_id"),
         F.explode(word_shingles(text_col, n)).alias("gram"),
     )
-    tr = train.select(
+    tr = train.filter(F.col(text_col).isNotNull()).select(
         F.col(key_col).alias("train_id"),
         F.explode(word_shingles(text_col, n)).alias("gram"),
     )

@@ -2179,7 +2179,10 @@ def q_vec_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare(
     "q_text_decontam_pairs",
     oracle="""
-WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE text IS NOT NULL
+),
 g AS (
   SELECT doc_id, UNNEST(
     CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(
