@@ -388,7 +388,30 @@ def kmeans_portable_fit(
         )
 
     if centroids is not None:
-        return assign(centroids), centroids
+        # the multiplier encode above is only sound while every cid < k;
+        # an injected frame's size is the CALLER's k, so argmin via the
+        # (dist, cid) struct sort instead — identical assignment + tie
+        # break with no dependence on this function's k parameter
+        best = F.element_at(
+            F.array_sort(
+                F.transform(
+                    "__cs",
+                    lambda c: F.struct(
+                        F.aggregate(
+                            F.zip_with("__qv", c["cv"], lambda x, y: (x - y) * (x - y)),
+                            F.lit(0).cast("long"),
+                            lambda acc, v: acc + v,
+                        ).alias("d"),
+                        c["cid"].alias("cid"),
+                    ),
+                )
+            ),
+            1,
+        )["cid"]
+        a_inj = q.crossJoin(F.broadcast(centroids)).select(
+            key_col, "__qv", best.alias("cluster")
+        )
+        return a_inj, centroids
 
     init = (
         q.orderBy(key_col)
@@ -490,12 +513,17 @@ def _multiprobe_assign_arrow(
                 + (C * C).sum(axis=1)[None, :]
             )
             enc = d2 * np.int64(k) + cids[None, :]
-            probes = np.argsort(enc, axis=1, kind="stable")[:, :n_probe]
-            chosen = cids[probes]  # (n, n_probe)
-            n = len(pdf)
-            base = {key_col: pdf[key_col].to_numpy().repeat(n_probe)}
+            # match the expr twin's F.slice semantics when the injected
+            # quantizer has fewer centroids than the requested probes
+            # (auto n_probe derives from the CALLER's k, not this
+            # frame's) — emit min(k, n_probe) rows per key, not a
+            # pandas length-mismatch crash
+            p = min(n_probe, k)
+            probes = np.argsort(enc, axis=1, kind="stable")[:, :p]
+            chosen = cids[probes]  # (n, p)
+            base = {key_col: pdf[key_col].to_numpy().repeat(p)}
             for c in carry_cols:
-                base[c] = pdf[c].to_numpy().repeat(n_probe)
+                base[c] = pdf[c].to_numpy().repeat(p)
             base["cluster"] = chosen.reshape(-1)
             yield pd.DataFrame(base)
 
@@ -567,24 +595,7 @@ def ivf_multiprobe_assign(
             vec_col, lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long")
         ).alias("__qv"),
     )
-    dist_cid = F.transform(
-        "__cs",
-        lambda cc: F.struct(
-            F.aggregate(
-                F.zip_with("__qv", cc["cv"], lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ).alias("d"),
-            cc["cid"].alias("cid"),
-        ),
-    )
-    return q.crossJoin(F.broadcast(centroids)).select(
-        key_col,
-        *carry_cols,
-        F.explode(
-            F.transform(F.slice(F.array_sort(dist_cid), 1, n_probe), lambda s: s["cid"])
-        ).alias("cluster"),
-    )
+    return _probe_cells(q, centroids, n_probe, key_col, tuple(carry_cols))
 
 
 def blocked_cos_pairs_arrow(
@@ -773,10 +784,11 @@ def blocked_cos_pairs_arrow(
     # satisfies the grouped-map's clustered-distribution requirement, so
     # no second exchange is added.
     spark = memberships.sparkSession
-    n_tasks = max(
-        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
-        spark.sparkContext.defaultParallelism,
-    )
+    try:
+        conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    except ValueError:  # e.g. "auto" under vendor AQE auto-tuning
+        conf_parts = 0
+    n_tasks = max(conf_parts, spark.sparkContext.defaultParallelism)
     src, group_cols = memberships, [block_col]
     if tiled:
         # tile oversized blocks: T = ⌈m/cap⌉ hash buckets per block,
@@ -859,17 +871,21 @@ def semantic_dedup(
         F.col(block_col).alias("block"),
         F.col(vec_col).alias("embedding"),
     )
-    # zero-norm and non-finite vectors bypass the collapse: the dedup
-    # predicate is "cosine ≥ threshold", which is UNDEFINED for them —
-    # so even byte-identical such vectors stay singletons (exactly what
-    # the pairwise oracle derives: NULL cosine never links). Collapsing
-    # them would over-merge relative to the definition.
-    zero = eb.filter(~finite_pos_norm(l2_norm(F.col("embedding")))).select(
+    # zero-norm, non-finite and NULL vectors bypass the collapse: the
+    # dedup predicate is "cosine ≥ threshold", which is UNDEFINED for
+    # them — so even byte-identical such vectors stay singletons
+    # (exactly what the pairwise oracle derives: NULL cosine never
+    # links). Collapsing them would over-merge relative to the
+    # definition. The coalesce routes NULL embeddings (predicate
+    # itself NULL) into the singleton branch instead of silently
+    # dropping the row from BOTH branches.
+    ok = F.coalesce(finite_pos_norm(l2_norm(F.col("embedding"))), F.lit(False))
+    zero = eb.filter(~ok).select(
         F.col("vec_id").alias(key_col),
         F.col("vec_id").alias("component"),
         F.lit(1).alias("is_kept"),
     )
-    nz = eb.filter(finite_pos_norm(l2_norm(F.col("embedding"))))
+    nz = eb.filter(ok)
     grp = nz.groupBy("block", "embedding").agg(F.min("vec_id").alias("rep_id"))
     reps = grp.select("rep_id", "block", "embedding")
     # Arrow pair twin (bit-identical to cos_pairs_blocked — pinned by
@@ -949,15 +965,17 @@ def semantic_dedup_ann(
     from pipetree_spark.ops.graph import connected_components
 
     e = df.select(F.col(key_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
-    # zero-norm and non-finite vectors stay singletons (see
+    # zero-norm, non-finite and NULL vectors stay singletons (see
     # semantic_dedup — cosine is undefined for them, so the pairwise
-    # definition never links them)
-    zero = e.filter(~finite_pos_norm(l2_norm(F.col("embedding")))).select(
+    # definition never links them; the coalesce keeps NULL embeddings
+    # in the output instead of dropping them from both branches)
+    ok = F.coalesce(finite_pos_norm(l2_norm(F.col("embedding"))), F.lit(False))
+    zero = e.filter(~ok).select(
         F.col("vec_id").alias(key_col),
         F.col("vec_id").alias("component"),
         F.lit(1).alias("is_kept"),
     )
-    nz = e.filter(finite_pos_norm(l2_norm(F.col("embedding"))))
+    nz = e.filter(ok)
     grp = nz.groupBy("embedding").agg(F.min("vec_id").alias("rep_id"))
     if n_clusters == "auto" or n_probe == "auto":
         import math
@@ -1008,6 +1026,85 @@ def semantic_dedup_ann(
     )
 
 
+def _probe_cells(
+    qq: DataFrame,
+    cents: DataFrame,
+    n_probe: int,
+    query_key: str,
+    carry: tuple[str, ...],
+) -> DataFrame:
+    """Explode each query row into its ``n_probe`` nearest centroid
+    cells — exact integer distance, ties → smaller cid via the (d, cid)
+    struct sort. The ONE probe rule every portable ANN op shares (a
+    change here moves ivf/pq/residual in lockstep, keeping their
+    certified oracles in parity). ``qq`` must carry ``__qv``;
+    ``carry`` columns ride the explode."""
+    dist_cid = F.transform(
+        "__cs",
+        lambda cc: F.struct(
+            F.aggregate(
+                F.zip_with("__qv", cc["cv"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            cc["cid"].alias("cid"),
+        ),
+    )
+    return qq.crossJoin(F.broadcast(cents)).select(
+        query_key,
+        *carry,
+        F.explode(
+            F.transform(F.slice(F.array_sort(dist_cid), 1, n_probe), lambda s: s["cid"])
+        ).alias("cluster"),
+    )
+
+
+def _adc_shortlist(
+    cand: DataFrame, m: int, shortlist: int, query_key: str, corpus_key: str
+) -> DataFrame:
+    """ADC-score candidates (``__qsubs`` vs broadcast ``__cb`` through
+    their ``codes``) and keep the ``shortlist`` best per query —
+    shared by both IVF-PQ compositions."""
+    return topk_per_group(
+        cand.select(
+            query_key, corpus_key, "__mv", "__qn", _pq_adc_dist(m).alias("adc_dist")
+        ),
+        partition_by=[query_key],
+        order_by=[F.col("adc_dist").asc(), F.col(corpus_key).asc()],
+        k=shortlist,
+    )
+
+
+def _rerank_exact(
+    short: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_key: str,
+    corpus_key: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact rounded-cosine re-rank (the q_vec_cosine_knn float policy:
+    ROUND(·,4) + key tie-break) of a shortlist carrying (__mv, __qn)."""
+    emb = corpus.select(
+        F.col(corpus_key),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    scored = short.join(emb, corpus_key).select(
+        query_key,
+        corpus_key,
+        F.round(
+            safe_div(dot(F.col("__mv"), F.col("__cv")), F.col("__qn") * F.col("__cn")), 4
+        ).alias("cos_sim"),
+    )
+    return topk_per_group(
+        scored,
+        partition_by=[query_key],
+        order_by=[F.col("cos_sim").desc(), F.col(corpus_key).asc()],
+        k=k,
+    )
+
+
 def ivf_ann_portable(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1053,34 +1150,9 @@ def ivf_ann_portable(
         F.col(query_key),
         F.col(vec_col).alias("__mv"),
         l2_norm(F.col(vec_col)).alias("__qn"),
-        F.transform(
-            vec_col, lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long")
-        ).alias("__qv"),
+        _pq_quantize(vec_col, scale).alias("__qv"),
     )
-    dist_cid = F.transform(
-        "__cs",
-        lambda cc: F.struct(
-            F.aggregate(
-                F.zip_with("__qv", cc["cv"], lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ).alias("d"),
-            cc["cid"].alias("cid"),
-        ),
-    )
-    probes = (
-        qq.crossJoin(F.broadcast(cents))
-        .select(
-            query_key,
-            "__mv",
-            "__qn",
-            F.explode(
-                F.transform(
-                    F.slice(F.array_sort(dist_cid), 1, n_probe), lambda s: s["cid"]
-                )
-            ).alias("cluster"),
-        )
-    )
+    probes = _probe_cells(qq, cents, n_probe, query_key, ("__mv", "__qn"))
     pairs = probes.join(c, on="cluster").filter(F.col(query_key) != F.col(corpus_key))
     scored = pairs.select(
         query_key,
@@ -1328,7 +1400,29 @@ def pq_fit_portable(
         )
 
     if codebook is not None:
-        return to_codes(assign(codebook)), codebook
+        # multiplier-free argmin (struct sort) — assign()'s encode is
+        # only sound while every cid < n_codes, and an injected
+        # codebook's size belongs to the CALLER (see kmeans_portable_fit)
+        best = F.element_at(
+            F.array_sort(
+                F.transform(
+                    F.filter("__cb", lambda e: e["sub"] == F.col("sub")),
+                    lambda c: F.struct(
+                        F.aggregate(
+                            F.zip_with("__qsv", c["cv"], lambda x, y: (x - y) * (x - y)),
+                            F.lit(0).cast("long"),
+                            lambda acc, v: acc + v,
+                        ).alias("d"),
+                        c["cid"].alias("cid"),
+                    ),
+                )
+            ),
+            1,
+        )["cid"]
+        a_inj = sv.crossJoin(F.broadcast(codebook)).select(
+            key_col, "sub", "__qsv", best.alias("code")
+        )
+        return to_codes(a_inj), codebook
 
     ranked = (
         df.orderBy(key_col)
@@ -1488,64 +1582,23 @@ def pq_ivf_ann_portable(
     )
     cand_codes = codes.join(assign_df.select(corpus_key, "cluster"), corpus_key)
 
+    # quantize once, slice the SAME __qv into subvectors: HOFs evaluate
+    # interpreted (no CSE), so an inline second _pq_quantize would
+    # re-run the floor transform per query row
     qq = queries.select(
         F.col(query_key),
         F.col(vec_col).alias("__mv"),
         l2_norm(F.col(vec_col)).alias("__qn"),
         _pq_quantize(vec_col, scale).alias("__qv"),
-        _pq_subvectors(_pq_quantize(vec_col, scale), m, dim).alias("__qsubs"),
-    )
-    dist_cid = F.transform(
-        "__cs",
-        lambda cc: F.struct(
-            F.aggregate(
-                F.zip_with("__qv", cc["cv"], lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ).alias("d"),
-            cc["cid"].alias("cid"),
-        ),
-    )
-    probes = qq.crossJoin(F.broadcast(cents)).select(
-        query_key,
-        "__mv",
-        "__qn",
-        "__qsubs",
-        F.explode(
-            F.transform(F.slice(F.array_sort(dist_cid), 1, n_probe), lambda s: s["cid"])
-        ).alias("cluster"),
-    )
+    ).withColumn("__qsubs", _pq_subvectors(F.col("__qv"), m, dim))
+    probes = _probe_cells(qq, cents, n_probe, query_key, ("__mv", "__qn", "__qsubs"))
     cand = (
         probes.join(cand_codes, on="cluster")
         .filter(F.col(query_key) != F.col(corpus_key))
         .crossJoin(F.broadcast(cb))
     )
-    short = topk_per_group(
-        cand.select(
-            query_key, corpus_key, "__mv", "__qn", _pq_adc_dist(m).alias("adc_dist")
-        ),
-        partition_by=[query_key],
-        order_by=[F.col("adc_dist").asc(), F.col(corpus_key).asc()],
-        k=shortlist,
-    )
-    emb = corpus.select(
-        F.col(corpus_key),
-        F.col(vec_col).alias("__cv"),
-        l2_norm(F.col(vec_col)).alias("__cn"),
-    )
-    scored = short.join(emb, corpus_key).select(
-        query_key,
-        corpus_key,
-        F.round(
-            safe_div(dot(F.col("__mv"), F.col("__cv")), F.col("__qn") * F.col("__cn")), 4
-        ).alias("cos_sim"),
-    )
-    return topk_per_group(
-        scored,
-        partition_by=[query_key],
-        order_by=[F.col("cos_sim").desc(), F.col(corpus_key).asc()],
-        k=k,
-    )
+    short = _adc_shortlist(cand, m, shortlist, query_key, corpus_key)
+    return _rerank_exact(short, corpus, k, query_key, corpus_key, vec_col)
 
 
 def ivfpq_residual_ann_portable(
@@ -1621,26 +1674,8 @@ def ivfpq_residual_ann_portable(
         l2_norm(F.col(vec_col)).alias("__qn"),
         _pq_quantize(vec_col, scale).alias("__qv"),
     )
-    dist_cid = F.transform(
-        "__cs",
-        lambda cc: F.struct(
-            F.aggregate(
-                F.zip_with("__qv", cc["cv"], lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ).alias("d"),
-            cc["cid"].alias("cid"),
-        ),
-    )
-    probed = qq.crossJoin(F.broadcast(cents)).select(
-        query_key,
-        "__mv",
-        "__qn",
-        "__qv",
-        "__cs",
-        F.explode(
-            F.transform(F.slice(F.array_sort(dist_cid), 1, n_probe), lambda s: s["cid"])
-        ).alias("cluster"),
+    probed = _probe_cells(
+        qq, cents, n_probe, query_key, ("__mv", "__qn", "__qv", "__cs")
     )
     # per-(query, probed cell) residual → its subvectors for ADC
     probes = probed.withColumn(
@@ -1657,29 +1692,5 @@ def ivfpq_residual_ann_portable(
         .filter(F.col(query_key) != F.col(corpus_key))
         .crossJoin(F.broadcast(cb))
     )
-    short = topk_per_group(
-        cand.select(
-            query_key, corpus_key, "__mv", "__qn", _pq_adc_dist(m).alias("adc_dist")
-        ),
-        partition_by=[query_key],
-        order_by=[F.col("adc_dist").asc(), F.col(corpus_key).asc()],
-        k=shortlist,
-    )
-    emb = corpus.select(
-        F.col(corpus_key),
-        F.col(vec_col).alias("__cv"),
-        l2_norm(F.col(vec_col)).alias("__cn"),
-    )
-    scored = short.join(emb, corpus_key).select(
-        query_key,
-        corpus_key,
-        F.round(
-            safe_div(dot(F.col("__mv"), F.col("__cv")), F.col("__qn") * F.col("__cn")), 4
-        ).alias("cos_sim"),
-    )
-    return topk_per_group(
-        scored,
-        partition_by=[query_key],
-        order_by=[F.col("cos_sim").desc(), F.col(corpus_key).asc()],
-        k=k,
-    )
+    short = _adc_shortlist(cand, m, shortlist, query_key, corpus_key)
+    return _rerank_exact(short, corpus, k, query_key, corpus_key, vec_col)

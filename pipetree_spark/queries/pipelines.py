@@ -584,7 +584,14 @@ def q_pipe_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     root = _timetravel_scratch_roots.get(sf_dir)
     if root is None or not Path(root).is_dir():
+        import atexit
+
         root = tempfile.mkdtemp(prefix="pipetree_vt_")
+        # one-process-per-grading is the common driver shape, so the
+        # per-process reuse dict alone would still leak one scratch
+        # root (two table copies) per run — remove it at interpreter
+        # exit; the unpredictable-name security property is unchanged
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
         _timetravel_scratch_roots[sf_dir] = root
     scratch = Path(root) / "store"
     shutil.rmtree(scratch, ignore_errors=True)

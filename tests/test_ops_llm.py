@@ -477,6 +477,78 @@ def test_pq_model_injection_reproduces_and_amortizes(spark, sf_small):
     assert full == exact
 
 
+def test_injected_model_size_need_not_match_k_params(spark, sf_small):
+    """r8 review finding: the multiplier argmin encode (min(d·k+cid)%k)
+    silently corrupts assignments when an injected model's size differs
+    from the call's k/n_codes parameters (a sample-trained or cached
+    model travels with ITS OWN size). The injected paths now argmin via
+    the (d, cid) struct sort, so assignment is a pure function of
+    (vector, injected frame) regardless of the parameters."""
+    e = load_table(spark, sf_small, "embeddings")
+    # kmeans: 16-centroid frame injected under k=8
+    a16, cents16 = VX.kmeans_portable_fit(e, "embedding", "vec_id", k=16, iters=2)
+    a_inj, _ = VX.kmeans_portable_fit(
+        e, "embedding", "vec_id", k=8, centroids=cents16
+    )
+    assert {(r.vec_id, r.cluster) for r in a_inj.collect()} == {
+        (r.vec_id, r.cluster) for r in a16.collect()
+    }
+    # PQ: 8-code codebook injected under n_codes=16
+    codes8, cb8 = VX.pq_fit_portable(e, "embedding", "vec_id", m=4, n_codes=8, dim=64)
+    codes_inj, _ = VX.pq_fit_portable(
+        e, "embedding", "vec_id", m=4, n_codes=16, dim=64, codebook=cb8
+    )
+    assert {(r.vec_id, tuple(r.codes)) for r in codes_inj.collect()} == {
+        (r.vec_id, tuple(r.codes)) for r in codes8.collect()
+    }
+
+
+def test_multiprobe_arrow_truncates_when_probes_exceed_centroids(spark, sf_small):
+    """r8 review finding: the Arrow assignment twin crashed with a
+    pandas length mismatch when n_probe > number of centroids (auto
+    n_probe derives from the caller's k, not the injected frame's).
+    Both twins must emit min(k, n_probe) rows per key, identically."""
+    e = load_table(spark, sf_small, "embeddings").limit(50)
+    kwargs = dict(n_probe=10, n_clusters=4, iters=2)
+    expr = {
+        (r.vec_id, r.cluster)
+        for r in VX.ivf_multiprobe_assign(e, via="expr", **kwargs).collect()
+    }
+    arrow = {
+        (r.vec_id, r.cluster)
+        for r in VX.ivf_multiprobe_assign(e, via="arrow", **kwargs).collect()
+    }
+    assert arrow == expr
+    per_key = {}
+    for k_, _ in arrow:
+        per_key[k_] = per_key.get(k_, 0) + 1
+    assert set(per_key.values()) == {4}  # min(k=4, n_probe=10)
+
+
+def test_semantic_dedup_null_embeddings_stay_singletons(spark):
+    """r8 review finding: NULL-embedding rows vanished from BOTH
+    semantic dedup engines (the finite-norm predicate is NULL, failing
+    both branch filters). They must come out as singletons — a NULL
+    vector can pair with nothing, but the audit table contract is one
+    row per input key."""
+    rows = [
+        (1, [1.0] * 4), (2, [1.0] * 4),  # byte-identical pair
+        (3, None),  # NULL embedding
+        (4, [0.0] * 4),  # zero norm
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for fn in (
+        lambda d: VX.semantic_dedup_ann(d, threshold=0.9, n_clusters=8, n_probe=3),
+        lambda d: VX.semantic_dedup(
+            d.withColumn("label", F.lit("x")), block_col="label", threshold=0.9
+        ),
+    ):
+        out = {r.vec_id: (r.component, r.is_kept) for r in fn(df).collect()}
+        assert set(out) == {1, 2, 3, 4}, f"lost rows: {set(out)}"
+        assert out[3] == (3, 1) and out[4] == (4, 1)  # singletons
+        assert out[1][0] == out[2][0]  # identical pair merges
+
+
 def test_embed_stage_deterministic_unit_vectors(spark, sf_small):
     import numpy as np
 

@@ -231,6 +231,31 @@ def flood_stress(spark, n_copies: int = 100_000) -> dict[str, float]:
     return {"seconds": secs, "pairs": len(pairs), "planted_ok": float(ok)}
 
 
+def build_jittered_corpus(spark, n_bases: int = 2000, copies: int = 100,
+                          seed: int = 13, sigma: float = 0.01):
+    """THE unique-vector stress corpus: ``n_bases`` sf0.1 embedding
+    bases, each jittered ``copies`` times (within-base cos ≥ ~0.99).
+    Single definition shared by unique_vector_stress and
+    tools/uvec_cap_matrix.py so the cap-matrix measurements can never
+    desynchronize from the harness they calibrate. Returns the
+    materialized (vec_id, embedding) frame."""
+    import numpy as np
+
+    from pipetree_spark.catalog import load_table
+
+    base = load_table(spark, SRC, "embeddings").orderBy("vec_id").limit(n_bases).collect()
+    B = np.stack([np.array(r["embedding"], dtype=np.float64) for r in base])[:n_bases]
+    rng = np.random.RandomState(seed)
+    rows = []
+    for b in range(len(B)):
+        noise = rng.normal(0.0, sigma, size=(copies, B.shape[1]))
+        V = (B[b][None, :] + noise).astype(np.float32)
+        for c in range(copies):
+            rows.append((b * copies + c, [float(x) for x in V[c]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(32)
+    return df.localCheckpoint(eager=True)
+
+
 def unique_vector_stress(spark, n_bases: int = 2000, copies: int = 100) -> dict:
     """r7 verdict #4: the 10×/100× replication checks kept distinct-vector
     volume at 2k (exact-collapse ate the copies), so the auto-sized
@@ -248,22 +273,9 @@ def unique_vector_stress(spark, n_bases: int = 2000, copies: int = 100) -> dict:
     in Spark, no driver pair sets) plus per-cell occupancy, so the
     'cells stay ~p·√n, never n/k_fixed' claim is measured, not
     asserted."""
-    import numpy as np
-
-    from pipetree_spark.catalog import load_table
     from pipetree_spark.ops import vector as VX
 
-    base = load_table(spark, SRC, "embeddings").orderBy("vec_id").limit(n_bases).collect()
-    B = np.stack([np.array(r["embedding"], dtype=np.float64) for r in base])[:n_bases]
-    rng = np.random.RandomState(13)
-    rows = []
-    for b in range(len(B)):
-        noise = rng.normal(0.0, 0.01, size=(copies, B.shape[1]))
-        V = (B[b][None, :] + noise).astype(np.float32)
-        for c in range(copies):
-            rows.append((b * copies + c, [float(x) for x in V[c]]))
-    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(32)
-    df = df.localCheckpoint(eager=True)  # the corpus, materialized once
+    df = build_jittered_corpus(spark, n_bases=n_bases, copies=copies)
     n = df.count()
 
     t0 = time.perf_counter()

@@ -7,26 +7,10 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-import numpy as np
 from pyspark.sql import functions as F
 
-from tools.scale_stress import SRC, get_spark
-from pipetree_spark.catalog import load_table
+from tools.scale_stress import build_jittered_corpus, get_spark
 from pipetree_spark.ops import vector as VX
-
-
-def build_corpus(spark, n_bases=2000, copies=100):
-    base = load_table(spark, SRC, "embeddings").orderBy("vec_id").limit(n_bases).collect()
-    B = np.stack([np.array(r["embedding"], dtype=np.float64) for r in base])[:n_bases]
-    rng = np.random.RandomState(13)
-    rows = []
-    for b in range(len(B)):
-        noise = rng.normal(0.0, 0.01, size=(copies, B.shape[1]))
-        V = (B[b][None, :] + noise).astype(np.float32)
-        for c in range(copies):
-            rows.append((b * copies + c, [float(x) for x in V[c]]))
-    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(32)
-    return df.localCheckpoint(eager=True)
 
 
 def run_once(df, cents, n, copies, cap):
@@ -48,7 +32,7 @@ def run_once(df, cents, n, copies, cap):
 def main():
     copies = 100
     spark = get_spark("pipetree-spark-uvec-cap-matrix")
-    df = build_corpus(spark, copies=copies)
+    df = build_jittered_corpus(spark, copies=copies)
     n = df.count()
     cents = VX.ivf_train(
         df.sample(0.05, seed=3), "embedding", "vec_id",
