@@ -1627,12 +1627,14 @@ def ivfpq_residual_ann_portable(
     corpora: ‖residual‖ ≪ ‖vector‖), the same m·n_codes codebook
     quantizes residuals much more finely than raw vectors — recall at
     equal compression is what this buys over
-    :func:`pq_ivf_ann_portable`'s plain PQ. On weakly-clustered data
-    it's a wash: the test corpus has mean ‖residual‖/‖vector‖ = 0.98
-    (neighbors at cos ≈ 0.35), and measured shortlist recall there is
-    0.48 residual vs 0.56 plain — pick per corpus, the completeness
-    contract (all probes + corpus-sized shortlist ⇒ exact kNN) holds
-    for both.
+    :func:`pq_ivf_ann_portable`'s plain PQ — measured 1.000 vs 0.375
+    recall at shortlist 8 on a structured-residual corpus (coarse
+    centers + shared secondary directions; pytest-pinned). On
+    weakly-clustered data it's a wash: the test corpus has mean
+    ‖residual‖/‖vector‖ = 0.98 (neighbors at cos ≈ 0.35), and measured
+    shortlist recall there is 0.48 residual vs 0.56 plain — pick per
+    corpus, the completeness contract (all probes + corpus-sized
+    shortlist ⇒ exact kNN) holds for both.
 
     Everything stays exact integer math (quantized vectors minus
     integer centroids), so codes, shortlist membership and the final

@@ -549,6 +549,47 @@ def test_semantic_dedup_null_embeddings_stay_singletons(spark):
         assert out[1][0] == out[2][0]  # identical pair merges
 
 
+def test_residual_pq_wins_in_its_regime(spark):
+    """The classical residual-encoding claim, demonstrated instead of
+    asserted: vectors = coarse center C_i + 0.3·S_j (8 SHARED secondary
+    directions) + tiny noise, ids interleaved so the seed-free init
+    spans all coarse clusters. Plain PQ's 16 codes/subspace are spent
+    on the coarse structure, so within-cell ADC ranking collapses
+    (measured 0.375); residual codes see only S_j + noise and rank
+    near-perfectly (measured 1.0). On corpora WITHOUT structured
+    within-cell variance the two tie — see
+    test_ivfpq_residual_recall_and_completeness."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    C = rng.normal(0, 1, size=(16, 64)) * 3.0
+    S = rng.normal(0, 1, size=(8, 64))
+    rows = []
+    for i in range(16):
+        for j in range(8):
+            for r in range(4):
+                vid = i + 16 * (j + 8 * r)
+                v = C[i] + 0.3 * S[j] + rng.normal(0, 0.01, 64)
+                rows.append((vid, [float(x) for x in v]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.vec_id) for r in VX.knn_bruteforce(q, e, k=5).collect()}
+
+    def recall(fn):
+        prod = {
+            (r.query_id, r.vec_id)
+            for r in fn(q, e, k=5, n_clusters=16, n_probe=2, shortlist=8).collect()
+        }
+        return len(prod & exact) / len(exact)
+
+    r_plain = recall(VX.pq_ivf_ann_portable)
+    r_res = recall(VX.ivfpq_residual_ann_portable)
+    assert r_res >= 0.9
+    assert r_res >= r_plain + 0.3
+
+
 def test_embed_stage_deterministic_unit_vectors(spark, sf_small):
     import numpy as np
 
