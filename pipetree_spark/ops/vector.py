@@ -921,7 +921,7 @@ def semantic_dedup_ann(
     centroids: DataFrame | None = None,
     assign_via: str = "expr",
     exact_pairs: bool = True,
-    cell_cap: int | None = 4096,
+    cell_cap: int | None = None,
 ) -> DataFrame:
     """Label-free semantic dedup — the engine behind
     q_dedup_semantic_ann (the at-scale shape): block by the portable
@@ -956,11 +956,14 @@ def semantic_dedup_ann(
       relative; production-only, never for oracle-certified queries.
     - ``cell_cap`` tiles quantizer cells above the cap into bucket-pair
       tasks — identical pair set (no recall trade), parallelizes the
-      skewed-cell tail (see :func:`blocked_cos_pairs_arrow`). Default
-      4096 per the r8 interleaved cap matrix (SCALING.md: mean 1.8×,
-      3× on cold JVMs at 200k uniques); a no-op while every cell is
-      under the cap, so small corpora plan identically. ``None``
-      disables tiling.
+      skewed-cell tail (see :func:`blocked_cos_pairs_arrow`). Pass
+      4096 in production at ≥~100k uniques (the r8 interleaved cap
+      matrix: mean 1.8×, 3× on cold JVMs at 200k — the stress harness
+      does). Default ``None``: setting the cap engages the tiling
+      machinery (checkpoint + size pass + tile join) even when no
+      cell exceeds it — pure overhead below the regime the matrix
+      proved, so the certified small-scale path keeps it off and
+      production opts in.
     """
     from pipetree_spark.ops.graph import connected_components
 
