@@ -1121,9 +1121,9 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declare(
-    "q_text_decontam",
-    oracle=f"""
+# Shared by q_text_decontam and q_text_decontam_bloom: the bloom twin
+# prefilters candidates but verifies exactly, so the ANSWER is identical.
+_DECONTAM_ORACLE = f"""
 WITH sh AS (
   SELECT doc_id, {_SHINGLES_SQL} AS s
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
@@ -1142,7 +1142,12 @@ SELECT t.doc_id,
        CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / len(t.s) AS contamination,
        CAST(COALESCE(h.n_shared, 0) >= 3 AS INT) AS flagged
 FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
-""",
+"""
+
+
+@declare(
+    "q_text_decontam",
+    oracle=_DECONTAM_ORACLE,
     tags=("text", "dedup"),
 )
 def q_text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1168,6 +1173,59 @@ def q_text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_tok = train.select("doc_id", "sz", F.explode("s").alias("g"))
     hits = (
         train_tok.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_shared"))
+    )
+    return (
+        train.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)).cast("double") / F.col("sz")).alias("contamination"),
+            (F.coalesce("n_shared", F.lit(0)) >= 3).cast("int").alias("flagged"),
+        )
+    )
+
+
+@declare(
+    "q_text_decontam_bloom",
+    oracle=_DECONTAM_ORACLE,
+    tags=("text", "dedup"),
+)
+def q_text_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_text_decontam's production twin behind a broadcast Bloom
+    prefilter (ops/bloom.py): the eval shingle set aggregates into a
+    16 KiB bitmap ONCE, every exploded training shingle is tested
+    map-side (xxhash64 probes, codegen, no UDF), and only the
+    survivors reach the exact broadcast semi-verify. Identical answer
+    (a Bloom filter has no false negatives and survivors are verified
+    exactly — same oracle as q_text_decontam by construction).
+
+    Why it exists: at 100 TB the corpus side explodes to ~10^12
+    shingles. q_text_decontam probes every one of them through the
+    broadcast-join hash relation; this twin drops non-members with a
+    5-probe bitmap test BEFORE the join operator, so the join's probe
+    stream shrinks by the bloom's selectivity (only true/false-positive
+    members remain) and the per-doc aggregation that follows shuffles
+    candidates only. The corpus still never shuffles in either twin —
+    the win is join-probe volume and the agg input, which is what
+    dominates when contamination is rare (the normal case).
+    """
+    from pipetree_spark.ops import bloom as BL
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", TX.word_shingles("text", 3).alias("s"))
+    eval_grams = (
+        sh.filter(F.col("doc_id") < 10)
+        .select(F.explode("s").alias("g"))
+        .distinct()
+    )
+    bitmap = BL.bloom_build(eval_grams, "g")
+    train = sh.filter(F.col("doc_id") >= 10).withColumn("sz", F.size("s"))
+    train_tok = train.select("doc_id", "sz", F.explode("s").alias("g"))
+    cand = BL.bloom_prefilter(train_tok, "g", bitmap)
+    hits = (
+        cand.join(F.broadcast(eval_grams), "g")  # exact verify on survivors
         .groupBy("doc_id")
         .agg(F.count_distinct("g").alias("n_shared"))
     )

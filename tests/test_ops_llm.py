@@ -1648,3 +1648,49 @@ def test_nonfinite_vectors_are_singletons_in_both_pair_twins(spark):
         assert got[0] == (0, 1) and got[1] == (0, 0)
         for vid in (2, 3, 4, 5):
             assert got[vid] == (vid, 1)
+
+
+def test_bloom_prefilter_no_false_negatives_and_bounded_fp(spark):
+    """ops/bloom.py contract: every true member survives the prefilter
+    (planted overlap), the false-positive rate on a disjoint probe set
+    stays under the sized eps, and prefilter→exact-verify equals the
+    plain exact semi join."""
+    from pipetree_spark.ops import bloom as BL
+
+    members = spark.range(0, 2000).select(F.concat(F.lit("key_"), "id").alias("g"))
+    bitmap = BL.bloom_build(members, "g")
+
+    # probe set: all 2000 members + 20000 guaranteed non-members
+    probes = spark.range(0, 22000).select(
+        F.when(F.col("id") < 2000, F.concat(F.lit("key_"), "id"))
+        .otherwise(F.concat(F.lit("other_"), "id"))
+        .alias("g")
+    )
+    kept = BL.bloom_prefilter(probes, "g", bitmap)
+    kept_keys = {r.g for r in kept.collect()}
+    member_keys = {f"key_{i}" for i in range(2000)}
+    assert member_keys <= kept_keys, "bloom dropped a true member"
+    fp = len(kept_keys - member_keys)
+    # m=2^17, k=5, n=2000 → eps ≈ (1-exp(-k·n/m))^k ≈ 2e-6; allow slack
+    assert fp / 20000 < 0.01, f"false-positive rate too high: {fp}/20000"
+
+    exact = probes.join(members, "g", "semi")
+    verified = kept.join(members, "g", "semi")
+    assert sorted(r.g for r in verified.collect()) == sorted(r.g for r in exact.collect())
+
+
+def test_bloom_build_shapes_and_validation(spark):
+    from pipetree_spark.ops import bloom as BL
+
+    with pytest.raises(ValueError, match="multiple of 64"):
+        BL.bloom_build(spark.range(1).select(F.col("id").cast("string").alias("g")), "g", num_bits=100)
+
+    small = BL.bloom_build(
+        spark.range(0, 10).select(F.col("id").cast("string").alias("g")),
+        "g", num_bits=1024, num_hashes=3,
+    )
+    row = small.collect()
+    assert len(row) == 1 and len(row[0].bloom_bits) == 1024 // 64
+    # ≤ k·n bits set, > 0 set
+    nset = sum(bin(x & ((1 << 64) - 1)).count("1") for x in row[0].bloom_bits)
+    assert 1 <= nset <= 30
