@@ -889,3 +889,60 @@ def q_agg_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("__t", F.lit(0)).alias("actually_present"),
         )
     )
+
+
+@declare(
+    "q_agg_incremental",
+    oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS sum_price,
+       {dsum_sql('o_totalprice')} / COUNT(*) AS avg_price,
+       MIN(o_orderdate) AS first_date,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("agg", "incremental"),
+)
+def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: merge STORED partial
+    aggregates with a new batch's partials and get bit-for-bit the
+    full-recompute answer (the oracle groups the whole table flat).
+
+    The materialized-view pattern for 100 TB rollups: history
+    (o_orderdate < 1996-01-01, standing in for last night's stored
+    partial table) and the new batch each reduce to one partial row per
+    group — count, exact-decimal sum, min date, max price, all
+    ALGEBRAIC aggregates whose partials merge losslessly (sum of sums,
+    sum of counts, min of mins, max of maxes; avg derived from merged
+    sum/count, never averaged-of-averages). Nightly cost is
+    O(batch + |groups|): history is never rescanned, and the merge
+    input is |groups| × 2 rows regardless of corpus size. Decimal
+    partials make the merge order-independent, so the incremental
+    answer hashes identically to the flat recompute under the driver's
+    gate every round.
+    """
+    o = load_table(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("__n"),
+            F.sum(dec("o_totalprice", 2)).alias("__sum"),
+            F.min("o_orderdate").alias("__min_d"),
+            F.max(dec("o_totalprice", 2)).alias("__max_p"),
+        )
+
+    hist = partial(o.filter(F.col("o_orderdate") < "1996-01-01"))
+    batch = partial(o.filter(F.col("o_orderdate") >= "1996-01-01"))
+    return (
+        hist.unionByName(batch)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("__n").alias("n_orders"),
+            F.sum("__sum").cast("double").alias("sum_price"),
+            (F.sum("__sum").cast("double") / F.sum("__n")).alias("avg_price"),
+            F.min("__min_d").alias("first_date"),
+            F.max("__max_p").cast("double").alias("max_price"),
+        )
+    )

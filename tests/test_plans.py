@@ -376,3 +376,72 @@ def test_salted_join_plans_shuffle_hash_not_broadcast(spark, sf_small, registry)
     assert n_nodes(p, "ShuffledHashJoin") == 1
     assert n_nodes(p, "BroadcastHashJoin") == 0
     assert n_nodes(p, "SortMergeJoin") == 0
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_artifact(spark, sf_small, tmp_path):
+    """Partition-pruned sinks are only half the 100 TB story — the other
+    half is that a JOIN against a filtered dim prunes fact partitions at
+    RUNTIME (DPP). Lay orders out partitioned by o_orderpriority, join
+    to a one-priority dim, and assert the scan carries a dynamic pruning
+    predicate — i.e. Spark reads 1 of 5 partitions, not all of them."""
+    fact_dir = str(tmp_path / "orders_part")
+    o = load_table(spark, sf_small, "orders")
+    o.write.partitionBy("o_orderpriority").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+
+    # Case 1: dim filtered ON the join column — Catalyst propagates the
+    # equality constraint statically: the literal lands in the fact
+    # scan's PartitionFilters with no runtime machinery at all.
+    dim_static = (
+        o.select("o_orderpriority").distinct()
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+    )
+    p_static = plan(fact.join(F.broadcast(dim_static), "o_orderpriority").groupBy().count())
+    assert any(
+        "PartitionFilters" in ln and "1-URGENT" in ln for ln in p_static.splitlines()
+    ), p_static
+
+    # Case 2: dim filtered on a NON-join attribute — the partition value
+    # is only known at runtime, so the scan must carry a dynamicpruning
+    # subquery (DPP). Without it, a 100 TB date-partitioned fact would
+    # read every partition for a "last week's dates" dim filter.
+    dim_attr = (
+        o.select("o_orderpriority").distinct()
+        .withColumn("prio_class", F.substring("o_orderpriority", 1, 1).cast("int"))
+    )
+    joined = (
+        fact.join(F.broadcast(dim_attr), "o_orderpriority")
+        .filter(F.col("prio_class") == 1)
+        .groupBy()
+        .count()
+    )
+    p = plan(joined)
+    assert "dynamicpruning" in p.lower(), p
+
+
+def test_incremental_agg_merge_equals_flat_recompute(spark, sf_small):
+    """q_agg_incremental's merge invariant, engine-side: stored-partial +
+    batch-partial merge must equal the flat recompute bit-for-bit (the
+    oracle proves it cross-engine; this pins it against the Spark plan
+    alone, including groups present on only one side of the split)."""
+    from pipetree_spark.exact import dec, dsum
+
+    reg = load_registry()
+    inc = {tuple(r) for r in reg["q_agg_incremental"].fn(spark, sf_small).collect()}
+    o = load_table(spark, sf_small, "orders")
+    flat = {
+        tuple(r)
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+            (dsum("o_totalprice") / F.count("*")).alias("avg_price"),
+            F.min("o_orderdate").alias("first_date"),
+            F.max(dec("o_totalprice", 2)).cast("double").alias("max_price"),
+        )
+        .collect()
+    }
+    assert inc == flat
+    # the split boundary leaves at least one side non-trivial at sf0.001
+    assert o.filter(F.col("o_orderdate") < "1996-01-01").count() > 0
+    assert o.filter(F.col("o_orderdate") >= "1996-01-01").count() > 0
