@@ -135,3 +135,76 @@ def connected_components(
             "(component diameter exceeds max_iter); raise max_iter"
         )
     return labels.select(F.col("u").alias("node"), "component")
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Fixed-iteration PageRank in INTEGER arithmetic — bit-exact across
+    engines (no float sums anywhere, so no summation-order drift).
+
+    Ranks live in ``scale``-units (BIGINT): r0 = scale div N, teleport =
+    (15·scale) div (100·N), and each round
+    ``r' = teleport + (85 · (inflow + dangling_mass div N)) div 100``
+    where ``inflow = Σ_{edges u→n} r_u div out_deg(u)`` and dangling
+    mass is the rank held by sink nodes. Every op is BIGINT
+    multiply/add/``div`` (truncating; all values non-negative, so
+    truncation == floor in both Spark and DuckDB) — the same
+    integer-units discipline as the k-means quantizer
+    (ops/vector.py): determinism by construction, not by rounding
+    policy. Mass lost to floors is deterministic too.
+
+    Scale: per iteration ONE shuffle of |edges| contributions on dst
+    (the rank side joins src via the pre-partitioned edge checkpoint —
+    the CC trick above) plus a broadcast one-row dangling total; ranks
+    localCheckpoint per round to cut lineage. O(iters) rounds, no
+    driver-side data beyond the node count. Returns (node, rank).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_total = nodes.count()
+    if n_total == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # degree rides the edge checkpoint; partition by src so each round's
+    # rank join exchanges only the (|nodes|-sized) rank side
+    ed = e.join(deg, "src").repartition("src").localCheckpoint(eager=True)
+    dangling = nodes.join(
+        deg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).localCheckpoint(eager=True)
+
+    teleport = (15 * scale) // (100 * n_total)
+    ranks = nodes.withColumn("rank", F.lit(scale // n_total).cast("long"))
+    for _ in range(iters):
+        contrib = ed.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        ).select("dst", F.expr("rank div deg").alias("__c"))
+        inflow = contrib.groupBy("dst").agg(F.sum("__c").alias("__inflow"))
+        dang_total = (
+            dangling.join(ranks, "node")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("__dang"))
+        )
+        ranks = (
+            nodes.join(inflow.withColumnRenamed("dst", "node"), "node", "left")
+            .crossJoin(F.broadcast(dang_total))
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"(85 * (coalesce(__inflow, CAST(0 AS BIGINT))"
+                        f" + (__dang div {n_total}))) div 100"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

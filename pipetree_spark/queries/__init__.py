@@ -133,6 +133,7 @@ def load_registry() -> dict[str, DeclaredQuery]:
     from pipetree_spark.queries import (  # noqa: F401
         aggregates,
         functions,
+        graph,
         joins,
         llm_ops,
         pipelines,

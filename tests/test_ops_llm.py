@@ -1694,3 +1694,50 @@ def test_bloom_build_shapes_and_validation(spark):
     # ≤ k·n bits set, > 0 set
     nset = sum(bin(x & ((1 << 64) - 1)).count("1") for x in row[0].bloom_bits)
     assert 1 <= nset <= 30
+
+
+def test_pagerank_exact_matches_float_reference_and_handles_dangling(spark):
+    """ops/graph.pagerank_exact semantics on a hand graph: scaled-integer
+    ranks must track a float PageRank (same teleport/dangling model) to
+    within the deterministic floor loss, rank-order must match, and a
+    sink (dangling) node must redistribute its mass instead of leaking
+    it. Plus: empty edges → empty result, not a ZeroDivisionError."""
+    from pipetree_spark.ops.graph import pagerank_exact
+
+    # 1→2, 1→3, 2→3, 3 is a sink (dangling); 4→1 feeds the cycle
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 1)], "src long, dst long"
+    )
+    scale = 10**12
+    got = {r.node: r.rank for r in pagerank_exact(edges, iters=3, scale=scale).collect()}
+    assert set(got) == {1, 2, 3, 4}
+
+    # float reference with identical structure (teleport .15/N, damping .85,
+    # dangling mass shared uniformly), 3 iterations
+    import numpy as np
+
+    nodes = [1, 2, 3, 4]
+    out = {1: [2, 3], 2: [3], 4: [1]}
+    r = {n: 1 / 4 for n in nodes}
+    for _ in range(3):
+        dang = sum(r[n] for n in nodes if n not in out)
+        inflow = {n: 0.0 for n in nodes}
+        for u, vs in out.items():
+            for v in vs:
+                inflow[v] += r[u] / len(vs)
+        r = {n: 0.15 / 4 + 0.85 * (inflow[n] + dang / 4) for n in nodes}
+    for n in nodes:
+        # floors lose at most a few units per op; 1e-9 relative is generous
+        assert abs(got[n] / scale - r[n]) < 1e-6, (n, got[n] / scale, r[n])
+    # rank order: the sink (3) collects the most, the unreferenced root
+    # (4) the least
+    order = sorted(nodes, key=lambda n: got[n], reverse=True)
+    assert order[0] == 3 and order[-1] == 4
+    # determinism: re-run is bit-identical
+    again = {r2.node: r2.rank for r2 in pagerank_exact(edges, iters=3, scale=scale).collect()}
+    assert again == got
+
+    empty = pagerank_exact(
+        spark.createDataFrame([], "src long, dst long"), iters=3
+    )
+    assert empty.count() == 0 and empty.columns == ["node", "rank"]
