@@ -53,6 +53,10 @@ BENCH_QUERIES: dict[str, str] = {
     # r8: the production ANN composition (IVF probe → ADC shortlist →
     # exact re-rank), tracked from its first round
     "q_vec_ann_pq_ivf": "q_vec_ann_pq_ivf",
+    # r9: bitmap-prefiltered exact decontam (SCALING.md compares it to
+    # its unprefiltered twin q_text_decontam) and integer PageRank
+    "q_text_decontam_bloom": "q_text_decontam_bloom",
+    "q_graph_pagerank": "q_graph_pagerank",
 }
 
 RUNS = 3

@@ -1,0 +1,111 @@
+"""Portable cardinality sketches (SURVEY §2.4 approx family).
+
+HyperLogLog with the engine's portable hash discipline: the md5 base
+hash and integer-only register math reproduce bit-for-bit in any engine
+(the DuckDB twin lives in queries/aggregates.py:_hll_sql), unlike
+Spark's native ``approx_count_distinct`` whose HLL++ sketch is opaque.
+The frequency (count-min) and membership (Bloom) portable sketches are
+certified inline as q_agg_countmin / q_agg_bloom; the broadcast Bloom
+PREFILTER (xxhash64, production path) is ops/bloom.py.
+
+Register frames are one-row ``array<int>`` artifacts like the Bloom
+bitmap: bounded (m entries), broadcastable, and MERGEABLE — HLL
+registers compose by element-wise MAX, so per-partition, per-day, or
+per-table sketches roll up without touching raw data again. That merge
+law is what makes the sketch THE distinct-count tool at 100 TB: exact
+distinct shuffles every key; this shuffles m rows.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: md5 yields 60 usable bits (15 hex chars); after m=2^6 register bits,
+#: 54 bits remain for the rank, so rho ∈ [1, 55].
+_RANK_BITS = 54
+
+
+def hll_registers(df: DataFrame, col: str, m: int = 64) -> DataFrame:
+    """One-row frame (``registers: array<int>``, length ``m``): the
+    HyperLogLog register vector of ``df[col]``.
+
+    Hash: md5 → 60-bit integer; low log2(m) bits pick the register,
+    the remaining bits' leading-zero rank (rho) is computed by a
+    53-term integer comparison chain — no float log2 anywhere, so the
+    sketch is bit-identical in every engine. One map-side-combined
+    groupBy with ≤ m groups, then a single-row densify.
+    """
+    if m & (m - 1) or m < 2:
+        raise ValueError(f"m must be a power of two ≥ 2, got {m}")
+    base_sql = (
+        f"CAST(conv(substring(md5(CAST({col} AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    )
+    cells = df.select(
+        F.expr(f"({base_sql}) % {m}").alias("j"),
+        F.expr(f"({base_sql}) div {m}").alias("w"),
+    )
+    bits = F.lit(1) + functools.reduce(
+        operator.add,
+        [(F.col("w") >= F.lit(1 << k)).cast("int") for k in range(1, _RANK_BITS)],
+    )
+    rho = F.when(F.col("w") == 0, F.lit(_RANK_BITS + 1)).otherwise(
+        F.lit(_RANK_BITS + 1) - bits
+    )
+    regs = cells.select("j", rho.alias("rho")).groupBy("j").agg(F.max("rho").alias("reg"))
+    return (
+        regs.groupBy()
+        .agg(F.map_from_arrays(F.collect_list("j"), F.collect_list("reg")).alias("__wm"))
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda i: F.coalesce(F.element_at("__wm", i), F.lit(0)),
+            ).alias("registers")
+        )
+    )
+
+
+def hll_merge(*register_frames: DataFrame) -> DataFrame:
+    """Merge register frames by element-wise MAX — the HLL composition
+    law. Inputs must share ``m``. Broadcast-sized work: each input is
+    one row."""
+    merged = register_frames[0]
+    for i, other in enumerate(register_frames[1:]):
+        merged = (
+            merged.crossJoin(F.broadcast(other.withColumnRenamed("registers", f"__r{i}")))
+            .select(
+                F.zip_with("registers", f"__r{i}", lambda a, b: F.greatest(a, b)).alias(
+                    "registers"
+                )
+            )
+        )
+    return merged
+
+
+def hll_estimate(registers_col: str = "registers", m: int = 64) -> list[Column]:
+    """Projection columns (n_zeros, sum_scaled, est) deriving the HLL
+    cardinality estimate from a register array.
+
+    ``sum_scaled`` is Σ2^(-reg) in exact DECIMAL units of 2^-62 cast to
+    double at the very end (correctly rounded in both engines); only
+    the final estimate divides doubles — identical literals, identical
+    op order vs the SQL twin. Linear counting below 2.5·m with zero
+    registers present; 2-dp rounding absorbs the 1-ulp ln() latitude.
+    """
+    two62 = float(1 << 62)
+    alpha_m2 = 0.709 * m * m
+    n_zeros = F.expr(f"CAST(size(filter({registers_col}, x -> x = 0)) AS INT)")
+    sum_scaled = F.expr(
+        f"CAST(aggregate({registers_col}, CAST(0 AS DECIMAL(38,0)), (acc, x) ->"
+        " acc + CAST(shiftleft(CAST(1 AS BIGINT), CAST(62 - x AS INT))"
+        " AS DECIMAL(38,0))) AS DOUBLE)"
+    )
+    est_raw = F.lit(alpha_m2) / (sum_scaled / F.lit(two62))
+    est = F.when(
+        (est_raw <= F.lit(2.5 * m)) & (n_zeros > 0),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / n_zeros), 2),
+    ).otherwise(F.round(est_raw, 2))
+    return [n_zeros.alias("n_zeros"), sum_scaled.alias("sum_scaled"), est.alias("est_hll")]

@@ -65,13 +65,18 @@ def declare(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 WINDOW = 50  # observed driver cut, constant across r1–r7
 
-#: Queries whose implementation or oracle changed this round and whose
-#: certification is therefore stale regardless of the record. The ONLY
-#: hand-maintained part of the rotation.
+#: Queries whose implementation or oracle changed since their last
+#: driver grade and whose certification is therefore stale regardless
+#: of the record. The ONLY hand-maintained part of the rotation.
+#: r9 note: these three changed in r8, but no CORRECTNESS_r08.json was
+#: ever produced (the r8 grading pass didn't land), so their r8 changes
+#: remain uncertified and they stay here; r9's own new queries
+#: (q_text_decontam_bloom, q_agg_incremental, q_graph_pagerank) are
+#: never-graded and take window slots automatically.
 RECONFIRM: tuple[str, ...] = (
-    "q_dedup_semantic_ann",  # auto-sized IVF quantizer + centroid injection + NaN guard
-    "q_dedup_semantic",      # shared pair-engine NaN-vector contract fix
-    "q_pipe_timetravel",     # private scratch dir (predictable-/tmp fix)
+    "q_dedup_semantic_ann",  # r8: auto-sized IVF quantizer + centroid injection + NaN guard
+    "q_dedup_semantic",      # r8: shared pair-engine NaN-vector contract fix
+    "q_pipe_timetravel",     # r8: private scratch dir (predictable-/tmp fix)
 )
 
 

@@ -946,3 +946,80 @@ def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("__max_p").cast("double").alias("max_price"),
         )
     )
+
+
+def _hll_sql(m: int = 64) -> str:
+    """DuckDB twin of q_agg_hll: same md5 base hash, same integer-only
+    rho (leading-zero rank) via a comparison chain — no float log2
+    anywhere near the registers."""
+    bits_chain = " + ".join(f"CAST(w >= {1 << k} AS INT)" for k in range(1, 54))
+    two62 = 1 << 62
+    alpha_m2 = repr(0.709 * m * m)
+    return f"""
+WITH h AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM lineitem
+),
+cells AS (SELECT h % {m} AS j, h // {m} AS w FROM h),
+rho AS (
+  SELECT j, CASE WHEN w = 0 THEN 55 ELSE 55 - (1 + {bits_chain}) END AS rho FROM cells
+),
+regs AS (SELECT j, MAX(rho) AS reg FROM rho GROUP BY j),
+dense AS (
+  SELECT g.j AS j, COALESCE(r.reg, 0) AS reg
+  FROM (SELECT UNNEST(range(0, {m})) AS j) g LEFT JOIN regs r ON g.j = r.j
+),
+summary AS (
+  SELECT CAST(list(reg ORDER BY j) AS INTEGER[]) AS registers,
+         CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS INT) AS n_zeros,
+         CAST(SUM(CAST(1 AS HUGEINT) << CAST(62 - reg AS INT)) AS DOUBLE) AS sum_scaled
+  FROM dense
+),
+ex AS (SELECT COUNT(DISTINCT l_partkey) AS exact_distinct FROM lineitem)
+SELECT {m} AS m, n_zeros, registers, sum_scaled,
+       CASE WHEN ({alpha_m2} / (sum_scaled / {float(two62)!r})) <= {2.5 * m}
+                 AND n_zeros > 0
+            THEN round({float(m)!r} * ln({float(m)!r} / n_zeros), 2)
+            ELSE round({alpha_m2} / (sum_scaled / {float(two62)!r}), 2)
+       END AS est_hll,
+       exact_distinct
+FROM summary, ex
+"""
+
+
+@declare("q_agg_hll", oracle=_hll_sql(), tags=("agg", "approx"))
+def q_agg_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-EXACT HyperLogLog — closes the sketch family triangle
+    beside q_agg_countmin (frequency) and q_agg_bloom (membership)
+    with the cardinality sketch, and gives q_agg_approx_cd (Spark's
+    native HLL++, rows-only by design) a fully certified portable
+    twin. Same md5 base hash as the other portable sketches; the
+    register rank rho is INTEGER-ONLY (a 53-term comparison chain
+    computes bit-length — no float log2 can drift), the register sum
+    Σ2^(-reg) is taken in exact DECIMAL(38,0) units of 2^-62, and only
+    the final estimate touches doubles (identical literals, identical
+    op order; ln() in the linear-counting branch is 1-ulp-rounded
+    away by the r2 policy). Emits the full 64-register sketch, the
+    zero count, the scaled sum, the estimate, and the exact distinct
+    count the driver re-proves the estimate against every round.
+
+    Scale shape: ONE map-side-combined groupBy over |rows| cells with
+    a hard 64-register state bound — THE fixed-memory distinct-count
+    summary for 100 TB streams (exact distinct shuffles every key;
+    this shuffles 64 rows). Registers merge by MAX, so partials
+    compose across partitions, days, and tables for free.
+    """
+    from pipetree_spark.ops.sketch import hll_estimate, hll_registers
+
+    m = 64
+    l = load_table(spark, sf_dir, "lineitem")
+    summary = hll_registers(l, "l_partkey", m).select("registers", *hll_estimate("registers", m))
+    ex = l.agg(F.count_distinct("l_partkey").alias("exact_distinct"))
+    return summary.crossJoin(F.broadcast(ex)).select(
+        F.lit(m).alias("m"),
+        "n_zeros",
+        "registers",
+        "sum_scaled",
+        "est_hll",
+        "exact_distinct",
+    )

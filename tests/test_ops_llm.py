@@ -1741,3 +1741,30 @@ def test_pagerank_exact_matches_float_reference_and_handles_dangling(spark):
         spark.createDataFrame([], "src long, dst long"), iters=3
     )
     assert empty.count() == 0 and empty.columns == ["node", "rank"]
+
+
+def test_hll_registers_merge_law_and_estimate_bounds(spark):
+    """ops/sketch.py: HLL registers over a union must equal the
+    element-wise MAX merge of per-part registers (the composition law
+    that makes per-partition/per-day sketches roll up for free), the
+    estimate must land within the m=64 error regime, and duplicate
+    values must not move the sketch (cardinality, not frequency)."""
+    from pipetree_spark.ops.sketch import hll_estimate, hll_merge, hll_registers
+
+    a = spark.range(0, 3000).select(F.concat(F.lit("k"), "id").alias("v"))
+    b = spark.range(2000, 5000).select(F.concat(F.lit("k"), "id").alias("v"))
+    whole = a.unionByName(b)
+
+    merged = hll_merge(hll_registers(a, "v"), hll_registers(b, "v"))
+    direct = hll_registers(whole, "v")
+    assert merged.collect()[0].registers == direct.collect()[0].registers
+
+    est = direct.select(*hll_estimate()).collect()[0].est_hll
+    assert abs(est - 5000) / 5000 < 0.4  # 3σ at m=64 (σ ≈ 1.04/8)
+
+    # duplicates are invisible to the sketch
+    duped = whole.unionByName(whole).unionByName(a)
+    assert hll_registers(duped, "v").collect()[0].registers == direct.collect()[0].registers
+
+    with pytest.raises(ValueError, match="power of two"):
+        hll_registers(a, "v", m=48)

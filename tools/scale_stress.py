@@ -78,6 +78,10 @@ QUERIES = [
     "q_vec_ann_pq_ivf",    # r8: IVF probe -> ADC shortlist -> exact rerank (IVF-PQ e2e)
     "q_vec_ann_ivfpq_res", # r8: residual-encoded IVF-PQ (FAISS IndexIVFPQ layout)
     "q_text_decontam_pairs",  # r8: pair-attributed n-gram decontam (broadcast eval grams)
+    "q_text_decontam_bloom",  # r9: bitmap-prefiltered exact decontam (must track q_text_decontam)
+    "q_agg_incremental",   # r9: partial-merge MV maintenance (merge is |groups|-sized)
+    "q_graph_pagerank",    # r9: integer PageRank, one |edges| shuffle per iteration
+    "q_agg_hll",           # r9: 64-register HLL — map-side combine, must be ~flat
 ]
 
 
