@@ -124,6 +124,10 @@ def bloom_prefilter(
     join + map-side filter: the big side never shuffles, survivors
     carry the original schema. Follow with an exact semi/anti join on
     the survivors for an exact final answer."""
+    if "bloom_bits" in df.columns:
+        raise ValueError(
+            "df already has a 'bloom_bits' column — rename it before prefiltering"
+        )
     return (
         df.crossJoin(F.broadcast(bloom))
         .filter(bloom_might_contain(col, "bloom_bits", num_bits, num_hashes))

@@ -1023,3 +1023,71 @@ def q_agg_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_hll",
         "exact_distinct",
     )
+
+
+def _hll_by_sql(m: int = 64) -> str:
+    """DuckDB twin of q_agg_hll_bygroup: q_agg_hll's math with the
+    register key widened to (event_type, j)."""
+    bits_chain = " + ".join(f"CAST(w >= {1 << k} AS INT)" for k in range(1, 54))
+    two62 = 1 << 62
+    alpha_m2 = repr(0.709 * m * m)
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events
+),
+cells AS (SELECT event_type, h % {m} AS j, h // {m} AS w FROM h),
+rho AS (
+  SELECT event_type, j,
+         CASE WHEN w = 0 THEN 55 ELSE 55 - (1 + {bits_chain}) END AS rho
+  FROM cells
+),
+regs AS (SELECT event_type, j, MAX(rho) AS reg FROM rho GROUP BY event_type, j),
+grps AS (SELECT DISTINCT event_type FROM events),
+dense AS (
+  SELECT grps.event_type, g.j AS j, COALESCE(r.reg, 0) AS reg
+  FROM grps CROSS JOIN (SELECT UNNEST(range(0, {m})) AS j) g
+  LEFT JOIN regs r ON grps.event_type = r.event_type AND g.j = r.j
+),
+summary AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS INT) AS n_zeros,
+         CAST(SUM(CAST(1 AS HUGEINT) << CAST(62 - reg AS INT)) AS DOUBLE) AS sum_scaled
+  FROM dense GROUP BY event_type
+),
+ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct FROM events GROUP BY event_type)
+SELECT s.event_type, s.n_zeros, s.sum_scaled,
+       CASE WHEN ({alpha_m2} / (s.sum_scaled / {float(two62)!r})) <= {2.5 * m}
+                 AND s.n_zeros > 0
+            THEN round({float(m)!r} * ln({float(m)!r} / s.n_zeros), 2)
+            ELSE round({alpha_m2} / (s.sum_scaled / {float(two62)!r}), 2)
+       END AS est_hll,
+       ex.exact_distinct
+FROM summary s JOIN ex ON s.event_type = ex.event_type
+"""
+
+
+@declare("q_agg_hll_bygroup", oracle=_hll_by_sql(), tags=("agg", "approx"))
+def q_agg_hll_bygroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_agg_hll in its production shape: distinct users PER EVENT TYPE
+    via per-group HLL registers (ops.sketch.hll_registers_by). The
+    map-side combine bounds state at 64 rows per group, so the shuffle
+    is |groups|·64 rows no matter how many billion events arrive —
+    versus count_distinct's full (group, user) key shuffle. Per-group
+    register vectors merge with element-wise MAX, so daily sketches
+    roll up to monthly ones without touching raw events again. Same
+    integer-only register math as q_agg_hll; the driver re-proves each
+    group's sketch AND estimate against the exact per-group distinct
+    every sampled round."""
+    from pipetree_spark.ops.sketch import hll_estimate, hll_registers_by
+
+    m = 64
+    e = load_table(spark, sf_dir, "events")
+    summary = hll_registers_by(e, "user_id", ["event_type"], m).select(
+        "event_type", *hll_estimate("registers", m)
+    )
+    ex = e.groupBy("event_type").agg(F.count_distinct("user_id").alias("exact_distinct"))
+    return summary.join(F.broadcast(ex), "event_type").select(
+        "event_type", "n_zeros", "sum_scaled", "est_hll", "exact_distinct"
+    )

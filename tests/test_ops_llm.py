@@ -1768,3 +1768,20 @@ def test_hll_registers_merge_law_and_estimate_bounds(spark):
 
     with pytest.raises(ValueError, match="power of two"):
         hll_registers(a, "v", m=48)
+
+
+def test_hll_registers_by_consistent_with_global_per_group(spark, sf_small):
+    """Per-group registers must equal the global sketch of each group's
+    rows in isolation — grouping only partitions the input, it must not
+    change any group's register math."""
+    from pipetree_spark.ops.sketch import hll_registers, hll_registers_by
+
+    e = load_table(spark, sf_small, "events")
+    by = {
+        r.event_type: r.registers
+        for r in hll_registers_by(e, "user_id", ["event_type"]).collect()
+    }
+    assert len(by) == 5
+    for et, regs in list(by.items())[:2]:  # two groups suffice; the law is per-group
+        solo = hll_registers(e.filter(F.col("event_type") == et), "user_id")
+        assert solo.collect()[0].registers == regs

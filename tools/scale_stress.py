@@ -108,9 +108,9 @@ def generate(spark) -> None:
         print(f"  wrote {t}", flush=True)
 
 
-def bench(spark, registry, sf_dir: str) -> dict[str, float]:
+def bench(spark, registry, sf_dir: str, names: list[str] | None = None) -> dict[str, float]:
     out = {}
-    for name in QUERIES:
+    for name in (names if names is not None else QUERIES):
         fn = registry[name].fn
         fn(spark, sf_dir).count()  # warm-up
         best = float("inf")
@@ -335,6 +335,9 @@ def main() -> None:
     ap.add_argument("--skip-gen", action="store_true")
     ap.add_argument("--unique-vec", action="store_true",
                     help="run only the unique-vector quantizer stress (10x and 100x uniques)")
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="restrict the timing sweep to these query names "
+                         "(skips the ANN-recall and flood sections)")
     args = ap.parse_args()
     if args.unique_vec:
         spark = get_spark("pipetree-spark-uvec-stress")
@@ -347,13 +350,19 @@ def main() -> None:
         print("generating 10x dataset ...", flush=True)
         generate(spark)
     registry = load_registry()
+    names = args.only if args.only else QUERIES
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        raise SystemExit(f"--only names not in QUERIES: {unknown}")
     print(f"timing at sf0.1 ({SRC}):", flush=True)
-    base = bench(spark, registry, SRC)
+    base = bench(spark, registry, SRC, names)
     print(f"timing at 10x ({DST}):", flush=True)
-    big = bench(spark, registry, DST)
+    big = bench(spark, registry, DST, names)
     print("\nratios (10x data / 1x data; linear-or-better target ≤ 10):")
-    for name in QUERIES:
+    for name in names:
         print(f"  {name:24s} {base[name]:7.2f}s -> {big[name]:7.2f}s  ratio {big[name]/base[name]:5.2f}")
+    if args.only:
+        return
     print("\nANN recall vs exact (target ≥ 0.8 at both scales):")
     for sf_dir, label in ((SRC, "1x"), (DST, "10x")):
         for name, (rec, secs) in ann_recall(spark, sf_dir).items():
