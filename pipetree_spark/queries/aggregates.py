@@ -1091,3 +1091,123 @@ def q_agg_hll_bygroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary.join(F.broadcast(ex), "event_type").select(
         "event_type", "n_zeros", "sum_scaled", "est_hll", "exact_distinct"
     )
+
+
+def _quantile_hist_sql(n_buckets: int = 256) -> str:
+    """DuckDB twin of q_agg_quantile_hist — identical double arithmetic
+    (same literals, same op order) for width, bucket, and the in-bucket
+    interpolation; QUANTILE_CONT matches F.percentile (the certified
+    q_agg_percentile mapping)."""
+    b = n_buckets
+    return f"""
+WITH ex AS (
+  SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
+         COUNT(l_extendedprice) AS n,
+         QUANTILE_CONT(l_extendedprice, 0.5) AS ex50,
+         QUANTILE_CONT(l_extendedprice, 0.95) AS ex95,
+         QUANTILE_CONT(l_extendedprice, 0.99) AS ex99
+  FROM lineitem
+),
+hist AS (
+  SELECT CASE WHEN ex.hi = ex.lo THEN 0
+              ELSE LEAST({b - 1}, CAST(FLOOR((l_extendedprice - ex.lo) / ((ex.hi - ex.lo) / {float(b)!r})) AS INT))
+         END AS bucket,
+         COUNT(*) AS cnt
+  FROM lineitem, ex
+  WHERE l_extendedprice IS NOT NULL
+  GROUP BY 1
+),
+cum AS (
+  SELECT bucket, cnt, SUM(cnt) OVER (ORDER BY bucket) AS cum FROM hist
+),
+qs AS (SELECT UNNEST(CAST([0.5, 0.95, 0.99] AS DOUBLE[])) AS q),
+firstb AS (
+  SELECT qs.q, MIN(c.bucket) AS b
+  FROM qs CROSS JOIN ex JOIN cum c ON c.cum >= qs.q * ex.n
+  GROUP BY qs.q
+),
+est AS (
+  SELECT f.q,
+         ex.lo + ((ex.hi - ex.lo) / {float(b)!r}) *
+           (f.b + (f.q * ex.n - (c.cum - c.cnt)) / c.cnt) AS est_q
+  FROM firstb f JOIN cum c ON c.bucket = f.b CROSS JOIN ex
+)
+SELECT e.q,
+       e.est_q,
+       CASE e.q WHEN 0.5 THEN ex.ex50 WHEN 0.95 THEN ex.ex95 ELSE ex.ex99 END AS exact_q,
+       ex.n AS n_values
+FROM est e CROSS JOIN ex
+"""
+
+
+@declare("q_agg_quantile_hist", oracle=_quantile_hist_sql(), tags=("agg", "approx"))
+def q_agg_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-EXACT fixed-memory quantile estimation — the portable
+    certified twin q_agg_approx_quantile (Spark's opaque GK sketch,
+    rows-only by design) gets, completing the pattern q_agg_hll set
+    for q_agg_approx_cd: every approximate-aggregate family now has a
+    bit-certified portable member. Two passes: (1) global min/max/
+    count + the exact percentiles the driver re-proves the estimates
+    against; (2) a 256-bucket equi-width histogram (map-side-combined,
+    ≤256 groups) with a cumulative window over AT MOST 256 rows, then
+    in-bucket linear interpolation for p50/p95/p99. Every double op
+    (width, bucket floor, interpolation) runs the same literals in the
+    same order in both engines; the all-equal-values edge (width 0)
+    routes to bucket 0 by CASE before any division.
+
+    Scale shape: pass 2 shuffles 256 rows no matter the corpus — the
+    single-pass-class answer (vs a full sort for exact percentiles)
+    when ±width/2 resolution suffices; tighten by raising B, still
+    O(B) state. The unpartitioned cumulative window is bounded by
+    construction at 256 rows (PLANS.md whitelist)."""
+    b = 256
+    l = load_table(spark, sf_dir, "lineitem")
+    ex = l.agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+        F.count("l_extendedprice").alias("n"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("ex50"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("ex95"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("ex99"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(b))
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(b - 1),
+            F.floor((F.col("l_extendedprice") - F.col("lo")) / width).cast("int"),
+        )
+    )
+    hist = (
+        l.filter(F.col("l_extendedprice").isNotNull())
+        .crossJoin(F.broadcast(ex.select("lo", "hi")))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("bucket"))  # ≤256 rows by construction
+    )
+    qs = spark.range(1).select(F.explode(F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))).alias("q"))
+    firstb = (
+        qs.crossJoin(F.broadcast(ex))
+        .join(F.broadcast(cum), F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min("bucket").alias("b"))
+    )
+    est = (
+        firstb.join(F.broadcast(cum), F.col("bucket") == F.col("b"))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            "q",
+            (
+                F.col("lo")
+                + ((F.col("hi") - F.col("lo")) / F.lit(float(b)))
+                * (F.col("b") + (F.col("q") * F.col("n") - (F.col("cum") - F.col("cnt"))) / F.col("cnt"))
+            ).alias("est_q"),
+            F.when(F.col("q") == 0.5, F.col("ex50"))
+            .when(F.col("q") == 0.95, F.col("ex95"))
+            .otherwise(F.col("ex99"))
+            .alias("exact_q"),
+            F.col("n").alias("n_values"),
+        )
+    )
+    return est

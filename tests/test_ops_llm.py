@@ -1785,3 +1785,36 @@ def test_hll_registers_by_consistent_with_global_per_group(spark, sf_small):
     for et, regs in list(by.items())[:2]:  # two groups suffice; the law is per-group
         solo = hll_registers(e.filter(F.col("event_type") == et), "user_id")
         assert solo.collect()[0].registers == regs
+
+
+def test_quantile_hist_accuracy_and_degenerate_edges(spark, sf_small):
+    """q_agg_quantile_hist: every estimate must land within one bucket
+    width of the exact percentile (the histogram resolution guarantee),
+    and the width-zero (all-equal values) edge must not divide by zero."""
+    from pipetree_spark.queries import load_registry
+
+    reg = load_registry()
+    rows = reg["q_agg_quantile_hist"].fn(spark, sf_small).collect()
+    assert {round(r.q, 2) for r in rows} == {0.5, 0.95, 0.99}
+    lo_hi = load_table(spark, sf_small, "lineitem").agg(
+        F.min("l_extendedprice"), F.max("l_extendedprice")
+    ).collect()[0]
+    width = (lo_hi[1] - lo_hi[0]) / 256.0
+    for r in rows:
+        assert abs(r.est_q - r.exact_q) <= width, (r.q, r.est_q, r.exact_q, width)
+
+    # degenerate: constant column → width 0; the query's CASE must route
+    # every row to bucket 0 without evaluating the zero division
+    const = spark.range(0, 100).select(F.lit(42.5).alias("v"))
+    ex = const.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(256.0)
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(F.lit(255), F.floor((F.col("v") - F.col("lo")) / width).cast("int"))
+    )
+    got = (
+        const.crossJoin(F.broadcast(ex))
+        .select(bucket.alias("bucket"))
+        .distinct()
+        .collect()
+    )
+    assert [r.bucket for r in got] == [0]

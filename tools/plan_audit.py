@@ -44,6 +44,7 @@ UNPARTITIONED_WINDOW_OK = {
     "q_vec_pq_adc": "row_number over the n_codes=16-row codebook-init frame (codes + codebook branches each replay it)",
     "q_vec_ann_pq_ivf": "row_number over the 8-row kmeans init + 16-row codebook init (replayed per branch)",
     "q_vec_ann_ivfpq_res": "row_number over the 8-row kmeans init + 16-row codebook init (replayed per branch)",
+    "q_agg_quantile_hist": "cumulative sum over the ≤256-bucket histogram (bounded by construction)",
 }
 
 
