@@ -37,6 +37,7 @@ __all__ = [
     "stream_dedup",
     "stream_static_join",
     "stream_stream_join",
+    "running_distinct_hll",
     "running_user_counts",
     "running_user_max_tws",
     "run_to_memory",
@@ -347,3 +348,73 @@ def incremental_dedup_sink(ledger_dir: str, out_dir: str):
         incremental_dedup_batch(batch, batch_id, ledger_dir, out_dir)
 
     return _process
+
+
+def running_distinct_hll(
+    events: DataFrame, key_col: str = "event_type", val_col: str = "user_id", m: int = 64
+) -> DataFrame:
+    """Streaming distinct-count sketch: per-key HyperLogLog registers as
+    ``applyInPandasWithState`` state — m ints per key FOREVER, the
+    fixed-memory answer to "distinct users per type, running" that
+    ``dropDuplicates`` state (one entry per distinct value, unbounded)
+    cannot give at 100 TB.
+
+    The register math is BIT-IDENTICAL to the batch sketch
+    (ops/sketch.py hll_registers_by — same md5 base hash, same
+    60-bit split, rho via int.bit_length which equals the engine's
+    comparison chain for w ≥ 1), so streamed registers equal the batch
+    registers over the same data, updates are monotone (element-wise
+    max), and per-day streamed sketches merge with batch ones through
+    hll_merge. Estimates come from ops.sketch.hll_estimate over the
+    emitted register arrays. Output mode: update (one row per key per
+    micro-batch).
+    """
+    import hashlib
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType()),
+            T.StructField("registers", T.ArrayType(T.IntegerType())),
+            T.StructField("n_seen", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("regs", T.ArrayType(T.IntegerType())),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            regs, n = list(state.get[0]), state.get[1]
+        else:
+            regs, n = [0] * m, 0
+        for pdf in batches:
+            n += len(pdf)
+            for v in pdf[val_col]:
+                # match the batch sketch's NULL + string semantics:
+                # md5(CAST(NULL AS STRING)) contributes nothing, and a
+                # nullable int64 column arrives as float64 in pandas —
+                # str(123.0) would hash differently from Spark's '123'
+                if pd.isna(v):
+                    continue
+                if isinstance(v, float) and v.is_integer():
+                    v = int(v)
+                h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+                j, w = h % m, h // m
+                rho = 55 - w.bit_length() if w else 55
+                if rho > regs[j]:
+                    regs[j] = rho
+        state.update((regs, n))
+        yield pd.DataFrame({key_col: [key[0]], "registers": [regs], "n_seen": [n]})
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

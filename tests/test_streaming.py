@@ -384,3 +384,34 @@ def test_incremental_dedup_survives_query_restart(spark, tmp_path):
 
     assert got == want == [1, 3, 5, 6]  # poison row gone, no dups, no losses
     assert spark.read.parquet(ledger).count() == 4
+
+
+def test_streaming_hll_registers_match_batch_sketch(spark, sf_small, events_stream_dir):
+    """running_distinct_hll: streamed per-type HLL registers must equal
+    the BATCH sketch (ops/sketch.hll_registers_by) over the same events
+    — same md5 split, same rho — and register updates must be monotone
+    (element-wise max over the update stream reproduces the final row)."""
+    from pipetree_spark.ops.sketch import hll_registers_by
+
+    sdf = st.file_stream(spark, events_stream_dir)
+    out = st.run_to_memory(st.running_distinct_hll(sdf), spark, output_mode="update")
+    pdf = out.toPandas()
+
+    batch = {
+        r.event_type: r.registers
+        for r in hll_registers_by(
+            load_table(spark, sf_small, "events"), "user_id", ["event_type"]
+        ).collect()
+    }
+    finals = {}
+    for et, grp in pdf.groupby("event_type"):
+        # updates are monotone: the element-wise max across ALL updates
+        # must equal the last (final-state) update
+        mx = [0] * 64
+        last = None
+        for regs in grp["registers"]:
+            mx = [max(a, b) for a, b in zip(mx, regs)]
+            last = list(regs)
+        assert mx == last
+        finals[et] = last
+    assert finals == batch
