@@ -63,9 +63,15 @@ def bloom_build(
     Plan: explode each key into its k probe positions (narrow), one
     shuffle on the 64-bit word index for the ``bit_or`` partial
     aggregation (map-side combined, ≤ ``num_bits/64`` groups), then a
-    single-row densify. Cost scales with the SMALL side; the output is
-    a bounded artifact (16 KiB at the defaults) safe to broadcast.
+    single-row densify via one Arrow batch (numpy scatter — O(n_words);
+    the map-literal formulation this replaced was O(n_words²), fine at
+    16 KiB but a hang at the 8 MiB bitmaps the non-broadcastable-member
+    regime needs). Cost scales with the SMALL side; the output is a
+    bounded artifact safe to broadcast (16 KiB at the defaults, 128 MiB
+    at the 2^30-bit ceiling you'd size for ~10⁸ members at 1% eps).
     """
+    import pandas as pd
+
     if num_bits % 64:
         raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
     n_words = num_bits // 64
@@ -78,16 +84,20 @@ def bloom_build(
         (F.col("__bit") / 64).cast("int").alias("__w"),
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__bit % 64 AS INT))").alias("__m"),
     )
-    sparse = words.groupBy("__w").agg(F.bit_or("__m").alias("__bits"))
-    return (
-        sparse.groupBy()
-        .agg(F.map_from_arrays(F.collect_list("__w"), F.collect_list("__bits")).alias("__wm"))
-        .select(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_words - 1)),
-                lambda i: F.coalesce(F.element_at("__wm", i), F.lit(0).cast("long")),
-            ).alias("bloom_bits")
-        )
+    # a (0, 0) seed row ORs away harmlessly but guarantees the build
+    # emits exactly one row even over an empty member set
+    seed = df.sparkSession.createDataFrame([(0, 0)], "__w int, __m long")
+    sparse = words.unionByName(seed).groupBy("__w").agg(F.bit_or("__m").alias("__bits"))
+
+    def densify(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        arr = np.zeros(n_words, dtype=np.int64)
+        arr[pdf["__w"].to_numpy()] = pdf["__bits"].to_numpy()
+        return pd.DataFrame({"bloom_bits": [arr.tolist()]})
+
+    return sparse.groupBy(F.lit(1).alias("__g")).applyInPandas(
+        densify, "bloom_bits array<bigint>"
     )
 
 

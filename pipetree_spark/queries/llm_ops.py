@@ -1201,15 +1201,18 @@ def q_text_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a Bloom filter has no false negatives and survivors are verified
     exactly — same oracle as q_text_decontam by construction).
 
-    Why it exists: at 100 TB the corpus side explodes to ~10^12
-    shingles. q_text_decontam probes every one of them through the
-    broadcast-join hash relation; this twin drops non-members with a
-    5-probe bitmap test BEFORE the join operator, so the join's probe
-    stream shrinks by the bloom's selectivity (only true/false-positive
-    members remain) and the per-doc aggregation that follows shuffles
-    candidates only. The corpus still never shuffles in either twin —
-    the win is join-probe volume and the agg input, which is what
-    dominates when contamination is rare (the normal case).
+    The honest regime (measured, SCALING.md r9): while the eval set
+    fits Spark's broadcast threshold, the exact twin's broadcast semi
+    join is ALREADY a perfect map-side prefilter — at sf0.1 this twin
+    is ~1.2× slower (5 extra xxhash64 per shingle buys nothing). The
+    bitmap wins when the member set OUTGROWS broadcast-as-hash-relation
+    while its bitmap still ships (10⁸ grams ≈ GBs of join relation vs
+    ~100 MB of bits): against a 4M-key non-broadcastable member set and
+    20M probes, prefilter+verify measured 2.6× faster end-to-end than
+    the shuffle semi join (prefilter alone 16×, pass-rate 0.6% vs 0.5%
+    true members — FP 0.12%, matching the sizing formula). This query
+    certifies the machinery at driver scale; ops/bloom.py documents the
+    sizing rule for the regime that needs it.
     """
     from pipetree_spark.ops import bloom as BL
 

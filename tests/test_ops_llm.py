@@ -1818,3 +1818,16 @@ def test_quantile_hist_accuracy_and_degenerate_edges(spark, sf_small):
         .collect()
     )
     assert [r.bucket for r in got] == [0]
+
+
+def test_bloom_build_empty_member_set_rejects_everything(spark):
+    """The numpy-densify path must still emit exactly one row over an
+    empty member set (all-zero bitmap → every probe rejected)."""
+    from pipetree_spark.ops import bloom as BL
+
+    empty = spark.range(0).select(F.col("id").cast("string").alias("g"))
+    bm = BL.bloom_build(empty, "g", num_bits=1024, num_hashes=3)
+    rows = bm.collect()
+    assert len(rows) == 1 and all(x == 0 for x in rows[0].bloom_bits)
+    probes = spark.range(0, 50).select(F.col("id").cast("string").alias("g"))
+    assert BL.bloom_prefilter(probes, "g", bm, num_bits=1024, num_hashes=3).count() == 0
