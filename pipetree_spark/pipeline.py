@@ -278,6 +278,9 @@ def _values_fn(columns: list[str], rows: list[list]) -> StageFn:
 #: be deterministic and kwargs-JSON-able for the content key to be
 #: sound, and its frame arity is pinned here so a spec can't mis-wire.
 def _op_registry() -> dict[str, tuple[Callable, int]]:
+    from pipetree_spark.ops import bloom as BL
+    from pipetree_spark.ops import graph as GX
+    from pipetree_spark.ops import sketch as SK
     from pipetree_spark.ops import text as TX
     from pipetree_spark.ops import vector as VX
 
@@ -305,6 +308,17 @@ def _op_registry() -> dict[str, tuple[Callable, int]]:
         "ivf_ann_portable": (VX.ivf_ann_portable, 2),
         "pq_ivf_ann": (VX.pq_ivf_ann_portable, 2),
         "ivfpq_residual_ann": (VX.ivfpq_residual_ann_portable, 2),
+        # r9: graph analytics and bounded-state summaries as stages
+        "connected_components": (GX.connected_components, 1),
+        "pagerank_exact": (GX.pagerank_exact, 1),
+        "hll_registers": (SK.hll_registers, 1),
+        "hll_registers_by": (SK.hll_registers_by, 1),
+        "bloom_build": (BL.bloom_build, 1),
+        # bloom_prefilter(df, col=..., bloom) — inputs (df, bloom_frame)
+        "bloom_prefilter": (
+            lambda df, bloom, **kw: BL.bloom_prefilter(df, bloom=bloom, **kw),
+            2,
+        ),
     }
 
 

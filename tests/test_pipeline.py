@@ -678,3 +678,68 @@ def test_semantic_dedup_ann_is_json_declarable(spark, sf_small):
         for r in load_registry()["q_dedup_semantic_ann"].fn(spark, sf_small).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_r9_ops_are_json_declarable(spark, sf_small):
+    """The r9 surface routes through the JSON ``op`` stage like every
+    other library operator: a bloom_build → bloom_prefilter chain (two
+    frames) must keep exactly the member rows (zero FP at this size is
+    not guaranteed, so verify by semi join), and a pagerank stage over
+    a sql-derived edge list must match the declared query's engine."""
+    spec = {
+        "stages": {
+            "documents": {"type": "source", "table": "documents"},
+            "members": {
+                "type": "sql",
+                "inputs": ["documents"],
+                "query": "SELECT DISTINCT lang AS g FROM documents",
+            },
+            "probes": {
+                "type": "sql",
+                "inputs": ["documents"],
+                "query": "SELECT DISTINCT source AS g FROM documents "
+                       "UNION SELECT DISTINCT lang FROM documents",
+            },
+            "bitmap": {
+                "type": "op",
+                "op": "bloom_build",
+                "inputs": ["members"],
+                "args": {"col": "g", "num_bits": 1024, "num_hashes": 3},
+            },
+            "kept": {
+                "type": "op",
+                "op": "bloom_prefilter",
+                "inputs": ["probes", "bitmap"],
+                "args": {"col": "g", "num_bits": 1024, "num_hashes": 3},
+            },
+        }
+    }
+    p = Pipeline.from_spec(spec, sf_dir=sf_small)
+    out = p.run(spark)
+    kept = {r.g for r in out["kept"].collect()}
+    members = {r.g for r in out["members"].collect()}
+    assert members <= kept  # no false negatives, ever
+
+    pr_spec = {
+        "stages": {
+            "orders": {"type": "source", "table": "orders"},
+            "lineitem": {"type": "source", "table": "lineitem"},
+            "edges": {
+                "type": "sql",
+                "inputs": ["orders", "lineitem"],
+                "query": "SELECT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst "
+                       "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey",
+            },
+            "rank": {
+                "type": "op",
+                "op": "pagerank_exact",
+                "inputs": ["edges"],
+                "args": {"iters": 3},
+            },
+        }
+    }
+    from pipetree_spark.queries import load_registry
+
+    got = {(r.node, r.rank) for r in Pipeline.from_spec(pr_spec, sf_dir=sf_small).run(spark)["rank"].collect()}
+    want = {(r.node, r.rank) for r in load_registry()["q_graph_pagerank"].fn(spark, sf_small).collect()}
+    assert got == want and len(got) > 0
