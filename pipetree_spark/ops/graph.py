@@ -164,11 +164,20 @@ def pagerank_exact(
     localCheckpoint per round to cut lineage. O(iters) rounds, no
     driver-side data beyond the node count. Returns (node, rank).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # checkpoint the deduped edge list FIRST: nodes, degrees, the
+    # partitioned edge frame, and the dangling set all derive from it,
+    # and without the cut each would re-run the caller's (possibly
+    # fact-join-sized) edge derivation from scratch
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n_total = nodes.count()
     if n_total == 0:
