@@ -217,3 +217,69 @@ def pagerank_exact(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact per-node triangle counts over an undirected edge list —
+    the degree-ordered-orientation algorithm (Cohen's MapReduce
+    triangle counting / the "compact-forward" order).
+
+    Returns ``(node, tri_cnt)`` for every node in ≥ 1 triangle, where
+    ``tri_cnt`` is the number of distinct triangles containing the node.
+
+    Why orientation matters at 100 TB: counting by joining wedges from
+    RAW adjacency enumerates Σ deg(v)² wedges — a single celebrity node
+    with 10⁸ neighbors contributes 10¹⁶ candidates. Orienting every
+    edge from its lower-(degree, id) endpoint to the higher one turns
+    the graph into a DAG whose max out-degree is O(√m), bounding total
+    wedges at O(m^1.5) REGARDLESS of skew — the hot node's edges all
+    point INTO it and produce no wedges of their own. Measured on the
+    co-purchase graph: wedges grow 10.6× for 10.4× edges (SCALING.md).
+
+    Plan shape: 3 equi-joins + 2 groupBys, all shuffles keyed on node
+    ids; no theta join, no cross join, no driver data. The oriented
+    edge list is localCheckpoint'd once since the wedge self-join and
+    the closing-edge probe both reuse it.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    # orient u→v when (deg, id) of u < (deg, id) of v; ties on degree
+    # break by id, and ids are distinct, so the order is total
+    du, dv = F.col("du"), F.col("dv")
+    u_first = (du < dv) | ((du == dv) & (F.col("u") < F.col("v")))
+    oriented = (
+        e.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(u_first, dv).otherwise(du).alias("dt"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    o1 = oriented.select(F.col("s"), F.col("t").alias("b"), F.col("dt").alias("db"))
+    o2 = oriented.select(F.col("s"), F.col("t").alias("c"), F.col("dt").alias("dc"))
+    wedges = o1.join(o2, "s").where(
+        (F.col("db") < F.col("dc")) | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    tri = wedges.select(F.col("s").alias("a"), "b", "c").join(closing, ["b", "c"])
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count("*").alias("tri_cnt"))

@@ -1831,3 +1831,31 @@ def test_bloom_build_empty_member_set_rejects_everything(spark):
     assert len(rows) == 1 and all(x == 0 for x in rows[0].bloom_bits)
     probes = spark.range(0, 50).select(F.col("id").cast("string").alias("g"))
     assert BL.bloom_prefilter(probes, "g", bm, num_bits=1024, num_hashes=3).count() == 0
+
+
+def test_triangle_counts_hand_graph_and_orientation_invariance(spark):
+    """ops/graph.triangle_counts on graphs with known answers: K4 (4
+    triangles, every node in 3), a square with one diagonal (2
+    triangles; diagonal endpoints in both), a triangle-free star and a
+    pendant edge (absent from the output). Input direction, duplicate
+    edges, and self-loops must not change the counts — the op
+    canonicalizes to an undirected simple graph first."""
+    from pipetree_spark.ops.graph import triangle_counts
+
+    # K4 on {1,2,3,4}; square 10-11-12-13 with diagonal 10-12;
+    # star center 20 with leaves 21-23 (triangle-free); pendant 30-31
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    sq = [(10, 11), (11, 12), (12, 13), (13, 10), (10, 12)]
+    star = [(20, 21), (20, 22), (20, 23)]
+    base = k4 + sq + star + [(30, 31)]
+    # adversarial encoding: reversed directions, dups, self-loop
+    noisy = base + [(b, a) for a, b in base] + [(2, 1), (7, 7), (20, 20)]
+    got = {r.node: r.tri_cnt for r in triangle_counts(
+        spark.createDataFrame(noisy, "src long, dst long")).collect()}
+    expect = {1: 3, 2: 3, 3: 3, 4: 3, 10: 2, 11: 1, 12: 2, 13: 1}
+    assert got == expect
+    # total triangles = sum(corner counts) / 3
+    assert sum(got.values()) % 3 == 0 and sum(got.values()) // 3 == 6
+
+    empty = triangle_counts(spark.createDataFrame([], "src long, dst long"))
+    assert empty.count() == 0 and empty.columns == ["node", "tri_cnt"]

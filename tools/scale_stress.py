@@ -82,6 +82,7 @@ QUERIES = [
     "q_agg_incremental",   # r9: partial-merge MV maintenance (merge is |groups|-sized)
     "q_graph_pagerank",    # r9: integer PageRank, one |edges| shuffle per iteration
     "q_agg_hll",           # r9: 64-register HLL — map-side combine, must be ~flat
+    "q_graph_triangles",   # r9: degree-oriented wedge join — wedges must stay ~linear
 ]
 
 
