@@ -108,3 +108,48 @@ def salted(df: DataFrame, col: str, buckets: int, salt_col: str = "__salt") -> D
     ``groupBy(key, salt)`` partial → ``groupBy(key)`` final. AQE fixes
     join skew but not agg skew (SURVEY §4.3) — this is the agg-side tool."""
     return df.withColumn(salt_col, F.pmod(F.xxhash64(F.col(col)), F.lit(buckets)))
+
+
+def binned_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    delta: int,
+    bucket_col: str = "__bucket",
+) -> DataFrame:
+    """KEYLESS bounded-interval join: all (l, r) pairs with
+    ``|l.left_ts - r.right_ts| <= delta`` (timestamps as non-negative
+    integers, e.g. epoch seconds), rewritten as an EQUI-join.
+
+    Why: Spark plans a keyless range predicate as
+    BroadcastNestedLoopJoin — O(|L|·|R|) comparisons and a broadcast of
+    a whole side; at 100 TB that plan is dead on arrival. Bucketing
+    both sides by ``floor(ts / delta)`` and replicating the RIGHT side
+    into its own bucket ±1 turns the predicate into a bucket equi-join
+    (shuffle-hash, AQE-balanceable) followed by the exact |Δ| filter.
+    Every true pair's bucket distance is ≤ 1, so the 3× replication
+    loses nothing, and each pair meets in exactly ONE bucket (the
+    left row's), so no dedup pass is needed. Cost: 3× |R| shuffle
+    rows instead of |L|·|R| comparisons; candidate pairs are bounded
+    by the per-bucket event rate, not corpus size.
+
+    Columns must be disjoint between the two frames (raises otherwise);
+    the bucket column is internal and dropped.
+    """
+    clash = set(left.columns) & set(right.columns)
+    if clash:
+        raise ValueError(f"left/right column collision: {sorted(clash)}")
+    if delta <= 0:
+        raise ValueError(f"delta must be positive, got {delta}")
+    # ts div delta == floor for the non-negative epoch range; integer
+    # div avoids float rounding at ns magnitudes entirely
+    lb = left.withColumn(bucket_col, F.expr(f"{left_ts} div {delta}"))
+    rb = right.withColumn("__rb", F.expr(f"{right_ts} div {delta}"))
+    rb = rb.withColumn("__shift", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+    rb = rb.withColumn(bucket_col, F.col("__rb") + F.col("__shift")).drop("__rb", "__shift")
+    return (
+        lb.join(rb, bucket_col)
+        .where(F.abs(F.col(left_ts) - F.col(right_ts)) <= delta)
+        .drop(bucket_col)
+    )

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from pipetree_spark.catalog import load_table, table_path
 from pipetree_spark.exact import dsum, dsum_sql, exact_sums, lsum
-from pipetree_spark.ops.relational import range_join
+from pipetree_spark.ops.relational import binned_interval_join, range_join
 from pipetree_spark.queries import declare
 
 
@@ -487,4 +487,67 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_orders"), lsum("o_totalprice").alias("sum_price")
+    )
+
+
+@declare(
+    "q_join_range_binned",
+    oracle="""
+WITH err AS (SELECT event_id, epoch_ns(ts) // 1000000000 AS et
+             FROM events WHERE event_type = 'error'),
+oth AS (SELECT epoch_ns(ts) // 1000000000 AS ot, event_type AS otype
+        FROM events WHERE event_type <> 'error'),
+p AS (SELECT e.event_id, o.otype
+      FROM err e JOIN oth o ON o.ot BETWEEN e.et - 300 AND e.et + 300),
+agg AS (SELECT event_id,
+               COUNT(*) FILTER (otype = 'click')    AS n_click,
+               COUNT(*) FILTER (otype = 'view')     AS n_view,
+               COUNT(*) FILTER (otype = 'purchase') AS n_purchase,
+               COUNT(*) FILTER (otype = 'signup')   AS n_signup
+        FROM p GROUP BY event_id)
+SELECT e.event_id,
+       COALESCE(a.n_click, 0)    AS n_click,
+       COALESCE(a.n_view, 0)     AS n_view,
+       COALESCE(a.n_purchase, 0) AS n_purchase,
+       COALESCE(a.n_signup, 0)   AS n_signup
+FROM err e LEFT JOIN agg a ON e.event_id = a.event_id
+""",
+    tags=("join", "events"),
+)
+def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS interval join via the bucket rewrite
+    (ops.relational.binned_interval_join): for every error event, how
+    many click/view/purchase/signup events happened anywhere on the
+    platform within ±300 s — the root-cause correlation window, with
+    NO shared key between the sides.
+
+    The naive plan for this predicate is BroadcastNestedLoopJoin
+    (|L|·|R| comparisons — the oracle's DuckDB IEJoin hides the same
+    cost class behind a sort); the rewrite buckets both sides by
+    floor(ts/Δ), replicates the right side ×3, and equi-joins on the
+    bucket — shuffle-keyed, AQE-balanceable, candidate count bounded
+    by event rate per Δ-window, not corpus size. Errors with an empty
+    window still appear (count 0) via the left join back to the error
+    side.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error").select(
+        "event_id", F.col("ts_sec").alias("et")
+    )
+    oth = ev.where(F.col("event_type") != "error").select(
+        F.col("ts_sec").alias("ot"), F.col("event_type").alias("otype")
+    )
+    pairs = binned_interval_join(err, oth, "et", "ot", delta=300)
+    agg = pairs.groupBy("event_id").agg(
+        F.count_if(F.col("otype") == "click").alias("n_click"),
+        F.count_if(F.col("otype") == "view").alias("n_view"),
+        F.count_if(F.col("otype") == "purchase").alias("n_purchase"),
+        F.count_if(F.col("otype") == "signup").alias("n_signup"),
+    )
+    return err.select("event_id").join(agg, "event_id", "left").select(
+        "event_id",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).alias(c)
+            for c in ("n_click", "n_view", "n_purchase", "n_signup")
+        ],
     )

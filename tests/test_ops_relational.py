@@ -142,3 +142,42 @@ def test_countmin_never_undercounts_and_is_exact_without_collisions(spark, sf_sm
     for r in rows:
         assert r.overcount >= 0, r
         assert r.est == r.exact_cnt + r.overcount
+
+
+def test_binned_interval_join_equals_theta_join(spark):
+    """ops/relational.binned_interval_join must return EXACTLY the
+    theta-join pair set (boundary |Δ| = delta inclusive, bucket-edge
+    pairs included via the ±1 replication, no duplicate pairs from the
+    3× replication), and reject column collisions / non-positive
+    delta."""
+    import random
+
+    import pytest
+
+    from pipetree_spark.ops.relational import binned_interval_join
+
+    rng = random.Random(7)
+    left = [(i, rng.randrange(0, 1000)) for i in range(80)]
+    right = [(1000 + j, rng.randrange(0, 1000)) for j in range(120)]
+    # force boundary cases: exact-delta gap and same-bucket-edge pairs
+    left += [(900, 100), (901, 199)]
+    right += [(1900, 130), (1901, 229)]
+    delta = 30
+    l = spark.createDataFrame(left, "lid long, lt long")
+    r = spark.createDataFrame(right, "rid long, rt long")
+    got = sorted(
+        (row.lid, row.rid)
+        for row in binned_interval_join(l, r, "lt", "rt", delta).collect()
+    )
+    expect = sorted(
+        (lid, rid)
+        for lid, lt in left
+        for rid, rt in right
+        if abs(lt - rt) <= delta
+    )
+    assert got == expect and len(got) == len(set(got))
+
+    with pytest.raises(ValueError, match="collision"):
+        binned_interval_join(l, l, "lt", "lt", delta)
+    with pytest.raises(ValueError, match="positive"):
+        binned_interval_join(l, r, "lt", "rt", 0)

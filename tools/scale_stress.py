@@ -83,6 +83,7 @@ QUERIES = [
     "q_graph_pagerank",    # r9: integer PageRank, one |edges| shuffle per iteration
     "q_agg_hll",           # r9: 64-register HLL — map-side combine, must be ~flat
     "q_graph_triangles",   # r9: degree-oriented wedge join — wedges must stay ~linear
+    "q_join_range_binned", # r9: keyless interval join via bucket equi-rewrite
 ]
 
 
