@@ -976,7 +976,7 @@ summary AS (
   FROM dense
 ),
 ex AS (SELECT COUNT(DISTINCT l_partkey) AS exact_distinct FROM lineitem)
-SELECT {m} AS m, n_zeros, registers, sum_scaled,
+SELECT {m} AS m, n_zeros, array_to_string(registers, ',') AS registers, sum_scaled,
        CASE WHEN ({alpha_m2} / (sum_scaled / {float(two62)!r})) <= {2.5 * m}
                  AND n_zeros > 0
             THEN round({float(m)!r} * ln({float(m)!r} / n_zeros), 2)
@@ -1018,7 +1018,11 @@ def q_agg_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary.crossJoin(F.broadcast(ex)).select(
         F.lit(m).alias("m"),
         "n_zeros",
-        "registers",
+        # serialize at the query edge: the driver's pandas sort+hash
+        # can't take raw arrays (tests/test_oracle_parity.py pins this)
+        F.array_join(
+            F.expr("transform(registers, x -> CAST(x AS STRING))"), ","
+        ).alias("registers"),
         "sum_scaled",
         "est_hll",
         "exact_distinct",
