@@ -153,3 +153,40 @@ def binned_interval_join(
         .where(F.abs(F.col(left_ts) - F.col(right_ts)) <= delta)
         .drop(bucket_col)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    hash_col: str,
+) -> DataFrame:
+    """CDC-style diff of two snapshots sharing a primary key: returns
+    ``(keys..., status)`` for every key whose row was ``added``,
+    ``removed``, or ``changed`` (content compared via the caller's
+    precomputed ``hash_col``). Unchanged keys are NOT emitted — at
+    100 TB the delta is the product; materializing the unchanged 99%
+    would make the diff as big as the table.
+
+    Plan: each side reduces to (keys, hash) — column-pruned at the
+    scan — then ONE full-outer shuffle join on the key. No sorting,
+    no row-wide comparison network; the content hash stands in for
+    the row. Works unchanged as the verify step after a backfill,
+    a format migration, or an engine swap (pair with
+    ops.sketch.table_fingerprint for the cheap no-join pre-check:
+    fingerprints differ → run the diff to localize).
+    """
+    keys = list(keys)
+    o = old.select(*keys, F.col(hash_col).alias("__ho"))
+    n = new.select(*keys, F.col(hash_col).alias("__hn"))
+    j = o.join(n, keys, "full_outer")
+    status = (
+        F.when(F.col("__ho").isNull(), F.lit("added"))
+        .when(F.col("__hn").isNull(), F.lit("removed"))
+        .when(F.col("__ho") != F.col("__hn"), F.lit("changed"))
+    )
+    return (
+        j.withColumn("status", status)
+        .where(F.col("status").isNotNull())
+        .select(*keys, "status")
+    )

@@ -129,3 +129,58 @@ def hll_registers_by(
             ).alias("registers"),
         )
     )
+
+
+#: Mersenne prime 2^61-1: the fingerprint modulus. Row-hash sums are
+#: taken exactly in DECIMAL(38,0) (10^12 rows × 2^60 ≈ 2^100 < 10^38,
+#: no overflow at any realistic scale), then reduced mod p so the
+#: emitted fingerprint is a plain BIGINT in every engine.
+FP_MOD = (1 << 61) - 1
+
+#: Per-column NULL sentinel — concat_ws silently DROPS nulls, which
+#: would alias (NULL,'a') with ('a',NULL); coalescing each column to a
+#: control character that can't appear in real data keeps arity fixed.
+_NULL_SENTINEL = "\x01"
+
+
+def table_fingerprint(
+    df: DataFrame, cols: list[str], group_cols: list[str] | None = None
+) -> DataFrame:
+    """Order-independent content fingerprint: one row per group with
+    ``(group_cols..., n_rows, fp)`` where ``fp`` is the exact sum of
+    60-bit md5 row hashes mod 2^61-1.
+
+    The 100 TB table-equality tool: two tables (or a table and its
+    replica/migration/backfill) are content-equal per group w.h.p. iff
+    their (n_rows, fp) pairs match — no sort, no full-row shuffle,
+    just one map-side-combined aggregate over the scan. The sum is
+    COMMUTATIVE and MERGEABLE: fingerprints of partitions, days, or
+    shards add (mod p) into the whole-table fingerprint, so a nightly
+    incremental pipeline fingerprints only the new partition and folds
+    it in.
+
+    Callers pick ``cols`` with engine-stable string casts (ints,
+    strings, pre-formatted dates — NOT raw doubles, whose shortest-
+    repr stringification is engine-specific). Each column is NULL-
+    coalesced to a sentinel so NULL layouts can't alias.
+    """
+    group_cols = list(group_cols or [])
+    parts = ", ".join(
+        f"coalesce(CAST({c} AS STRING), '{_NULL_SENTINEL}')" for c in cols
+    )
+    h = F.expr(
+        f"CAST(conv(substring(md5(concat_ws('\x1f', {parts})), 1, 15), 16, 10) AS BIGINT)"
+    )
+    agg = (
+        df.select(*group_cols, h.alias("__h"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("__h").cast("decimal(38,0)")).alias("__s"),
+        )
+    )
+    return agg.select(
+        *group_cols,
+        "n_rows",
+        F.expr(f"CAST(__s % {FP_MOD} AS BIGINT)").alias("fp"),
+    )

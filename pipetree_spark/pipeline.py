@@ -280,6 +280,7 @@ def _values_fn(columns: list[str], rows: list[list]) -> StageFn:
 def _op_registry() -> dict[str, tuple[Callable, int]]:
     from pipetree_spark.ops import bloom as BL
     from pipetree_spark.ops import graph as GX
+    from pipetree_spark.ops import relational as RL
     from pipetree_spark.ops import sketch as SK
     from pipetree_spark.ops import text as TX
     from pipetree_spark.ops import vector as VX
@@ -320,6 +321,9 @@ def _op_registry() -> dict[str, tuple[Callable, int]]:
             lambda df, bloom, **kw: BL.bloom_prefilter(df, bloom=bloom, **kw),
             2,
         ),
+        # validation primitives (r9): fingerprint(df), diff(old, new)
+        "table_fingerprint": (SK.table_fingerprint, 1),
+        "snapshot_diff": (RL.snapshot_diff, 2),
     }
 
 

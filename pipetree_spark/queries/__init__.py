@@ -152,6 +152,7 @@ def load_registry() -> dict[str, DeclaredQuery]:
         timeseries,
         tpch,
         udfs,
+        validation,
         windows,
     )
 

@@ -181,3 +181,52 @@ def test_binned_interval_join_equals_theta_join(spark):
         binned_interval_join(l, l, "lt", "lt", delta)
     with pytest.raises(ValueError, match="positive"):
         binned_interval_join(l, r, "lt", "rt", 0)
+
+
+def test_table_fingerprint_invariance_sensitivity_and_merge_law(spark):
+    """ops/sketch.table_fingerprint: invariant under row order and
+    partitioning; any single-row change moves it; group fingerprints
+    fold into the global one by modular addition (the incremental
+    check's algebra); NULL layouts don't alias."""
+    from pipetree_spark.ops.sketch import FP_MOD, table_fingerprint
+
+    rows = [(i, f"v{i}", "a" if i % 2 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, s string, g string")
+    base = table_fingerprint(df, ["id", "s"], ["g"]).collect()
+    fp = {r.g: (r.n_rows, r.fp) for r in base}
+
+    shuffled = spark.createDataFrame(rows[::-1], "id long, s string, g string").repartition(7)
+    fp2 = {r.g: (r.n_rows, r.fp) for r in table_fingerprint(shuffled, ["id", "s"], ["g"]).collect()}
+    assert fp == fp2
+
+    mutated = [(i, "MUTANT" if i == 137 else f"v{i}", "a" if i % 2 else "b") for i in range(200)]
+    fp3 = {r.g: (r.n_rows, r.fp) for r in table_fingerprint(
+        spark.createDataFrame(mutated, "id long, s string, g string"), ["id", "s"], ["g"]).collect()}
+    assert fp3["a"] != fp["a"] and fp3["b"] == fp["b"]
+
+    # merge law: global fp == sum of group fps (mod p), counts add
+    g = table_fingerprint(df, ["id", "s"]).collect()[0]
+    assert g.n_rows == sum(n for n, _ in fp.values())
+    assert g.fp == sum(f for _, f in fp.values()) % FP_MOD
+
+    # NULL vs empty-string vs shifted-NULL layouts all distinct
+    n1 = spark.createDataFrame([(None, "a")], "x string, y string")
+    n2 = spark.createDataFrame([("", "a")], "x string, y string")
+    n3 = spark.createDataFrame([("a", None)], "x string, y string")
+    fps = {table_fingerprint(d, ["x", "y"]).collect()[0].fp for d in (n1, n2, n3)}
+    assert len(fps) == 3
+
+
+def test_snapshot_diff_classifies_and_skips_unchanged(spark):
+    """ops/relational.snapshot_diff on hand snapshots: added/removed/
+    changed classified by hash, unchanged keys absent from the output."""
+    from pipetree_spark.ops.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "h1"), (2, "h2"), (3, "h3")], "k long, rh string"
+    )
+    new = spark.createDataFrame(
+        [(2, "h2"), (3, "h3x"), (4, "h4")], "k long, rh string"
+    )
+    got = {(r.k, r.status) for r in snapshot_diff(old, new, ["k"], "rh").collect()}
+    assert got == {(1, "removed"), (3, "changed"), (4, "added")}
