@@ -481,3 +481,71 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z",
         )
     )
+
+
+@declare(
+    "q_ts_ohlc",
+    oracle="""
+WITH e AS (
+  SELECT event_type,
+         epoch_ns(ts) // 1000000000 // 86400 AS day,
+         epoch_ns(ts) AS tns, event_id, value
+  FROM events),
+r AS (
+  SELECT event_type, day, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day ORDER BY tns, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day ORDER BY tns DESC, event_id DESC) AS rn_d
+  FROM e)
+SELECT event_type, day,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS volume
+FROM r GROUP BY event_type, day
+""",
+    tags=("timeseries", "window"),
+)
+def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar downsampling: per (event_type, day) the opening /
+    highest / lowest / closing ``value`` and the tick count — the
+    canonical time-series rollup that turns a raw tick stream into
+    fixed-period bars.
+
+    Determinism: bars order ticks by EXACT int64 nanoseconds (ts_ns —
+    second-truncated ordering would make open/close depend on shuffle
+    order within a second) with event_id as the total-order tie-break;
+    open/high/low/close are raw stored doubles passed through
+    untouched, so the driver hash is bit-safe with no rounding policy.
+
+    Scale shape: one shuffle on (event_type, day) shared by both
+    window passes and the aggregate; day keys partition evenly by
+    construction (time advances), and downstream consumers read
+    |types|·|days| bars instead of the tick firehose — the rollup IS
+    the data-reduction step at 100 TB.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts_sec div 86400").alias("day"),
+        "ts_ns",
+        "event_id",
+        "value",
+    )
+    w_a = Window.partitionBy("event_type", "day").orderBy("ts_ns", "event_id")
+    w_d = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts_ns").desc(), F.col("event_id").desc()
+    )
+    r = e.select(
+        "event_type",
+        "day",
+        "value",
+        F.row_number().over(w_a).alias("rn_a"),
+        F.row_number().over(w_d).alias("rn_d"),
+    )
+    return r.groupBy("event_type", "day").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("volume"),
+    )

@@ -84,6 +84,9 @@ QUERIES = [
     "q_agg_hll",           # r9: 64-register HLL — map-side combine, must be ~flat
     "q_graph_triangles",   # r9: degree-oriented wedge join — wedges must stay ~linear
     "q_join_range_binned", # r9: keyless interval join via bucket equi-rewrite
+    "q_table_fingerprint", # r9: one map-combined hash-sum pass — must scale with the scan
+    "q_table_diff",        # r9: (key, hash) full-outer diff — one shuffle join
+    "q_ts_ohlc",           # r9: shared-exchange double window + agg on (type, day)
 ]
 
 
