@@ -190,3 +190,30 @@ def snapshot_diff(
         .where(F.col("status").isNotNull())
         .select(*keys, "status")
     )
+
+
+def zorder_key(x: Column | str, y: Column | str, bits: int = 16) -> Column:
+    """Morton (Z-order) key: interleave the low ``bits`` bits of two
+    non-negative integer columns — x on even positions, y on odd.
+
+    Pure BIGINT shift/mask arithmetic (no UDF, no float), so the key
+    is bit-identical in every engine and stays inside whole-stage
+    codegen. Range-partitioning or sorting a table by this key gives
+    MULTI-dimensional locality: each file/row-group then spans a tight
+    min-max box in BOTH source columns, so parquet min-max stats (and
+    partition pruning on a z-bucket column) skip data for predicates
+    on EITHER dimension — one layout serving two filter columns, the
+    Delta/Iceberg OPTIMIZE ZORDER trick. Inputs must already be
+    bounded to ``bits`` (callers bucket/clamp first); values outside
+    the range would silently alias, so size ``bits`` to the domain.
+    """
+    cx = F.col(x) if isinstance(x, str) else x
+    cy = F.col(y) if isinstance(y, str) else y
+    terms = []
+    for k in range(bits):
+        terms.append(F.shiftleft(F.shiftright(cx, k).bitwiseAND(F.lit(1)), 2 * k))
+        terms.append(F.shiftleft(F.shiftright(cy, k).bitwiseAND(F.lit(1)), 2 * k + 1))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("long")

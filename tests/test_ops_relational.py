@@ -230,3 +230,35 @@ def test_snapshot_diff_classifies_and_skips_unchanged(spark):
     )
     got = {(r.k, r.status) for r in snapshot_diff(old, new, ["k"], "rh").collect()}
     assert got == {(1, "removed"), (3, "changed"), (4, "added")}
+
+
+def test_zorder_key_interleave_and_locality(spark):
+    """ops/relational.zorder_key: exact Morton interleave on a full
+    32×32 grid, and the locality contract — 16 consecutive z codes
+    form a 4×4 tile (span ≤ 3 in BOTH dims), where a 1-D sort leaves
+    the untracked dimension spanning 15. This is the property that
+    makes min-max stats prune on either filter column."""
+    from pipetree_spark.ops.relational import zorder_key
+
+    pts = [(n, b) for n in range(32) for b in range(32)]
+    df = spark.createDataFrame(pts, "n long, b long").select(
+        "n", "b", zorder_key("n", "b", bits=5).alias("z")
+    )
+    got = sorted((r.z, r.n, r.b) for r in df.collect())
+
+    def ref_z(n, b):
+        out = 0
+        for k in range(5):
+            out |= ((n >> k) & 1) << (2 * k)
+            out |= ((b >> k) & 1) << (2 * k + 1)
+        return out
+
+    assert [(z, n, b) for z, n, b in got] == sorted(
+        (ref_z(n, b), n, b) for n, b in pts
+    )
+    # z codes over the full grid are a permutation of 0..1023
+    assert [z for z, _, _ in got] == list(range(1024))
+    for i in range(0, 1024, 16):
+        chunk = got[i : i + 16]
+        assert max(n for _, n, _ in chunk) - min(n for _, n, _ in chunk) <= 3
+        assert max(b for _, _, b in chunk) - min(b for _, _, b in chunk) <= 3
