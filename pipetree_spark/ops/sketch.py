@@ -184,3 +184,48 @@ def table_fingerprint(
         "n_rows",
         F.expr(f"CAST(__s % {FP_MOD} AS BIGINT)").alias("fp"),
     )
+
+
+def kmv_hash(col: str) -> Column:
+    """The portable 60-bit md5 hash (same base hash as the HLL/CMS/
+    Bloom family) as a BIGINT column — the KMV sketch's sample space."""
+    return F.expr(
+        f"CAST(conv(substring(md5(CAST({col} AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    )
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """K-minimum-values distinct sketch: the ≤k SMALLEST distinct
+    60-bit hashes of ``df[col]``, as a k-row ``(h: bigint)`` frame.
+
+    Why KMV next to HLL: registers only UNION (element-wise MAX), but
+    KMV sketches INTERSECT — the shared k-min sample under one hash
+    function is an unbiased Jaccard sample, so distinct-count
+    estimates for A∩B (audience overlap, cross-day retention, join
+    selectivity) come from two k-row frames instead of a full key
+    shuffle. Fully deterministic given the hash: "k smallest" is a
+    canonical set, so sketches are oracle-certifiable bit-for-bit.
+
+    Plan: map-side hash projection → distinct (the only shuffle,
+    bounded by distinct count) → TakeOrderedAndProject (per-partition
+    k-heaps, k-row driver merge — no global sort).
+    """
+    return df.select(kmv_hash(col).alias("h")).distinct().orderBy("h").limit(k)
+
+
+def kmv_union(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """The KMV composition law: the k smallest of the merged distinct
+    hash sets IS the sketch of the union (k-row work)."""
+    return a.unionByName(b).distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate(k: int) -> Column:
+    """Cardinality estimate from a sketch's ``(cnt, hk)`` aggregate
+    row: unsaturated sketches (cnt < k) hold EVERY distinct hash, so
+    the count is exact; saturated ones use the order-statistic
+    estimator (k-1) · 2^60 / h_k. Identical literals and op order on
+    both engines; 2-dp rounding absorbs nothing here — the division
+    is one correctly-rounded IEEE op on identical longs."""
+    return F.when(F.col("cnt") < k, F.col("cnt").cast("double")).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(float(1 << 60)) / F.col("hk"), 2)
+    )

@@ -1215,3 +1215,124 @@ def q_agg_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return est
+
+
+def _kmv_sql(k: int = 256) -> str:
+    """DuckDB twin of q_agg_kmv_setops: identical 60-bit hash, k-min
+    order statistics, and estimator op order (saturated → (k-1)·2^60 /
+    h_k as one double multiply + divide on identical longs)."""
+    est_scale = f"{float(k - 1)!r} * {float(1 << 60)!r}"
+    case = f"CASE WHEN cnt < {k} THEN CAST(cnt AS DOUBLE) ELSE round({est_scale} / hk, 2) END"
+    return f"""
+WITH ha AS (SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+            FROM orders WHERE o_orderpriority = '1-URGENT'),
+hb AS (SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       FROM orders WHERE o_orderpriority = '5-LOW'),
+ka AS (SELECT h FROM ha ORDER BY h LIMIT {k}),
+kb AS (SELECT h FROM hb ORDER BY h LIMIT {k}),
+ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT {k}),
+ea AS (SELECT {case} AS est_a FROM (SELECT COUNT(*) AS cnt, MAX(h) AS hk FROM ka)),
+eb AS (SELECT {case} AS est_b FROM (SELECT COUNT(*) AS cnt, MAX(h) AS hk FROM kb)),
+eu AS (SELECT {case} AS est_union FROM (SELECT COUNT(*) AS cnt, MAX(h) AS hk FROM ku)),
+ic AS (SELECT COUNT(*) AS inter_cnt FROM ku
+       WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+ex AS (SELECT COUNT(DISTINCT o_custkey) FILTER (o_orderpriority = '1-URGENT') AS exact_a,
+              COUNT(DISTINCT o_custkey) FILTER (o_orderpriority = '5-LOW') AS exact_b,
+              COUNT(DISTINCT o_custkey) FILTER (o_orderpriority IN ('1-URGENT', '5-LOW')) AS exact_union
+       FROM orders),
+exi AS (SELECT COUNT(*) AS exact_inter FROM
+          (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') a
+          JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW') b USING (o_custkey))
+SELECT est_a, est_b, est_union,
+       round(inter_cnt * est_union / {k}, 2) AS est_inter,
+       exact_a, exact_b, exact_union, exact_inter
+FROM ea, eb, eu, ic, ex, exi
+"""
+
+
+@declare("q_agg_kmv_setops", oracle=_kmv_sql(), tags=("agg", "approx"))
+def q_agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values sketch SET OPERATIONS (ops.sketch.kmv_sketch):
+    distinct-customer estimates for urgent orders, low-priority
+    orders, their UNION, and their INTERSECTION — all from two 256-row
+    sketches — next to the exact answers the driver re-proves the
+    error against.
+
+    This closes the one gap in the sketch family: HLL registers only
+    union (MAX-merge), but audience-overlap / retention / join-
+    selectivity questions need A∩B. KMV's k smallest hashes under ONE
+    hash function are a shared uniform sample, so the union sketch's
+    hit-rate against both sides estimates Jaccard, and est_inter =
+    hits · est_union / k. Everything is deterministic: "k smallest
+    distinct hashes" is a canonical set (no RNG, no HLL++ opacity),
+    which is why the sketch itself — not just its envelope — is
+    oracle-certified bit-for-bit.
+
+    Scale shape: each sketch is distinct-on-hash (the only data-sized
+    shuffle, same cost class as the exact distinct it replaces ONCE —
+    then every later set-op question is k-row work) followed by
+    TakeOrderedAndProject (per-partition k-heaps, no global sort).
+    Sketch frames are broadcast-sized artifacts like the HLL register
+    and Bloom bitmap rows: persist them per day/segment and answer
+    overlap queries without touching raw data again.
+    """
+    from pipetree_spark.ops.sketch import kmv_estimate, kmv_sketch, kmv_union
+
+    k = 256
+    o = load_table(spark, sf_dir, "orders")
+    ua = o.where(F.col("o_orderpriority") == "1-URGENT")
+    ub = o.where(F.col("o_orderpriority") == "5-LOW")
+    ska = kmv_sketch(ua, "o_custkey", k).localCheckpoint(eager=True)
+    skb = kmv_sketch(ub, "o_custkey", k).localCheckpoint(eager=True)
+    sku = kmv_union(ska, skb, k).localCheckpoint(eager=True)
+
+    def est(sk: DataFrame, name: str) -> DataFrame:
+        return sk.agg(
+            F.count("*").alias("cnt"), F.max("h").alias("hk")
+        ).select(kmv_estimate(k).alias(name))
+
+    inter = (
+        sku.join(ska, "h", "semi")
+        .join(skb, "h", "semi")
+        .agg(F.count("*").alias("inter_cnt"))
+    )
+    exact = o.agg(
+        F.count_distinct(
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_custkey"))
+        ).alias("exact_a"),
+        F.count_distinct(
+            F.when(F.col("o_orderpriority") == "5-LOW", F.col("o_custkey"))
+        ).alias("exact_b"),
+        F.count_distinct(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "5-LOW"),
+                F.col("o_custkey"),
+            )
+        ).alias("exact_union"),
+    )
+    exact_inter = (
+        ua.select("o_custkey")
+        .distinct()
+        .join(ub.select("o_custkey").distinct(), "o_custkey", "semi")
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    out = (
+        est(ska, "est_a")
+        .crossJoin(F.broadcast(est(skb, "est_b")))
+        .crossJoin(F.broadcast(est(sku, "est_union")))
+        .crossJoin(F.broadcast(inter))
+        .crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(exact_inter))
+    )
+    return out.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        F.round(F.col("inter_cnt") * F.col("est_union") / F.lit(k), 2).alias(
+            "est_inter"
+        ),
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_inter",
+    )

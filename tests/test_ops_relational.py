@@ -262,3 +262,48 @@ def test_zorder_key_interleave_and_locality(spark):
         chunk = got[i : i + 16]
         assert max(n for _, n, _ in chunk) - min(n for _, n, _ in chunk) <= 3
         assert max(b for _, _, b in chunk) - min(b for _, _, b in chunk) <= 3
+
+
+def test_kmv_sketch_estimates_and_set_op_laws(spark):
+    """ops/sketch KMV: unsaturated sketches are EXACT; saturated
+    estimates land within the order-statistic error envelope
+    (~3/sqrt(k)); the union law (k-min of merged sketches == sketch
+    of union) holds exactly; intersection hit-rate tracks Jaccard."""
+    from pyspark.sql import functions as F
+
+    from pipetree_spark.ops.sketch import kmv_estimate, kmv_sketch, kmv_union
+
+    k = 128
+    # A = 0..3999, B = 2000..5999 → |A|=|B|=4000, |A∪B|=6000, |A∩B|=2000
+    a = spark.range(0, 4000).withColumnRenamed("id", "v")
+    b = spark.range(2000, 6000).withColumnRenamed("id", "v")
+    ska, skb = kmv_sketch(a, "v", k), kmv_sketch(b, "v", k)
+
+    def est_of(sk):
+        return (
+            sk.agg(F.count("*").alias("cnt"), F.max("h").alias("hk"))
+            .select(kmv_estimate(k).alias("e"))
+            .collect()[0]
+            .e
+        )
+
+    tol = 3.0 / (k ** 0.5)  # ~26% at k=128
+    assert abs(est_of(ska) - 4000) / 4000 < tol
+    assert abs(est_of(skb) - 4000) / 4000 < tol
+
+    sku = kmv_union(ska, skb, k)
+    # union law: merged k-min == sketch built from the union directly
+    direct = kmv_sketch(a.unionByName(b), "v", k)
+    assert [r.h for r in sku.orderBy("h").collect()] == [
+        r.h for r in direct.orderBy("h").collect()
+    ]
+    assert abs(est_of(sku) - 6000) / 6000 < tol
+
+    hits = sku.join(ska, "h", "semi").join(skb, "h", "semi").count()
+    est_inter = hits * est_of(sku) / k
+    # Jaccard = 1/3 → binomial std ~ sqrt(J(1-J)/k) ≈ 0.042; 4σ bound
+    assert abs(est_inter - 2000) / 6000 < 4 * (1 / 3 * 2 / 3 / k) ** 0.5 + tol / 3
+
+    # unsaturated → exact count, no estimator involved
+    small = spark.range(0, 50).withColumnRenamed("id", "v")
+    assert est_of(kmv_sketch(small, "v", k)) == 50.0

@@ -87,6 +87,7 @@ QUERIES = [
     "q_table_fingerprint", # r9: one map-combined hash-sum pass — must scale with the scan
     "q_table_diff",        # r9: (key, hash) full-outer diff — one shuffle join
     "q_ts_ohlc",           # r9: shared-exchange double window + agg on (type, day)
+    "q_agg_kmv_setops",    # r9: two distinct-shuffles + k-row set ops — distinct-bound
 ]
 
 
