@@ -283,3 +283,59 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         .unionByName(tri.select(F.col("c").alias("node")))
     )
     return corners.groupBy("node").agg(F.count("*").alias("tri_cnt"))
+
+
+def bfs_khop(
+    edges: DataFrame,
+    sources: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source bounded BFS over an undirected edge list: for every
+    node within ``k`` hops of ANY source, the exact hop distance
+    ``(node, dist)``. Nodes farther than k (or unreachable) are absent
+    — the k-hop cap is the SEMANTICS, not a convergence shortcut, so
+    the result is well-defined on any graph (no diameter assumption)
+    and the relational twin unrolls to exactly k levels.
+
+    ``sources`` is a one-column node frame; sources not present in the
+    edge list still appear at dist 0 (they're in the queried set even
+    if isolated). The classic use: blast-radius / influence-cohort
+    queries ("everything within 3 hops of the flagged accounts").
+
+    Scale: per round ONE shuffle of the frontier joined against the
+    symmetrized edge list (pre-partitioned on the join key once, the
+    CC/PageRank trick), state is (node, dist) — never materializes
+    paths. k rounds total, localCheckpoint per round to cut lineage.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .repartition("u")
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(k):
+        reached = (
+            dist.withColumnRenamed("node", "u")
+            .join(sym, "u")
+            .select(F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(reached)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

@@ -313,6 +313,8 @@ def _op_registry() -> dict[str, tuple[Callable, int]]:
         "connected_components": (GX.connected_components, 1),
         "pagerank_exact": (GX.pagerank_exact, 1),
         "triangle_counts": (GX.triangle_counts, 1),
+        # bfs_khop(edges, sources, k=...) — inputs (edges, sources)
+        "bfs_khop": (GX.bfs_khop, 2),
         "hll_registers": (SK.hll_registers, 1),
         "hll_registers_by": (SK.hll_registers_by, 1),
         "bloom_build": (BL.bloom_build, 1),

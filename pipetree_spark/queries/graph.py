@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pipetree_spark.catalog import load_table
-from pipetree_spark.ops.graph import pagerank_exact, triangle_counts
+from pipetree_spark.ops.graph import bfs_khop, pagerank_exact, triangle_counts
 from pipetree_spark.queries import declare
 
 _SCALE = 10**12
@@ -143,3 +143,62 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c"))
     ).select(F.col("a.c").alias("src"), F.col("b.c").alias("dst"))
     return triangle_counts(edges)
+
+
+def _bfs_sql(k: int = 3) -> str:
+    """Unrolled DuckDB twin of ops.graph.bfs_khop over the co-purchase
+    graph: exactly k min-distance relaxation levels (the k-hop cap is
+    the query's semantics, so the unroll is the definition, not an
+    approximation of a fixpoint)."""
+    ctes = [
+        "cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p"
+        " FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey"
+        " WHERE l.l_quantity >= 45)",
+        "e AS (SELECT DISTINCT a.c AS u, b.c AS v FROM cp a JOIN cp b"
+        " ON a.p = b.p AND a.c < b.c)",
+        "sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e)",
+        "l0 AS (SELECT DISTINCT c_custkey AS node, 0 AS dist FROM customer"
+        " WHERE c_acctbal >= 9900)",
+    ]
+    prev = "l0"
+    for i in range(1, k + 1):
+        ctes.append(
+            f"l{i} AS (SELECT node, MIN(dist) AS dist FROM ("
+            f"SELECT node, dist FROM {prev}"
+            f" UNION ALL SELECT s.v AS node, p.dist + 1 AS dist"
+            f" FROM {prev} p JOIN sym s ON p.node = s.u) GROUP BY node)"
+        )
+        prev = f"l{i}"
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, dist FROM {prev}"
+
+
+@declare("q_graph_bfs", oracle=_bfs_sql(), tags=("graph",))
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source 3-hop BFS (ops.graph.bfs_khop): exact hop distance
+    from the VIP cohort (c_acctbal ≥ 9900) through the customer
+    co-purchase graph — the blast-radius / influence-cohort query
+    ("who is within 3 hops of a flagged account"). Distances are
+    small integers, so the driver hash certifies every frontier
+    expansion exactly; VIPs outside the graph still surface at
+    dist 0.
+
+    Scale: one frontier-vs-edges shuffle per hop on a pre-partitioned
+    symmetrized edge list; state is (node, dist) only. The 3-hop cap
+    bounds rounds BY SEMANTICS — no diameter-dependent convergence
+    loop, so worst-case wall-clock is known before the job starts.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    cp = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .where(F.col("l_quantity") >= 45)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = cp.alias("a"), cp.alias("b")
+    edges = a.join(
+        b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c"))
+    ).select(F.col("a.c").alias("src"), F.col("b.c").alias("dst"))
+    vips = c.where(F.col("c_acctbal") >= 9900).select("c_custkey")
+    return bfs_khop(edges, vips, k=3)

@@ -1859,3 +1859,21 @@ def test_triangle_counts_hand_graph_and_orientation_invariance(spark):
 
     empty = triangle_counts(spark.createDataFrame([], "src long, dst long"))
     assert empty.count() == 0 and empty.columns == ["node", "tri_cnt"]
+
+
+def test_bfs_khop_hand_graph(spark):
+    """ops/graph.bfs_khop: path graph 1-2-3-4-5 plus isolated source 9
+    — distances capped at k, isolated sources at 0, min over multiple
+    sources, direction-insensitive."""
+    from pipetree_spark.ops.graph import bfs_khop
+
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 2), (3, 4), (5, 4)], "src long, dst long"
+    )
+    srcs = spark.createDataFrame([(1,), (9,)], "n long")
+    got = {r.node: r.dist for r in bfs_khop(edges, srcs, k=2).collect()}
+    assert got == {1: 0, 9: 0, 2: 1, 3: 2}
+    # k=4 reaches the whole path; two sources take the min
+    got4 = {r.node: r.dist for r in bfs_khop(
+        edges, spark.createDataFrame([(1,), (5,)], "n long"), k=4).collect()}
+    assert got4 == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}

@@ -88,6 +88,7 @@ QUERIES = [
     "q_table_diff",        # r9: (key, hash) full-outer diff — one shuffle join
     "q_ts_ohlc",           # r9: shared-exchange double window + agg on (type, day)
     "q_agg_kmv_setops",    # r9: two distinct-shuffles + k-row set ops — distinct-bound
+    "q_graph_bfs",         # r9: 3 frontier shuffles vs pre-partitioned edges
 ]
 
 
