@@ -38,6 +38,7 @@ __all__ = [
     "stream_static_join",
     "stream_stream_join",
     "running_distinct_hll",
+    "running_ohlc",
     "running_user_counts",
     "running_user_max_tws",
     "run_to_memory",
@@ -412,6 +413,93 @@ def running_distinct_hll(
         yield pd.DataFrame({key_col: [key[0]], "registers": [regs], "n_seen": [n]})
 
     return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_ohlc(events: DataFrame) -> DataFrame:
+    """Streaming OHLC bars: per (event_type, UTC day) open / high /
+    low / close / volume as ``applyInPandasWithState`` state — the
+    incremental twin of the batch rollup (queries/timeseries.q_ts_ohlc).
+
+    State per bar is NINE scalars (first/last tick's (ts, id, value),
+    min, max, count) no matter how many ticks arrive — OHLC is a
+    streaming-friendly aggregate because first/last under a total
+    order are mergeable, so each micro-batch folds into the bar in
+    O(batch) and emits the updated bar (update mode). Tick order
+    inside a day is (event-time µs, event_id) — the same total order
+    the batch op uses (its ns ordering coincides on µs-sourced data),
+    which is what makes streamed bars equal batch bars over the same
+    feed (pinned by tests/test_streaming.py).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("day", T.LongType()),
+            T.StructField("open", T.DoubleType()),
+            T.StructField("high", T.DoubleType()),
+            T.StructField("low", T.DoubleType()),
+            T.StructField("close", T.DoubleType()),
+            T.StructField("volume", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ot", T.LongType()),   # first tick (µs, id, value)
+            T.StructField("oid", T.LongType()),
+            T.StructField("ov", T.DoubleType()),
+            T.StructField("hi", T.DoubleType()),
+            T.StructField("lo", T.DoubleType()),
+            T.StructField("ct", T.LongType()),   # last tick (µs, id, value)
+            T.StructField("cid", T.LongType()),
+            T.StructField("cv", T.DoubleType()),
+            T.StructField("vol", T.LongType()),
+        ]
+    )
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ot, oid, ov, hi, lo, ct, cid, cv, vol = state.get
+        else:
+            ot = oid = ct = cid = vol = None
+            ov = hi = lo = cv = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+            ids = pdf["event_id"].values.astype("int64")
+            vals = pdf["value"].values.astype("float64")
+            order = sorted(range(len(pdf)), key=lambda i: (us[i], ids[i]))
+            f, l = order[0], order[-1]
+            if ot is None or (int(us[f]), int(ids[f])) < (ot, oid):
+                ot, oid, ov = int(us[f]), int(ids[f]), float(vals[f])
+            if ct is None or (int(us[l]), int(ids[l])) > (ct, cid):
+                ct, cid, cv = int(us[l]), int(ids[l]), float(vals[l])
+            bhi, blo = float(vals.max()), float(vals.min())
+            hi = bhi if hi is None else max(hi, bhi)
+            lo = blo if lo is None else min(lo, blo)
+            vol = (vol or 0) + len(pdf)
+        state.update((ot, oid, ov, hi, lo, ct, cid, cv, vol))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "day": [key[1]],
+                "open": [ov],
+                "high": [hi],
+                "low": [lo],
+                "close": [cv],
+                "volume": [vol],
+            }
+        )
+
+    keyed = events.withColumn("day", F.expr("CAST(ts AS LONG) div 86400"))
+    return keyed.groupBy("event_type", "day").applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,

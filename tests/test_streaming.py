@@ -415,3 +415,56 @@ def test_streaming_hll_registers_match_batch_sketch(spark, sf_small, events_stre
         assert mx == last
         finals[et] = last
     assert finals == batch
+
+
+def test_streaming_ohlc_bars_match_batch(spark, sf_small, events_stream_dir):
+    """running_ohlc: the FINAL streamed bar per (event_type, day) must
+    equal the batch OHLC over the same feed under the same (µs,
+    event_id) tick order, regardless of micro-batch chunking; volumes
+    must be monotone across updates."""
+    sdf = st.file_stream(spark, events_stream_dir)
+    out = st.run_to_memory(st.running_ohlc(sdf), spark, output_mode="update")
+    pdf = out.toPandas()
+
+    finals = {}
+    for (et, day), grp in pdf.groupby(["event_type", "day"]):
+        vols = list(grp["volume"])
+        assert vols == sorted(vols)
+        last = grp.iloc[-1]
+        finals[(et, int(day))] = (
+            last["open"], last["high"], last["low"], last["close"], int(last["volume"])
+        )
+
+    e = load_table(spark, sf_small, "events").select(
+        "event_type",
+        F.expr("CAST(ts AS LONG) div 86400").alias("day"),
+        F.col("ts").cast("long").alias("tsec"),
+        F.expr("CAST(ts AS DECIMAL(20,6)) * 1000000").cast("long").alias("tus"),
+        "event_id",
+        "value",
+    )
+    w_a = Window.partitionBy("event_type", "day").orderBy("tus", "event_id")
+    w_d = Window.partitionBy("event_type", "day").orderBy(
+        F.col("tus").desc(), F.col("event_id").desc()
+    )
+    batch = (
+        e.select(
+            "event_type", "day", "value",
+            F.row_number().over(w_a).alias("rn_a"),
+            F.row_number().over(w_d).alias("rn_d"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count("*").alias("volume"),
+        )
+        .collect()
+    )
+    expected = {
+        (r.event_type, r.day): (r.open, r.high, r.low, r.close, r.volume)
+        for r in batch
+    }
+    assert finals == expected
