@@ -89,6 +89,7 @@ QUERIES = [
     "q_ts_ohlc",           # r9: shared-exchange double window + agg on (type, day)
     "q_agg_kmv_setops",    # r9: two distinct-shuffles + k-row set ops — distinct-bound
     "q_graph_bfs",         # r9: 3 frontier shuffles vs pre-partitioned edges
+    "q_sort_zorder",       # r9: narrow codegen interleave + 32-group agg — must be ~flat
 ]
 
 
