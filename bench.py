@@ -57,6 +57,10 @@ BENCH_QUERIES: dict[str, str] = {
     # its unprefiltered twin q_text_decontam) and integer PageRank
     "q_text_decontam_bloom": "q_text_decontam_bloom",
     "q_graph_pagerank": "q_graph_pagerank",
+    # r9 second wave: degree-oriented triangle join and the KMV set-op
+    # sketch — the two new ops with non-trivial shuffle shapes
+    "q_graph_triangles": "q_graph_triangles",
+    "q_agg_kmv_setops": "q_agg_kmv_setops",
 }
 
 RUNS = 3

@@ -604,3 +604,76 @@ def q_pipe_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     v0 = t.read(spark, 0).groupBy("lang").agg(F.count("*").alias("n_v0"))
     latest = t.read(spark).groupBy("lang").agg(F.count("*").alias("n_latest"))
     return v0.join(latest, "lang")
+
+
+_VALIDATE_SQL = f"""
+WITH canon AS (
+  SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
+         strftime(o_orderdate, '%Y-%m-%d') AS od, o_orderpriority
+  FROM orders),
+new AS (
+  SELECT k, o_custkey, o_orderstatus, price_c, od,
+         CASE WHEN k % 89 = 0 THEN 'X-SIMULATED' ELSE o_orderpriority END AS o_orderpriority
+  FROM canon WHERE k % 97 <> 0
+  UNION ALL
+  SELECT k + 10000000000, o_custkey, o_orderstatus, price_c, od, o_orderpriority
+  FROM canon WHERE k % 101 = 0),
+ho AS (SELECT k, md5(concat_ws(chr(31), CAST(o_custkey AS VARCHAR), o_orderstatus,
+            CAST(price_c AS VARCHAR), od, o_orderpriority)) AS rh FROM canon),
+hn AS (SELECT k, md5(concat_ws(chr(31), CAST(o_custkey AS VARCHAR), o_orderstatus,
+            CAST(price_c AS VARCHAR), od, o_orderpriority)) AS rh FROM new),
+d AS (
+  SELECT COALESCE(ho.k, hn.k) AS k,
+         CASE WHEN ho.k IS NULL THEN 'added'
+              WHEN hn.k IS NULL THEN 'removed'
+              WHEN ho.rh <> hn.rh THEN 'changed' END AS status
+  FROM ho FULL OUTER JOIN hn ON ho.k = hn.k),
+fph AS (
+  SELECT o_orderstatus,
+         CAST(concat('0x', substr(md5(concat_ws(chr(31),
+              coalesce(CAST(k AS VARCHAR), chr(1)),
+              coalesce(CAST(o_custkey AS VARCHAR), chr(1)),
+              coalesce(CAST(price_c AS VARCHAR), chr(1)),
+              coalesce(od, chr(1)),
+              coalesce(o_orderpriority, chr(1)))), 1, 15)) AS BIGINT) AS h
+  FROM canon)
+SELECT status, COUNT(*) AS n,
+       CAST(SUM(CAST(k AS HUGEINT)) % 2305843009213693951 AS BIGINT) AS key_sum
+FROM d WHERE status IS NOT NULL GROUP BY status
+UNION ALL
+SELECT concat('fp:', o_orderstatus) AS status, COUNT(*) AS n,
+       CAST(SUM(CAST(h AS HUGEINT)) % 2305843009213693951 AS BIGINT) AS key_sum
+FROM fph GROUP BY o_orderstatus
+"""
+
+
+@declare("q_pipe_validate", oracle=_VALIDATE_SQL, tags=("pipeline", "validation"))
+def q_pipe_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHIPPED backfill-verification pipeline spec end-to-end
+    THROUGH the orchestration layer: Pipeline.from_spec on
+    specs/validation_pipeline.json (canonicalize orders → simulate the
+    next-day snapshot → ``snapshot_diff`` op on (key, row-hash) →
+    ``table_fingerprint`` op per order status → one report frame of
+    diff-status counts + per-group fingerprints).
+
+    Like q_pipe_curation for the curation ops, this certifies the
+    VALIDATION surface as one unit under the driver's hash: the spec
+    walker, the two-frame op registry wiring (snapshot_diff is
+    positional (old, new)), JSON kwargs→op plumbing, and the
+    fingerprint/diff math itself against a DuckDB oracle that
+    re-derives everything relationally, version-blind. Runs cache-less
+    and writes nothing.
+    """
+    import json
+    from importlib import resources
+
+    from pipetree_spark.pipeline import Pipeline
+
+    spec = json.loads(
+        resources.files("pipetree_spark")
+        .joinpath("specs/validation_pipeline.json")
+        .read_text()
+    )
+    p = Pipeline.from_spec(spec, sf_dir=sf_dir)
+    return p.run(spark)["report"]

@@ -489,19 +489,22 @@ def test_quality_gate_raises_on_planted_violations(spark):
     Q.gate(dim, [Q.not_null("name"), Q.unique("name")])
 
 
-def test_shipped_curation_spec_copies_are_identical():
-    """q_pipe_curation loads the spec from PACKAGE data (survives a
-    wheel install); examples/curation_pipeline.json is the user-facing
-    copy. They must never drift."""
+@pytest.mark.parametrize(
+    "spec_name", ["curation_pipeline.json", "validation_pipeline.json"]
+)
+def test_shipped_spec_copies_are_identical(spec_name):
+    """q_pipe_curation / q_pipe_validate load their specs from PACKAGE
+    data (survives a wheel install); the examples/ copies are the
+    user-facing twins. They must never drift."""
     import json
     from importlib import resources
     from pathlib import Path
 
     pkg = json.loads(
-        resources.files("pipetree_spark").joinpath("specs/curation_pipeline.json").read_text()
+        resources.files("pipetree_spark").joinpath(f"specs/{spec_name}").read_text()
     )
     repo = json.loads(
-        (Path(__file__).resolve().parent.parent / "examples/curation_pipeline.json").read_text()
+        (Path(__file__).resolve().parent.parent / "examples" / spec_name).read_text()
     )
     assert pkg == repo
 
