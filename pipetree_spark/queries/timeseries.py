@@ -549,3 +549,75 @@ def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
         F.count("*").alias("volume"),
     )
+
+
+@declare(
+    "q_ts_trend",
+    oracle="""
+WITH m AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(CAST(epoch_ns(ts) // 1000000000 AS HUGEINT)) AS sx,
+         SUM(CAST(CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT)) AS sy,
+         SUM(CAST((epoch_ns(ts) // 1000000000) * CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT)) AS sxy,
+         SUM(CAST((epoch_ns(ts) // 1000000000) * (epoch_ns(ts) // 1000000000) AS HUGEINT)) AS sxx
+  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+SELECT event_type, n,
+       round((CAST(n * sxy - sx * sy AS DOUBLE) * 864.0)
+             / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0), 6) AS slope_per_day,
+       round(CAST(sy AS DOUBLE) / (n * 100.0), 2) AS mean_value
+FROM m
+""",
+    tags=("timeseries", "agg"),
+)
+def q_ts_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend (value vs time) from EXACT integer
+    moment sums: slope = (nΣxy − ΣxΣy) / (nΣxx − Σx²) with x = epoch
+    seconds and y = exact cents, every sum and cross-term accumulated
+    in 128-bit-exact integers (BIGINT products → DECIMAL(38,0)/HUGEINT
+    sums — no float summation anywhere, so no order drift), and ONLY
+    the final slope touching doubles: two correctly-rounded casts and
+    one multiply+divide in pinned order on identical integers.
+    slope_per_day scales by 864 (86400 s/day ÷ the 100 cents/unit).
+
+    This is the moment-sums discipline (q_agg_moments, q_ts_anomaly)
+    applied to regression: the whole fit is ONE map-side-combined
+    aggregate pass with |groups| output rows — per-segment trend
+    detection ("is error volume drifting up?") at 100 TB costs one
+    scan, no window, no sort, and partial moment sums merge across
+    partitions/days by addition.
+    """
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    m = (
+        e.select(
+            "event_type",
+            F.col("ts_sec").alias("x"),
+            cents.alias("y"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).alias("sx"),
+            F.sum(F.expr("CAST(y AS DECIMAL(38,0))")).alias("sy"),
+            F.sum(F.expr("CAST(x * y AS DECIMAL(38,0))")).alias("sxy"),
+            F.sum(F.expr("CAST(x * x AS DECIMAL(38,0))")).alias("sxx"),
+        )
+    )
+    return m.select(
+        "event_type",
+        "n",
+        # nullif guards the zero-variance group (n=1 or all-equal ts):
+        # NULL-on-zero division matches DuckDB, where a raw double /0
+        # would diverge (safe_div's contract, exact.py)
+        F.round(
+            safe_div(
+                F.expr("CAST(n * sxy - sx * sy AS DOUBLE)") * F.lit(864.0),
+                F.expr("CAST(n * sxx - sx * sx AS DOUBLE)"),
+            ),
+            6,
+        ).alias("slope_per_day"),
+        F.round(F.expr("CAST(sy AS DOUBLE)") / F.expr("n * 100.0"), 2).alias(
+            "mean_value"
+        ),
+    )
