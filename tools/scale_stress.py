@@ -90,6 +90,7 @@ QUERIES = [
     "q_agg_kmv_setops",    # r9: two distinct-shuffles + k-row set ops — distinct-bound
     "q_graph_bfs",         # r9: 3 frontier shuffles vs pre-partitioned edges
     "q_sort_zorder",       # r9: narrow codegen interleave + 32-group agg — must be ~flat
+    "q_ts_trend",          # r9: one-pass exact-moment OLS — scan-bound
 ]
 
 
