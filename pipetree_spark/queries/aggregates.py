@@ -1336,3 +1336,132 @@ def q_agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_union",
         "exact_inter",
     )
+
+
+def _quantile_hist_by_sql(n_buckets: int = 256) -> str:
+    """DuckDB twin of q_agg_quantile_hist_bygroup — the per-group
+    widening of _quantile_hist_sql: identical double arithmetic with
+    every stage keyed by l_returnflag."""
+    b = n_buckets
+    return f"""
+WITH ex AS (
+  SELECT l_returnflag AS g, MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
+         COUNT(l_extendedprice) AS n,
+         QUANTILE_CONT(l_extendedprice, 0.5) AS ex50,
+         QUANTILE_CONT(l_extendedprice, 0.95) AS ex95
+  FROM lineitem GROUP BY l_returnflag
+),
+hist AS (
+  SELECT ex.g,
+         CASE WHEN ex.hi = ex.lo THEN 0
+              ELSE LEAST({b - 1}, CAST(FLOOR((l_extendedprice - ex.lo) / ((ex.hi - ex.lo) / {float(b)!r})) AS INT))
+         END AS bucket,
+         COUNT(*) AS cnt
+  FROM lineitem JOIN ex ON lineitem.l_returnflag = ex.g
+  WHERE l_extendedprice IS NOT NULL
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, bucket, cnt, SUM(cnt) OVER (PARTITION BY g ORDER BY bucket) AS cum FROM hist
+),
+qs AS (SELECT UNNEST(CAST([0.5, 0.95] AS DOUBLE[])) AS q),
+firstb AS (
+  SELECT c.g, qs.q, MIN(c.bucket) AS b
+  FROM qs JOIN ex ON TRUE JOIN cum c ON c.g = ex.g AND c.cum >= qs.q * ex.n
+  GROUP BY c.g, qs.q
+),
+est AS (
+  SELECT f.g, f.q,
+         ex.lo + ((ex.hi - ex.lo) / {float(b)!r}) *
+           (f.b + (f.q * ex.n - (c.cum - c.cnt)) / c.cnt) AS est_q
+  FROM firstb f
+  JOIN cum c ON c.g = f.g AND c.bucket = f.b
+  JOIN ex ON ex.g = f.g
+)
+SELECT e.g AS l_returnflag, e.q, e.est_q,
+       CASE e.q WHEN 0.5 THEN ex.ex50 ELSE ex.ex95 END AS exact_q,
+       ex.n AS n_values
+FROM est e JOIN ex ON ex.g = e.g
+"""
+
+
+@declare(
+    "q_agg_quantile_hist_bygroup",
+    oracle=_quantile_hist_by_sql(),
+    tags=("agg", "approx"),
+)
+def q_agg_quantile_hist_bygroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_agg_quantile_hist in its production shape: p50/p95 of
+    l_extendedprice PER RETURNFLAG from per-group 256-bucket
+    histograms — the per-segment percentile summary (latency per
+    tenant, price per segment) at fixed memory per group.
+
+    Structurally STRONGER at scale than the global variant: the
+    cumulative window is PARTITIONED by group (≤256 rows per
+    partition, no single-reducer stage anywhere), the histogram
+    shuffle is ≤ 256·|groups| rows, and the group min/max frame joins
+    back by group key (broadcast — |groups| rows). Same pinned double
+    arithmetic as the global twin; the driver re-proves each group's
+    estimates against exact QUANTILE_CONT every sampled round.
+    """
+    b = 256
+    l = load_table(spark, sf_dir, "lineitem")
+    ex = l.groupBy(F.col("l_returnflag").alias("g")).agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+        F.count("l_extendedprice").alias("n"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("ex50"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("ex95"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(b))
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(b - 1),
+            F.floor((F.col("l_extendedprice") - F.col("lo")) / width).cast("int"),
+        )
+    )
+    hist = (
+        l.filter(F.col("l_extendedprice").isNotNull())
+        .join(F.broadcast(ex.select("g", "lo", "hi")), l.l_returnflag == F.col("g"))
+        .groupBy("g", bucket.alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(Window.partitionBy("g").orderBy("bucket"))
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.95))).alias("q")
+    )
+    firstb = (
+        cum.join(F.broadcast(ex.select("g", "n")), "g")
+        .crossJoin(F.broadcast(qs))
+        .where(F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("g", "q")
+        .agg(F.min("bucket").alias("b"))
+    )
+    est = (
+        firstb.join(
+            cum.select("g", "bucket", "cnt", "cum"),
+            (firstb.g == cum.g) & (F.col("bucket") == F.col("b")),
+        )
+        .drop(cum.g)
+        .join(F.broadcast(ex), "g")
+        .select(
+            F.col("g").alias("l_returnflag"),
+            "q",
+            (
+                F.col("lo")
+                + ((F.col("hi") - F.col("lo")) / F.lit(float(b)))
+                * (
+                    F.col("b")
+                    + (F.col("q") * F.col("n") - (F.col("cum") - F.col("cnt")))
+                    / F.col("cnt")
+                )
+            ).alias("est_q"),
+            F.when(F.col("q") == 0.5, F.col("ex50")).otherwise(F.col("ex95")).alias(
+                "exact_q"
+            ),
+            F.col("n").alias("n_values"),
+        )
+    )
+    return est
