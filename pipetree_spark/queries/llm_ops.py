@@ -2645,3 +2645,99 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_kind"),
         )
     )
+
+
+@declare(
+    "q_text_pmi",
+    oracle="""
+WITH uni AS (
+  SELECT lang, UNNEST(string_split(text, ' ')) AS w FROM documents
+),
+ucnt AS (SELECT lang, w, COUNT(*) AS c FROM uni GROUP BY lang, w),
+utot AS (SELECT lang, SUM(c) AS n_uni FROM ucnt GROUP BY lang),
+bi AS (
+  SELECT lang, UNNEST(list_transform(generate_series(1, len(w) - 1),
+                                     i -> w[i] || ' ' || w[i + 1])) AS gram
+  FROM (SELECT lang, string_split(text, ' ') AS w FROM documents)
+),
+bcnt AS (SELECT lang, gram, COUNT(*) AS c_xy FROM bi GROUP BY lang, gram),
+btot AS (SELECT lang, SUM(c_xy) AS n_bi FROM bcnt GROUP BY lang),
+j AS (
+  SELECT b.lang, b.gram, b.c_xy, u1.c AS c1, u2.c AS c2, bt.n_bi, ut.n_uni
+  FROM bcnt b
+  JOIN ucnt u1 ON u1.lang = b.lang AND u1.w = string_split(b.gram, ' ')[1]
+  JOIN ucnt u2 ON u2.lang = b.lang AND u2.w = string_split(b.gram, ' ')[2]
+  JOIN btot bt ON bt.lang = b.lang
+  JOIN utot ut ON ut.lang = b.lang
+  WHERE b.c_xy >= 5
+)
+SELECT lang, gram, c_xy,
+       round(log2(((CAST(c_xy AS DOUBLE) * n_uni) * n_uni)
+                  / ((CAST(n_bi AS DOUBLE) * c1) * c2)), 2) AS pmi
+FROM j
+""",
+    tags=("text",),
+)
+def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information for adjacent word pairs per
+    language — the collocation detector (PMI = log2(P(xy)/(P(x)P(y)))
+    over unigram/bigram corpus counts): high-PMI pairs are
+    multi-word expressions ("new york"-class units worth preserving
+    through tokenization), low/negative-PMI frequent pairs are
+    boilerplate junctions. Membership in the result is decided by an
+    INTEGER threshold (c_xy ≥ 5), so the set is exactly deterministic;
+    the PMI value is one pinned chain of double ops on exact counts
+    (casts → two multiplies → divide → log2 → 2-dp round, identical
+    order in both engines — the r2 policy absorbing log2's 1-ulp
+    latitude, same as the HLL estimate).
+
+    Scale shape: two map-side-combined count shuffles (unigrams,
+    bigrams) + a bigram⋈unigram×2 join keyed on (lang, word) — the
+    unigram side is |vocab|-sized, and the per-lang totals are
+    broadcast one-row frames. No windows, no sorts; a 100 TB corpus
+    prunes with a `c_xy > threshold` filter BEFORE the joins (rare
+    pairs can't pass the threshold, monotone in partial counts).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    uni = d.select("lang", F.explode(TX.tokens("text")).alias("w"))
+    ucnt = uni.groupBy("lang", "w").agg(F.count("*").alias("c"))
+    utot = ucnt.groupBy("lang").agg(F.sum("c").alias("n_uni"))
+    bi = d.select("lang", F.explode(TX.word_ngrams("text", 2)).alias("gram"))
+    bcnt = (
+        bi.groupBy("lang", "gram")
+        .agg(F.count("*").alias("c_xy"))
+        .where(F.col("c_xy") >= 5)
+    )
+    btot = (
+        bi.groupBy("lang", "gram")
+        .agg(F.count("*").alias("c_xy"))
+        .groupBy("lang")
+        .agg(F.sum("c_xy").alias("n_bi"))
+    )
+    parts = F.split(F.col("gram"), " ")
+    j = (
+        bcnt.withColumn("w1", parts.getItem(0))
+        .withColumn("w2", parts.getItem(1))
+        .join(
+            ucnt.select("lang", F.col("w").alias("w1"), F.col("c").alias("c1")),
+            ["lang", "w1"],
+        )
+        .join(
+            ucnt.select("lang", F.col("w").alias("w2"), F.col("c").alias("c2")),
+            ["lang", "w2"],
+        )
+        .join(F.broadcast(btot), "lang")
+        .join(F.broadcast(utot), "lang")
+    )
+    return j.select(
+        "lang",
+        "gram",
+        "c_xy",
+        F.round(
+            F.log2(
+                ((F.col("c_xy").cast("double") * F.col("n_uni")) * F.col("n_uni"))
+                / ((F.col("n_bi").cast("double") * F.col("c1")) * F.col("c2"))
+            ),
+            2,
+        ).alias("pmi"),
+    )
