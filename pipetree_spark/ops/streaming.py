@@ -39,6 +39,7 @@ __all__ = [
     "stream_stream_join",
     "running_distinct_hll",
     "running_ohlc",
+    "session_counts",
     "running_user_counts",
     "running_user_max_tws",
     "run_to_memory",
@@ -505,4 +506,34 @@ def running_ohlc(events: DataFrame) -> DataFrame:
         stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Native streaming sessionization: per-user session windows that
+    CLOSE when no event arrives within ``gap`` (F.session_window —
+    Spark merges/extends open windows in the state store; the
+    watermark finalizes a session once event time passes its end+gap,
+    which is what bounds state to open sessions only).
+
+    The batch twin is the gaps-and-islands build
+    (queries/timeseries.q_ts_sessionize, same 30-minute rule);
+    tests/test_streaming.py proves closed streamed sessions equal the
+    batch islands over the same feed. Append mode: a session row is
+    emitted exactly once, when it closes — the shape downstream
+    consumers (session tables, funnel features) want at 100 TB,
+    because no session is ever re-stated.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("long").alias("session_start_sec"),
+            F.col("session_window.end").cast("long").alias("session_end_sec"),
+            "n_events",
+        )
     )

@@ -468,3 +468,52 @@ def test_streaming_ohlc_bars_match_batch(spark, sf_small, events_stream_dir):
         for r in batch
     }
     assert finals == expected
+
+
+def test_streaming_session_windows_match_batch_islands(spark, sf_small, events_stream_dir):
+    """session_counts (native F.session_window, append mode): every
+    streamed CLOSED session must exactly equal a batch gaps-and-islands
+    session (same 30-min gap rule: start = first event, end = last
+    event + gap, n = island size), and every batch island whose close
+    is safely inside the watermark horizon must have been emitted."""
+    sdf = st.file_stream(spark, events_stream_dir)
+    out = st.run_to_memory(
+        st.session_counts(sdf), spark, output_mode="append"
+    ).collect()
+    streamed = {
+        (r.user_id, r.session_start_sec, r.session_end_sec): r.n_events for r in out
+    }
+
+    e = load_table(spark, sf_small, "events").select(
+        "user_id", F.col("ts").cast("long").alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec")
+    isl = (
+        e.withColumn(
+            "new_sess",
+            (
+                F.lag("sec").over(w).isNull()
+                | ((F.col("sec") - F.lag("sec").over(w)) > 1800)
+            ).cast("int"),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(w))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.min("sec").alias("start"),
+            (F.max("sec") + 1800).alias("end"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    batch = {(r.user_id, r.start, r.end): r.n for r in isl}
+    max_sec = max(r.end for r in isl) - 1800
+
+    # everything streamed must be a real island
+    for k, n in streamed.items():
+        assert batch.get(k) == n, k
+    # every island that provably closed must have been streamed
+    horizon = max_sec - 600 - 1800
+    must_close = {k: n for k, n in batch.items() if k[2] <= horizon}
+    missing = {k for k in must_close if k not in streamed}
+    assert not missing, f"{len(missing)} closed sessions never emitted"
+    assert len(streamed) >= len(must_close) > 0
