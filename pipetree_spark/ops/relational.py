@@ -217,3 +217,33 @@ def zorder_key(x: Column | str, y: Column | str, bits: int = 16) -> Column:
     for t in terms[1:]:
         out = out + t
     return out.cast("long")
+
+
+def incremental_join_delta(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: Sequence[str],
+) -> DataFrame:
+    """The DELTA of an inner equi-join under inserts to both sides:
+    (A∪ΔA) ⋈ (B∪ΔB) = (A⋈B) ∪ [ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB] — this returns
+    the bracketed term, so a stored join materialization advances one
+    batch by APPENDING the delta instead of re-joining history.
+
+    This is incremental view maintenance for joins (the companion to
+    q_agg_incremental's algebraic-aggregate merge): nightly cost is
+    two delta-sized probes against the big sides plus the tiny Δ⋈Δ —
+    with ΔA/ΔB broadcast-sized (the usual case: one day of inserts vs
+    years of history), NEITHER history table shuffles, and at 100 TB
+    that is the difference between touching a day and touching the
+    archive. Insert-only semantics; deletes/updates are a diff problem
+    (pair with ops.relational.snapshot_diff to derive the delta frames
+    from raw snapshots).
+    """
+    on = list(on)
+    return (
+        a_delta.join(b_old, on)
+        .unionByName(a_old.join(b_delta, on))
+        .unionByName(a_delta.join(b_delta, on))
+    )

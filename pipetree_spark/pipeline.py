@@ -326,6 +326,8 @@ def _op_registry() -> dict[str, tuple[Callable, int]]:
         # validation primitives (r9): fingerprint(df), diff(old, new)
         "table_fingerprint": (SK.table_fingerprint, 1),
         "snapshot_diff": (RL.snapshot_diff, 2),
+        # incremental_join_delta(a_old, a_delta, b_old, b_delta, on=[...])
+        "incremental_join_delta": (RL.incremental_join_delta, 4),
     }
 
 

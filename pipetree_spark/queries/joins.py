@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 
 from pipetree_spark.catalog import load_table, table_path
 from pipetree_spark.exact import dsum, dsum_sql, exact_sums, lsum
-from pipetree_spark.ops.relational import binned_interval_join, range_join
+from pipetree_spark.ops.relational import (
+    binned_interval_join,
+    incremental_join_delta,
+    range_join,
+)
 from pipetree_spark.queries import declare
 
 
@@ -550,4 +554,54 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col(c), F.lit(0)).alias(c)
             for c in ("n_click", "n_view", "n_purchase", "n_signup")
         ],
+    )
+
+
+@declare(
+    "q_join_incremental",
+    oracle="""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT o.o_orderkey) AS n_orders,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS HUGEINT)) AS DOUBLE) / 100 AS sum_price
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+""",
+    tags=("join", "pipeline"),
+)
+def q_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN maintenance
+    (ops.relational.incremental_join_delta): orders and lineitem each
+    split into history + a new batch (keys %7 / %5 — independent
+    moduli so all three delta terms ΔA⋈B, A⋈ΔB, ΔA⋈ΔB are non-empty,
+    the %35 overlap exercising the cross-delta term), the stored join
+    advanced by APPENDING the delta, then summarized per priority.
+    The oracle joins the full tables flat — if the delta algebra
+    drops, duplicates, or double-counts any term, the counts and the
+    exact-cents price sum diverge.
+
+    Scale shape: history⋈history stands in for the stored
+    materialization (at production scale it's a parquet read, not a
+    join); the nightly increment is two delta-sized probes + Δ⋈Δ —
+    broadcast the deltas and history never shuffles.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    a_old, a_new = (
+        o.where(F.col("o_orderkey") % 7 != 0),
+        o.where(F.col("o_orderkey") % 7 == 0),
+    )
+    b_old, b_new = (
+        l.where(F.col("o_orderkey") % 5 != 0),
+        l.where(F.col("o_orderkey") % 5 == 0),
+    )
+    stored = a_old.join(b_old, "o_orderkey")
+    delta = incremental_join_delta(a_old, a_new, b_old, b_new, ["o_orderkey"])
+    maintained = stored.unionByName(delta)
+    return maintained.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("o_orderkey").alias("n_orders"),
+        (lsum("l_extendedprice")).alias("sum_price"),
     )

@@ -307,3 +307,31 @@ def test_kmv_sketch_estimates_and_set_op_laws(spark):
     # unsaturated → exact count, no estimator involved
     small = spark.range(0, 50).withColumnRenamed("id", "v")
     assert est_of(kmv_sketch(small, "v", k)) == 50.0
+
+
+def test_incremental_join_delta_algebra(spark):
+    """ops/relational.incremental_join_delta: stored ∪ delta must be
+    EXACTLY the full join as a multiset, on random insert splits —
+    including duplicate join keys on both sides (multiplicity
+    products) and keys appearing only in a delta."""
+    import random
+
+    from pipetree_spark.ops.relational import incremental_join_delta
+
+    rng = random.Random(11)
+    a = [(rng.randrange(0, 20), i) for i in range(120)]
+    b = [(rng.randrange(0, 20), 1000 + j) for j in range(150)]
+    adf = spark.createDataFrame(a, "k long, av long")
+    bdf = spark.createDataFrame(b, "k long, bv long")
+    a_old = adf.where(F.col("av") % 3 != 0)
+    a_new = adf.where(F.col("av") % 3 == 0)
+    b_old = bdf.where(F.col("bv") % 4 != 0)
+    b_new = bdf.where(F.col("bv") % 4 == 0)
+
+    full = sorted((r.k, r.av, r.bv) for r in adf.join(bdf, "k").collect())
+    stored = a_old.join(b_old, "k")
+    delta = incremental_join_delta(a_old, a_new, b_old, b_new, ["k"])
+    maintained = sorted(
+        (r.k, r.av, r.bv) for r in stored.unionByName(delta).collect()
+    )
+    assert maintained == full
