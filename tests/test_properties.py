@@ -848,3 +848,75 @@ SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.3
         ).fetchall()
     )
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_triangle_counts_random_graphs_match_bruteforce(spark, edges):
+    """ops/graph.triangle_counts vs an O(n³) adjacency-set reference on
+    random multigraphs with self-loops and both edge directions."""
+    from pipetree_spark.ops.graph import triangle_counts
+
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    nodes = sorted(adj)
+    expect: dict[int, int] = {}
+    for i, a in enumerate(nodes):
+        for b in (n for n in nodes[i + 1:] if n in adj[a]):
+            for c in (n for n in nodes if n > b and n in adj[a] and n in adj[b]):
+                for x in (a, b, c):
+                    expect[x] = expect.get(x, 0) + 1
+
+    df = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    got = {r.node: r.tri_cnt for r in triangle_counts(df).collect()}
+    assert got == expect
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=0,
+        max_size=40,
+    ),
+    st.lists(st.integers(0, 12), min_size=1, max_size=4),
+    st.integers(1, 4),
+)
+def test_bfs_khop_random_graphs_match_reference(spark, edges, sources, k):
+    """ops/graph.bfs_khop vs a plain-python BFS on random graphs:
+    distances capped at k, min over sources, isolated sources at 0."""
+    from collections import deque
+
+    from pipetree_spark.ops.graph import bfs_khop
+
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    expect: dict[int, int] = {}
+    dq = deque((s, 0) for s in set(sources))
+    for s in set(sources):
+        expect[s] = 0
+    while dq:
+        n, d = dq.popleft()
+        if d >= k:
+            continue
+        for m in adj.get(n, ()):
+            if m not in expect or expect[m] > d + 1:
+                expect[m] = d + 1
+                dq.append((m, d + 1))
+
+    e = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    s = spark.createDataFrame([(x,) for x in sources], "n long")
+    got = {r.node: r.dist for r in bfs_khop(e, s, k=k).collect()}
+    assert got == expect
