@@ -1465,3 +1465,107 @@ def q_agg_quantile_hist_bygroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return est
+
+
+def _ab_side_sql(etype: str) -> str:
+    return (
+        f"SELECT COUNT(*) AS n, "
+        f"SUM(CAST(CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT)) AS sy, "
+        f"SUM(CAST(CAST(ROUND(value * 100) AS BIGINT) * CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT)) AS syy "
+        f"FROM events WHERE event_type = '{etype}' AND value IS NOT NULL"
+    )
+
+
+_AB_SQL = f"""
+WITH a AS ({_ab_side_sql("purchase")}),
+b AS ({_ab_side_sql("click")}),
+d AS (
+  SELECT a.n AS n1, b.n AS n2,
+         CAST(a.sy AS DOUBLE) / nullif(a.n, 0) AS m1,
+         CAST(b.sy AS DOUBLE) / nullif(b.n, 0) AS m2,
+         CAST(a.n * a.syy - a.sy * a.sy AS DOUBLE) / nullif(a.n * (a.n - 1), 0) AS v1,
+         CAST(b.n * b.syy - b.sy * b.sy AS DOUBLE) / nullif(b.n * (b.n - 1), 0) AS v2
+  FROM a, b),
+e AS (SELECT *, v1 / n1 + v2 / n2 AS se2 FROM d)
+SELECT n1, n2,
+       round(m1 / 100, 4) AS mean_a,
+       round(m2 / 100, 4) AS mean_b,
+       round((m1 - m2) / nullif(sqrt(se2), 0), 4) AS t_stat,
+       round((se2 * se2) / nullif((v1 / n1) * (v1 / n1) / nullif(n1 - 1, 0)
+                          + (v2 / n2) * (v2 / n2) / nullif(n2 - 1, 0), 0), 2) AS welch_df
+FROM e
+"""
+
+
+@declare("q_agg_ab_test", oracle=_AB_SQL, tags=("agg", "stats"))
+def q_agg_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t statistic (purchase vs click event values)
+    from EXACT integer moments: each side reduces to (n, Σcents,
+    Σcents²) in 128-bit-exact integer sums — one map-side-combined
+    aggregate pass per side, no float summation — and the t statistic
+    + Welch degrees of freedom are a single pinned chain of double
+    ops (casts → divisions → sqrt; sqrt is IEEE-correctly-rounded in
+    both engines, so the whole readout is bit-deterministic and the
+    driver hash-certifies the statistics, not just the counts).
+
+    The A/B-readout shape at 100 TB: experiment metrics are algebraic
+    moment sums, so per-partition partials merge by addition, daily
+    partials roll up, and the test statistic is O(1) driver-side math
+    on two one-row frames — the scan is the only data-sized cost.
+    """
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+
+    def side(etype: str) -> DataFrame:
+        return (
+            e.where(F.col("event_type") == etype)
+            .select(cents.alias("y"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.expr("CAST(y AS DECIMAL(38,0))")).alias("sy"),
+                F.sum(F.expr("CAST(y * y AS DECIMAL(38,0))")).alias("syy"),
+            )
+        )
+    a = side("purchase")
+    b = side("click").select(
+        F.col("n").alias("n2"), F.col("sy").alias("sy2"), F.col("syy").alias("syy2")
+    )
+    d = (
+        a.crossJoin(F.broadcast(b))
+        .select(
+            F.col("n").alias("n1"),
+            "n2",
+            # every denominator that can be zero is nullif-guarded:
+            # Spark ANSI raises DIVIDE_BY_ZERO even on doubles where
+            # DuckDB yields NULL — the guard makes both engines NULL
+            # on degenerate sides (n <= 1, zero pooled variance)
+            (F.expr("CAST(sy AS DOUBLE)") / F.expr("nullif(n, 0)")).alias("m1"),
+            (F.expr("CAST(sy2 AS DOUBLE)") / F.expr("nullif(n2, 0)")).alias("m2"),
+            (
+                F.expr("CAST(n * syy - sy * sy AS DOUBLE)")
+                / F.expr("nullif(n * (n - 1), 0)")
+            ).alias("v1"),
+            (
+                F.expr("CAST(n2 * syy2 - sy2 * sy2 AS DOUBLE)")
+                / F.expr("nullif(n2 * (n2 - 1), 0)")
+            ).alias("v2"),
+        )
+        .withColumn("se2", F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2"))
+    )
+    return d.select(
+        "n1",
+        "n2",
+        F.round(F.col("m1") / 100, 4).alias("mean_a"),
+        F.round(F.col("m2") / 100, 4).alias("mean_b"),
+        F.round(
+            (F.col("m1") - F.col("m2")) / F.expr("nullif(sqrt(se2), 0)"), 4
+        ).alias("t_stat"),
+        F.round(
+            (F.col("se2") * F.col("se2"))
+            / F.expr(
+                "nullif((v1 / n1) * (v1 / n1) / nullif(n1 - 1, 0)"
+                " + (v2 / n2) * (v2 / n2) / nullif(n2 - 1, 0), 0)"
+            ),
+            2,
+        ).alias("welch_df"),
+    )
