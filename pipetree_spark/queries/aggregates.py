@@ -1569,3 +1569,86 @@ def q_agg_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("welch_df"),
     )
+
+
+@declare(
+    "q_agg_basket",
+    oracle="""
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+nt AS (SELECT COUNT(DISTINCT o) AS n_orders FROM ob),
+bc AS (SELECT b, COUNT(*) AS c FROM ob GROUP BY b),
+pairs AS (
+  SELECT x.b AS b1, y.b AS b2, COUNT(*) AS c_xy
+  FROM ob x JOIN ob y ON x.o = y.o AND x.b < y.b
+  GROUP BY x.b, y.b
+  HAVING COUNT(*) >= 20)
+SELECT p.b1, p.b2, p.c_xy,
+       round(CAST(p.c_xy AS DOUBLE) / nt.n_orders, 4) AS support,
+       round(CAST(p.c_xy AS DOUBLE) / c1.c, 4) AS confidence,
+       round((CAST(p.c_xy AS DOUBLE) * nt.n_orders) / (CAST(c1.c AS DOUBLE) * c2.c), 4) AS lift
+FROM pairs p
+JOIN bc c1 ON c1.b = p.b1
+JOIN bc c2 ON c2.b = p.b2
+CROSS JOIN nt
+""",
+    tags=("agg", "stats"),
+)
+def q_agg_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over co-ordered part brands:
+    per brand pair, support / confidence / lift from exact
+    co-occurrence counts (the Apriori 2-itemset readout). Result
+    membership is decided by the INTEGER support threshold
+    (c_xy ≥ 20), and each metric is one pinned cast-multiply-divide
+    chain on exact counts — so the driver hash certifies the whole
+    association table, not a sample.
+
+    Scale shape: baskets reduce to DISTINCT (order, brand) first
+    (bounded at |orders|·|brands|), pair generation is an equi-join on
+    the order key whose per-order fan-out is ≤ C(|brands in order|,2)
+    — brand-level items keep that tiny where raw part-level would
+    explode — and the HAVING threshold prunes before the metric
+    joins. The per-brand counts and the one-row total broadcast.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    ob = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    nt = ob.agg(F.count_distinct("o").alias("n_orders"))
+    bc = ob.groupBy("b").agg(F.count("*").alias("c"))
+    x, y = ob.alias("x"), ob.alias("y")
+    pairs = (
+        x.join(y, (F.col("x.o") == F.col("y.o")) & (F.col("x.b") < F.col("y.b")))
+        .groupBy(F.col("x.b").alias("b1"), F.col("y.b").alias("b2"))
+        .agg(F.count("*").alias("c_xy"))
+        .where(F.col("c_xy") >= 20)
+    )
+    return (
+        pairs.join(
+            F.broadcast(bc.select(F.col("b").alias("b1"), F.col("c").alias("c1"))), "b1"
+        )
+        .join(
+            F.broadcast(bc.select(F.col("b").alias("b2"), F.col("c").alias("c2"))), "b2"
+        )
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "b1",
+            "b2",
+            "c_xy",
+            F.round(F.col("c_xy").cast("double") / F.col("n_orders"), 4).alias(
+                "support"
+            ),
+            F.round(F.col("c_xy").cast("double") / F.col("c1"), 4).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("c_xy").cast("double") * F.col("n_orders"))
+                / (F.col("c1").cast("double") * F.col("c2")),
+                4,
+            ).alias("lift"),
+        )
+    )
