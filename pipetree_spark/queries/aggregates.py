@@ -1652,3 +1652,121 @@ def q_agg_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+def _ks_hist_sql(b: int = 256) -> str:
+    return f"""
+WITH vals AS (
+  SELECT event_type, value FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
+ex AS (SELECT MIN(value) AS lo, MAX(value) AS hi,
+              COUNT(*) FILTER (event_type = 'purchase') AS n1,
+              COUNT(*) FILTER (event_type = 'click') AS n2
+       FROM vals),
+hist AS (
+  SELECT CASE WHEN ex.hi = ex.lo THEN 0
+              ELSE LEAST({b - 1}, CAST(FLOOR((value - ex.lo) / ((ex.hi - ex.lo) / {float(b)!r})) AS INT))
+         END AS bucket,
+         COUNT(*) FILTER (event_type = 'purchase') AS c1,
+         COUNT(*) FILTER (event_type = 'click') AS c2
+  FROM vals, ex GROUP BY 1),
+spine AS (SELECT UNNEST(range(0, {b})) AS bucket),
+dense AS (
+  SELECT s.bucket, COALESCE(h.c1, 0) AS c1, COALESCE(h.c2, 0) AS c2
+  FROM spine s LEFT JOIN hist h ON s.bucket = h.bucket),
+cum AS (
+  SELECT bucket,
+         SUM(c1) OVER (ORDER BY bucket) AS k1,
+         SUM(c2) OVER (ORDER BY bucket) AS k2
+  FROM dense),
+d AS (
+  SELECT bucket,
+         abs(CAST(k1 AS DOUBLE) / nullif((SELECT n1 FROM ex), 0)
+           - CAST(k2 AS DOUBLE) / nullif((SELECT n2 FROM ex), 0)) AS dd
+  FROM cum)
+SELECT (SELECT n1 FROM ex) AS n1, (SELECT n2 FROM ex) AS n2,
+       round(MAX(dd), 4) AS ks_stat,
+       MIN(CASE WHEN dd = (SELECT MAX(dd) FROM d) THEN bucket END) AS ks_bucket
+FROM d
+"""
+
+
+@declare("q_agg_ks_hist", oracle=_ks_hist_sql(), tags=("agg", "stats"))
+def q_agg_ks_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov distance between the purchase and click
+    value distributions, computed on shared 256-bucket empirical CDFs
+    — the DISTRIBUTIONAL companion to q_agg_ab_test's mean test (a
+    drift monitor catches shape changes a t-test can't see). The max
+    |F1−F2| gap and its argmax bucket come from identical pinned
+    double ops per bucket, so both the statistic and its location
+    hash-certify; degenerate sides (empty class) go NULL via the same
+    nullif policy as the t-test.
+
+    Scale shape: one shared scan builds both histograms
+    (conditional-count aggregation, ≤256 groups), the CDF window runs
+    over a CONSTANT 256-row spine (bounded by construction — not a
+    data-sized single-reducer window), and everything after is O(B)
+    arithmetic. This is how two-sample testing works at 100 TB: the
+    histograms are the sufficient statistic that partials merge into.
+    """
+    b = 256
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isin("purchase", "click")
+    )
+    ex = e.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count_if(F.col("event_type") == "purchase").alias("n1"),
+        F.count_if(F.col("event_type") == "click").alias("n2"),
+    )
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(b - 1),
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / F.lit(float(b)))
+            ).cast("int"),
+        )
+    )
+    hist = (
+        e.crossJoin(F.broadcast(ex.select("lo", "hi")))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count_if(F.col("event_type") == "purchase").alias("c1"),
+            F.count_if(F.col("event_type") == "click").alias("c2"),
+        )
+    )
+    spine = spark.range(b).select(F.col("id").cast("int").alias("bucket"))
+    dense = (
+        spine.join(F.broadcast(hist), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("c1"), F.lit(0)).alias("c1"),
+            F.coalesce(F.col("c2"), F.lit(0)).alias("c2"),
+        )
+    )
+    w = Window.orderBy("bucket")  # 256-row constant spine: bounded by construction
+    cum = dense.select(
+        "bucket",
+        F.sum("c1").over(w).alias("k1"),
+        F.sum("c2").over(w).alias("k2"),
+    )
+    d = cum.crossJoin(F.broadcast(ex.select("n1", "n2"))).select(
+        "bucket",
+        F.abs(
+            F.col("k1").cast("double") / F.expr("nullif(n1, 0)")
+            - F.col("k2").cast("double") / F.expr("nullif(n2, 0)")
+        ).alias("dd"),
+    )
+    mx = d.agg(F.max("dd").alias("ks_raw"))
+    arg = (
+        d.crossJoin(F.broadcast(mx))
+        .where(F.col("dd") == F.col("ks_raw"))
+        .agg(F.min("bucket").alias("ks_bucket"))
+    )
+    return (
+        ex.select("n1", "n2")
+        .crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(arg))
+        .select("n1", "n2", F.round("ks_raw", 4).alias("ks_stat"), "ks_bucket")
+    )
