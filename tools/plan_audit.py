@@ -45,6 +45,7 @@ UNPARTITIONED_WINDOW_OK = {
     "q_vec_ann_pq_ivf": "row_number over the 8-row kmeans init + 16-row codebook init (replayed per branch)",
     "q_vec_ann_ivfpq_res": "row_number over the 8-row kmeans init + 16-row codebook init (replayed per branch)",
     "q_agg_quantile_hist": "cumulative sum over the ≤256-bucket histogram (bounded by construction)",
+    "q_agg_ks_hist": "CDF cumulative sum over the constant 256-row bucket spine (bounded by construction)",
 }
 
 

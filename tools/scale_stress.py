@@ -91,6 +91,13 @@ QUERIES = [
     "q_graph_bfs",         # r9: 3 frontier shuffles vs pre-partitioned edges
     "q_sort_zorder",       # r9: narrow codegen interleave + 32-group agg — must be ~flat
     "q_ts_trend",          # r9: one-pass exact-moment OLS — scan-bound
+    "q_text_pmi",          # r9: two count shuffles + vocab joins
+    "q_join_incremental",  # r9: delta-join maintenance — delta-sized probes
+    "q_agg_basket",        # r9: per-order brand pair join + threshold
+    "q_agg_ab_test",       # r9: two one-row moment frames — scan-bound
+    "q_agg_ks_hist",       # r9: shared-scan histograms + constant spine
+    "q_agg_quantile_hist_bygroup",  # r9: per-group 256-bucket histograms
+    "q_pipe_validate",     # r9: fingerprint + diff through the spec walker
 ]
 
 
