@@ -96,6 +96,18 @@ def hll_registers_by(
     replaces a full-key shuffle at 100 TB. Register vectors from
     different runs merge per group with element-wise MAX (hll_merge's
     law), so daily group sketches roll up into monthly ones for free."""
+    regs = hll_reg_cells(df, col, group_cols, m)
+    return hll_densify(regs, group_cols, m)
+
+
+def hll_reg_cells(
+    df: DataFrame, col: str, group_cols: list[str], m: int = 64
+) -> DataFrame:
+    """The SPARSE per-group register relation ``(group_cols..., j,
+    reg)`` — hll_registers_by before densification. Exposed because
+    register-granularity rows compose RELATIONALLY: a sliding window /
+    rollup / re-group is a join + ``max(reg)`` over this frame, where
+    the dense array form would need array-unzip first."""
     if m & (m - 1) or m < 2:
         raise ValueError(f"m must be a power of two ≥ 2, got {m}")
     base_sql = (
@@ -113,11 +125,16 @@ def hll_registers_by(
     rho = F.when(F.col("w") == 0, F.lit(_RANK_BITS + 1)).otherwise(
         F.lit(_RANK_BITS + 1) - bits
     )
-    regs = (
+    return (
         cells.select(*group_cols, "j", rho.alias("rho"))
         .groupBy(*group_cols, "j")
         .agg(F.max("rho").alias("reg"))
     )
+
+
+def hll_densify(regs: DataFrame, group_cols: list[str], m: int = 64) -> DataFrame:
+    """Sparse ``(group_cols..., j, reg)`` → one dense ``registers:
+    array<int>`` row per group (absent registers are 0)."""
     return (
         regs.groupBy(*group_cols)
         .agg(F.map_from_arrays(F.collect_list("j"), F.collect_list("reg")).alias("__wm"))

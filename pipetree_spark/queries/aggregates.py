@@ -1770,3 +1770,108 @@ def q_agg_ks_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(arg))
         .select("n1", "n2", F.round("ks_raw", 4).alias("ks_stat"), "ks_bucket")
     )
+
+
+def _hll_sliding_sql(m: int = 64, span: int = 6) -> str:
+    """DuckDB twin of q_agg_hll_sliding: daily sparse registers,
+    MAX-merged over the trailing window per day — identical register
+    math to _hll_by_sql."""
+    bits_chain = " + ".join(f"CAST(w >= {1 << k} AS INT)" for k in range(1, 54))
+    two62 = 1 << 62
+    alpha_m2 = repr(0.709 * m * m)
+    return f"""
+WITH h AS (
+  SELECT epoch_ns(ts) // 1000000000 // 86400 AS day, user_id,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events
+),
+cells AS (SELECT day, h % {m} AS j, h // {m} AS w FROM h),
+rho AS (
+  SELECT day, j, CASE WHEN w = 0 THEN 55 ELSE 55 - (1 + {bits_chain}) END AS rho
+  FROM cells
+),
+dayregs AS (SELECT day, j, MAX(rho) AS reg FROM rho GROUP BY day, j),
+days AS (SELECT DISTINCT day FROM h),
+winregs AS (
+  SELECT d.day AS day, r.j, MAX(r.reg) AS reg
+  FROM days d JOIN dayregs r ON r.day BETWEEN d.day - {span} AND d.day
+  GROUP BY d.day, r.j
+),
+dense AS (
+  SELECT days.day, g.j AS j, COALESCE(w.reg, 0) AS reg
+  FROM days CROSS JOIN (SELECT UNNEST(range(0, {m})) AS j) g
+  LEFT JOIN winregs w ON days.day = w.day AND g.j = w.j
+),
+summary AS (
+  SELECT day,
+         CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS INT) AS n_zeros,
+         CAST(SUM(CAST(1 AS HUGEINT) << CAST(62 - reg AS INT)) AS DOUBLE) AS sum_scaled
+  FROM dense GROUP BY day
+),
+ex AS (
+  SELECT d.day AS day, COUNT(DISTINCT e2.user_id) AS exact_distinct
+  FROM days d JOIN h e2 ON e2.day BETWEEN d.day - {span} AND d.day
+  GROUP BY d.day
+)
+SELECT s.day, s.n_zeros, s.sum_scaled,
+       CASE WHEN ({alpha_m2} / (s.sum_scaled / {float(two62)!r})) <= {2.5 * m}
+                 AND s.n_zeros > 0
+            THEN round({float(m)!r} * ln({float(m)!r} / s.n_zeros), 2)
+            ELSE round({alpha_m2} / (s.sum_scaled / {float(two62)!r}), 2)
+       END AS est_hll,
+       ex.exact_distinct
+FROM summary s JOIN ex ON s.day = ex.day
+"""
+
+
+@declare("q_agg_hll_sliding", oracle=_hll_sliding_sql(), tags=("agg", "approx"))
+def q_agg_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day TRAILING distinct-user estimates per day from DAILY HLL
+    sketches (ops.sketch.hll_reg_cells) — the sketch-reuse pattern
+    that makes rolling distinct counts affordable at 100 TB: raw
+    events are touched ONCE to build per-day register cells; every
+    window is then a (day-spine ⋈ 7 days of 64-row registers) MAX —
+    register-level work, no re-scan, no per-window key shuffle. An
+    exact rolling distinct (the oracle's certification arm, computed
+    here only to let the driver re-prove the estimates) replays the
+    raw events per window — precisely the 7× fan-out the sketch
+    form eliminates.
+
+    Composition is sound because registers are a join-able RELATION
+    (day, j, reg) before densifying: sliding windows, calendar
+    rollups, and backfills are all max-merge joins over it — the same
+    MAX law pytest pins for hll_merge.
+    """
+    from pipetree_spark.ops.sketch import hll_densify, hll_estimate, hll_reg_cells
+
+    m, span = 64, 6
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.expr("ts_sec div 86400")
+    )
+    dayregs = hll_reg_cells(e, "user_id", ["day"], m)
+    days = dayregs.select("day").distinct()
+    d, r = days.alias("d"), dayregs.alias("r")
+    winregs = (
+        d.join(
+            r,
+            (F.col("r.day") >= F.col("d.day") - span)
+            & (F.col("r.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"), F.col("r.j").alias("j"))
+        .agg(F.max("r.reg").alias("reg"))
+    )
+    summary = hll_densify(winregs, ["day"], m).select(
+        "day", *hll_estimate("registers", m)
+    )
+    ev = e.select(F.col("day").alias("eday"), "user_id")
+    exact = (
+        days.join(
+            ev,
+            (F.col("eday") >= F.col("day") - span) & (F.col("eday") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("exact_distinct"))
+    )
+    return summary.join(exact, "day").select(
+        "day", "n_zeros", "sum_scaled", "est_hll", "exact_distinct"
+    )
