@@ -339,3 +339,61 @@ def bfs_khop(
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+def sssp_khop(
+    edges: DataFrame,
+    sources: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Bounded Bellman-Ford: cheapest path cost from ANY source using
+    at most ``k`` edges, over an undirected weighted edge list with
+    non-negative INTEGER weights — :func:`bfs_khop` generalized (BFS
+    is the all-weights-1 case). Like BFS, the k-edge cap is the
+    SEMANTICS: the relational twin unrolls exactly k relaxation
+    rounds, so the result is well-defined on any graph with no
+    convergence loop and a wall-clock bound known up front.
+
+    Integer costs keep every relaxation exact (min over BIGINT sums —
+    no float accumulation order anywhere). Parallel edges are reduced
+    to their min weight up front; isolated sources still appear at
+    cost 0. Per round: ONE shuffle of the frontier against the
+    pre-partitioned symmetrized edge list; state is (node, dist).
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
+        )
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+    )
+    sym = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .repartition("u")
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(k):
+        relaxed = (
+            dist.withColumnRenamed("node", "u")
+            .join(sym, "u")
+            .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

@@ -315,6 +315,7 @@ def _op_registry() -> dict[str, tuple[Callable, int]]:
         "triangle_counts": (GX.triangle_counts, 1),
         # bfs_khop(edges, sources, k=...) — inputs (edges, sources)
         "bfs_khop": (GX.bfs_khop, 2),
+        "sssp_khop": (GX.sssp_khop, 2),
         "hll_registers": (SK.hll_registers, 1),
         "hll_registers_by": (SK.hll_registers_by, 1),
         "bloom_build": (BL.bloom_build, 1),

@@ -18,7 +18,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pipetree_spark.catalog import load_table
-from pipetree_spark.ops.graph import bfs_khop, pagerank_exact, triangle_counts
+from pipetree_spark.ops.graph import (
+    bfs_khop,
+    pagerank_exact,
+    sssp_khop,
+    triangle_counts,
+)
 from pipetree_spark.queries import declare
 
 _SCALE = 10**12
@@ -202,3 +207,64 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("a.c").alias("src"), F.col("b.c").alias("dst"))
     vips = c.where(F.col("c_acctbal") >= 9900).select("c_custkey")
     return bfs_khop(edges, vips, k=3)
+
+
+def _sssp_sql(k: int = 3) -> str:
+    """Unrolled DuckDB twin of ops.graph.sssp_khop over the weighted
+    co-purchase graph (weight = 1000 // shared-part count: stronger
+    ties are cheaper). Exactly k integer relaxation rounds."""
+    ctes = [
+        "cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p"
+        " FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey"
+        " WHERE l.l_quantity >= 45)",
+        "ew AS (SELECT a.c AS u, b.c AS v, CAST(1000 // COUNT(*) AS BIGINT) AS w"
+        " FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c GROUP BY a.c, b.c)",
+        "sym AS (SELECT u, v, MIN(w) AS w FROM"
+        " (SELECT u, v, w FROM ew UNION ALL SELECT v, u, w FROM ew) GROUP BY u, v)",
+        "l0 AS (SELECT DISTINCT c_custkey AS node, CAST(0 AS BIGINT) AS dist"
+        " FROM customer WHERE c_acctbal >= 9900)",
+    ]
+    prev = "l0"
+    for i in range(1, k + 1):
+        ctes.append(
+            f"l{i} AS (SELECT node, MIN(dist) AS dist FROM ("
+            f"SELECT node, dist FROM {prev}"
+            f" UNION ALL SELECT s.v AS node, p.dist + s.w AS dist"
+            f" FROM {prev} p JOIN sym s ON p.node = s.u) GROUP BY node)"
+        )
+        prev = f"l{i}"
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, dist FROM {prev}"
+
+
+@declare("q_graph_sssp", oracle=_sssp_sql(), tags=("graph",))
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded Bellman-Ford (ops.graph.sssp_khop): cheapest ≤3-edge
+    path cost from the VIP cohort through the WEIGHTED co-purchase
+    graph, edge weight 1000 div (shared-part count) — strong
+    commercial ties are cheap to traverse, so low cost means "closely
+    connected to a VIP through repeated co-purchasing", the weighted
+    refinement of q_graph_bfs's hop distance. All-integer relaxation
+    (min over BIGINT sums) — the driver hash certifies every cost.
+
+    Scale: identical shape to BFS (k frontier shuffles against the
+    pre-partitioned symmetrized edge list, (node, dist) state), plus
+    one edge-weight aggregation up front. The k-edge cap bounds
+    rounds by semantics, not convergence.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    cp = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .where(F.col("l_quantity") >= 45)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = cp.alias("a"), cp.alias("b")
+    ew = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")))
+        .groupBy(F.col("a.c").alias("src"), F.col("b.c").alias("dst"))
+        .agg(F.expr("CAST(1000 div count(*) AS BIGINT)").alias("w"))
+    )
+    vips = c.where(F.col("c_acctbal") >= 9900).select("c_custkey")
+    return sssp_khop(ew, vips, k=3)

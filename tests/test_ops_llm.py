@@ -1877,3 +1877,26 @@ def test_bfs_khop_hand_graph(spark):
     got4 = {r.node: r.dist for r in bfs_khop(
         edges, spark.createDataFrame([(1,), (5,)], "n long"), k=4).collect()}
     assert got4 == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_sssp_khop_hand_graph(spark):
+    """ops/graph.sssp_khop: weighted path 1-2-3 with a direct heavy
+    edge 1-3 — within 1 edge the heavy direct edge wins; within 2 the
+    lighter two-hop path does. Parallel edges reduce to min weight;
+    the k-edge cap is exact; BFS is the all-weights-1 special case."""
+    from pipetree_spark.ops.graph import bfs_khop, sssp_khop
+
+    edges = spark.createDataFrame(
+        [(1, 2, 4), (2, 3, 4), (1, 3, 10), (1, 3, 12), (9, 9, 1)],
+        "src long, dst long, w long",
+    )
+    srcs = spark.createDataFrame([(1,)], "n long")
+    got1 = {r.node: r.dist for r in sssp_khop(edges, srcs, k=1).collect()}
+    assert got1 == {1: 0, 2: 4, 3: 10}
+    got2 = {r.node: r.dist for r in sssp_khop(edges, srcs, k=2).collect()}
+    assert got2 == {1: 0, 2: 4, 3: 8}
+
+    ones = edges.select("src", "dst", F.lit(1).alias("w"))
+    bfs = {r.node: r.dist for r in bfs_khop(edges, srcs, k=2).collect()}
+    ss = {r.node: r.dist for r in sssp_khop(ones, srcs, k=2).collect()}
+    assert bfs == ss

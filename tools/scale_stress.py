@@ -99,6 +99,7 @@ QUERIES = [
     "q_agg_quantile_hist_bygroup",  # r9: per-group 256-bucket histograms
     "q_pipe_validate",     # r9: fingerprint + diff through the spec walker
     "q_agg_hll_sliding",   # r9: day-spine x 64-register merge — register-level work
+    "q_graph_sssp",        # r9: weighted Bellman-Ford, k frontier shuffles
 ]
 
 
