@@ -294,3 +294,33 @@ def test_pq_index_persists_and_queries_identically(spark, tmp_path):
         ).collect()
     }
     assert comp == base
+
+
+def test_changes_feed_between_versions(spark, tmp_path):
+    """VersionedTable.changes: v0→v2 feed classifies added (new key in
+    an append), removed (key absent after overwrite), and changed
+    (same key, new payload) — and never emits unchanged keys."""
+    from pipetree_spark.versioned import VersionedTable
+
+    vt = VersionedTable(str(tmp_path), "t", spark=spark)
+    v0 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, payload string"
+    )
+    vt.write(v0)  # v0
+    # v1: key 2 re-stated with a new payload, key 4 added, key 3 dropped
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], "k long, payload string"
+    )
+    vt.write(v1, mode="overwrite")  # v1
+    feed = {
+        (r.k, r.status)
+        for r in vt.changes(spark, 0, 1, keys=["k"]).collect()
+    }
+    assert feed == {(2, "changed"), (3, "removed"), (4, "added")}
+    # identical versions → empty feed (rollback commits v0's dirs as v2)
+    vt.rollback(0)
+    assert vt.changes(spark, 0, 2, keys=["k"]).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="absent"):
+        vt.changes(spark, 0, 1, keys=["k"], compare_cols=["nope"])
