@@ -1875,3 +1875,65 @@ def q_agg_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary.join(exact, "day").select(
         "day", "n_zeros", "sum_scaled", "est_hll", "exact_distinct"
     )
+
+
+@declare(
+    "q_agg_gini",
+    oracle="""
+WITH c AS (
+  SELECT event_type, event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL),
+r AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS i
+  FROM c),
+m AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(cents AS HUGEINT)) AS sx,
+         SUM(CAST(i * cents AS HUGEINT)) AS six
+  FROM r GROUP BY event_type)
+SELECT event_type, n,
+       round(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+             / nullif(CAST(n * sx AS DOUBLE), 0), 4) AS gini
+FROM m
+""",
+    tags=("agg", "stats"),
+)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of event value per event type —
+    G = (2Σi·x_(i) − (n+1)Σx) / (nΣx) over rank-ordered exact cents.
+    The inequality/concentration readout (is spend concentrated in a
+    few whales?) with every sum exact-integer: the rank window is
+    PARTITIONED by event type (never a global sort), rank ties on
+    equal cents can swap i between equal values without changing
+    Σi·x, event_id makes the assignment deterministic anyway, and
+    only the final ratio touches doubles (one pinned divide,
+    nullif-guarded for the all-zero group).
+
+    Scale: one shuffle for the per-group rank window + a map-side
+    moment aggregate. For 100 TB groups where even a per-group sort
+    hurts, the histogram family (q_agg_quantile_hist_bygroup) is the
+    fixed-memory approximation path; this is the exact path.
+    """
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    c = e.select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    r = c.select("event_type", "cents", F.row_number().over(w).alias("i"))
+    m = r.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0))")).alias("sx"),
+        F.sum(F.expr("CAST(i * cents AS DECIMAL(38,0))")).alias("six"),
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.round(
+            F.expr("CAST(2 * six - (n + 1) * sx AS DOUBLE)")
+            / F.expr("nullif(CAST(n * sx AS DOUBLE), 0)"),
+            4,
+        ).alias("gini"),
+    )

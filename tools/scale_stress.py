@@ -100,6 +100,7 @@ QUERIES = [
     "q_pipe_validate",     # r9: fingerprint + diff through the spec walker
     "q_agg_hll_sliding",   # r9: day-spine x 64-register merge — register-level work
     "q_graph_sssp",        # r9: weighted Bellman-Ford, k frontier shuffles
+    "q_agg_gini",          # r9: per-group rank window + moment agg
 ]
 
 
