@@ -1937,3 +1937,125 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("gini"),
     )
+
+
+def _kmv_retention_sql(k: int = 128) -> str:
+    """DuckDB twin of q_agg_kmv_retention: per-day k-min sketches via
+    a partitioned ROW_NUMBER, pair-merged unions, the same estimator
+    op order as _kmv_sql."""
+    est = (
+        f"CASE WHEN cnt < {k} THEN CAST(cnt AS DOUBLE)"
+        f" ELSE round({float(k - 1)!r} * {float(1 << 60)!r} / hk, 2) END"
+    )
+    return f"""
+WITH h AS (
+  SELECT DISTINCT epoch_ns(ts) // 1000000000 // 86400 AS day,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events),
+sk AS (
+  SELECT day, h FROM (
+    SELECT day, h, ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rn FROM h)
+  WHERE rn <= {k}),
+pairs AS (SELECT a.day AS day FROM (SELECT DISTINCT day FROM sk) a
+          JOIN (SELECT DISTINCT day FROM sk) b ON b.day = a.day + 1),
+tagged AS (
+  SELECT p.day, s.h, CAST(s.day = p.day AS INT) AS is_a, CAST(s.day = p.day + 1 AS INT) AS is_b
+  FROM pairs p JOIN sk s ON s.day IN (p.day, p.day + 1)),
+merged AS (
+  SELECT day, h, MAX(is_a) AS in_a, MAX(is_b) AS in_b FROM tagged GROUP BY day, h),
+uni AS (
+  SELECT day, h, in_a, in_b FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rn FROM merged)
+  WHERE rn <= {k}),
+stats AS (
+  SELECT day, COUNT(*) AS cnt, MAX(h) AS hk,
+         CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM uni GROUP BY day),
+est AS (SELECT day, hits, {est} AS est_union FROM stats),
+ev AS (SELECT DISTINCT epoch_ns(ts) // 1000000000 // 86400 AS day, user_id FROM events),
+exact AS (
+  SELECT a.day, COUNT(*) AS exact_inter
+  FROM ev a JOIN ev b ON a.user_id = b.user_id AND b.day = a.day + 1
+  GROUP BY a.day)
+SELECT e.day, e.hits,
+       round(e.hits * e.est_union / {k}, 2) AS est_inter,
+       COALESCE(x.exact_inter, 0) AS exact_inter
+FROM est e LEFT JOIN exact x ON e.day = x.day
+"""
+
+
+@declare("q_agg_kmv_retention", oracle=_kmv_retention_sql(), tags=("agg", "approx"))
+def q_agg_kmv_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retained-audience estimates from PER-DAY KMV
+    sketches — the sketch q_agg_kmv_setops certifies, in its real
+    workload: each day reduces once to its 128 smallest distinct user
+    hashes (a PARTITIONED rank window over distinct hashes), and every
+    consecutive-day overlap estimate is then k-row work (merge, re-min,
+    hit count) — no day-pair user-level join ever runs in the sketch
+    path. The exact overlap (the oracle's certification arm) does run
+    that join, which is precisely the |days|× key-shuffle the sketch
+    form eliminates on a 100 TB events table. Deterministic end to
+    end: k-min sets are canonical, so the driver hash certifies every
+    day's sketch, hit count, and estimate.
+    """
+    from pipetree_spark.ops.sketch import kmv_hash
+
+    k = 128
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.expr("ts_sec div 86400")
+    )
+    h = e.select("day", kmv_hash("user_id").alias("h")).distinct()
+    w = Window.partitionBy("day").orderBy("h")
+    sk = (
+        h.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
+    )
+    days = sk.select("day").distinct()
+    pairs = days.alias("a").join(
+        days.alias("b"), F.col("b.day") == F.col("a.day") + 1
+    ).select(F.col("a.day").alias("day"))
+    tagged = pairs.join(
+        sk.withColumnRenamed("day", "sday"),
+        (F.col("sday") == F.col("day")) | (F.col("sday") == F.col("day") + 1),
+    ).select(
+        "day",
+        "h",
+        (F.col("sday") == F.col("day")).cast("int").alias("is_a"),
+        (F.col("sday") == F.col("day") + 1).cast("int").alias("is_b"),
+    )
+    merged = tagged.groupBy("day", "h").agg(
+        F.max("is_a").alias("in_a"), F.max("is_b").alias("in_b")
+    )
+    wu = Window.partitionBy("day").orderBy("h")
+    uni = (
+        merged.withColumn("rn", F.row_number().over(wu))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+    stats = uni.groupBy("day").agg(
+        F.count("*").alias("cnt"),
+        F.max("h").alias("hk"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+        ).alias("hits"),
+    )
+    est_union = F.when(F.col("cnt") < k, F.col("cnt").cast("double")).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(float(1 << 60)) / F.col("hk"), 2)
+    )
+    est = stats.select("day", "hits", est_union.alias("est_union"))
+    ev = e.select("day", "user_id").distinct()
+    exact = (
+        ev.alias("a")
+        .join(
+            ev.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.day") == F.col("a.day") + 1),
+        )
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    return est.join(exact, "day", "left").select(
+        "day",
+        "hits",
+        F.round(F.col("hits") * F.col("est_union") / F.lit(k), 2).alias("est_inter"),
+        F.coalesce(F.col("exact_inter"), F.lit(0)).alias("exact_inter"),
+    )

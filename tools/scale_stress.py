@@ -101,6 +101,7 @@ QUERIES = [
     "q_agg_hll_sliding",   # r9: day-spine x 64-register merge — register-level work
     "q_graph_sssp",        # r9: weighted Bellman-Ford, k frontier shuffles
     "q_agg_gini",          # r9: per-group rank window + moment agg
+    "q_agg_kmv_retention", # r9: per-day k-min windows + k-row pair merges
 ]
 
 
