@@ -22,11 +22,15 @@ def asof_join(
     how: str = "left",
     direction: str = "backward",
     suffix: str = "_r",
+    tolerance: int | None = None,
 ) -> DataFrame:
     """As-of join: for each left row (identified by unique ``left_key``),
     attach the single latest right row at/before ``left_time``
     (``direction='backward'``; 'forward' = earliest at/after) sharing the
-    ``on`` keys.
+    ``on`` keys; ``tolerance`` (same units as the time columns) bounds
+    the match window like pandas merge_asof — at scale it ALSO bounds
+    the join fan-out a hot ``on`` key can produce, so production as-ofs
+    should always pass one.
 
     Spark has no ASOF JOIN (SURVEY §2.3). Rewrite: equi-join on ``on`` +
     time-inequality filter, then ``row_number()==1`` per left row.
@@ -43,8 +47,12 @@ def asof_join(
     rt = right_time + suffix
     if direction == "backward":
         cond, order = F.col(rt) <= F.col(left_time), [F.col(rt).desc()]
+        if tolerance is not None:
+            cond = cond & (F.col(rt) >= F.col(left_time) - tolerance)
     else:
         cond, order = F.col(rt) >= F.col(left_time), [F.col(rt).asc()]
+        if tolerance is not None:
+            cond = cond & (F.col(rt) <= F.col(left_time) + tolerance)
     order += [F.col(c + suffix).asc() for c in rcols if c != right_time]
     matched = (
         left.join(r, on=list(on), how="inner")

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pipetree_spark.catalog import load_table, table_path
 from pipetree_spark.exact import dsum, dsum_sql, exact_sums, lsum
 from pipetree_spark.ops.relational import (
+    asof_join,
     binned_interval_join,
     incremental_join_delta,
     range_join,
@@ -604,4 +605,62 @@ def q_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.count_distinct("o_orderkey").alias("n_orders"),
         (lsum("l_extendedprice")).alias("sum_price"),
+    )
+
+
+@declare(
+    "q_join_asof_fwd",
+    oracle="""
+WITH err AS (SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS t
+             FROM events WHERE event_type = 'error'),
+pur AS (SELECT event_id AS p_id, user_id, epoch_ns(ts) // 1000000000 AS pt
+        FROM events WHERE event_type = 'purchase'),
+m AS (
+  SELECT e.event_id, p.p_id, p.pt - e.t AS gap_sec,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY p.pt, p.p_id) AS rn
+  FROM err e JOIN pur p ON e.user_id = p.user_id
+  WHERE p.pt >= e.t AND p.pt <= e.t + 3600)
+SELECT e.event_id, m.p_id AS next_purchase_id, m.gap_sec
+FROM err e LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON e.event_id = m.event_id
+""",
+    tags=("join", "events"),
+)
+def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance (ops.relational.asof_join,
+    direction='forward', tolerance=3600): for each error event, the
+    same user's NEXT purchase within an hour — "did the error block
+    conversion". Errors with no in-window purchase still appear
+    (NULL match) via how='left'.
+
+    The tolerance is not just semantics: it bounds the per-key join
+    fan-out (candidates per error = purchases in one hour, not the
+    user's entire history), which is what keeps the equi-join +
+    row_number rewrite flat on an unbounded event stream. Ties on the
+    purchase timestamp break on the purchase id — fully deterministic,
+    so the driver hash certifies every match and gap.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts_sec").alias("t")
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts_sec").alias("pt"),
+    )
+    m = asof_join(
+        err,
+        pur,
+        on=["user_id"],
+        left_time="t",
+        right_time="pt",
+        left_key="event_id",
+        how="left",
+        direction="forward",
+        tolerance=3600,
+    )
+    return m.select(
+        "event_id",
+        F.col("p_id_r").alias("next_purchase_id"),
+        (F.col("pt_r") - F.col("t")).alias("gap_sec"),
     )
