@@ -335,3 +335,40 @@ def test_incremental_join_delta_algebra(spark):
         (r.k, r.av, r.bv) for r in stored.unionByName(delta).collect()
     )
     assert maintained == full
+
+
+def test_asof_join_tolerance_bounds_the_match_window(spark):
+    """asof_join tolerance semantics (merge_asof parity): a right row
+    beyond the tolerance must NOT match even if it is the nearest one,
+    in both directions; how='left' keeps the unmatched left row."""
+    from pipetree_spark.ops.relational import asof_join
+
+    left = spark.createDataFrame([(1, 1, 100), (2, 1, 500)], "lk long, k long, t long")
+    right = spark.createDataFrame(
+        [(10, 1, 90), (11, 1, 430)], "rid long, k long, rt long"
+    )
+    fwd = {
+        r.lk: r.rid_r
+        for r in asof_join(
+            left, right, ["k"], "t", "rt", "lk",
+            direction="forward", tolerance=50,
+        ).collect()
+    }
+    # lk=1 at t=100: nearest forward rt=430 (gap 330) > 50; lk=2 at
+    # t=500 has no forward row at all — both unmatched but present
+    assert fwd == {1: None, 2: None}
+    bwd = {
+        r.lk: r.rid_r
+        for r in asof_join(
+            left, right, ["k"], "t", "rt", "lk",
+            direction="backward", tolerance=50,
+        ).collect()
+    }
+    # lk=1: rt=90 within 50 back → match; lk=2 at 500: rt=430 gap 70 > 50 → none
+    assert bwd == {1: 10, 2: None}
+    # no tolerance → plain as-of: both match their nearest side
+    bwd_all = {
+        r.lk: r.rid_r
+        for r in asof_join(left, right, ["k"], "t", "rt", "lk").collect()
+    }
+    assert bwd_all == {1: 10, 2: 11}
