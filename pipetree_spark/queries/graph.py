@@ -268,3 +268,87 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vips = c.where(F.col("c_acctbal") >= 9900).select("c_custkey")
     return sssp_khop(ew, vips, k=3)
+
+
+_COMMON_NEIGHBORS_SQL = """
+WITH cp AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_quantity >= 45),
+e AS (SELECT DISTINCT a.c AS u, b.c AS v FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c),
+sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+deg AS (SELECT u AS node, COUNT(*) AS d FROM sym GROUP BY u),
+wedge AS (
+  SELECT s1.v AS a, s2.v AS b, COUNT(*) AS common
+  FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+  GROUP BY s1.v, s2.v
+  HAVING COUNT(*) >= 4),
+cand AS (
+  SELECT w.a, w.b, w.common FROM wedge w
+  LEFT JOIN e ON e.u = w.a AND e.v = w.b
+  WHERE e.u IS NULL)
+SELECT c.a, c.b, c.common,
+       round(CAST(c.common AS DOUBLE)
+             / (da.d + db.d - c.common), 4) AS jaccard
+FROM cand c JOIN deg da ON da.node = c.a JOIN deg db ON db.node = c.b
+"""
+
+
+@declare("q_graph_common_neighbors", oracle=_COMMON_NEIGHBORS_SQL, tags=("graph",))
+def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the co-purchase graph: NON-adjacent
+    customer pairs ranked by shared neighbors — common-neighbor count
+    (≥ 6, the integer membership threshold) and neighborhood Jaccard
+    |N(a)∩N(b)| / (deg(a)+deg(b)−common), one pinned divide on exact
+    integers. The classic "customers who should know each other"
+    / recommendation-candidate feature.
+
+    Scale shape: common-neighbor counting is the SAME wedge join
+    triangle_counts bounds with degree orientation — here the wedge
+    count aggregation itself (groupBy (a,b)) map-side combines, the
+    HAVING threshold prunes before the anti-join against existing
+    edges, and degrees broadcast. No theta join, no driver data.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    cp = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .where(F.col("l_quantity") >= 45)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = cp.alias("a"), cp.alias("b")
+    e = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")))
+        .select(F.col("a.c").alias("u"), F.col("b.c").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    wedge = (
+        s1.join(s2, (F.col("s1.u") == F.col("s2.u")) & (F.col("s1.v") < F.col("s2.v")))
+        .groupBy(F.col("s1.v").alias("a"), F.col("s2.v").alias("b"))
+        .agg(F.count("*").alias("common"))
+        .where(F.col("common") >= 4)
+    )
+    cand = wedge.join(
+        e, (F.col("u") == F.col("a")) & (F.col("v") == F.col("b")), "left_anti"
+    )
+    return (
+        cand.join(F.broadcast(deg.select(F.col("node").alias("a"), F.col("d").alias("da"))), "a")
+        .join(F.broadcast(deg.select(F.col("node").alias("b"), F.col("d").alias("db"))), "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("da") + F.col("db") - F.col("common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )

@@ -102,6 +102,7 @@ QUERIES = [
     "q_graph_sssp",        # r9: weighted Bellman-Ford, k frontier shuffles
     "q_agg_gini",          # r9: per-group rank window + moment agg
     "q_agg_kmv_retention", # r9: per-day k-min windows + k-row pair merges
+    "q_graph_common_neighbors",  # r9: wedge-count groupBy + anti-join
 ]
 
 
