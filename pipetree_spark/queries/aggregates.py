@@ -2059,3 +2059,80 @@ def q_agg_kmv_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("hits") * F.col("est_union") / F.lit(k), 2).alias("est_inter"),
         F.coalesce(F.col("exact_inter"), F.lit(0)).alias("exact_inter"),
     )
+
+
+@declare(
+    "q_agg_spearman",
+    oracle="""
+WITH c AS (
+  SELECT event_type, event_id,
+         epoch_ns(ts) // 1000000000 AS x,
+         CAST(ROUND(value * 100) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL),
+r AS (
+  SELECT event_type,
+         2 * RANK() OVER (PARTITION BY event_type ORDER BY x)
+           + COUNT(*) OVER (PARTITION BY event_type, x) - 1 AS rx2,
+         2 * RANK() OVER (PARTITION BY event_type ORDER BY y)
+           + COUNT(*) OVER (PARTITION BY event_type, y) - 1 AS ry2
+  FROM c),
+m AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST((rx2 - ry2) * (rx2 - ry2) AS HUGEINT)) AS sd2
+  FROM r GROUP BY event_type)
+SELECT event_type, n,
+       round(1 - CAST(3 * sd2 AS DOUBLE)
+                 / nullif(CAST(2 * n * (CAST(n AS HUGEINT) * n - 1) AS DOUBLE), 0), 4)
+           AS spearman
+FROM m
+""",
+    tags=("agg", "stats"),
+)
+def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between event TIME and VALUE per
+    event type — the rank (monotone-trend) companion to q_ts_trend's
+    linear slope, robust to outliers. Semantics pinned explicitly: the
+    classic 1 − 6Σd²/(n(n²−1)) on tie-AVERAGED ranks, with ranks
+    DOUBLED so average ranks stay integers (avg rank for a tie group =
+    rank + (ties−1)/2; doubled: 2·rank + ties − 1) — Σd² is then an
+    exact 128-bit integer sum and only the final ratio divides pinned
+    doubles (nullif-guarded for n ≤ 1). The 6Σd² constant becomes
+    3Σd²/(2·…) under the doubling.
+
+    Scale: two partitioned rank windows + tie counts over one shuffle
+    on event_type, then a map-side moment aggregate — no global sort,
+    |groups| output rows, partials merge by addition.
+    """
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    c = e.select(
+        "event_type",
+        F.col("ts_sec").alias("x"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("y"),
+    )
+    wx = Window.partitionBy("event_type").orderBy("x")
+    wy = Window.partitionBy("event_type").orderBy("y")
+    tx = Window.partitionBy("event_type", "x")
+    ty = Window.partitionBy("event_type", "y")
+    r = c.select(
+        "event_type",
+        (2 * F.rank().over(wx) + F.count("*").over(tx) - 1).alias("rx2"),
+        (2 * F.rank().over(wy) + F.count("*").over(ty) - 1).alias("ry2"),
+    )
+    m = r.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.expr("CAST((rx2 - ry2) * (rx2 - ry2) AS DECIMAL(38,0))")
+        ).alias("sd2"),
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.round(
+            F.lit(1)
+            - F.expr("CAST(3 * sd2 AS DOUBLE)")
+            / F.expr(
+                "nullif(CAST(2 * n * (CAST(n AS DECIMAL(38,0)) * n - 1) AS DOUBLE), 0)"
+            ),
+            4,
+        ).alias("spearman"),
+    )
