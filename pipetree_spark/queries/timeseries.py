@@ -621,3 +621,78 @@ def q_ts_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_value"
         ),
     )
+
+
+@declare(
+    "q_ts_autocorr",
+    oracle="""
+WITH c AS (
+  SELECT event_type, epoch_ns(ts) AS tns, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL),
+p AS (
+  SELECT event_type, y,
+         LEAD(y) OVER (PARTITION BY event_type ORDER BY tns, event_id) AS y_next
+  FROM c),
+m AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(y AS HUGEINT)) AS s,
+         SUM(CAST(y * y AS HUGEINT)) AS syy,
+         SUM(CAST(CASE WHEN y_next IS NOT NULL THEN y * y_next END AS HUGEINT)) AS sadj,
+         SUM(CAST(CASE WHEN y_next IS NOT NULL THEN y END AS HUGEINT)) AS sh,
+         SUM(CAST(CASE WHEN y_next IS NOT NULL THEN y_next END AS HUGEINT)) AS st
+  FROM p GROUP BY event_type)
+SELECT event_type, n,
+       round(CAST(n * n * sadj - n * s * (sh + st) + (n - 1) * s * s AS DOUBLE)
+             / nullif(CAST(n * (n * syy - s * s) AS DOUBLE), 0), 4) AS autocorr_lag1
+FROM m
+""",
+    tags=("timeseries", "stats"),
+)
+def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of event value per event type — the
+    trend/Spearman family's memory test ("does a high value predict
+    the next one?"). The estimator Σ(y_t−ȳ)(y_{t+1}−ȳ) / Σ(y−ȳ)² is
+    multiplied through by n² so EVERY term is an exact 128-bit
+    integer (adjacent products via one lead window ordered by exact
+    (ns, event_id); no float mean ever materializes), and only the
+    final ratio divides pinned doubles — nullif for degenerate
+    (constant or n ≤ 1) series, where both engines yield NULL.
+
+    Scale: one shuffle on event_type shared by the lead window and
+    the moment aggregate; |groups| output rows; partial moment sums
+    merge by addition except across the per-partition boundary pair —
+    at 100 TB the window's shuffle IS that boundary handling.
+    """
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    c = e.select(
+        "event_type",
+        "ts_ns",
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("y"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts_ns", "event_id")
+    p = c.select("event_type", "y", F.lead("y").over(w).alias("y_next"))
+    m = p.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0))")).alias("s"),
+        F.sum(F.expr("CAST(y * y AS DECIMAL(38,0))")).alias("syy"),
+        F.sum(
+            F.expr("CAST(CASE WHEN y_next IS NOT NULL THEN y * y_next END AS DECIMAL(38,0))")
+        ).alias("sadj"),
+        F.sum(
+            F.expr("CAST(CASE WHEN y_next IS NOT NULL THEN y END AS DECIMAL(38,0))")
+        ).alias("sh"),
+        F.sum(
+            F.expr("CAST(CASE WHEN y_next IS NOT NULL THEN y_next END AS DECIMAL(38,0))")
+        ).alias("st"),
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.round(
+            F.expr("CAST(n * n * sadj - n * s * (sh + st) + (n - 1) * s * s AS DOUBLE)")
+            / F.expr("nullif(CAST(n * (n * syy - s * s) AS DOUBLE), 0)"),
+            4,
+        ).alias("autocorr_lag1"),
+    )

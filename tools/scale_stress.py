@@ -104,6 +104,7 @@ QUERIES = [
     "q_agg_kmv_retention", # r9: per-day k-min windows + k-row pair merges
     "q_graph_common_neighbors",  # r9: wedge-count groupBy + anti-join
     "q_agg_spearman",      # r9: two partitioned rank windows, one exchange
+    "q_ts_autocorr",       # r9: one lead window + moment agg, shared exchange
 ]
 
 
