@@ -2136,3 +2136,64 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("spearman"),
     )
+
+
+@declare(
+    "q_agg_pearson",
+    oracle="""
+WITH c AS (
+  SELECT event_type,
+         (epoch_ns(ts) // 1000000000 // 3600) % 24 AS x,
+         CAST(ROUND(value * 100) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL),
+m AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x * x AS HUGEINT)) AS sxx, SUM(CAST(y * y AS HUGEINT)) AS syy,
+         SUM(CAST(x * y AS HUGEINT)) AS sxy
+  FROM c GROUP BY event_type)
+SELECT event_type, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0), 4) AS pearson
+FROM m
+""",
+    tags=("agg", "stats"),
+)
+def q_agg_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between hour-of-day and event value per
+    event type ("is value time-of-day dependent?") from exact integer
+    moments — the parametric sibling of q_agg_spearman. Spark's native
+    F.corr float-sums in partition order (non-deterministic bits);
+    this restates it as five 128-bit-exact integer sums + one pinned
+    double chain (two correctly-rounded sqrts, one multiply, one
+    divide, nullif for zero-variance sides). One map-side-combined
+    aggregate pass; partials merge by addition — the experiment-metric
+    shape at 100 TB.
+    """
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    c = e.select(
+        "event_type",
+        F.expr("(ts_sec div 3600) % 24").alias("x"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("y"),
+    )
+    m = c.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).alias("sx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0))")).alias("sy"),
+        F.sum(F.expr("CAST(x * x AS DECIMAL(38,0))")).alias("sxx"),
+        F.sum(F.expr("CAST(y * y AS DECIMAL(38,0))")).alias("syy"),
+        F.sum(F.expr("CAST(x * y AS DECIMAL(38,0))")).alias("sxy"),
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.round(
+            F.expr("CAST(n * sxy - sx * sy AS DOUBLE)")
+            / F.expr(
+                "nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+                " * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0)"
+            ),
+            4,
+        ).alias("pearson"),
+    )

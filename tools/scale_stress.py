@@ -105,6 +105,7 @@ QUERIES = [
     "q_graph_common_neighbors",  # r9: wedge-count groupBy + anti-join
     "q_agg_spearman",      # r9: two partitioned rank windows, one exchange
     "q_ts_autocorr",       # r9: one lead window + moment agg, shared exchange
+    "q_agg_pearson",       # r9: five integer moments, one agg pass
 ]
 
 
