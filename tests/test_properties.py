@@ -920,3 +920,82 @@ def test_bfs_khop_random_graphs_match_reference(spark, edges, sources, k):
     s = spark.createDataFrame([(x,) for x in sources], "n long")
     got = {r.node: r.dist for r in bfs_khop(e, s, k=k).collect()}
     assert got == expect
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 23), st.integers(-500, 500)),
+        min_size=5,
+        max_size=60,
+    )
+)
+def test_exact_moment_pearson_matches_numpy(spark, pts):
+    """The exact-moment Pearson chain (q_agg_pearson's formula) must
+    equal numpy's corrcoef on the same integers — semantic correctness
+    on top of the engine-parity the oracle already proves."""
+    import numpy as np
+
+    xs = np.array([p[0] for p in pts], float)
+    ys = np.array([p[1] for p in pts], float)
+    df = spark.createDataFrame(pts, "x long, y long")
+    m = df.agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).alias("sx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0))")).alias("sy"),
+        F.sum(F.expr("CAST(x * x AS DECIMAL(38,0))")).alias("sxx"),
+        F.sum(F.expr("CAST(y * y AS DECIMAL(38,0))")).alias("syy"),
+        F.sum(F.expr("CAST(x * y AS DECIMAL(38,0))")).alias("sxy"),
+    )
+    got = m.select(
+        (
+            F.expr("CAST(n * sxy - sx * sy AS DOUBLE)")
+            / F.expr(
+                "nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+                " * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0)"
+            )
+        ).alias("r")
+    ).collect()[0].r
+    if xs.std() == 0 or ys.std() == 0:
+        assert got is None
+    else:
+        ref = float(np.corrcoef(xs, ys)[0, 1])
+        assert abs(got - ref) < 1e-9, (got, ref)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.integers(-100, 100), min_size=4, max_size=50, unique=True),
+)
+def test_doubled_rank_spearman_matches_numpy_on_unique_values(spark, ys):
+    """On tie-free data the doubled-average-rank Spearman (q_agg_spearman's
+    formula) must equal Pearson of the ranks (numpy reference). Ties are
+    exercised separately by the oracle fuzz; uniqueness isolates the
+    classic 6Σd² identity."""
+    import numpy as np
+
+    xs = list(range(len(ys)))  # strictly increasing time axis
+    df = spark.createDataFrame(list(zip(xs, ys)), "x long, y long")
+    from pyspark.sql import Window
+
+    wx, wy = Window.orderBy("x"), Window.orderBy("y")
+    tx, ty = Window.partitionBy("x"), Window.partitionBy("y")
+    r = df.select(
+        (2 * F.rank().over(wx) + F.count("*").over(tx) - 1).alias("rx2"),
+        (2 * F.rank().over(wy) + F.count("*").over(ty) - 1).alias("ry2"),
+    )
+    m = r.agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("CAST((rx2 - ry2) * (rx2 - ry2) AS DECIMAL(38,0))")).alias("sd2"),
+    )
+    got = m.select(
+        (
+            F.lit(1)
+            - F.expr("CAST(3 * sd2 AS DOUBLE)")
+            / F.expr("CAST(2 * n * (CAST(n AS DECIMAL(38,0)) * n - 1) AS DOUBLE)")
+        ).alias("rho")
+    ).collect()[0].rho
+    rank_x = np.argsort(np.argsort(xs)) + 1.0
+    rank_y = np.argsort(np.argsort(ys)) + 1.0
+    ref = float(np.corrcoef(rank_x, rank_y)[0, 1])
+    assert abs(got - ref) < 1e-9, (got, ref)
