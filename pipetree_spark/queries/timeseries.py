@@ -696,3 +696,108 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("autocorr_lag1"),
     )
+
+
+@declare(
+    "q_ts_cusum",
+    oracle="""
+WITH c AS (
+  SELECT event_type, event_id, epoch_ns(ts) AS tns,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL),
+m AS (SELECT event_type, COUNT(*) AS n, SUM(CAST(cents AS HUGEINT)) AS s
+      FROM c GROUP BY event_type),
+w AS (
+  SELECT c.event_type, c.event_id, c.tns, m.n,
+         SUM(CAST(m.n AS HUGEINT) * c.cents - m.s)
+           OVER (PARTITION BY c.event_type ORDER BY c.tns, c.event_id
+                 ROWS UNBOUNDED PRECEDING) AS cusum
+  FROM c JOIN m ON c.event_type = m.event_type),
+st AS (
+  SELECT event_type, event_id, n,
+         cusum - MIN(cusum) OVER (PARTITION BY event_type ORDER BY tns, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS stat
+  FROM w),
+top AS (
+  SELECT event_type, event_id, n, stat,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY stat DESC, event_id) AS rn
+  FROM st)
+SELECT event_type, n,
+       round(CAST(stat AS DOUBLE) / (n * 100.0), 4) AS max_drift,
+       event_id AS at_event
+FROM top WHERE rn = 1
+""",
+    tags=("timeseries", "stats"),
+)
+def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point statistic per event type: the
+    maximum of (cusum − running-min cusum) over the time-ordered
+    cumulative deviation from the series mean — WHERE the value level
+    shifted hardest upward, and by how much (reported in value units,
+    with the event id at the peak). The drift detector that catches
+    sustained small shifts a per-point z-score (q_ts_anomaly) misses.
+
+    Integer-exact throughout: deviations are scaled by n (dev = n·y −
+    Σy, so the fractional mean never materializes), the cusum and its
+    running min are 128-bit integer window sums over the exact
+    (ns, event_id) order, and only the final report divides pinned
+    doubles. The event_id ordering inside cusum is the same total
+    order every time-series op here uses — one row-order flip anywhere
+    changes the certified statistic, so the driver hash pins the whole
+    path, not just the endpoint.
+
+    Scale: one shuffle on event_type shared by two window passes and
+    the top-1 pick; |groups| output rows.
+    """
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    c = e.select(
+        "event_type",
+        "event_id",
+        "ts_ns",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    m = c.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0))")).alias("s"),
+    )
+    d = c.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "event_id",
+        "ts_ns",
+        "n",
+        F.expr("CAST(n AS DECIMAL(38,0)) * cents - s").alias("dev"),
+    )
+    w_time = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wdf = d.select(
+        "event_type",
+        "event_id",
+        "ts_ns",
+        "n",
+        F.sum("dev").over(w_time).alias("cusum"),
+    )
+    st = wdf.select(
+        "event_type",
+        "event_id",
+        "n",
+        (F.col("cusum") - F.min("cusum").over(w_time)).alias("stat"),
+    )
+    w_top = Window.partitionBy("event_type").orderBy(
+        F.col("stat").desc(), F.col("event_id")
+    )
+    return (
+        st.withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n",
+            F.round(F.expr("CAST(stat AS DOUBLE)") / F.expr("n * 100.0"), 4).alias(
+                "max_drift"
+            ),
+            F.col("event_id").alias("at_event"),
+        )
+    )

@@ -106,6 +106,7 @@ QUERIES = [
     "q_agg_spearman",      # r9: two partitioned rank windows, one exchange
     "q_ts_autocorr",       # r9: one lead window + moment agg, shared exchange
     "q_agg_pearson",       # r9: five integer moments, one agg pass
+    "q_ts_cusum",          # r9: two shared-exchange window passes + top-1
 ]
 
 
