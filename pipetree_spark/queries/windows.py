@@ -293,3 +293,37 @@ def q_win_ignorenulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.last(v, ignorenulls=True).over(w).alias("filled"),
     )
+
+
+@declare(
+    "q_win_nth",
+    oracle="""
+SELECT c_custkey,
+       NTH_VALUE(c_acctbal, 2) OVER w AS second_bal,
+       NTH_VALUE(c_acctbal, 3) OVER w AS third_bal
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    tags=("window",),
+)
+def q_win_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTH_VALUE with the default running frame: per customer, the
+    2nd- and 3rd-highest account balance SEEN SO FAR in their nation's
+    descending-balance order (NULL until the frame reaches n rows) —
+    the benchmark-vs-runner-up window shape. Order carries the unique
+    custkey tie-break, and the frame is stated explicitly because the
+    engines' implicit default frames differ; values pass through as
+    raw stored doubles (hash-safe, no arithmetic).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return c.select(
+        "c_custkey",
+        F.nth_value("c_acctbal", 2).over(w).alias("second_bal"),
+        F.nth_value("c_acctbal", 3).over(w).alias("third_bal"),
+    )
