@@ -70,9 +70,11 @@ WINDOW = 50  # observed driver cut, constant across r1–r7
 #: of the record. The ONLY hand-maintained part of the rotation.
 #: r9 note: these three changed in r8, but no CORRECTNESS_r08.json was
 #: ever produced (the r8 grading pass didn't land), so their r8 changes
-#: remain uncertified and they stay here; r9's own new queries
-#: (q_text_decontam_bloom, q_agg_incremental, q_graph_pagerank) are
-#: never-graded and take window slots automatically.
+#: remain uncertified and they stay here. ALL of round 9's new queries
+#: (the full 2.13 delta list — graph/sketch/validation/stats/etc.) are
+#: never-graded, sort as round 0, and take window slots automatically;
+#: they are deliberately NOT enumerated here so this comment can't go
+#: stale the way the r6/r7 hand-pinned rotations did.
 RECONFIRM: tuple[str, ...] = (
     "q_dedup_semantic_ann",  # r8: auto-sized IVF quantizer + centroid injection + NaN guard
     "q_dedup_semantic",      # r8: shared pair-engine NaN-vector contract fix
