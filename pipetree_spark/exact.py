@@ -138,3 +138,23 @@ def r2(col: Column) -> Column:
 def r4(col: Column) -> Column:
     """Round-to-4dp policy for norms / cosines (SURVEY §2.12)."""
     return F.round(col, 4)
+
+
+def pin_zero(col: Column) -> Column:
+    """Collapse ``-0.0`` to ``+0.0`` after a round() whose argument can be
+    a tiny negative (log of a ratio just below 1, a difference, a
+    correlation). The engines do NOT agree on the sign of a
+    rounds-to-zero result — proven failure CORRECTNESS_r09 q_text_pmi:
+    DuckDB ``round(log2(x), 2)`` emits ``-0.0`` where Spark emits
+    ``+0.0``, bitwise-distinct under the driver's pandas value hash even
+    though ``-0.0 == 0.0`` in Python. IEEE ``-0.0 + 0.0 = +0.0`` and
+    ``x + 0.0 = x`` for every other value, so adding literal zero is an
+    exact no-op everywhere except the one bit that drifts. MUST be
+    paired with :func:`pz_sql` (or an explicit ``+ 0.0``) on the oracle
+    side of the same column."""
+    return col + F.lit(0.0)
+
+
+def pz_sql(expr: str) -> str:
+    """DuckDB-side twin of :func:`pin_zero` for oracle SQL strings."""
+    return f"(({expr}) + 0.0)"

@@ -470,6 +470,8 @@ def running_ohlc(events: DataFrame) -> DataFrame:
         else:
             ot = oid = ct = cid = vol = None
             ov = hi = lo = cv = None
+        import numpy as np
+
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -478,13 +480,22 @@ def running_ohlc(events: DataFrame) -> DataFrame:
             vals = pdf["value"].values.astype("float64")
             order = sorted(range(len(pdf)), key=lambda i: (us[i], ids[i]))
             f, l = order[0], order[-1]
+            # NULL ticks arrive as NaN through the Arrow→pandas float
+            # path. Batch semantics (q_ts_ohlc): open/close pass the
+            # tick's value through (NULL stays NULL), high/low are
+            # NULL-ignoring MAX/MIN, volume is COUNT(*). A bare
+            # vals.max() would let one NaN poison high/low forever.
             if ot is None or (int(us[f]), int(ids[f])) < (ot, oid):
-                ot, oid, ov = int(us[f]), int(ids[f]), float(vals[f])
+                ot, oid = int(us[f]), int(ids[f])
+                ov = None if np.isnan(vals[f]) else float(vals[f])
             if ct is None or (int(us[l]), int(ids[l])) > (ct, cid):
-                ct, cid, cv = int(us[l]), int(ids[l]), float(vals[l])
-            bhi, blo = float(vals.max()), float(vals.min())
-            hi = bhi if hi is None else max(hi, bhi)
-            lo = blo if lo is None else min(lo, blo)
+                ct, cid = int(us[l]), int(ids[l])
+                cv = None if np.isnan(vals[l]) else float(vals[l])
+            finite = vals[~np.isnan(vals)]
+            if len(finite):
+                bhi, blo = float(finite.max()), float(finite.min())
+                hi = bhi if hi is None else max(hi, bhi)
+                lo = blo if lo is None else min(lo, blo)
             vol = (vol or 0) + len(pdf)
         state.update((ot, oid, ov, hi, lo, ct, cid, cv, vol))
         yield pd.DataFrame(

@@ -1236,6 +1236,7 @@ eb AS (SELECT {case} AS est_b FROM (SELECT COUNT(*) AS cnt, MAX(h) AS hk FROM kb
 eu AS (SELECT {case} AS est_union FROM (SELECT COUNT(*) AS cnt, MAX(h) AS hk FROM ku)),
 ic AS (SELECT COUNT(*) AS inter_cnt FROM ku
        WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+uc AS (SELECT COUNT(*) AS ucnt FROM ku),
 ex AS (SELECT COUNT(DISTINCT o_custkey) FILTER (o_orderpriority = '1-URGENT') AS exact_a,
               COUNT(DISTINCT o_custkey) FILTER (o_orderpriority = '5-LOW') AS exact_b,
               COUNT(DISTINCT o_custkey) FILTER (o_orderpriority IN ('1-URGENT', '5-LOW')) AS exact_union
@@ -1244,9 +1245,9 @@ exi AS (SELECT COUNT(*) AS exact_inter FROM
           (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') a
           JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW') b USING (o_custkey))
 SELECT est_a, est_b, est_union,
-       round(inter_cnt * est_union / {k}, 2) AS est_inter,
+       round(inter_cnt * est_union / nullif(ucnt, 0), 2) AS est_inter,
        exact_a, exact_b, exact_union, exact_inter
-FROM ea, eb, eu, ic, ex, exi
+FROM ea, eb, eu, ic, uc, ex, exi
 """
 
 
@@ -1263,7 +1264,10 @@ def q_agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     selectivity questions need A∩B. KMV's k smallest hashes under ONE
     hash function are a shared uniform sample, so the union sketch's
     hit-rate against both sides estimates Jaccard, and est_inter =
-    hits · est_union / k. Everything is deterministic: "k smallest
+    hits · est_union / |union sketch| (the sketch's actual size, which
+    equals k once saturated — and when it is NOT saturated the sketch
+    holds the whole union, making the estimate exact rather than
+    k-biased-low). Everything is deterministic: "k smallest
     distinct hashes" is a canonical set (no RNG, no HLL++ opacity),
     which is why the sketch itself — not just its envelope — is
     oracle-certified bit-for-bit.
@@ -1296,6 +1300,7 @@ def q_agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(skb, "h", "semi")
         .agg(F.count("*").alias("inter_cnt"))
     )
+    ucnt = sku.agg(F.count("*").alias("ucnt"))
     exact = o.agg(
         F.count_distinct(
             F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_custkey"))
@@ -1321,16 +1326,26 @@ def q_agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(est(skb, "est_b")))
         .crossJoin(F.broadcast(est(sku, "est_union")))
         .crossJoin(F.broadcast(inter))
+        .crossJoin(F.broadcast(ucnt))
         .crossJoin(F.broadcast(exact))
         .crossJoin(F.broadcast(exact_inter))
     )
+    # Denominator is the union sketch's ACTUAL size, not the constant k:
+    # an unsaturated union sketch (ucnt < k) holds the ENTIRE union, so
+    # hits IS the exact intersection and est_union == ucnt — dividing by
+    # k instead would bias the estimate low in exactly the small-set
+    # regime where the sketch could be exact. Saturated (ucnt == k) is
+    # the classic hits·est_union/k. nullif guards the empty-input case
+    # (DuckDB NULL vs Spark ANSI DIVIDE_BY_ZEROs, the pinned trap).
     return out.select(
         "est_a",
         "est_b",
         "est_union",
-        F.round(F.col("inter_cnt") * F.col("est_union") / F.lit(k), 2).alias(
-            "est_inter"
-        ),
+        F.round(
+            F.col("inter_cnt") * F.col("est_union")
+            / F.nullif(F.col("ucnt"), F.lit(0)),
+            2,
+        ).alias("est_inter"),
         "exact_a",
         "exact_b",
         "exact_union",
@@ -1971,14 +1986,14 @@ stats AS (
   SELECT day, COUNT(*) AS cnt, MAX(h) AS hk,
          CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits
   FROM uni GROUP BY day),
-est AS (SELECT day, hits, {est} AS est_union FROM stats),
+est AS (SELECT day, hits, cnt, {est} AS est_union FROM stats),
 ev AS (SELECT DISTINCT epoch_ns(ts) // 1000000000 // 86400 AS day, user_id FROM events),
 exact AS (
   SELECT a.day, COUNT(*) AS exact_inter
   FROM ev a JOIN ev b ON a.user_id = b.user_id AND b.day = a.day + 1
   GROUP BY a.day)
 SELECT e.day, e.hits,
-       round(e.hits * e.est_union / {k}, 2) AS est_inter,
+       round(e.hits * e.est_union / e.cnt, 2) AS est_inter,
        COALESCE(x.exact_inter, 0) AS exact_inter
 FROM est e LEFT JOIN exact x ON e.day = x.day
 """
@@ -2041,7 +2056,7 @@ def q_agg_kmv_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_union = F.when(F.col("cnt") < k, F.col("cnt").cast("double")).otherwise(
         F.round(F.lit(float(k - 1)) * F.lit(float(1 << 60)) / F.col("hk"), 2)
     )
-    est = stats.select("day", "hits", est_union.alias("est_union"))
+    est = stats.select("day", "hits", "cnt", est_union.alias("est_union"))
     ev = e.select("day", "user_id").distinct()
     exact = (
         ev.alias("a")
@@ -2053,10 +2068,17 @@ def q_agg_kmv_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.day").alias("day"))
         .agg(F.count("*").alias("exact_inter"))
     )
+    # Denominator is the union sketch's ACTUAL size (cnt, ≥1 per group by
+    # construction), not the constant k — same unsaturated-regime fix as
+    # q_agg_kmv_setops: a day-pair whose merged sketch never filled holds
+    # the whole union, so hits/cnt is the exact Jaccard, not hits/k
+    # biased low.
     return est.join(exact, "day", "left").select(
         "day",
         "hits",
-        F.round(F.col("hits") * F.col("est_union") / F.lit(k), 2).alias("est_inter"),
+        F.round(F.col("hits") * F.col("est_union") / F.col("cnt"), 2).alias(
+            "est_inter"
+        ),
         F.coalesce(F.col("exact_inter"), F.lit(0)).alias("exact_inter"),
     )
 

@@ -298,7 +298,8 @@ FROM cand c JOIN deg da ON da.node = c.a JOIN deg db ON db.node = c.b
 def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link prediction over the co-purchase graph: NON-adjacent
     customer pairs ranked by shared neighbors — common-neighbor count
-    (≥ 6, the integer membership threshold) and neighborhood Jaccard
+    (≥ 4, the integer membership threshold, same constant in the
+    HAVING above and the .where below) and neighborhood Jaccard
     |N(a)∩N(b)| / (deg(a)+deg(b)−common), one pinned divide on exact
     integers. The classic "customers who should know each other"
     / recommendation-candidate feature.

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pipetree_spark.catalog import load_table
-from pipetree_spark.exact import dsum_sql
+from pipetree_spark.exact import dsum_sql, pin_zero
 from pipetree_spark.ops import text as TX
 from pipetree_spark.ops import vector as VX
 from pipetree_spark.queries import declare
@@ -2673,7 +2673,7 @@ j AS (
 )
 SELECT lang, gram, c_xy,
        round(log2(((CAST(c_xy AS DOUBLE) * n_uni) * n_uni)
-                  / ((CAST(n_bi AS DOUBLE) * c1) * c2)), 2) AS pmi
+                  / ((CAST(n_bi AS DOUBLE) * c1) * c2)), 2) + 0.0 AS pmi
 FROM j
 """,
     tags=("text",),
@@ -2733,11 +2733,16 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "gram",
         "c_xy",
-        F.round(
-            F.log2(
-                ((F.col("c_xy").cast("double") * F.col("n_uni")) * F.col("n_uni"))
-                / ((F.col("n_bi").cast("double") * F.col("c1")) * F.col("c2"))
-            ),
-            2,
+        # pin_zero: PMI is log2 of a ratio that can sit just below 1, so
+        # round() can land on signed zero — and the engines disagree on
+        # its sign (CORRECTNESS_r09: DuckDB -0.0 vs Spark +0.0 on 6 rows).
+        pin_zero(
+            F.round(
+                F.log2(
+                    ((F.col("c_xy").cast("double") * F.col("n_uni")) * F.col("n_uni"))
+                    / ((F.col("n_bi").cast("double") * F.col("c1")) * F.col("c2"))
+                ),
+                2,
+            )
         ).alias("pmi"),
     )

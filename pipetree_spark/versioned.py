@@ -225,9 +225,14 @@ class VersionedTable:
         old_df = self.read(spark, from_version)
         new_df = self.read(spark, to_version)
         cols = compare_cols or [c for c in old_df.columns if c not in keys]
-        missing = [c for c in keys + cols if c not in old_df.columns]
-        if missing:
-            raise ValueError(f"columns absent from version {from_version}: {missing}")
+        # Validate against BOTH snapshots: a column dropped between
+        # from_version and to_version passes the old-side check but then
+        # dies inside withColumn on new_df with an opaque
+        # AnalysisException — name the offending version instead.
+        for ver, df in ((from_version, old_df), (to_version, new_df)):
+            missing = [c for c in keys + cols if c not in df.columns]
+            if missing:
+                raise ValueError(f"columns absent from version {ver}: {missing}")
         rh = F.md5(
             F.concat_ws(
                 "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x01")) for c in cols]

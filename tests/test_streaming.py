@@ -470,6 +470,41 @@ def test_streaming_ohlc_bars_match_batch(spark, sf_small, events_stream_dir):
     assert finals == expected
 
 
+def test_streaming_ohlc_null_ticks_match_batch(spark, tmp_path):
+    """running_ohlc on a feed WITH NULL-valued ticks: batch MAX/MIN
+    ignore NULLs, open/close pass the tick value through (NULL stays
+    NULL), volume counts every tick — the streamed bar must do the
+    same instead of letting one NaN poison high/low (the numpy
+    float64 cast turns NULL into NaN, and NaN propagates through a
+    bare .max()). Chunking splits the NULLs across micro-batches so
+    both the in-batch and the state-merge paths are exercised."""
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    s = lambda k: t0 + dt.timedelta(seconds=k)  # noqa: E731
+    chunks = [
+        # batch 1: opening tick is NULL-valued; one real tick
+        [(1, s(0), 10, "click", None), (2, s(1), 11, "click", 5.0)],
+        # batch 2: all-NULL micro-batch (state-merge path with no finite values)
+        [(3, s(2), 12, "click", None)],
+        # batch 3: real extremes + a NULL closing tick
+        [(4, s(3), 13, "click", 9.0), (5, s(4), 14, "click", 2.0),
+         (6, s(5), 15, "click", None)],
+    ]
+    feed = _write_row_chunks(spark, tmp_path, chunks)
+    sdf = st.file_stream(spark, feed)
+    out = st.run_to_memory(st.running_ohlc(sdf), spark, output_mode="update")
+    pdf = out.toPandas()
+    last = pdf[pdf["event_type"] == "click"].iloc[-1]
+
+    day = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) // 86400
+    assert int(last["day"]) == day
+    assert pd.isna(last["open"])  # first tick's value IS NULL
+    assert last["high"] == 9.0 and last["low"] == 2.0  # NULLs ignored
+    assert pd.isna(last["close"])  # last tick's value IS NULL
+    assert int(last["volume"]) == 6  # COUNT(*) counts NULL-valued ticks
+
+
 def test_streaming_session_windows_match_batch_islands(spark, sf_small, events_stream_dir):
     """session_counts (native F.session_window, append mode): every
     streamed CLOSED session must exactly equal a batch gaps-and-islands

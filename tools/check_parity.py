@@ -65,6 +65,14 @@ def values_close(a, b, tol):
     if isinstance(a, float) and isinstance(b, (float, int)):
         if math.isnan(a) and isinstance(b, float) and math.isnan(b):
             return True
+        if a == 0.0 and b == 0.0 and tol == 0.0:
+            # Signed zero: -0.0 == 0.0 under Python ==, but the driver's
+            # pandas value-hash is BITWISE and diverges (proven failure:
+            # CORRECTNESS_r09 q_text_pmi — DuckDB round(log2(x),2) → -0.0
+            # vs Spark → +0.0 on 6 rows). The strict (tol=0) pass must
+            # therefore distinguish them; the loose diagnostic pass may
+            # still treat them as equal.
+            return math.copysign(1.0, a) == math.copysign(1.0, float(b))
         return a == b or abs(a - b) <= tol * max(1.0, abs(a), abs(b))
     if isinstance(a, tuple) and isinstance(b, tuple) and len(a) == len(b):
         return all(values_close(x, y, tol) for x, y in zip(a, b))
@@ -81,8 +89,9 @@ def compare(spark_cols, spark_rows, ora_cols, ora_rows, tol=0.0):
         return problems
     n_bad = 0
     for i, (sr, orr) in enumerate(zip(spark_rows, ora_rows)):
-        if sr == orr:
-            continue
+        # NOTE: no `sr == orr` fast-path — Python == is signed-zero-blind
+        # (-0.0 == 0.0) and would let the exact class of drift this gate
+        # exists to catch (bitwise pandas hash divergence) slip through.
         if values_close(sr, orr, tol):
             continue
         n_bad += 1
