@@ -74,8 +74,26 @@ def main() -> None:
 
     # Machine-load context so a judge can mechanically separate
     # measurement contention from a real regression (r4/r5 were uniformly
-    # inflated by a concurrent build session — SCALING.md).
+    # inflated by a concurrent build session; BENCH_r09 ran at loadavg
+    # 5.19 and read +18% vs r7 purely from contention — SCALING.md).
+    # Clean-load gate (r9 verdict #5): if the machine is busy, wait for
+    # it to drain (up to BENCH_MAX_WAIT_SEC) before measuring; if it
+    # never drains, measure anyway but flag the run prominently so the
+    # JSON itself says "contended" — a reader should trust per-query
+    # deltas only, not totals.
+    max_wait = float(os.environ.get("BENCH_MAX_WAIT_SEC", "300"))
+    load_gate = float(os.environ.get("BENCH_LOADAVG_GATE", "1.0"))
+    waited = 0.0
+    while os.getloadavg()[0] > load_gate and waited < max_wait:
+        print(
+            f"# loadavg {os.getloadavg()[0]:.2f} > {load_gate} — waiting for the "
+            f"machine to drain ({waited:.0f}/{max_wait:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+        waited += 15
     load_before = os.getloadavg()
+    contended = load_before[0] > load_gate
 
     registry = load_registry()
     spark = get_spark("pipetree-spark-bench")
@@ -117,6 +135,10 @@ def main() -> None:
                 "sf": sf,
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+                # True ⇒ the machine never drained below the gate before
+                # measurement started: totals are contention-inflated,
+                # compare per-query deltas only (r9 lesson).
+                "contended_run": contended,
             }
         )
     )

@@ -5,15 +5,24 @@ metadata struct — the 100 TB-safe layout (payload bytes never leave the
 executors; metadata is columnar and prunable).
 
 The container has no image/audio *codec* libraries, so decoding of
-COMPRESSED formats (JPEG/PNG/audio) is a clearly-marked stub behind an
+MOST compressed formats (JPEG/audio) is a clearly-marked stub behind an
 import-try (``NotImplementedError`` when a real decoder is requested
-but unavailable) with a deterministic fake decoder for tests. Raw
-UNCOMPRESSED payloads, however, get a REAL path (r6): raw-RGB8 buffers
-decode, resize (nearest-neighbor), and feature-extract with numpy
-alone — see :func:`rawrgb_decode` / :func:`rgb_resize_stage` /
-:func:`rgb_feature_stage`, verified against numpy references in
-tests. Everything Spark-side — schema, batching, partition behavior,
-mapInPandas signatures — is real and tested in both paths.
+but unavailable) with a deterministic fake decoder for tests. Two
+families get REAL paths:
+
+- UNCOMPRESSED payloads (r6): raw-RGB8 buffers decode, resize
+  (nearest-neighbor), and feature-extract with numpy alone — see
+  :func:`rawrgb_decode` / :func:`rgb_resize_stage` /
+  :func:`rgb_feature_stage`, verified against numpy references.
+- PNG (r10, r9 verdict #6): deflate + row filters + CRC are all
+  stdlib (zlib/struct), so ``ops/png.py`` is a real pure-Python codec
+  — :func:`png_decode_stage` decodes ``image/png`` payloads into the
+  raw-RGB8 layout, after which the whole raw pipeline chains
+  (decode → resize → features), pytest-verified against the planted
+  pixel arrays across all five PNG row filters.
+
+Everything Spark-side — schema, batching, partition behavior,
+mapInPandas signatures — is real and tested in every path.
 """
 
 from __future__ import annotations
@@ -100,8 +109,10 @@ def real_decoder(payload: bytes, meta: dict[str, Any] | None = None) -> dict[str
     PIL / cv2 / av / imageio / soundfile / librosa — all absent, and
     installs are off-limits here. The UNCOMPRESSED paths beside this
     stub (raw-RGB8 / raw-PCM16 decode, resize, features — mm.py below)
-    are real and numpy-verified; compressed codecs remain this one
-    honest NotImplementedError until a deployment brings a codec lib."""
+    are real and numpy-verified, and PNG decodes for real through the
+    pure-stdlib codec (ops/png.py, r10); JPEG and compressed audio
+    remain this one honest NotImplementedError until a deployment
+    brings a codec lib."""
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - environment-dependent
@@ -350,6 +361,118 @@ def rgb_resize_stage(
                     "content": resized,
                     "width": out_w,
                     "height": out_h,
+                    "mime": RAW_RGB_MIME,
+                }
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
+PNG_MIME = "image/png"
+
+
+def make_png_payload(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    width: int = 16,
+    height: int = 16,
+    filter_type: int | str = "mix",
+) -> DataFrame:
+    """Synthesize a REAL (spec-conformant, stdlib-decodable) PNG payload
+    per row: the same deterministic sha256-counter pixels as
+    :func:`make_rgb_payload`, encoded through :func:`ops.png.png_encode`
+    — by default with ``"mix"`` filters so one corpus exercises all
+    five PNG row filters. Output layout matches make_rgb_payload
+    (content + width/height + mime) so the decode stage slots in where
+    an ingest scanner would."""
+    from pipetree_spark.ops.png import png_encode
+
+    need = width * height * 3
+    schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mime", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                base = hashlib.sha256(str(t).encode()).digest()
+                buf = bytearray()
+                counter = 0
+                while len(buf) < need:
+                    buf += hashlib.sha256(base + counter.to_bytes(4, "big")).digest()
+                    counter += 1
+                px = np.frombuffer(bytes(buf[:need]), np.uint8).reshape(height, width, 3)
+                payloads.append(png_encode(px, filter_type=filter_type))
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].astype("int64"),
+                    "content": payloads,
+                    "width": width,
+                    "height": height,
+                    "mime": PNG_MIME,
+                }
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def png_decode_stage(
+    df: DataFrame, content_col: str = "content", key_col: str = "doc_id"
+) -> DataFrame:
+    """REAL compressed-image decode stage: ``image/png`` payloads →
+    raw-RGB8 layout (content + width/height from the decoded pixels,
+    mime flipped to RAW_RGB_MIME), after which the whole uncompressed
+    pipeline chains unchanged (:func:`rgb_resize_stage`,
+    :func:`rgb_feature_stage`). Greyscale / alpha inputs are expanded
+    to 3 channels (alpha dropped, grey replicated) so downstream
+    stages see ONE layout. Decoding runs executor-side per Arrow
+    batch; a corrupt payload fails the task loudly
+    (ops.png.PngFormatError), never yields garbage pixels."""
+    from pipetree_spark.ops.png import png_decode
+
+    schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mime", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            contents, widths, heights = [], [], []
+            for p in pdf[content_col]:
+                img = png_decode(bytes(p))
+                h, w, ch = img.shape
+                if ch == 1:
+                    img = np.repeat(img, 3, axis=2)
+                elif ch == 2:  # grey+alpha → replicate grey, drop alpha
+                    img = np.repeat(img[:, :, :1], 3, axis=2)
+                elif ch == 4:  # RGBA → drop alpha
+                    img = img[:, :, :3]
+                contents.append(img.tobytes())
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].astype("int64"),
+                    "content": contents,
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
                     "mime": RAW_RGB_MIME,
                 }
             )

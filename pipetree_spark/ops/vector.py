@@ -419,7 +419,17 @@ def kmeans_portable_fit(
         .withColumn("cid", F.row_number().over(Window.orderBy(key_col)) - 1)
         .select(F.col("cid").cast("long").alias("cid"), F.col("__qv").alias("cv"))
     )
-    cents = init.agg(F.collect_list(F.struct("cid", "cv")).alias("__cs"))
+    # Every centroid frame is eagerly localCheckpoint-ed: it is ONE row,
+    # but its lineage is a corpus-sized aggregate (and, across
+    # iterations, the whole prior Lloyd history). Downstream
+    # compositions (pq_ivf_ann_portable & co.) branch on the returned
+    # frame several times — without the checkpoint each branch replays
+    # the full fit (r9 verdict: 52 exchanges / 38 BNLJ in the
+    # ivfpq_res plan, mostly init-frame replay). One tiny job per
+    # refit buys leaf-read model state everywhere after.
+    cents = init.agg(F.collect_list(F.struct("cid", "cv")).alias("__cs")).localCheckpoint(
+        eager=True
+    )
 
     a = assign(cents)
     for _ in range(iters - 1):
@@ -438,6 +448,7 @@ def kmeans_portable_fit(
                 F.transform("__s", lambda t: t["__cd"]).alias("cv"),
             )
             .agg(F.collect_list(F.struct("cid", "cv")).alias("__cs"))
+            .localCheckpoint(eager=True)
         )
         a = assign(cents)
     return a, cents
@@ -1433,10 +1444,15 @@ def pq_fit_portable(
         .withColumn("cid", (F.row_number().over(Window.orderBy(key_col)) - 1).cast("long"))
         .select(key_col, "cid")
     )
+    # Same eager-checkpoint discipline as kmeans_portable_fit: the 1-row
+    # codebook's lineage is a corpus-sized aggregate per iteration, and
+    # ADC consumers broadcast-join it in branches separate from the
+    # codes frame — checkpointing makes every later use a leaf read.
     cb = (
         sv.join(F.broadcast(ranked), key_col)
         .select(F.struct(F.col("sub"), F.col("cid"), F.col("__qsv").alias("cv")).alias("e"))
         .agg(F.collect_list("e").alias("__cb"))
+        .localCheckpoint(eager=True)
     )
     a = assign(cb)
     for _ in range(iters - 1):
@@ -1454,6 +1470,7 @@ def pq_fit_portable(
                 F.transform("__s", lambda t: t["__cd"]).alias("cv"),
             )
             .agg(F.collect_list(F.struct("sub", "cid", "cv")).alias("__cb"))
+            .localCheckpoint(eager=True)
         )
         a = assign(cb)
     return to_codes(a), cb

@@ -68,17 +68,17 @@ WINDOW = 50  # observed driver cut, constant across r1–r7
 #: Queries whose implementation or oracle changed since their last
 #: driver grade and whose certification is therefore stale regardless
 #: of the record. The ONLY hand-maintained part of the rotation.
-#: r9 note: these three changed in r8, but no CORRECTNESS_r08.json was
-#: ever produced (the r8 grading pass didn't land), so their r8 changes
-#: remain uncertified and they stay here. ALL of round 9's new queries
-#: (the full 2.13 delta list — graph/sketch/validation/stats/etc.) are
-#: never-graded, sort as round 0, and take window slots automatically;
-#: they are deliberately NOT enumerated here so this comment can't go
-#: stale the way the r6/r7 hand-pinned rotations did.
+#: r10 note: the three r8-changed entries left here in r9 all went
+#: green in CORRECTNESS_r09 and are dropped. This round's changes: the
+#: two KMV queries whose estimator denominator changed from k to the
+#: union sketch's actual size (values changed ⇒ r9 grades are stale).
+#: q_text_pmi also changed (signed-zero fix) but is NOT listed: it has
+#: never gone green, so the record already sorts it to the window head
+#: (never-rowed-first invariant) — forcing it into the tail would only
+#: demote it.
 RECONFIRM: tuple[str, ...] = (
-    "q_dedup_semantic_ann",  # r8: auto-sized IVF quantizer + centroid injection + NaN guard
-    "q_dedup_semantic",      # r8: shared pair-engine NaN-vector contract fix
-    "q_pipe_timetravel",     # r8: private scratch dir (predictable-/tmp fix)
+    "q_agg_kmv_setops",     # r10: est_inter denominator k → union-sketch size
+    "q_agg_kmv_retention",  # r10: same estimator fix, per-day form
 )
 
 

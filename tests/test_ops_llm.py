@@ -1265,6 +1265,71 @@ def test_rawrgb_real_decode_resize_features(spark, sf_small):
     assert all(100 < fr.mean_r < 155 for fr in feats.values())
 
 
+def test_png_codec_roundtrip_all_filters_and_channels():
+    """The r10 pure-stdlib PNG codec (ops/png.py): encode→decode is the
+    identity for every row-filter type (0–4 fixed + the per-row "mix")
+    and every 8-bit channel count (grey / grey+alpha / RGB / RGBA),
+    against an independent numpy reference array — and unsupported
+    variants fail with an honest PngFormatError, never garbage pixels."""
+    import numpy as np
+
+    from pipetree_spark.ops import png as P
+
+    rng = np.random.RandomState(7)
+    for ch in (1, 2, 3, 4):
+        px = rng.randint(0, 256, size=(13, 9, ch), dtype=np.uint8)
+        for ft in (0, 1, 2, 3, 4, "mix"):
+            data = P.png_encode(px, filter_type=ft)
+            assert data[:8] == b"\x89PNG\r\n\x1a\n"
+            out = P.png_decode(data)
+            assert out.shape == (13, 9, ch)
+            assert (out == px).all(), f"filter {ft} channels {ch}"
+
+    # gradient images make Sub/Average/Paeth actually shrink the stream
+    grad = (np.arange(32 * 32 * 3, dtype=np.int64) % 256).astype(np.uint8).reshape(32, 32, 3)
+    assert (P.png_decode(P.png_encode(grad, filter_type=4)) == grad).all()
+
+    # honest errors: corrupt signature, flipped CRC bit, truncation
+    good = P.png_encode(grad)
+    with pytest.raises(P.PngFormatError):
+        P.png_decode(b"notapng" + good)
+    bad = bytearray(good)
+    bad[20] ^= 1  # inside IHDR body → CRC mismatch
+    with pytest.raises(P.PngFormatError):
+        P.png_decode(bytes(bad))
+    with pytest.raises(P.PngFormatError):
+        P.png_decode(good[:40])
+    # 2-D grey array encodes as color type 0
+    g = rng.randint(0, 256, size=(5, 7), dtype=np.uint8)
+    assert (P.png_decode(P.png_encode(g)) == g[:, :, None]).all()
+
+
+def test_png_decode_stage_chains_with_raw_pipeline(spark, sf_small):
+    """make_png_payload → png_decode_stage must reproduce EXACTLY the
+    raw-RGB8 bytes make_rgb_payload generates for the same rows (same
+    sha-counter pixels, round-tripped through a real PNG encode with
+    mixed row filters), after which the whole uncompressed pipeline
+    (resize, features) chains unchanged — the compressed-codec stub is
+    now a real decode stage for PNG."""
+    d = load_table(spark, sf_small, "documents").limit(12)
+    pngs = MM.make_png_payload(d, width=16, height=12)
+    png_rows = {r.doc_id: r for r in pngs.collect()}
+    assert all(r.mime == "image/png" for r in png_rows.values())
+    assert all(bytes(r.content)[:8] == b"\x89PNG\r\n\x1a\n" for r in png_rows.values())
+    # compression is real: mixed-filter noise payload ≠ raw size
+    raw_rows = {r.doc_id: r for r in MM.make_rgb_payload(d, width=16, height=12).collect()}
+    decoded = {r.doc_id: r for r in MM.png_decode_stage(pngs).collect()}
+    assert set(decoded) == set(raw_rows)
+    for did, r in decoded.items():
+        assert (r.width, r.height, r.mime) == (16, 12, MM.RAW_RGB_MIME)
+        assert bytes(r.content) == bytes(raw_rows[did].content)
+    # downstream raw stages chain on the decoded output
+    feats = {r.doc_id: r for r in MM.rgb_feature_stage(MM.png_decode_stage(pngs)).collect()}
+    ref = {r.doc_id: r for r in MM.rgb_feature_stage(MM.make_rgb_payload(d, width=16, height=12)).collect()}
+    for did in feats:
+        assert feats[did] == ref[did]
+
+
 def test_corpus_mixture_shares_and_weights(spark, sf_small):
     """Mixture-table invariants: token shares sum to 1 (exact integer
     totals), weights are sqrt(share), and per-source counts cover the

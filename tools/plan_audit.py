@@ -38,12 +38,10 @@ from pipetree_spark.session import get_spark  # noqa: E402
 UNPARTITIONED_WINDOW_OK = {
     "q_sort_multi": "window input is the 100-row TakeOrdered result",
     "q_stream_watermark": "definitional arrival-order replay; production path is Structured Streaming (ops/streaming.py)",
-    "q_vec_kmeans_port": "row_number over the k=8-row init frame",
-    "q_vec_ann_ivf_port": "row_number over the k=8-row init frame",
-    "q_vec_pq_codes": "row_number over the n_codes=16-row codebook-init frame",
-    "q_vec_pq_adc": "row_number over the n_codes=16-row codebook-init frame (codes + codebook branches each replay it)",
-    "q_vec_ann_pq_ivf": "row_number over the 8-row kmeans init + 16-row codebook init (replayed per branch)",
-    "q_vec_ann_ivfpq_res": "row_number over the 8-row kmeans init + 16-row codebook init (replayed per branch)",
+    # r10: the six q_vec_* init-frame waivers (row_number over the 8/16-row
+    # init frames) are gone — kmeans_portable_fit / pq_fit_portable now
+    # eagerly localCheckpoint model state, so the init window runs once at
+    # fit time and never appears in a downstream plan.
     "q_agg_quantile_hist": "cumulative sum over the ≤256-bucket histogram (bounded by construction)",
     "q_agg_ks_hist": "CDF cumulative sum over the constant 256-row bucket spine (bounded by construction)",
 }
