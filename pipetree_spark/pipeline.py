@@ -280,6 +280,7 @@ def _values_fn(columns: list[str], rows: list[list]) -> StageFn:
 def _op_registry() -> dict[str, tuple[Callable, int]]:
     from pipetree_spark.ops import bloom as BL
     from pipetree_spark.ops import graph as GX
+    from pipetree_spark.ops import mm as MM
     from pipetree_spark.ops import relational as RL
     from pipetree_spark.ops import sketch as SK
     from pipetree_spark.ops import text as TX
@@ -329,6 +330,14 @@ def _op_registry() -> dict[str, tuple[Callable, int]]:
         "snapshot_diff": (RL.snapshot_diff, 2),
         # incremental_join_delta(a_old, a_delta, b_old, b_delta, on=[...])
         "incremental_join_delta": (RL.incremental_join_delta, 4),
+        # multimodal stages (r10): PNG is a REAL pure-stdlib decode
+        # (ops/png.py); the decode stage emits the raw-RGB8 layout, so
+        # decode → resize → features chains inside one JSON spec
+        "make_png_payload": (MM.make_png_payload, 1),
+        "png_decode": (MM.png_decode_stage, 1),
+        "make_rgb_payload": (MM.make_rgb_payload, 1),
+        "rgb_resize": (MM.rgb_resize_stage, 1),
+        "rgb_features": (MM.rgb_feature_stage, 1),
     }
 
 

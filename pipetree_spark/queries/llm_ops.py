@@ -757,7 +757,7 @@ def q_vec_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_vec_centroid",
     oracle="""
 SELECT label, i - 1 AS dim,
-       ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) AS mean_val
+       ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) + 0.0 AS mean_val
 FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)
 GROUP BY 1, 2
 """,
@@ -765,12 +765,17 @@ GROUP BY 1, 2
 )
 def q_vec_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid components via posexplode → (label, dim) mean
-    (ops.vector.centroids internals; array re-assembly is pytest-covered)."""
+    (ops.vector.centroids internals; array re-assembly is pytest-covered).
+    pin_zero: a centroid component is a mean of signed floats, so
+    round() can land on signed zero and the engines disagree on its
+    sign (caught by the strict -0.0 gate at sf0.001, r10)."""
     e = load_table(spark, sf_dir, "embeddings")
     return (
         e.select("label", F.posexplode("embedding").alias("dim", "val"))
         .groupBy("label", "dim")
-        .agg(F.round(F.avg(F.col("val").cast("double")), 4).alias("mean_val"))
+        .agg(
+            pin_zero(F.round(F.avg(F.col("val").cast("double")), 4)).alias("mean_val")
+        )
     )
 
 

@@ -746,3 +746,50 @@ def test_r9_ops_are_json_declarable(spark, sf_small):
     got = {(r.node, r.rank) for r in Pipeline.from_spec(pr_spec, sf_dir=sf_small).run(spark)["rank"].collect()}
     want = {(r.node, r.rank) for r in load_registry()["q_graph_pagerank"].fn(spark, sf_small).collect()}
     assert got == want and len(got) > 0
+
+
+def test_multimodal_png_pipeline_is_json_declarable(spark, sf_small):
+    """The r10 multimodal stages route through the JSON ``op`` stage
+    type: generate real PNG payloads → stdlib decode to raw-RGB8 →
+    resize → channel features, all declared in one spec — and the
+    spec run must equal the directly-composed stage chain row for
+    row (same codec, same plumbing, spec-driven)."""
+    from pipetree_spark.ops import mm as MM
+
+    spec = {
+        "stages": {
+            "documents": {"type": "source", "table": "documents"},
+            "docs": {
+                "type": "sql",
+                "inputs": ["documents"],
+                "query": "SELECT doc_id, text FROM documents WHERE doc_id < 8",
+            },
+            "pngs": {
+                "type": "op",
+                "op": "make_png_payload",
+                "inputs": ["docs"],
+                "args": {"width": 12, "height": 8},
+            },
+            "raw": {"type": "op", "op": "png_decode", "inputs": ["pngs"]},
+            "thumbs": {
+                "type": "op",
+                "op": "rgb_resize",
+                "inputs": ["raw"],
+                "args": {"out_w": 6, "out_h": 4},
+            },
+            "features": {"type": "op", "op": "rgb_features", "inputs": ["thumbs"]},
+        }
+    }
+    out = Pipeline.from_spec(spec, sf_dir=sf_small).run(spark)
+    got = {tuple(r) for r in out["features"].collect()}
+    assert len(got) > 0 and all(r[1] == 6 and r[2] == 4 for r in got)
+
+    docs = out["docs"]
+    direct = MM.rgb_feature_stage(
+        MM.rgb_resize_stage(
+            MM.png_decode_stage(MM.make_png_payload(docs, width=12, height=8)),
+            out_w=6,
+            out_h=4,
+        )
+    )
+    assert got == {tuple(r) for r in direct.collect()}

@@ -282,8 +282,13 @@ def test_plan_audit_heuristic_detects_single_reducer_windows(spark, sf_small, re
         sys_path.insert(0, tools)
     from plan_audit import UNPARTITIONED_WINDOW_OK, unpartitioned_windows
 
-    positives = ["q_stream_watermark", "q_sort_multi", "q_vec_kmeans_port"]
-    negatives = ["q_win_rownum", "q_topk_pergroup", "q_ts_locf", "q_tpch_q21"]
+    # r10: q_vec_kmeans_port left the positives — the init-frame
+    # row_number now runs eagerly at fit time (localCheckpoint) and no
+    # longer appears in the audited plan; q_agg_quantile_hist's bounded
+    # cumulative-sum window is the remaining whitelisted positive.
+    positives = ["q_stream_watermark", "q_sort_multi", "q_agg_quantile_hist"]
+    negatives = ["q_win_rownum", "q_topk_pergroup", "q_ts_locf", "q_tpch_q21",
+                 "q_vec_kmeans_port"]
     for name in positives:
         assert unpartitioned_windows(plan(q(registry, name, spark, sf_small))) >= 1, name
         assert name in UNPARTITIONED_WINDOW_OK, f"{name} must carry a documented bound"
