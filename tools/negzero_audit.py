@@ -65,9 +65,11 @@ def main() -> None:
     for sf in sf_dirs:
         con = duckdb.connect()
         for t in TABLES:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf, t)}')"
-            )
+            # fuzz datasets are Spark-written DIRECTORIES (t.parquet/part-*);
+            # the fixed testdata dirs are single files — glob the former
+            p = Path(table_path(sf, t))
+            src = f"{p}/*.parquet" if p.is_dir() else str(p)
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
         for name in names:
             q = registry[name]
             notes = []
