@@ -748,6 +748,27 @@ def test_r9_ops_are_json_declarable(spark, sf_small):
     assert got == want and len(got) > 0
 
 
+def test_shipped_multimodal_spec_runs_end_to_end(spark, sf_small, tmp_path):
+    """The user-facing examples/multimodal_pipeline.json (PNG generate →
+    stdlib decode → resize → features → report) runs end-to-end through
+    from_spec with a cache, and the second run serves the materialized
+    decode stage from cache."""
+    import json
+    from pathlib import Path
+
+    spec = json.loads(
+        (Path(__file__).resolve().parent.parent / "examples/multimodal_pipeline.json").read_text()
+    )
+    cache = ArtifactCache(str(tmp_path))
+    p = Pipeline.from_spec(spec, sf_dir=sf_small)
+    out = p.run(spark, cache=cache)
+    rep = out["report"].collect()[0]
+    assert rep.n_images == 32 and 0 < rep.min_std <= rep.max_std
+    p2 = Pipeline.from_spec(spec, sf_dir=sf_small)
+    p2.run(spark, cache=cache)
+    assert p2.last_run_report["decoded"] == "hit"
+
+
 def test_multimodal_png_pipeline_is_json_declarable(spark, sf_small):
     """The r10 multimodal stages route through the JSON ``op`` stage
     type: generate real PNG payloads → stdlib decode to raw-RGB8 →

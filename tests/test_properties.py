@@ -999,3 +999,26 @@ def test_doubled_rank_spearman_matches_numpy_on_unique_values(spark, ys):
     rank_y = np.argsort(np.argsort(ys)) + 1.0
     ref = float(np.corrcoef(rank_x, rank_y)[0, 1])
     assert abs(got - ref) < 1e-9, (got, ref)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),   # width
+    st.integers(min_value=1, max_value=24),   # height
+    st.sampled_from([1, 2, 3, 4]),            # channels
+    st.sampled_from([0, 1, 2, 3, 4, "mix"]),  # row filter
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_codec_roundtrip_property(w, h, ch, ft, seed):
+    """Pure-codec property (no Spark): png_encode → png_decode is the
+    identity for EVERY image shape, channel count, and row-filter
+    choice — the r10 stdlib codec's core contract, randomized beyond
+    the fixed-corpus test in test_ops_llm."""
+    import numpy as np
+
+    from pipetree_spark.ops import png as P
+
+    px = np.random.RandomState(seed).randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+    out = P.png_decode(P.png_encode(px, filter_type=ft))
+    assert out.shape == (h, w, ch)
+    assert (out == px).all()
