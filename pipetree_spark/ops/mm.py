@@ -20,6 +20,10 @@ families get REAL paths:
   raw-RGB8 layout, after which the whole raw pipeline chains
   (decode → resize → features), pytest-verified against the planted
   pixel arrays across all five PNG row filters.
+- WAV (r10): RIFF chunk parsing is pure ``struct``, so ``ops/wav.py``
+  decodes ``audio/wav`` PCM16 payloads for real —
+  :func:`wav_decode_stage` emits the raw-PCM16 layout and the
+  waveform pipeline (features, downsample) chains unchanged.
 
 Everything Spark-side — schema, batching, partition behavior,
 mapInPandas signatures — is real and tested in every path.
@@ -607,6 +611,108 @@ def make_pcm_payload(
                     "content": payloads,
                     "n_samples": n_samples,
                     "sample_rate": sample_rate,
+                    "mime": RAW_PCM_MIME,
+                }
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
+WAV_MIME = "audio/wav"
+
+
+def make_wav_payload(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_samples: int = 2048,
+    sample_rate: int = 16000,
+) -> DataFrame:
+    """Synthesize a REAL (RIFF-conformant, stdlib-decodable) mono WAV
+    payload per row: the same deterministic sha256-counter samples as
+    :func:`make_pcm_payload`, wrapped through
+    :func:`ops.wav.wav_encode` — the audio twin of
+    :func:`make_png_payload`. Output layout matches make_pcm_payload
+    (content + n_samples/sample_rate + mime) so the decode stage slots
+    in where an ingest scanner would."""
+    from pipetree_spark.ops.wav import wav_encode
+
+    need = n_samples * 2
+    schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("mime", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                base = hashlib.sha256(b"pcm:" + str(t).encode()).digest()
+                buf = bytearray()
+                counter = 0
+                while len(buf) < need:
+                    buf += hashlib.sha256(base + counter.to_bytes(4, "big")).digest()
+                    counter += 1
+                x = np.frombuffer(bytes(buf[:need]), dtype="<i2")
+                payloads.append(wav_encode(x, sample_rate))
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].astype("int64"),
+                    "content": payloads,
+                    "n_samples": n_samples,
+                    "sample_rate": sample_rate,
+                    "mime": WAV_MIME,
+                }
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def wav_decode_stage(
+    df: DataFrame, content_col: str = "content", key_col: str = "doc_id"
+) -> DataFrame:
+    """REAL audio-container decode stage: ``audio/wav`` payloads →
+    raw-PCM16 layout (content + n_samples/sample_rate read from the
+    RIFF header, mime flipped to RAW_PCM_MIME), after which the raw
+    waveform pipeline chains unchanged (:func:`pcm_feature_stage`,
+    :func:`pcm_downsample`). Multi-channel inputs downmix to the FIRST
+    channel (deterministic, no float mixing arithmetic) so downstream
+    stages see ONE layout. A corrupt payload fails the task loudly
+    (ops.wav.WavFormatError)."""
+    from pipetree_spark.ops.wav import wav_decode
+
+    schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("mime", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents, counts, rates = [], [], []
+            for p in pdf[content_col]:
+                samples, sr = wav_decode(bytes(p))
+                mono = samples[:, 0]
+                contents.append(mono.tobytes())
+                counts.append(len(mono))
+                rates.append(sr)
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].astype("int64"),
+                    "content": contents,
+                    "n_samples": pd.Series(counts, dtype="int32"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
                     "mime": RAW_PCM_MIME,
                 }
             )

@@ -330,14 +330,19 @@ def _op_registry() -> dict[str, tuple[Callable, int]]:
         "snapshot_diff": (RL.snapshot_diff, 2),
         # incremental_join_delta(a_old, a_delta, b_old, b_delta, on=[...])
         "incremental_join_delta": (RL.incremental_join_delta, 4),
-        # multimodal stages (r10): PNG is a REAL pure-stdlib decode
-        # (ops/png.py); the decode stage emits the raw-RGB8 layout, so
-        # decode → resize → features chains inside one JSON spec
+        # multimodal stages (r10): PNG and WAV are REAL pure-stdlib
+        # decodes (ops/png.py, ops/wav.py); each decode stage emits the
+        # corresponding raw layout, so decode → transform → features
+        # chains inside one JSON spec
         "make_png_payload": (MM.make_png_payload, 1),
         "png_decode": (MM.png_decode_stage, 1),
         "make_rgb_payload": (MM.make_rgb_payload, 1),
         "rgb_resize": (MM.rgb_resize_stage, 1),
         "rgb_features": (MM.rgb_feature_stage, 1),
+        "make_wav_payload": (MM.make_wav_payload, 1),
+        "wav_decode": (MM.wav_decode_stage, 1),
+        "make_pcm_payload": (MM.make_pcm_payload, 1),
+        "pcm_features": (MM.pcm_feature_stage, 1),
     }
 
 

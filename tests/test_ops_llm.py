@@ -1330,6 +1330,89 @@ def test_png_decode_stage_chains_with_raw_pipeline(spark, sf_small):
         assert feats[did] == ref[did]
 
 
+def test_wav_codec_roundtrip_and_honest_errors():
+    """The r10 pure-stdlib WAV codec (ops/wav.py): encode→decode is the
+    identity for mono and multi-channel int16 waveforms (sample rate
+    preserved), chunk padding and unknown chunks are walked per spec,
+    and unsupported variants (float, 8-bit, truncation, bad magic)
+    raise WavFormatError instead of mis-decoding."""
+    import struct
+
+    import numpy as np
+
+    from pipetree_spark.ops import wav as W
+
+    rng = np.random.RandomState(11)
+    for n_ch in (1, 2, 4):
+        x = rng.randint(-32768, 32768, size=(777, n_ch)).astype("<i2")
+        data = W.wav_encode(x, 22050)
+        assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+        got, sr = W.wav_decode(data)
+        assert sr == 22050 and got.shape == (777, n_ch) and (got == x).all()
+    # 1-D input encodes as mono
+    m = rng.randint(-32768, 32768, size=100).astype("<i2")
+    got, _ = W.wav_decode(W.wav_encode(m, 8000))
+    assert (got[:, 0] == m).all()
+
+    # unknown + odd-length chunk before fmt/data is walked per spec
+    good = W.wav_encode(m, 8000)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"  # 3 bytes + pad
+    patched = good[:12] + extra + good[12:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    got, _ = W.wav_decode(patched)
+    assert (got[:, 0] == m).all()
+
+    import pytest as _pytest
+
+    with _pytest.raises(W.WavFormatError):
+        W.wav_decode(b"RIFX" + good[4:])  # bad magic
+    with _pytest.raises(W.WavFormatError):
+        W.wav_decode(good[:40])  # truncated
+    # float format code rejected
+    bad = bytearray(good)
+    bad[20:22] = struct.pack("<H", 3)  # fmt code → IEEE float
+    with _pytest.raises(W.WavFormatError):
+        W.wav_decode(bytes(bad))
+    # 8-bit depth rejected
+    bad = bytearray(good)
+    bad[34:36] = struct.pack("<H", 8)
+    with _pytest.raises(W.WavFormatError):
+        W.wav_decode(bytes(bad))
+
+
+def test_wav_decode_stage_chains_with_pcm_pipeline(spark, sf_small):
+    """make_wav_payload → wav_decode_stage must reproduce EXACTLY the
+    raw-PCM16 bytes make_pcm_payload generates for the same rows (same
+    sha-counter samples, round-tripped through a real RIFF encode),
+    after which pcm_feature_stage chains unchanged — the audio
+    container path is now a real decode stage, like PNG for images."""
+    d = load_table(spark, sf_small, "documents").limit(12)
+    wavs = MM.make_wav_payload(d, n_samples=512, sample_rate=8000)
+    wav_rows = {r.doc_id: r for r in wavs.collect()}
+    assert all(r.mime == "audio/wav" for r in wav_rows.values())
+    assert all(bytes(r.content)[:4] == b"RIFF" for r in wav_rows.values())
+
+    raw_rows = {
+        r.doc_id: r
+        for r in MM.make_pcm_payload(d, n_samples=512, sample_rate=8000).collect()
+    }
+    decoded = {r.doc_id: r for r in MM.wav_decode_stage(wavs).collect()}
+    assert set(decoded) == set(raw_rows)
+    for did, r in decoded.items():
+        assert (r.n_samples, r.sample_rate, r.mime) == (512, 8000, MM.RAW_PCM_MIME)
+        assert bytes(r.content) == bytes(raw_rows[did].content)
+
+    feats = {r.doc_id: r for r in MM.pcm_feature_stage(MM.wav_decode_stage(wavs)).collect()}
+    ref = {
+        r.doc_id: r
+        for r in MM.pcm_feature_stage(
+            MM.make_pcm_payload(d, n_samples=512, sample_rate=8000)
+        ).collect()
+    }
+    for did in feats:
+        assert feats[did] == ref[did]
+
+
 def test_corpus_mixture_shares_and_weights(spark, sf_small):
     """Mixture-table invariants: token shares sum to 1 (exact integer
     totals), weights are sqrt(share), and per-source counts cover the

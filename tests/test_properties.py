@@ -1022,3 +1022,22 @@ def test_png_codec_roundtrip_property(w, h, ch, ft, seed):
     out = P.png_decode(P.png_encode(px, filter_type=ft))
     assert out.shape == (h, w, ch)
     assert (out == px).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=500),  # frames
+    st.sampled_from([1, 2, 3]),               # channels
+    st.sampled_from([8000, 16000, 44100]),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_codec_roundtrip_property(n, ch, sr, seed):
+    """Pure-codec property (no Spark): wav_encode → wav_decode is the
+    identity for every frame count, channel count, and sample rate."""
+    import numpy as np
+
+    from pipetree_spark.ops import wav as W
+
+    x = np.random.RandomState(seed).randint(-32768, 32768, size=(n, ch)).astype("<i2")
+    got, got_sr = W.wav_decode(W.wav_encode(x, sr))
+    assert got_sr == sr and got.shape == (n, ch) and (got == x).all()
