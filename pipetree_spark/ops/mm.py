@@ -618,6 +618,83 @@ def make_pcm_payload(
     return df.mapInPandas(run, schema=schema)
 
 
+#: Magic-byte prefixes for the stdlib-decodable compression codecs.
+_CODEC_MAGIC = (
+    ("gzip", b"\x1f\x8b"),
+    ("bz2", b"BZh"),
+    ("lzma", b"\xfd7zXZ\x00"),  # .xz container
+)
+
+
+def payload_decompress(payload: bytes, codec: str = "auto") -> bytes:
+    """Decompress ONE payload with a stdlib codec (gzip / bz2 / lzma-xz).
+
+    ``codec="auto"`` sniffs the magic bytes — the ingest-scanner mode
+    for mixed shards — and raises ``ValueError`` naming the prefix when
+    nothing matches (a mislabeled payload must fail loudly, exactly
+    like the PNG/WAV format errors)."""
+    import bz2
+    import gzip
+    import lzma
+
+    fns = {"gzip": gzip.decompress, "bz2": bz2.decompress, "lzma": lzma.decompress}
+    if codec == "auto":
+        for name, magic in _CODEC_MAGIC:
+            if payload[: len(magic)] == magic:
+                codec = name
+                break
+        else:
+            raise ValueError(
+                f"unknown compression magic {payload[:6]!r} (gzip/bz2/xz supported)"
+            )
+    if codec not in fns:
+        raise ValueError(f"unsupported codec {codec!r} (gzip/bz2/lzma)")
+    return fns[codec](payload)
+
+
+def decompress_stage(
+    df: DataFrame,
+    codec: str = "auto",
+    content_col: str = "content",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """REAL payload decompression stage: a ``binary`` column holding
+    gzip / bz2 / xz-compressed bytes → the decompressed bytes, with
+    original and decompressed sizes for audit. This is the ingest step
+    a 100 TB web-crawl pipeline runs FIRST — Spark decompresses *files*
+    natively but has no built-in for a compressed *column*; here it is
+    a mapInPandas pass (stdlib codecs, executor-side, Arrow-batched),
+    NOT a driver loop. ``codec="auto"`` dispatches per payload on
+    magic bytes, so mixed-codec shards decode in one pass."""
+    schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("orig_bytes", T.IntegerType()),
+            T.StructField("byte_len", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out, orig, size = [], [], []
+            for p in pdf[content_col]:
+                raw = payload_decompress(bytes(p), codec)
+                out.append(raw)
+                orig.append(len(p))
+                size.append(len(raw))
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].astype("int64"),
+                    "content": out,
+                    "orig_bytes": pd.Series(orig, dtype="int32"),
+                    "byte_len": pd.Series(size, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
 WAV_MIME = "audio/wav"
 
 

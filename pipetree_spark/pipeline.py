@@ -343,6 +343,7 @@ def _op_registry() -> dict[str, tuple[Callable, int]]:
         "wav_decode": (MM.wav_decode_stage, 1),
         "make_pcm_payload": (MM.make_pcm_payload, 1),
         "pcm_features": (MM.pcm_feature_stage, 1),
+        "payload_decompress": (MM.decompress_stage, 1),
     }
 
 

@@ -1413,6 +1413,47 @@ def test_wav_decode_stage_chains_with_pcm_pipeline(spark, sf_small):
         assert feats[did] == ref[did]
 
 
+def test_payload_decompress_stage_mixed_codecs(spark, sf_small):
+    """decompress_stage: a binary column holding gzip / bz2 / xz
+    payloads (codec varying PER ROW) decompresses in one auto-dispatch
+    pass back to the exact original text bytes, with audit sizes; a
+    non-compressed payload fails loudly."""
+    import bz2
+    import gzip
+    import lzma
+
+    import pytest as _pytest
+
+    rows = [r for r in load_table(spark, sf_small, "documents").limit(9).collect()]
+    codecs = [gzip.compress, bz2.compress, lzma.compress]
+    payloads = [
+        (r.doc_id, codecs[i % 3](r.text.encode()), r.text) for i, r in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        [(d, p) for d, p, _ in payloads], ["doc_id", "content"]
+    )
+    out = {r.doc_id: r for r in MM.decompress_stage(df).collect()}
+    for did, comp, text in payloads:
+        r = out[did]
+        assert bytes(r.content).decode() == text
+        assert r.byte_len == len(text.encode()) and r.orig_bytes == len(comp)
+
+    # explicit codec mode
+    did0, comp0, text0 = payloads[0]  # index 0 → gzip
+    g = spark.createDataFrame([(did0, comp0)], ["doc_id", "content"])
+    assert (
+        bytes(MM.decompress_stage(g, codec="gzip").collect()[0].content).decode()
+        == text0
+    )
+
+    with _pytest.raises(Exception, match="magic|PythonException"):
+        bad = spark.createDataFrame([(1, b"plainbytes")], ["doc_id", "content"])
+        MM.decompress_stage(bad).collect()
+    # pure function, honest error
+    with _pytest.raises(ValueError, match="magic"):
+        MM.payload_decompress(b"plainbytes")
+
+
 def test_corpus_mixture_shares_and_weights(spark, sf_small):
     """Mixture-table invariants: token shares sum to 1 (exact integer
     totals), weights are sqrt(share), and per-source counts cover the
