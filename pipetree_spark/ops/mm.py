@@ -4,11 +4,11 @@ Model: media payloads are opaque ``BinaryType`` columns plus a typed
 metadata struct — the 100 TB-safe layout (payload bytes never leave the
 executors; metadata is columnar and prunable).
 
-The container has no image/audio *codec* libraries, so decoding of
-MOST compressed formats (JPEG/audio) is a clearly-marked stub behind an
-import-try (``NotImplementedError`` when a real decoder is requested
-but unavailable) with a deterministic fake decoder for tests. Two
-families get REAL paths:
+The container has no image/audio *codec* libraries, so decoding of the
+REMAINING compressed formats (FLAC/MP3/video) is a clearly-marked stub
+behind an import-try (``NotImplementedError`` when a real decoder is
+requested but unavailable) with a deterministic fake decoder for tests.
+Three families get REAL paths:
 
 - UNCOMPRESSED payloads (r6): raw-RGB8 buffers decode, resize
   (nearest-neighbor), and feature-extract with numpy alone — see
@@ -24,6 +24,11 @@ families get REAL paths:
   decodes ``audio/wav`` PCM16 payloads for real —
   :func:`wav_decode_stage` emits the raw-PCM16 layout and the
   waveform pipeline (features, downsample) chains unchanged.
+- JPEG (r10): baseline sequential DCT decodes (and, for planting,
+  encodes) through ``ops/jpeg.py`` — numpy DCT, stream-carried
+  quant/Huffman tables, 4:4:4 + 4:2:0 + restart markers;
+  :func:`jpeg_decode_stage` emits the raw-RGB8 layout. Progressive/
+  arithmetic variants fail honestly (JpegFormatError).
 
 Everything Spark-side — schema, batching, partition behavior,
 mapInPandas signatures — is real and tested in every path.
@@ -113,10 +118,10 @@ def real_decoder(payload: bytes, meta: dict[str, Any] | None = None) -> dict[str
     PIL / cv2 / av / imageio / soundfile / librosa — all absent, and
     installs are off-limits here. The UNCOMPRESSED paths beside this
     stub (raw-RGB8 / raw-PCM16 decode, resize, features — mm.py below)
-    are real and numpy-verified, and PNG decodes for real through the
-    pure-stdlib codec (ops/png.py, r10); JPEG and compressed audio
-    remain this one honest NotImplementedError until a deployment
-    brings a codec lib."""
+    are real and numpy-verified; PNG, baseline JPEG, and WAV decode for
+    real through the pure-Python codecs (ops/png.py, ops/jpeg.py,
+    ops/wav.py — r10). FLAC/MP3/video remain this one honest
+    NotImplementedError until a deployment brings a codec lib."""
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - environment-dependent
@@ -689,6 +694,110 @@ def decompress_stage(
                     "content": out,
                     "orig_bytes": pd.Series(orig, dtype="int32"),
                     "byte_len": pd.Series(size, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
+JPEG_MIME = "image/jpeg"
+
+
+def make_jpeg_payload(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    width: int = 16,
+    height: int = 16,
+    quality: int = 90,
+    subsample: bool = False,
+) -> DataFrame:
+    """Synthesize a REAL baseline-JPEG payload per row (the same
+    deterministic sha256-counter pixels as :func:`make_rgb_payload`,
+    encoded through :func:`ops.jpeg.jpeg_encode`). JPEG is LOSSY — the
+    decodable truth is ``jpeg_decode(payload)``, not the raw pixels, so
+    tests compare against a local decode rather than byte equality
+    (unlike the PNG twin)."""
+    from pipetree_spark.ops.jpeg import jpeg_encode
+
+    need = width * height * 3
+    schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mime", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                base = hashlib.sha256(str(t).encode()).digest()
+                buf = bytearray()
+                counter = 0
+                while len(buf) < need:
+                    buf += hashlib.sha256(base + counter.to_bytes(4, "big")).digest()
+                    counter += 1
+                px = np.frombuffer(bytes(buf[:need]), np.uint8).reshape(height, width, 3)
+                payloads.append(jpeg_encode(px, quality=quality, subsample=subsample))
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].astype("int64"),
+                    "content": payloads,
+                    "width": width,
+                    "height": height,
+                    "mime": JPEG_MIME,
+                }
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def jpeg_decode_stage(
+    df: DataFrame, content_col: str = "content", key_col: str = "doc_id"
+) -> DataFrame:
+    """REAL compressed-image decode stage for ``image/jpeg`` payloads →
+    raw-RGB8 layout (greyscale expanded to 3 channels), the JPEG twin
+    of :func:`png_decode_stage`: downstream resize/feature stages chain
+    unchanged. Baseline sequential only — progressive/arithmetic
+    payloads fail the task loudly (ops.jpeg.JpegFormatError)."""
+    from pipetree_spark.ops.jpeg import jpeg_decode
+
+    schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mime", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            contents, widths, heights = [], [], []
+            for p in pdf[content_col]:
+                img = jpeg_decode(bytes(p))
+                h, w, ch = img.shape
+                if ch == 1:
+                    img = np.repeat(img, 3, axis=2)
+                contents.append(img.tobytes())
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].astype("int64"),
+                    "content": contents,
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "mime": RAW_RGB_MIME,
                 }
             )
 

@@ -344,6 +344,8 @@ def _op_registry() -> dict[str, tuple[Callable, int]]:
         "make_pcm_payload": (MM.make_pcm_payload, 1),
         "pcm_features": (MM.pcm_feature_stage, 1),
         "payload_decompress": (MM.decompress_stage, 1),
+        "make_jpeg_payload": (MM.make_jpeg_payload, 1),
+        "jpeg_decode": (MM.jpeg_decode_stage, 1),
     }
 
 

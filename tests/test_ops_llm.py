@@ -1413,6 +1413,85 @@ def test_wav_decode_stage_chains_with_pcm_pipeline(spark, sf_small):
         assert feats[did] == ref[did]
 
 
+def test_jpeg_codec_fidelity_variants_and_honest_errors():
+    """The r10 pure-Python baseline JPEG codec (ops/jpeg.py): flat
+    images recover exactly (all energy in the quantized DC), smooth
+    gradients decode within a small pinned tolerance at 4:4:4, 4:2:0,
+    and with restart markers, greyscale works, encode is deterministic,
+    and unsupported variants (progressive SOF2, truncation, bad SOI)
+    raise JpegFormatError instead of mis-decoding."""
+    import numpy as np
+
+    from pipetree_spark.ops import jpeg as J
+
+    flat = np.full((24, 17, 3), 130, dtype=np.uint8)
+    assert (J.jpeg_decode(J.jpeg_encode(flat, quality=85)) == flat).all()
+
+    y, x = np.mgrid[0:32, 0:40]
+    grad = np.stack(
+        [(x * 6) % 256, (y * 6) % 256, ((x + y) * 3) % 256], axis=2
+    ).astype(np.uint8)
+    for kwargs, tol in (
+        (dict(quality=95), 4),
+        (dict(quality=90, subsample=True), 8),
+        (dict(quality=90, restart_interval=2), 5),
+    ):
+        out = J.jpeg_decode(J.jpeg_encode(grad, **kwargs))
+        assert out.shape == grad.shape
+        err = int(np.abs(out.astype(int) - grad.astype(int)).max())
+        assert err <= tol, (kwargs, err)
+
+    g = np.random.RandomState(5).randint(0, 256, size=(9, 13), dtype=np.uint8)
+    og = J.jpeg_decode(J.jpeg_encode(g, quality=95))
+    assert og.shape == (9, 13, 1)
+
+    data = J.jpeg_encode(grad, 85)
+    assert data == J.jpeg_encode(grad, 85)  # deterministic
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+
+    import pytest as _pytest
+
+    with _pytest.raises(J.JpegFormatError):
+        J.jpeg_decode(b"\x00\x01" + data[2:])  # no SOI
+    with _pytest.raises(J.JpegFormatError):
+        J.jpeg_decode(data[:60])  # truncated before SOS
+    # flip SOF0 → SOF2 (progressive): honest refusal, not garbage
+    sof_at = data.find(b"\xff\xc0")
+    assert sof_at > 0
+    prog = data[:sof_at] + b"\xff\xc2" + data[sof_at + 2 :]
+    with _pytest.raises(J.JpegFormatError, match="baseline"):
+        J.jpeg_decode(prog)
+
+
+def test_jpeg_decode_stage_chains_with_raw_pipeline(spark, sf_small):
+    """make_jpeg_payload → jpeg_decode_stage: JPEG is lossy, so the
+    stage output must equal a LOCAL jpeg_decode of each payload exactly
+    (same codec executor-side), carry the decoded dimensions, and chain
+    into rgb_feature_stage; decoded pixels must sit near the lossless
+    PNG decode of the same source pixels (bounded quantization error,
+    noise-like corpus ⇒ loose mean bound)."""
+    import numpy as np
+
+    from pipetree_spark.ops.jpeg import jpeg_decode
+
+    d = load_table(spark, sf_small, "documents").limit(8)
+    jpgs = MM.make_jpeg_payload(d, width=16, height=12, quality=95)
+    jpg_rows = {r.doc_id: r for r in jpgs.collect()}
+    assert all(r.mime == "image/jpeg" for r in jpg_rows.values())
+    decoded = {r.doc_id: r for r in MM.jpeg_decode_stage(jpgs).collect()}
+    raw = {r.doc_id: r for r in MM.make_rgb_payload(d, width=16, height=12).collect()}
+    assert set(decoded) == set(raw)
+    for did, r in decoded.items():
+        assert (r.width, r.height, r.mime) == (16, 12, MM.RAW_RGB_MIME)
+        local = jpeg_decode(bytes(jpg_rows[did].content))
+        assert bytes(r.content) == local.tobytes()  # stage ≡ local codec
+        truth = np.frombuffer(bytes(raw[did].content), np.uint8).astype(int)
+        got = np.frombuffer(bytes(r.content), np.uint8).astype(int)
+        assert np.abs(got - truth).mean() < 16  # lossy but anchored
+    feats = {r.doc_id: r for r in MM.rgb_feature_stage(MM.jpeg_decode_stage(jpgs)).collect()}
+    assert set(feats) == set(raw) and all(f.px_std > 0 for f in feats.values())
+
+
 def test_payload_decompress_stage_mixed_codecs(spark, sf_small):
     """decompress_stage: a binary column holding gzip / bz2 / xz
     payloads (codec varying PER ROW) decompresses in one auto-dispatch

@@ -1041,3 +1041,32 @@ def test_wav_codec_roundtrip_property(n, ch, sr, seed):
     x = np.random.RandomState(seed).randint(-32768, 32768, size=(n, ch)).astype("<i2")
     got, got_sr = W.wav_decode(W.wav_encode(x, sr))
     assert got_sr == sr and got.shape == (n, ch) and (got == x).all()
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.sampled_from([60, 85, 95]),
+    st.booleans(),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_codec_roundtrip_property(w, h, q, sub, seed):
+    """Pure-codec property (no Spark): jpeg_decode(jpeg_encode(x)) keeps
+    the exact shape, stays uint8, and — on a FLAT image — recovers the
+    pixels exactly for every size/quality/subsampling combination
+    (random content is checked for decodability + a loose error bound:
+    JPEG is lossy by design)."""
+    import numpy as np
+
+    from pipetree_spark.ops import jpeg as J
+
+    flat = np.full((h, w, 3), (seed % 200) + 28, dtype=np.uint8)
+    out = J.jpeg_decode(J.jpeg_encode(flat, quality=q, subsample=sub))
+    assert out.shape == flat.shape and out.dtype == np.uint8
+    assert (out == flat).all()
+
+    px = np.random.RandomState(seed).randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = J.jpeg_decode(J.jpeg_encode(px, quality=q, subsample=sub))
+    assert out.shape == px.shape
+    assert np.abs(out.astype(int) - px.astype(int)).mean() < 96
