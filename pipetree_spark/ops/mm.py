@@ -5,10 +5,10 @@ metadata struct — the 100 TB-safe layout (payload bytes never leave the
 executors; metadata is columnar and prunable).
 
 The container has no image/audio *codec* libraries, so decoding of the
-REMAINING compressed formats (FLAC/MP3/video) is a clearly-marked stub
-behind an import-try (``NotImplementedError`` when a real decoder is
-requested but unavailable) with a deterministic fake decoder for tests.
-Three families get REAL paths:
+REMAINING compressed formats (FLAC/MP3, non-MJPEG video codecs) is a
+clearly-marked stub behind an import-try (``NotImplementedError`` when
+a real decoder is requested but unavailable) with a deterministic fake
+decoder for tests. Four families get REAL paths:
 
 - UNCOMPRESSED payloads (r6): raw-RGB8 buffers decode, resize
   (nearest-neighbor), and feature-extract with numpy alone — see
@@ -29,6 +29,10 @@ Three families get REAL paths:
   quant/Huffman tables, 4:4:4 + 4:2:0 + restart markers;
   :func:`jpeg_decode_stage` emits the raw-RGB8 layout. Progressive/
   arithmetic variants fail honestly (JpegFormatError).
+- VIDEO via MJPEG-AVI (r10): ``ops/avi.py`` walks the RIFF container
+  and :func:`video_frame_sample_stage` samples frames BEFORE decoding
+  them (per-frame baseline JPEG), one raw-RGB8 row per sampled frame
+  — the north-star frame-sample op with real decode.
 
 Everything Spark-side — schema, batching, partition behavior,
 mapInPandas signatures — is real and tested in every path.
@@ -797,6 +801,133 @@ def jpeg_decode_stage(
                     "content": contents,
                     "width": pd.Series(widths, dtype="int32"),
                     "height": pd.Series(heights, dtype="int32"),
+                    "mime": RAW_RGB_MIME,
+                }
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
+MJPEG_MIME = "video/x-msvideo"
+
+
+def make_mjpeg_payload(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    width: int = 16,
+    height: int = 16,
+    n_frames: int = 8,
+    fps: int = 10,
+    quality: int = 90,
+) -> DataFrame:
+    """Synthesize a REAL MJPEG-AVI video payload per row: ``n_frames``
+    deterministic frames (sha256 counter-mode keyed by text AND frame
+    index, so frames differ) each baseline-JPEG-encoded and boxed into
+    the RIFF/AVI container (:func:`ops.avi.avi_mjpeg_encode`). The
+    video twin of make_png_payload / make_wav_payload."""
+    from pipetree_spark.ops.avi import avi_mjpeg_encode
+    from pipetree_spark.ops.jpeg import jpeg_encode
+
+    need = width * height * 3
+    schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("mime", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                frames = []
+                for fi in range(n_frames):
+                    base = hashlib.sha256(f"frame{fi}:{t}".encode()).digest()
+                    buf = bytearray()
+                    counter = 0
+                    while len(buf) < need:
+                        buf += hashlib.sha256(base + counter.to_bytes(4, "big")).digest()
+                        counter += 1
+                    px = np.frombuffer(bytes(buf[:need]), np.uint8).reshape(
+                        height, width, 3
+                    )
+                    frames.append(jpeg_encode(px, quality=quality))
+                payloads.append(avi_mjpeg_encode(frames, width, height, fps=fps))
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].astype("int64"),
+                    "content": payloads,
+                    "width": width,
+                    "height": height,
+                    "n_frames": n_frames,
+                    "mime": MJPEG_MIME,
+                }
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def video_frame_sample_stage(
+    df: DataFrame,
+    every_n: int = 4,
+    content_col: str = "content",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """REAL video frame sampling with decode-AFTER-sample: parse the
+    MJPEG-AVI container, keep every ``every_n``-th frame, and decode
+    ONLY the kept frames (JPEG decode is the expensive step — sampling
+    first is what makes 1-fps-of-30-fps affordable). Emits one row per
+    sampled frame in the raw-RGB8 layout (+ frame_idx, fps), so the
+    image pipeline (resize, features) chains per frame. This is the
+    north-star "frame-sample" op with real decode, not an array slice."""
+    from pipetree_spark.ops.avi import avi_mjpeg_decode
+    from pipetree_spark.ops.jpeg import jpeg_decode
+
+    schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("fps", T.IntegerType()),
+            T.StructField("mime", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            keys, idxs, contents, widths, heights, fpss = [], [], [], [], [], []
+            for did, p in zip(pdf[key_col], pdf[content_col]):
+                frames, _, _, fps = avi_mjpeg_decode(bytes(p))
+                for fi in range(0, len(frames), every_n):
+                    img = jpeg_decode(frames[fi])
+                    h, w, ch = img.shape
+                    if ch == 1:
+                        img = np.repeat(img, 3, axis=2)
+                    keys.append(int(did))
+                    idxs.append(fi)
+                    contents.append(img.tobytes())
+                    widths.append(w)
+                    heights.append(h)
+                    fpss.append(fps or 0)
+            yield pd.DataFrame(
+                {
+                    key_col: pd.Series(keys, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "content": contents,
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "fps": pd.Series(fpss, dtype="int32"),
                     "mime": RAW_RGB_MIME,
                 }
             )

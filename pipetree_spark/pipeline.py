@@ -346,6 +346,8 @@ def _op_registry() -> dict[str, tuple[Callable, int]]:
         "payload_decompress": (MM.decompress_stage, 1),
         "make_jpeg_payload": (MM.make_jpeg_payload, 1),
         "jpeg_decode": (MM.jpeg_decode_stage, 1),
+        "make_mjpeg_payload": (MM.make_mjpeg_payload, 1),
+        "video_frame_sample": (MM.video_frame_sample_stage, 1),
     }
 
 

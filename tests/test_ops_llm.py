@@ -1492,6 +1492,71 @@ def test_jpeg_decode_stage_chains_with_raw_pipeline(spark, sf_small):
     assert set(feats) == set(raw) and all(f.px_std > 0 for f in feats.values())
 
 
+def test_avi_mjpeg_container_roundtrip_and_errors():
+    """ops/avi.py: frame payloads round-trip byte-exactly through the
+    RIFF/AVI container (dims + fps preserved, idx1/padding walked per
+    spec), and non-AVI / non-MJPEG / truncated payloads raise
+    AviFormatError."""
+    import numpy as np
+
+    from pipetree_spark.ops import avi as A
+    from pipetree_spark.ops import jpeg as J
+
+    px = [np.full((16, 24, 3), 40 + 20 * i, dtype=np.uint8) for i in range(6)]
+    jpegs = [J.jpeg_encode(p, quality=90) for p in px]
+    data = A.avi_mjpeg_encode(jpegs, 24, 16, fps=5)
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    frames, w, h, fps = A.avi_mjpeg_decode(data)
+    assert (w, h, fps) == (24, 16, 5)
+    assert frames == jpegs  # byte-exact container roundtrip
+    assert (J.jpeg_decode(frames[3]) == px[3]).all()  # flat → exact
+
+    import pytest as _pytest
+
+    with _pytest.raises(A.AviFormatError):
+        A.avi_mjpeg_decode(b"RIFF\x04\x00\x00\x00WAVE")
+    with _pytest.raises(A.AviFormatError, match="MJPG"):
+        A.avi_mjpeg_decode(data.replace(b"MJPG", b"H264", 1))
+    with _pytest.raises(A.AviFormatError):
+        A.avi_mjpeg_decode(data[:100])
+
+
+def test_video_frame_sample_stage_decodes_only_sampled(spark, sf_small):
+    """make_mjpeg_payload → video_frame_sample_stage: one row per
+    SAMPLED frame (indices 0, n, 2n...), each equal to a local
+    jpeg_decode of that frame's payload, in the raw-RGB8 layout so the
+    image pipeline chains per frame."""
+    import numpy as np
+
+    from pipetree_spark.ops.avi import avi_mjpeg_decode
+    from pipetree_spark.ops.jpeg import jpeg_decode
+
+    d = load_table(spark, sf_small, "documents").limit(4)
+    vids = MM.make_mjpeg_payload(d, width=16, height=12, n_frames=8, fps=10)
+    vid_rows = {r.doc_id: r for r in vids.collect()}
+    assert all(r.mime == "video/x-msvideo" and r.n_frames == 8 for r in vid_rows.values())
+
+    out = MM.video_frame_sample_stage(vids, every_n=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(vid_rows)
+    for did, rows in by_doc.items():
+        assert sorted(r.frame_idx for r in rows) == [0, 3, 6]
+        frames, _, _, fps = avi_mjpeg_decode(bytes(vid_rows[did].content))
+        for r in rows:
+            assert (r.width, r.height, r.fps, r.mime) == (16, 12, 10, MM.RAW_RGB_MIME)
+            assert bytes(r.content) == jpeg_decode(frames[r.frame_idx]).tobytes()
+    # frames genuinely differ (per-frame keyed pixels)
+    a, b = by_doc[did][0], by_doc[did][1]
+    assert bytes(a.content) != bytes(b.content)
+    # sampled frames chain into the image feature stage
+    feats = MM.rgb_feature_stage(
+        MM.video_frame_sample_stage(vids, every_n=3), key_col="doc_id"
+    ).collect()
+    assert len(feats) == len(out) and all(f.px_std > 0 for f in feats)
+
+
 def test_payload_decompress_stage_mixed_codecs(spark, sf_small):
     """decompress_stage: a binary column holding gzip / bz2 / xz
     payloads (codec varying PER ROW) decompresses in one auto-dispatch
