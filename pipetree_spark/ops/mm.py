@@ -248,11 +248,11 @@ def make_rgb_payload(
         for pdf in batches:
             payloads = []
             for t in pdf[text_col]:
-                base = hashlib.sha256(str(t).encode()).digest()
+                base = hashlib.sha256(str(t).encode()).hexdigest()
                 buf = bytearray()
                 counter = 0
                 while len(buf) < need:
-                    buf += hashlib.sha256(base + counter.to_bytes(4, "big")).digest()
+                    buf += hashlib.sha256(f"{base}:{counter}".encode()).digest()
                     counter += 1
                 payloads.append(bytes(buf[:need]))
             yield pd.DataFrame(
@@ -418,11 +418,11 @@ def make_png_payload(
         for pdf in batches:
             payloads = []
             for t in pdf[text_col]:
-                base = hashlib.sha256(str(t).encode()).digest()
+                base = hashlib.sha256(str(t).encode()).hexdigest()
                 buf = bytearray()
                 counter = 0
                 while len(buf) < need:
-                    buf += hashlib.sha256(base + counter.to_bytes(4, "big")).digest()
+                    buf += hashlib.sha256(f"{base}:{counter}".encode()).digest()
                     counter += 1
                 px = np.frombuffer(bytes(buf[:need]), np.uint8).reshape(height, width, 3)
                 payloads.append(png_encode(px, filter_type=filter_type))
@@ -607,11 +607,11 @@ def make_pcm_payload(
         for pdf in batches:
             payloads = []
             for t in pdf[text_col]:
-                base = hashlib.sha256(b"pcm:" + str(t).encode()).digest()
+                base = hashlib.sha256(b"pcm:" + str(t).encode()).hexdigest()
                 buf = bytearray()
                 counter = 0
                 while len(buf) < need:
-                    buf += hashlib.sha256(base + counter.to_bytes(4, "big")).digest()
+                    buf += hashlib.sha256(f"{base}:{counter}".encode()).digest()
                     counter += 1
                 payloads.append(bytes(buf[:need]))
             yield pd.DataFrame(
@@ -741,11 +741,11 @@ def make_jpeg_payload(
         for pdf in batches:
             payloads = []
             for t in pdf[text_col]:
-                base = hashlib.sha256(str(t).encode()).digest()
+                base = hashlib.sha256(str(t).encode()).hexdigest()
                 buf = bytearray()
                 counter = 0
                 while len(buf) < need:
-                    buf += hashlib.sha256(base + counter.to_bytes(4, "big")).digest()
+                    buf += hashlib.sha256(f"{base}:{counter}".encode()).digest()
                     counter += 1
                 px = np.frombuffer(bytes(buf[:need]), np.uint8).reshape(height, width, 3)
                 payloads.append(jpeg_encode(px, quality=quality, subsample=subsample))
@@ -808,6 +808,95 @@ def jpeg_decode_stage(
     return df.mapInPandas(run, schema=schema)
 
 
+RGB_INT_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+    ]
+)
+
+
+def rgb_int_stats_stage(
+    df: DataFrame, content_col: str = "content", key_col: str = "doc_id"
+) -> DataFrame:
+    """INTEGER-EXACT channel statistics over raw-RGB8 payloads: per-doc
+    pixel count, per-channel byte sums, and the global sum of squares —
+    all int64, so the result is bit-identical on any engine (the
+    float-free twin of :func:`rgb_feature_stage`, built for the
+    driver's hash gate: means/stds are one exact division away for the
+    consumer that wants them)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n, sr, sg, sb, sq = [], [], [], [], []
+            for p, w, h in zip(pdf[content_col], pdf["width"], pdf["height"]):
+                img = rawrgb_decode(p, int(w), int(h)).astype(np.int64)
+                n.append(int(w) * int(h))
+                sr.append(int(img[:, :, 0].sum()))
+                sg.append(int(img[:, :, 1].sum()))
+                sb.append(int(img[:, :, 2].sum()))
+                sq.append(int((img * img).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[key_col].astype("int64"),
+                    "n_px": pd.Series(n, dtype="int64"),
+                    "sum_r": pd.Series(sr, dtype="int64"),
+                    "sum_g": pd.Series(sg, dtype="int64"),
+                    "sum_b": pd.Series(sb, dtype="int64"),
+                    "sum_sq": pd.Series(sq, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=RGB_INT_STATS_SCHEMA)
+
+
+PCM_INT_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_s", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("peak_abs", T.LongType()),
+    ]
+)
+
+
+def pcm_int_stats_stage(
+    df: DataFrame, content_col: str = "content", key_col: str = "doc_id"
+) -> DataFrame:
+    """INTEGER-EXACT waveform statistics over raw-PCM16 payloads (the
+    float-free twin of :func:`pcm_feature_stage`): sample count, signed
+    sample sum, sum of squares, absolute peak — all int64, built for
+    the driver's hash gate."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n, ss, sq, pk = [], [], [], []
+            for p, ns in zip(pdf[content_col], pdf["n_samples"]):
+                x = pcm_decode(p, int(ns)).astype(np.int64)
+                n.append(int(ns))
+                ss.append(int(x.sum()))
+                sq.append(int((x * x).sum()))
+                pk.append(int(np.abs(x).max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[key_col].astype("int64"),
+                    "n_samples": pd.Series(n, dtype="int64"),
+                    "sum_s": pd.Series(ss, dtype="int64"),
+                    "sum_sq": pd.Series(sq, dtype="int64"),
+                    "peak_abs": pd.Series(pk, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=PCM_INT_STATS_SCHEMA)
+
+
 MJPEG_MIME = "video/x-msvideo"
 
 
@@ -849,11 +938,11 @@ def make_mjpeg_payload(
             for t in pdf[text_col]:
                 frames = []
                 for fi in range(n_frames):
-                    base = hashlib.sha256(f"frame{fi}:{t}".encode()).digest()
+                    base = hashlib.sha256(f"frame{fi}:{t}".encode()).hexdigest()
                     buf = bytearray()
                     counter = 0
                     while len(buf) < need:
-                        buf += hashlib.sha256(base + counter.to_bytes(4, "big")).digest()
+                        buf += hashlib.sha256(f"{base}:{counter}".encode()).digest()
                         counter += 1
                     px = np.frombuffer(bytes(buf[:need]), np.uint8).reshape(
                         height, width, 3
@@ -971,11 +1060,11 @@ def make_wav_payload(
         for pdf in batches:
             payloads = []
             for t in pdf[text_col]:
-                base = hashlib.sha256(b"pcm:" + str(t).encode()).digest()
+                base = hashlib.sha256(b"pcm:" + str(t).encode()).hexdigest()
                 buf = bytearray()
                 counter = 0
                 while len(buf) < need:
-                    buf += hashlib.sha256(base + counter.to_bytes(4, "big")).digest()
+                    buf += hashlib.sha256(f"{base}:{counter}".encode()).digest()
                     counter += 1
                 x = np.frombuffer(bytes(buf[:need]), dtype="<i2")
                 payloads.append(wav_encode(x, sample_rate))

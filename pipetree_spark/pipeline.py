@@ -348,6 +348,8 @@ def _op_registry() -> dict[str, tuple[Callable, int]]:
         "jpeg_decode": (MM.jpeg_decode_stage, 1),
         "make_mjpeg_payload": (MM.make_mjpeg_payload, 1),
         "video_frame_sample": (MM.video_frame_sample_stage, 1),
+        "rgb_int_stats": (MM.rgb_int_stats_stage, 1),
+        "pcm_int_stats": (MM.pcm_int_stats_stage, 1),
     }
 
 

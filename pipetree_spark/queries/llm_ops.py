@@ -2751,3 +2751,99 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pmi"),
     )
+
+
+@declare(
+    "q_mm_png_roundtrip",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, sha256(text) AS bh FROM documents WHERE doc_id < 24),
+blk AS (
+  SELECT doc_id, i, sha256(bh || ':' || CAST(i AS VARCHAR)) AS hx
+  FROM d CROSS JOIN generate_series(0, 23) g(i)),
+byt AS (
+  SELECT doc_id, i * 32 + j AS p,
+         CAST(concat('0x', substr(hx, j * 2 + 1, 2)) AS BIGINT) AS b
+  FROM blk CROSS JOIN generate_series(0, 31) gj(j))
+SELECT doc_id,
+       CAST(COUNT(*) FILTER (p % 3 = 0) AS BIGINT) AS n_px,
+       CAST(SUM(b) FILTER (p % 3 = 0) AS BIGINT) AS sum_r,
+       CAST(SUM(b) FILTER (p % 3 = 1) AS BIGINT) AS sum_g,
+       CAST(SUM(b) FILTER (p % 3 = 2) AS BIGINT) AS sum_b,
+       CAST(SUM(b * b) AS BIGINT) AS sum_sq
+FROM byt GROUP BY doc_id
+""",
+    tags=("mm",),
+)
+def q_mm_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-certified PNG codec chain: deterministic pixels (sha256
+    counter-mode over each doc's text) → REAL PNG encode (ops/png.py,
+    mixed row filters) → REAL stdlib decode → integer-exact channel
+    stats — while the oracle re-derives the SAME statistics from the
+    pixel DEFINITION alone (DuckDB sha256 + hex-byte extraction, no
+    image code at all). A hash match therefore proves the whole
+    executor-side mapInPandas chain — payload synthesis, zlib deflate,
+    all five PNG row filters, inflate, defilter — is lossless and
+    bit-reproducible. Everything compared is int64 (counts/sums), so
+    there is no float policy at all.
+
+    Scale shape: the chain is a narrow per-row map (no shuffle until
+    the final 24-row aggregate); the certified form pins 24 16×16
+    images for oracle cost, the production stages run the same code on
+    arbitrary payload columns."""
+    from pipetree_spark.ops import mm as MM
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 24)
+        .select("doc_id", "text")
+    )
+    pngs = MM.make_png_payload(d, width=16, height=16)  # 768 B = 24 digests
+    return MM.rgb_int_stats_stage(MM.png_decode_stage(pngs))
+
+
+@declare(
+    "q_mm_wav_roundtrip",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, sha256('pcm:' || text) AS bh FROM documents WHERE doc_id < 24),
+blk AS (
+  SELECT doc_id, i, sha256(bh || ':' || CAST(i AS VARCHAR)) AS hx
+  FROM d CROSS JOIN generate_series(0, 15) g(i)),
+byt AS (
+  SELECT doc_id, i * 32 + j AS p,
+         CAST(concat('0x', substr(hx, j * 2 + 1, 2)) AS BIGINT) AS b
+  FROM blk CROSS JOIN generate_series(0, 31) gj(j)),
+smp AS (
+  SELECT doc_id, p // 2 AS k,
+         SUM(CASE WHEN p % 2 = 0 THEN b ELSE 256 * b END) AS u
+  FROM byt GROUP BY doc_id, p // 2),
+sv AS (
+  SELECT doc_id, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v FROM smp)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(v) AS BIGINT) AS sum_s,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs
+FROM sv GROUP BY doc_id
+""",
+    tags=("mm",),
+)
+def q_mm_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-certified WAV codec chain, the audio twin of
+    q_mm_png_roundtrip: deterministic PCM16 samples → REAL RIFF/WAVE
+    encode (ops/wav.py) → REAL stdlib decode → integer-exact waveform
+    stats, while the oracle re-derives the same stats from the sample
+    DEFINITION (sha256 bytes → little-endian signed 16-bit) with no
+    audio code. All-int64 output, no float policy. 256 samples = 512
+    bytes = 16 digests — the synthesis truncates nothing, so the
+    oracle's block reconstruction is complete."""
+    from pipetree_spark.ops import mm as MM
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 24)
+        .select("doc_id", "text")
+    )
+    wavs = MM.make_wav_payload(d, n_samples=256, sample_rate=8000)
+    return MM.pcm_int_stats_stage(MM.wav_decode_stage(wavs))
