@@ -808,6 +808,64 @@ def jpeg_decode_stage(
     return df.mapInPandas(run, schema=schema)
 
 
+def image_decode_stage(
+    df: DataFrame, content_col: str = "content", key_col: str = "doc_id"
+) -> DataFrame:
+    """REAL auto-dispatch image decode: PNG or baseline JPEG per row by
+    magic bytes (the ingest-scanner mode for mixed image shards — same
+    pattern as :func:`decompress_stage`), emitting the raw-RGB8 layout.
+    Unknown magics fail the task loudly."""
+    from pipetree_spark.ops.jpeg import jpeg_decode
+    from pipetree_spark.ops.png import png_decode
+
+    schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mime", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            contents, widths, heights = [], [], []
+            for p in pdf[content_col]:
+                raw = bytes(p)
+                if raw[:8] == b"\x89PNG\r\n\x1a\n":
+                    img = png_decode(raw)
+                elif raw[:2] == b"\xff\xd8":
+                    img = jpeg_decode(raw)
+                else:
+                    raise ValueError(
+                        f"unknown image magic {raw[:4]!r} (png/jpeg supported)"
+                    )
+                h, w, ch = img.shape
+                if ch == 1:
+                    img = np.repeat(img, 3, axis=2)
+                elif ch == 2:
+                    img = np.repeat(img[:, :, :1], 3, axis=2)
+                elif ch == 4:
+                    img = img[:, :, :3]
+                contents.append(img.tobytes())
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].astype("int64"),
+                    "content": contents,
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "mime": RAW_RGB_MIME,
+                }
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
 RGB_INT_STATS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

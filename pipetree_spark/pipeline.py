@@ -350,6 +350,7 @@ def _op_registry() -> dict[str, tuple[Callable, int]]:
         "video_frame_sample": (MM.video_frame_sample_stage, 1),
         "rgb_int_stats": (MM.rgb_int_stats_stage, 1),
         "pcm_int_stats": (MM.pcm_int_stats_stage, 1),
+        "image_decode": (MM.image_decode_stage, 1),
     }
 
 

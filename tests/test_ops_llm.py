@@ -1557,6 +1557,38 @@ def test_video_frame_sample_stage_decodes_only_sampled(spark, sf_small):
     assert len(feats) == len(out) and all(f.px_std > 0 for f in feats)
 
 
+def test_image_decode_stage_auto_dispatch(spark, sf_small):
+    """image_decode_stage: a binary column holding PNG payloads for some
+    rows and JPEGs for others decodes in one magic-dispatch pass — PNG
+    rows byte-equal the lossless decode, JPEG rows byte-equal the local
+    jpeg_decode; an unknown magic fails loudly."""
+    from pipetree_spark.ops.jpeg import jpeg_decode
+
+    d = load_table(spark, sf_small, "documents").limit(8)
+    pngs = MM.make_png_payload(d, width=16, height=12)
+    jpgs = MM.make_jpeg_payload(d, width=16, height=12, quality=95)
+    # interleave codecs per row parity
+    prow = {r.doc_id: bytes(r.content) for r in pngs.collect()}
+    jrow = {r.doc_id: bytes(r.content) for r in jpgs.collect()}
+    mixed = spark.createDataFrame(
+        [(did, prow[did] if did % 2 == 0 else jrow[did]) for did in prow],
+        ["doc_id", "content"],
+    )
+    out = {r.doc_id: r for r in MM.image_decode_stage(mixed).collect()}
+    raw = {r.doc_id: bytes(r.content) for r in MM.make_rgb_payload(d, width=16, height=12).collect()}
+    for did, r in out.items():
+        assert (r.width, r.height, r.mime) == (16, 12, MM.RAW_RGB_MIME)
+        want = raw[did] if did % 2 == 0 else jpeg_decode(jrow[did]).tobytes()
+        assert bytes(r.content) == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="magic|PythonException"):
+        MM.image_decode_stage(
+            spark.createDataFrame([(1, b"GIF89a....")], ["doc_id", "content"])
+        ).collect()
+
+
 def test_payload_decompress_stage_mixed_codecs(spark, sf_small):
     """decompress_stage: a binary column holding gzip / bz2 / xz
     payloads (codec varying PER ROW) decompresses in one auto-dispatch
