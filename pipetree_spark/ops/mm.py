@@ -33,6 +33,10 @@ decoder for tests. Four families get REAL paths:
   and :func:`video_frame_sample_stage` samples frames BEFORE decoding
   them (per-frame baseline JPEG), one raw-RGB8 row per sampled frame
   — the north-star frame-sample op with real decode.
+- GIF (r10): ``ops/gif.py`` implements GIF's LZW variant both ways —
+  palette images round-trip exactly (interlacing, animation
+  composition, local tables, transparency); dispatched by
+  :func:`image_decode_stage` alongside PNG/JPEG.
 
 Everything Spark-side — schema, batching, partition behavior,
 mapInPandas signatures — is real and tested in every path.
@@ -811,10 +815,12 @@ def jpeg_decode_stage(
 def image_decode_stage(
     df: DataFrame, content_col: str = "content", key_col: str = "doc_id"
 ) -> DataFrame:
-    """REAL auto-dispatch image decode: PNG or baseline JPEG per row by
-    magic bytes (the ingest-scanner mode for mixed image shards — same
-    pattern as :func:`decompress_stage`), emitting the raw-RGB8 layout.
-    Unknown magics fail the task loudly."""
+    """REAL auto-dispatch image decode: PNG, baseline JPEG, or GIF
+    (first composed frame) per row by magic bytes (the ingest-scanner
+    mode for mixed image shards — same pattern as
+    :func:`decompress_stage`), emitting the raw-RGB8 layout. Unknown
+    magics fail the task loudly."""
+    from pipetree_spark.ops.gif import gif_decode
     from pipetree_spark.ops.jpeg import jpeg_decode
     from pipetree_spark.ops.png import png_decode
 
@@ -839,9 +845,11 @@ def image_decode_stage(
                     img = png_decode(raw)
                 elif raw[:2] == b"\xff\xd8":
                     img = jpeg_decode(raw)
+                elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                    img = gif_decode(raw)[0][0]  # first composed frame
                 else:
                     raise ValueError(
-                        f"unknown image magic {raw[:4]!r} (png/jpeg supported)"
+                        f"unknown image magic {raw[:4]!r} (png/jpeg/gif supported)"
                     )
                 h, w, ch = img.shape
                 if ch == 1:

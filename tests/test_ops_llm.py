@@ -1557,6 +1557,46 @@ def test_video_frame_sample_stage_decodes_only_sampled(spark, sf_small):
     assert len(feats) == len(out) and all(f.px_std > 0 for f in feats)
 
 
+def test_gif_codec_roundtrip_animation_and_errors():
+    """The r10 pure-Python GIF codec (ops/gif.py): palette images
+    round-trip exactly (plain, interlaced, animated multi-frame, and
+    the 4096-entry LZW table-reset path on a large frame), and
+    unsupported/malformed inputs (>256 colors, bad magic, truncation)
+    raise GifFormatError."""
+    import numpy as np
+
+    from pipetree_spark.ops import gif as G
+
+    rng = np.random.RandomState(4)
+    pal = rng.randint(0, 256, size=(37, 3), dtype=np.uint8)
+    img = pal[rng.randint(0, 37, size=(20, 31))]
+    data = G.gif_encode(img)
+    assert data[:6] == b"GIF89a"
+    frames, w, h = G.gif_decode(data)
+    assert (w, h, len(frames)) == (31, 20, 1)
+    assert (frames[0] == img).all()
+
+    fi, _, _ = G.gif_decode(G.gif_encode(img, interlace=True))
+    assert (fi[0] == img).all()
+
+    anim = [pal[rng.randint(0, 37, size=(20, 31))] for _ in range(4)]
+    fr, _, _ = G.gif_decode(G.gif_encode(anim))
+    assert len(fr) == 4 and all((a == b).all() for a, b in zip(fr, anim))
+
+    big = pal[rng.randint(0, 37, size=(128, 128))]  # LZW dict hits 4096
+    fb, _, _ = G.gif_decode(G.gif_encode(big))
+    assert (fb[0] == big).all()
+
+    import pytest as _pytest
+
+    with _pytest.raises(G.GifFormatError):
+        G.gif_decode(b"NOTGIF" + data[6:])
+    with _pytest.raises(G.GifFormatError, match="quantize"):
+        G.gif_encode(rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8))
+    with _pytest.raises(G.GifFormatError):
+        G.gif_decode(data[:40])
+
+
 def test_image_decode_stage_auto_dispatch(spark, sf_small):
     """image_decode_stage: a binary column holding PNG payloads for some
     rows and JPEGs for others decodes in one magic-dispatch pass — PNG
@@ -1585,8 +1625,19 @@ def test_image_decode_stage_auto_dispatch(spark, sf_small):
 
     with _pytest.raises(Exception, match="magic|PythonException"):
         MM.image_decode_stage(
-            spark.createDataFrame([(1, b"GIF89a....")], ["doc_id", "content"])
+            spark.createDataFrame([(1, b"BM\x00\x00\x00\x00....")], ["doc_id", "content"])
         ).collect()
+    # a GIF payload routes to the GIF codec (magic is now recognized)
+    from pipetree_spark.ops.gif import gif_encode
+
+    import numpy as np
+
+    pal_img = np.zeros((4, 5, 3), dtype=np.uint8)
+    pal_img[:, :, 0] = 17
+    g = spark.createDataFrame([(7, gif_encode(pal_img))], ["doc_id", "content"])
+    gr = MM.image_decode_stage(g).collect()[0]
+    assert (gr.width, gr.height) == (5, 4)
+    assert bytes(gr.content) == pal_img.tobytes()
 
 
 def test_payload_decompress_stage_mixed_codecs(spark, sf_small):

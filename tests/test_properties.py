@@ -1070,3 +1070,27 @@ def test_jpeg_codec_roundtrip_property(w, h, q, sub, seed):
     out = J.jpeg_decode(J.jpeg_encode(px, quality=q, subsample=sub))
     assert out.shape == px.shape
     assert np.abs(out.astype(int) - px.astype(int)).mean() < 96
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=256),  # palette size
+    st.booleans(),                            # interlace
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_gif_codec_roundtrip_property(w, h, ncolors, interlace, seed):
+    """Pure-codec property (no Spark): gif_encode → gif_decode is the
+    identity for every image size, palette size (1–256), and interlace
+    flag — GIF is lossless on palette images by construction."""
+    import numpy as np
+
+    from pipetree_spark.ops import gif as G
+
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, size=(ncolors, 3), dtype=np.uint8)
+    img = pal[rng.randint(0, ncolors, size=(h, w))]
+    frames, gw, gh = G.gif_decode(G.gif_encode(img, interlace=interlace))
+    assert (gw, gh, len(frames)) == (w, h, 1)
+    assert (frames[0] == img).all()
