@@ -5,10 +5,11 @@ metadata struct — the 100 TB-safe layout (payload bytes never leave the
 executors; metadata is columnar and prunable).
 
 The container has no image/audio *codec* libraries, so decoding of the
-REMAINING compressed formats (FLAC/MP3, non-MJPEG video codecs) is a
-clearly-marked stub behind an import-try (``NotImplementedError`` when
-a real decoder is requested but unavailable) with a deterministic fake
-decoder for tests. Four families get REAL paths:
+REMAINING compressed formats (MP3 and non-MJPEG video codecs — the
+patent-era DSP stacks) is a clearly-marked stub behind an import-try
+(``NotImplementedError`` when a real decoder is requested but
+unavailable) with a deterministic fake decoder for tests. Everything
+else gets a REAL path:
 
 - UNCOMPRESSED payloads (r6): raw-RGB8 buffers decode, resize
   (nearest-neighbor), and feature-extract with numpy alone — see
@@ -37,6 +38,11 @@ decoder for tests. Four families get REAL paths:
   palette images round-trip exactly (interlacing, animation
   composition, local tables, transparency); dispatched by
   :func:`image_decode_stage` alongside PNG/JPEG.
+- FLAC (r10): ``ops/flac.py`` decodes the full baseline surface
+  (CONSTANT/VERBATIM/FIXED/LPC subframes, both rice methods + escape,
+  all four stereo assignments, CRC-8/16) — the format speech corpora
+  actually ship in; :func:`flac_decode_stage` /
+  :func:`audio_decode_stage` (WAV|FLAC by magic) emit raw-PCM16.
 
 Everything Spark-side — schema, batching, partition behavior,
 mapInPandas signatures — is real and tested in every path.
@@ -126,10 +132,11 @@ def real_decoder(payload: bytes, meta: dict[str, Any] | None = None) -> dict[str
     PIL / cv2 / av / imageio / soundfile / librosa — all absent, and
     installs are off-limits here. The UNCOMPRESSED paths beside this
     stub (raw-RGB8 / raw-PCM16 decode, resize, features — mm.py below)
-    are real and numpy-verified; PNG, baseline JPEG, and WAV decode for
-    real through the pure-Python codecs (ops/png.py, ops/jpeg.py,
-    ops/wav.py — r10). FLAC/MP3/video remain this one honest
-    NotImplementedError until a deployment brings a codec lib."""
+    are real and numpy-verified; PNG, baseline JPEG, GIF, WAV, FLAC and
+    MJPEG-AVI video decode for real through the pure-Python codecs
+    (ops/{png,jpeg,gif,wav,flac,avi}.py — r10). MP3 and non-MJPEG video
+    codecs remain this one honest NotImplementedError until a
+    deployment brings a codec lib."""
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - environment-dependent
@@ -1176,6 +1183,152 @@ def wav_decode_stage(
             for p in pdf[content_col]:
                 samples, sr = wav_decode(bytes(p))
                 mono = samples[:, 0]
+                contents.append(mono.tobytes())
+                counts.append(len(mono))
+                rates.append(sr)
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].astype("int64"),
+                    "content": contents,
+                    "n_samples": pd.Series(counts, dtype="int32"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "mime": RAW_PCM_MIME,
+                }
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
+FLAC_MIME = "audio/flac"
+
+
+def make_flac_payload(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_samples: int = 2048,
+    sample_rate: int = 16000,
+    subframe: str = "fixed",
+) -> DataFrame:
+    """Synthesize a REAL FLAC payload per row — the same deterministic
+    PCM16 samples as :func:`make_pcm_payload` / :func:`make_wav_payload`,
+    losslessly encoded through :func:`ops.flac.flac_encode` (fixed
+    predictors + rice residuals by default). Layout matches the other
+    audio generators so the decode stage slots in identically."""
+    from pipetree_spark.ops.flac import flac_encode
+
+    need = n_samples * 2
+    schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("mime", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                base = hashlib.sha256(b"pcm:" + str(t).encode()).hexdigest()
+                buf = bytearray()
+                counter = 0
+                while len(buf) < need:
+                    buf += hashlib.sha256(f"{base}:{counter}".encode()).digest()
+                    counter += 1
+                x = np.frombuffer(bytes(buf[:need]), dtype="<i2").astype(np.int64)
+                payloads.append(flac_encode(x, sample_rate, subframe=subframe))
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].astype("int64"),
+                    "content": payloads,
+                    "n_samples": n_samples,
+                    "sample_rate": sample_rate,
+                    "mime": FLAC_MIME,
+                }
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def flac_decode_stage(
+    df: DataFrame, content_col: str = "content", key_col: str = "doc_id"
+) -> DataFrame:
+    """REAL lossless-audio decode stage: ``audio/flac`` payloads →
+    raw-PCM16 layout (first channel, like :func:`wav_decode_stage`), so
+    the waveform pipeline chains unchanged."""
+    from pipetree_spark.ops.flac import flac_decode
+
+    schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("mime", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents, counts, rates = [], [], []
+            for p in pdf[content_col]:
+                samples, sr = flac_decode(bytes(p))
+                mono = samples[:, 0].astype("<i2")
+                contents.append(mono.tobytes())
+                counts.append(len(mono))
+                rates.append(sr)
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].astype("int64"),
+                    "content": contents,
+                    "n_samples": pd.Series(counts, dtype="int32"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "mime": RAW_PCM_MIME,
+                }
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def audio_decode_stage(
+    df: DataFrame, content_col: str = "content", key_col: str = "doc_id"
+) -> DataFrame:
+    """REAL auto-dispatch audio decode: WAV or FLAC per row by magic
+    bytes (the audio twin of :func:`image_decode_stage`), emitting the
+    raw-PCM16 layout. Unknown magics fail the task loudly."""
+    from pipetree_spark.ops.flac import flac_decode
+    from pipetree_spark.ops.wav import wav_decode
+
+    schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("mime", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents, counts, rates = [], [], []
+            for p in pdf[content_col]:
+                raw = bytes(p)
+                if raw[:4] == b"RIFF":
+                    samples, sr = wav_decode(raw)
+                    mono = samples[:, 0]
+                elif raw[:4] == b"fLaC":
+                    samples, sr = flac_decode(raw)
+                    mono = samples[:, 0].astype("<i2")
+                else:
+                    raise ValueError(
+                        f"unknown audio magic {raw[:4]!r} (wav/flac supported)"
+                    )
                 contents.append(mono.tobytes())
                 counts.append(len(mono))
                 rates.append(sr)

@@ -351,6 +351,9 @@ def _op_registry() -> dict[str, tuple[Callable, int]]:
         "rgb_int_stats": (MM.rgb_int_stats_stage, 1),
         "pcm_int_stats": (MM.pcm_int_stats_stage, 1),
         "image_decode": (MM.image_decode_stage, 1),
+        "make_flac_payload": (MM.make_flac_payload, 1),
+        "flac_decode": (MM.flac_decode_stage, 1),
+        "audio_decode": (MM.audio_decode_stage, 1),
     }
 
 

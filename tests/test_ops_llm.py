@@ -1557,6 +1557,81 @@ def test_video_frame_sample_stage_decodes_only_sampled(spark, sf_small):
     assert len(feats) == len(out) and all(f.px_std > 0 for f in feats)
 
 
+def test_flac_codec_roundtrip_all_modes():
+    """The r10 pure-Python FLAC codec (ops/flac.py): lossless roundtrip
+    for verbatim and fixed-predictor subframes (constant runs collapse
+    to CONSTANT), all four stereo channel assignments, with CRC-16
+    verification catching corruption; fixed predictors genuinely
+    compress smooth signals."""
+    import numpy as np
+
+    from pipetree_spark.ops import flac as FL
+
+    rng = np.random.RandomState(6)
+    x = rng.randint(-32768, 32768, size=1000).astype(np.int64)
+    for sub in ("verbatim", "fixed"):
+        got, sr = FL.flac_decode(FL.flac_encode(x, 16000, subframe=sub, block_size=256))
+        assert sr == 16000 and (got[:, 0] == x).all()
+
+    t = np.arange(3000)
+    smooth = (1000 * np.sin(t / 30) + 500 * np.sin(t / 7)).astype(np.int64)
+    dv = FL.flac_encode(smooth, 8000, subframe="verbatim", block_size=512)
+    df_ = FL.flac_encode(smooth, 8000, subframe="fixed", block_size=512)
+    assert len(df_) < len(dv) * 0.5  # rice-coded residuals actually compress
+    assert (FL.flac_decode(df_)[0][:, 0] == smooth).all()
+
+    c = np.full(600, -1234, dtype=np.int64)
+    assert (FL.flac_decode(FL.flac_encode(c, 8000, block_size=300))[0][:, 0] == c).all()
+
+    st = np.stack([smooth[:2000], smooth[:2000] // 2 + 7], axis=1)
+    for mode in ("independent", "left_side", "right_side", "mid_side"):
+        got, _ = FL.flac_decode(FL.flac_encode(st, 8000, channel_mode=mode, block_size=500))
+        assert got.shape == (2000, 2) and (got == st).all(), mode
+
+    import pytest as _pytest
+
+    with _pytest.raises(FL.FlacFormatError):
+        FL.flac_decode(b"fLaX" + b"\x00" * 40)
+    d = bytearray(FL.flac_encode(x[:100], 8000))
+    d[-1] ^= 0xFF
+    with _pytest.raises(FL.FlacFormatError, match="CRC"):
+        FL.flac_decode(bytes(d))
+
+
+def test_flac_and_audio_dispatch_stages_chain_with_pcm(spark, sf_small):
+    """make_flac_payload → flac_decode_stage reproduces EXACTLY the
+    raw-PCM16 bytes of make_pcm_payload (FLAC is lossless), and
+    audio_decode_stage dispatches a mixed WAV/FLAC column to one
+    identical raw layout."""
+    d = load_table(spark, sf_small, "documents").limit(8)
+    raw = {r.doc_id: bytes(r.content)
+           for r in MM.make_pcm_payload(d, n_samples=512, sample_rate=8000).collect()}
+    flacs = MM.make_flac_payload(d, n_samples=512, sample_rate=8000)
+    frow = {r.doc_id: bytes(r.content) for r in flacs.collect()}
+    assert all(p[:4] == b"fLaC" for p in frow.values())
+    decoded = {r.doc_id: r for r in MM.flac_decode_stage(flacs).collect()}
+    for did, r in decoded.items():
+        assert (r.n_samples, r.sample_rate, r.mime) == (512, 8000, MM.RAW_PCM_MIME)
+        assert bytes(r.content) == raw[did]  # lossless
+
+    wrow = {r.doc_id: bytes(r.content)
+            for r in MM.make_wav_payload(d, n_samples=512, sample_rate=8000).collect()}
+    mixed = spark.createDataFrame(
+        [(did, frow[did] if did % 2 == 0 else wrow[did]) for did in frow],
+        ["doc_id", "content"],
+    )
+    out = {r.doc_id: r for r in MM.audio_decode_stage(mixed).collect()}
+    for did, r in out.items():
+        assert bytes(r.content) == raw[did] and r.mime == MM.RAW_PCM_MIME
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="magic|PythonException"):
+        MM.audio_decode_stage(
+            spark.createDataFrame([(1, b"OggS....")], ["doc_id", "content"])
+        ).collect()
+
+
 def test_gif_codec_roundtrip_animation_and_errors():
     """The r10 pure-Python GIF codec (ops/gif.py): palette images
     round-trip exactly (plain, interlaced, animated multi-frame, and

@@ -1094,3 +1094,24 @@ def test_gif_codec_roundtrip_property(w, h, ncolors, interlace, seed):
     frames, gw, gh = G.gif_decode(G.gif_encode(img, interlace=interlace))
     assert (gw, gh, len(frames)) == (w, h, 1)
     assert (frames[0] == img).all()
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=2000),
+    st.sampled_from([1, 2]),
+    st.sampled_from(["verbatim", "fixed"]),
+    st.sampled_from([64, 256, 4096]),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_flac_codec_roundtrip_property(n, ch, sub, bs, seed):
+    """Pure-codec property (no Spark): FLAC is lossless — decode(encode)
+    is the identity for every length, channel count, subframe strategy,
+    and block size (incl. n not a multiple of block size)."""
+    import numpy as np
+
+    from pipetree_spark.ops import flac as FL
+
+    x = np.random.RandomState(seed).randint(-32768, 32768, size=(n, ch)).astype(np.int64)
+    got, sr = FL.flac_decode(FL.flac_encode(x, 22050, subframe=sub, block_size=bs))
+    assert sr == 22050 and got.shape == (n, ch) and (got == x).all()
