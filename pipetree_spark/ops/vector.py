@@ -39,7 +39,7 @@ def l2_norm(a: Column) -> Column:
 #: ANSI-safe division (NULL on zero denominator — DuckDB's float
 #: semantics); canonical definition lives with the other cross-engine
 #: numeric policy in exact.py.
-from pipetree_spark.exact import safe_div  # noqa: E402,F401
+from pipetree_spark.exact import pin_zero, safe_div  # noqa: E402,F401
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -99,9 +99,9 @@ def knn_bruteforce(
     scored = pairs.select(
         query_key,
         corpus_key,
-        F.round(
+        pin_zero(F.round(
             safe_div(dot(F.col("__qv"), F.col("__cv")), F.col("__qn") * F.col("__cn")), round_digits
-        ).alias("cos_sim"),
+        )).alias("cos_sim"),
     )
     return topk_per_group(
         scored,
@@ -221,9 +221,9 @@ def ivf_ann(
     scored = pairs.select(
         query_key,
         corpus_key,
-        F.round(
+        pin_zero(F.round(
             safe_div(dot(F.col("__qv"), F.col("__cv")), F.col("__qn") * F.col("__cn")), 4
-        ).alias("cos_sim"),
+        )).alias("cos_sim"),
     )  # pairs are already unique: each corpus vector lives in exactly one cluster
     return topk_per_group(
         scored,
@@ -294,9 +294,9 @@ def lsh_bucket_ann(
     scored = pairs.select(
         query_key,
         corpus_key,
-        F.round(
+        pin_zero(F.round(
             safe_div(dot(F.col("__qv"), F.col("__cv")), F.col("__qn") * F.col("__cn")), 4
-        ).alias("cos_sim"),
+        )).alias("cos_sim"),
     )
     return topk_per_group(
         scored,
@@ -1111,9 +1111,9 @@ def _rerank_exact(
     scored = short.join(emb, corpus_key).select(
         query_key,
         corpus_key,
-        F.round(
+        pin_zero(F.round(
             safe_div(dot(F.col("__mv"), F.col("__cv")), F.col("__qn") * F.col("__cn")), 4
-        ).alias("cos_sim"),
+        )).alias("cos_sim"),
     )
     return topk_per_group(
         scored,
@@ -1175,9 +1175,9 @@ def ivf_ann_portable(
     scored = pairs.select(
         query_key,
         corpus_key,
-        F.round(
+        pin_zero(F.round(
             safe_div(dot(F.col("__mv"), F.col("__cv")), F.col("__qn") * F.col("__cn")), 4
-        ).alias("cos_sim"),
+        )).alias("cos_sim"),
     )
     return topk_per_group(
         scored,

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pipetree_spark.catalog import load_table
-from pipetree_spark.exact import davg_sql, dec, dsum, dsum_sql, exact_sums, lsum, safe_div
+from pipetree_spark.exact import davg_sql, dec, dsum, dsum_sql, exact_sums, lsum, pin_zero, safe_div
 from pipetree_spark.queries import declare
 
 SHIP_CUTOFF = "2000-12-01 00:00:00"
@@ -328,7 +328,7 @@ SELECT l_returnflag,
        ROUND(AVG(l_discount), 6) AS avg_disc,
        ROUND(STDDEV_SAMP(l_discount), 6) AS sd_disc,
        ROUND(VAR_SAMP(l_tax), 6) AS var_tax,
-       ROUND(CORR(l_discount, l_tax), 6) AS corr_disc_tax
+       ROUND(CORR(l_discount, l_tax), 6) + 0.0 AS corr_disc_tax
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -343,7 +343,7 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("l_discount"), 6).alias("avg_disc"),
         F.round(F.stddev_samp("l_discount"), 6).alias("sd_disc"),
         F.round(F.var_samp("l_tax"), 6).alias("var_tax"),
-        F.round(F.corr("l_discount", "l_tax"), 6).alias("corr_disc_tax"),
+        pin_zero(F.round(F.corr("l_discount", "l_tax"), 6)).alias("corr_disc_tax"),
     )
 
 
@@ -1503,11 +1503,11 @@ d AS (
   FROM a, b),
 e AS (SELECT *, v1 / n1 + v2 / n2 AS se2 FROM d)
 SELECT n1, n2,
-       round(m1 / 100, 4) AS mean_a,
-       round(m2 / 100, 4) AS mean_b,
-       round((m1 - m2) / nullif(sqrt(se2), 0), 4) AS t_stat,
+       round(m1 / 100, 4) + 0.0 AS mean_a,
+       round(m2 / 100, 4) + 0.0 AS mean_b,
+       round((m1 - m2) / nullif(sqrt(se2), 0), 4) + 0.0 AS t_stat,
        round((se2 * se2) / nullif((v1 / n1) * (v1 / n1) / nullif(n1 - 1, 0)
-                          + (v2 / n2) * (v2 / n2) / nullif(n2 - 1, 0), 0), 2) AS welch_df
+                          + (v2 / n2) * (v2 / n2) / nullif(n2 - 1, 0), 0), 2) + 0.0 AS welch_df
 FROM e
 """
 
@@ -1570,19 +1570,19 @@ def q_agg_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "n1",
         "n2",
-        F.round(F.col("m1") / 100, 4).alias("mean_a"),
-        F.round(F.col("m2") / 100, 4).alias("mean_b"),
-        F.round(
+        pin_zero(F.round(F.col("m1") / 100, 4)).alias("mean_a"),
+        pin_zero(F.round(F.col("m2") / 100, 4)).alias("mean_b"),
+        pin_zero(F.round(
             (F.col("m1") - F.col("m2")) / F.expr("nullif(sqrt(se2), 0)"), 4
-        ).alias("t_stat"),
-        F.round(
+        )).alias("t_stat"),
+        pin_zero(F.round(
             (F.col("se2") * F.col("se2"))
             / F.expr(
                 "nullif((v1 / n1) * (v1 / n1) / nullif(n1 - 1, 0)"
                 " + (v2 / n2) * (v2 / n2) / nullif(n2 - 1, 0), 0)"
             ),
             2,
-        ).alias("welch_df"),
+        )).alias("welch_df"),
     )
 
 
@@ -1909,7 +1909,7 @@ m AS (
   FROM r GROUP BY event_type)
 SELECT event_type, n,
        round(CAST(2 * six - (n + 1) * sx AS DOUBLE)
-             / nullif(CAST(n * sx AS DOUBLE), 0), 4) AS gini
+             / nullif(CAST(n * sx AS DOUBLE), 0), 4) + 0.0 AS gini
 FROM m
 """,
     tags=("agg", "stats"),
@@ -1946,11 +1946,11 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "event_type",
         "n",
-        F.round(
+        pin_zero(F.round(
             F.expr("CAST(2 * six - (n + 1) * sx AS DOUBLE)")
             / F.expr("nullif(CAST(n * sx AS DOUBLE), 0)"),
             4,
-        ).alias("gini"),
+        )).alias("gini"),
     )
 
 
@@ -2104,7 +2104,7 @@ m AS (
   FROM r GROUP BY event_type)
 SELECT event_type, n,
        round(1 - CAST(3 * sd2 AS DOUBLE)
-                 / nullif(CAST(2 * n * (CAST(n AS HUGEINT) * n - 1) AS DOUBLE), 0), 4)
+                 / nullif(CAST(2 * n * (CAST(n AS HUGEINT) * n - 1) AS DOUBLE), 0), 4) + 0.0
            AS spearman
 FROM m
 """,
@@ -2149,14 +2149,14 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "event_type",
         "n",
-        F.round(
+        pin_zero(F.round(
             F.lit(1)
             - F.expr("CAST(3 * sd2 AS DOUBLE)")
             / F.expr(
                 "nullif(CAST(2 * n * (CAST(n AS DECIMAL(38,0)) * n - 1) AS DOUBLE), 0)"
             ),
             4,
-        ).alias("spearman"),
+        )).alias("spearman"),
     )
 
 
@@ -2177,7 +2177,7 @@ m AS (
 SELECT event_type, n,
        round(CAST(n * sxy - sx * sy AS DOUBLE)
              / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0), 4) AS pearson
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0), 4) + 0.0 AS pearson
 FROM m
 """,
     tags=("agg", "stats"),
@@ -2210,12 +2210,12 @@ def q_agg_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "event_type",
         "n",
-        F.round(
+        pin_zero(F.round(
             F.expr("CAST(n * sxy - sx * sy AS DOUBLE)")
             / F.expr(
                 "nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
                 " * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0)"
             ),
             4,
-        ).alias("pearson"),
+        )).alias("pearson"),
     )

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pipetree_spark.catalog import load_table
+from pipetree_spark.exact import pin_zero
 from pipetree_spark.queries import declare
 
 
@@ -382,7 +383,7 @@ def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT vec_id,
        array_to_string(list_transform(e2, x -> CAST(ROUND(x * 20000.0) AS BIGINT)), ',') AS doubled_head,
        len(list_filter(e2, x -> x > 0.0)) AS n_pos,
-       ROUND(list_sum(list_transform(e2, x -> CAST(x AS DOUBLE))), 4) AS head_sum,
+       ROUND(list_sum(list_transform(e2, x -> CAST(x AS DOUBLE))), 4) + 0.0 AS head_sum,
        CAST(list_sum(list_transform(e2, x -> CAST(x > 0.0 AS INT))) > 0 AS INT) AS any_pos,
        CAST(list_sum(list_transform(e2, x -> CAST(x <= 1.0 AS INT))) = len(e2) AS INT) AS all_le1
 FROM (
@@ -417,9 +418,9 @@ def q_fn_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("e2", lambda x: F.round(x * 20000.0).cast("long").cast("string")), ","
         ).alias("doubled_head"),
         F.size(F.filter("e2", lambda x: x > 0.0)).alias("n_pos"),
-        F.round(
+        pin_zero(F.round(
             F.aggregate("e2", F.lit(0.0), lambda acc, x: acc + x), 4
-        ).alias("head_sum"),
+        )).alias("head_sum"),
         F.exists("e2", lambda x: x > 0.0).cast("int").alias("any_pos"),
         F.forall("e2", lambda x: x <= 1.0).cast("int").alias("all_le1"),
     )

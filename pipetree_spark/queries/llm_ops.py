@@ -659,7 +659,7 @@ WITH p AS (
          / (SQRT({_SQ_SUM.format(v='a.embedding')}) * SQRT({_SQ_SUM.format(v='b.embedding')})) AS cos
   FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 )
-SELECT id_a, id_b, label, ROUND(cos, 4) AS cos_sim
+SELECT id_a, id_b, label, ROUND(cos, 4) + 0.0 AS cos_sim
 FROM p WHERE cos >= 0.35
 """,
     tags=("dedup", "vector"),
@@ -694,7 +694,7 @@ def q_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, ["label"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(cos >= 0.35)
-        .select("id_a", "id_b", "label", F.round(cos, 4).alias("cos_sim"))
+        .select("id_a", "id_b", "label", pin_zero(F.round(cos, 4)).alias("cos_sim"))
     )
 
 
@@ -704,7 +704,7 @@ def q_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT vec_id,
        ROUND(SQRT({_SQ_SUM.format(v='embedding')}), 4) AS l2,
        LEN(embedding) AS dim,
-       ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS comp_sum
+       ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) + 0.0 AS comp_sum
 FROM embeddings
 """,
     tags=("vector",),
@@ -720,7 +720,7 @@ def q_vec_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(VX.l2_norm(F.col("embedding")), 4).alias("l2"),
         F.size("embedding").alias("dim"),
-        F.round(comp_sum, 4).alias("comp_sum"),
+        pin_zero(F.round(comp_sum, 4)).alias("comp_sum"),
     )
 
 
@@ -734,7 +734,7 @@ scored AS (
          ROUND(
            list_sum(list_transform(generate_series(1, 64),
                                    i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
-           / (SQRT({_SQ_SUM.format(v='qv')}) * SQRT({_SQ_SUM.format(v='cv')})), 4) AS cos_sim
+           / (SQRT({_SQ_SUM.format(v='qv')}) * SQRT({_SQ_SUM.format(v='cv')})), 4) + 0.0 AS cos_sim
   FROM q JOIN c ON c.vec_id != q.query_id
 )
 SELECT * FROM (
@@ -822,7 +822,7 @@ sc AS (
          ROUND(
            list_sum(list_transform(generate_series(1, 64),
                                    i -> CAST(eq.embedding[i] AS DOUBLE) * CAST(ec.embedding[i] AS DOUBLE)))
-           / (SQRT({_SQ_SUM.format(v='eq.embedding')}) * SQRT({_SQ_SUM.format(v='ec.embedding')})), 4) AS cos_sim
+           / (SQRT({_SQ_SUM.format(v='eq.embedding')}) * SQRT({_SQ_SUM.format(v='ec.embedding')})), 4) + 0.0 AS cos_sim
   FROM cand
   JOIN embeddings eq ON eq.vec_id = cand.query_id
   JOIN embeddings ec ON ec.vec_id = cand.vec_id
@@ -1416,7 +1416,7 @@ sc AS (
          ROUND(
            list_sum(list_transform(generate_series(1, 64),
                                    i -> CAST(eq.embedding[i] AS DOUBLE) * CAST(ec.embedding[i] AS DOUBLE)))
-           / (SQRT({_SQ_SUM.format(v='eq.embedding')}) * SQRT({_SQ_SUM.format(v='ec.embedding')})), 4) AS cos_sim
+           / (SQRT({_SQ_SUM.format(v='eq.embedding')}) * SQRT({_SQ_SUM.format(v='ec.embedding')})), 4) + 0.0 AS cos_sim
   FROM cand
   JOIN embeddings eq ON eq.vec_id = cand.query_id
   JOIN embeddings ec ON ec.vec_id = cand.vec_id
@@ -1654,7 +1654,7 @@ sc AS (
          ROUND(
            list_sum(list_transform(generate_series(1, {dim}),
                                    i -> CAST(eq.embedding[i] AS DOUBLE) * CAST(ec.embedding[i] AS DOUBLE)))
-           / (SQRT({_SQ_SUM.format(v='eq.embedding')}) * SQRT({_SQ_SUM.format(v='ec.embedding')})), 4) AS cos_sim
+           / (SQRT({_SQ_SUM.format(v='eq.embedding')}) * SQRT({_SQ_SUM.format(v='ec.embedding')})), 4) + 0.0 AS cos_sim
   FROM short
   JOIN embeddings eq ON eq.vec_id = short.query_id
   JOIN embeddings ec ON ec.vec_id = short.vec_id
@@ -1755,7 +1755,7 @@ sc AS (
          ROUND(
            list_sum(list_transform(generate_series(1, {dim}),
                                    i -> CAST(eq.embedding[i] AS DOUBLE) * CAST(ec.embedding[i] AS DOUBLE)))
-           / (SQRT({_SQ_SUM.format(v='eq.embedding')}) * SQRT({_SQ_SUM.format(v='ec.embedding')})), 4) AS cos_sim
+           / (SQRT({_SQ_SUM.format(v='eq.embedding')}) * SQRT({_SQ_SUM.format(v='ec.embedding')})), 4) + 0.0 AS cos_sim
   FROM short
   JOIN embeddings eq ON eq.vec_id = short.query_id
   JOIN embeddings ec ON ec.vec_id = short.vec_id
@@ -2203,7 +2203,7 @@ tr AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 19 <> 0)
 SELECT e.vec_id AS eval_id, t.vec_id AS train_id, e.label AS label,
        ROUND(list_sum(list_transform(generate_series(1, 64),
                                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE)))
-             / (SQRT({_SQ_SUM.format(v='e.embedding')}) * SQRT({_SQ_SUM.format(v='t.embedding')})), 4) AS cos_sim
+             / (SQRT({_SQ_SUM.format(v='e.embedding')}) * SQRT({_SQ_SUM.format(v='t.embedding')})), 4) + 0.0 AS cos_sim
 FROM ev e JOIN tr t ON e.label = t.label
 WHERE list_sum(list_transform(generate_series(1, 64),
                               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE)))
@@ -2238,7 +2238,7 @@ def q_vec_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tr.join(F.broadcast(ev), ev["label"] == tr["lt"])
         .filter(cos >= 0.35)
-        .select("eval_id", "train_id", "label", F.round(cos, 4).alias("cos_sim"))
+        .select("eval_id", "train_id", "label", pin_zero(F.round(cos, 4)).alias("cos_sim"))
     )
 
 

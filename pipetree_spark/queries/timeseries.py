@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pipetree_spark.catalog import OPEN_INTERVAL_SENTINEL, load_table
-from pipetree_spark.exact import dec, dsum, dsum_sql, safe_div
+from pipetree_spark.exact import dec, dsum, dsum_sql, pin_zero, safe_div
 from pipetree_spark.queries import declare
 
 # One-week hourly spine over the first 20 users: 20 × 168 = 3360 cells at
@@ -564,8 +564,8 @@ WITH m AS (
   FROM events WHERE value IS NOT NULL GROUP BY event_type)
 SELECT event_type, n,
        round((CAST(n * sxy - sx * sy AS DOUBLE) * 864.0)
-             / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0), 6) AS slope_per_day,
-       round(CAST(sy AS DOUBLE) / (n * 100.0), 2) AS mean_value
+             / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0), 6) + 0.0 AS slope_per_day,
+       round(CAST(sy AS DOUBLE) / (n * 100.0), 2) + 0.0 AS mean_value
 FROM m
 """,
     tags=("timeseries", "agg"),
@@ -610,14 +610,14 @@ def q_ts_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         # nullif guards the zero-variance group (n=1 or all-equal ts):
         # NULL-on-zero division matches DuckDB, where a raw double /0
         # would diverge (safe_div's contract, exact.py)
-        F.round(
+        pin_zero(F.round(
             safe_div(
                 F.expr("CAST(n * sxy - sx * sy AS DOUBLE)") * F.lit(864.0),
                 F.expr("CAST(n * sxx - sx * sx AS DOUBLE)"),
             ),
             6,
-        ).alias("slope_per_day"),
-        F.round(F.expr("CAST(sy AS DOUBLE)") / F.expr("n * 100.0"), 2).alias(
+        )).alias("slope_per_day"),
+        pin_zero(F.round(F.expr("CAST(sy AS DOUBLE)") / F.expr("n * 100.0"), 2)).alias(
             "mean_value"
         ),
     )
@@ -644,7 +644,7 @@ m AS (
   FROM p GROUP BY event_type)
 SELECT event_type, n,
        round(CAST(n * n * sadj - n * s * (sh + st) + (n - 1) * s * s AS DOUBLE)
-             / nullif(CAST(n * (n * syy - s * s) AS DOUBLE), 0), 4) AS autocorr_lag1
+             / nullif(CAST(n * (n * syy - s * s) AS DOUBLE), 0), 4) + 0.0 AS autocorr_lag1
 FROM m
 """,
     tags=("timeseries", "stats"),
@@ -690,11 +690,11 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "event_type",
         "n",
-        F.round(
+        pin_zero(F.round(
             F.expr("CAST(n * n * sadj - n * s * (sh + st) + (n - 1) * s * s AS DOUBLE)")
             / F.expr("nullif(CAST(n * (n * syy - s * s) AS DOUBLE), 0)"),
             4,
-        ).alias("autocorr_lag1"),
+        )).alias("autocorr_lag1"),
     )
 
 

@@ -100,11 +100,25 @@ doc_rows = st.lists(
     max_size=16,
 )
 
+# Component distribution is deliberately ADVERSARIAL for the signed-zero
+# class (r10 verdict: the uniform [-1,1] strategy found q_vec_norm's
+# unpinned round() that two corpus-based audits missed, but only barely —
+# a negative sum in (-5e-5, 0) is rare under uniform draws). Mixing in
+# tiny ±k·1e-5 atoms and exact-cancelling magnitudes makes
+# rounds-to-zero sums/cosines LIKELY per example, so any future unpinned
+# F.round() over a signable vector expression fails in the first
+# handful of examples instead of surviving until a judge run.
+_tiny = st.sampled_from(
+    [0.0, 1e-5, -1e-5, 2.5e-5, -2.5e-5, 4.9e-5, -4.9e-5, 0.5, -0.5]
+)
 vec_rows = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=2),  # label
         st.lists(
-            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+            st.one_of(
+                st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+                _tiny,
+            ),
             min_size=64,
             max_size=64,
         ),

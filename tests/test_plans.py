@@ -450,3 +450,94 @@ def test_incremental_agg_merge_equals_flat_recompute(spark, sf_small):
     # the split boundary leaves at least one side non-trivial at sf0.001
     assert o.filter(F.col("o_orderdate") < "1996-01-01").count() > 0
     assert o.filter(F.col("o_orderdate") >= "1996-01-01").count() > 0
+
+
+# ---------------------------------------------------------------------------
+# Signed-zero lint gate (r11): the class is closed by CONSTRUCTION, not by
+# corpus sweeps — tools/negzero_audit.py missed q_vec_norm twice because the
+# on-disk corpora never produce a rounds-to-zero negative sum (r10 verdict).
+# ---------------------------------------------------------------------------
+
+
+def _lint_tree(pkg_dir):
+    import sys
+    from pathlib import Path
+
+    tools = Path(__file__).resolve().parents[1] / "tools"
+    sys.path.insert(0, str(tools))
+    try:
+        import negzero_lint
+
+        errors: list[str] = []
+        matched = set()
+        for path in sorted(Path(pkg_dir).rglob("*.py")):
+            errs, waived = negzero_lint.lint_file(path)
+            errors.extend(errs)
+            matched |= waived
+        return errors, matched
+    finally:
+        sys.path.remove(str(tools))
+
+
+def test_negzero_lint_repo_is_clean():
+    """Every F.round() in the package is pin_zero-wrapped, integral-cast,
+    or carries a written non-negativity waiver — and no waiver is dead."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    r = subprocess.run(
+        [sys.executable, str(root / "tools" / "negzero_lint.py")],
+        capture_output=True,
+        text=True,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_negzero_lint_catches_planted_emitter(tmp_path):
+    """The lint must FAIL on a deliberately planted unpinned signable
+    round() (the r10 'closure evidence overstated' finding: an audit that
+    cannot catch a planted emitter proves nothing)."""
+    import sys
+    from pathlib import Path
+
+    tools = Path(__file__).resolve().parents[1] / "tools"
+    sys.path.insert(0, str(tools))
+    try:
+        import negzero_lint
+
+        bad = tmp_path / "planted.py"
+        bad.write_text(
+            "from pyspark.sql import functions as F\n"
+            "def q_planted(df):\n"
+            "    return df.select(F.round(df.x - df.y, 4).alias('diff'))\n"
+        )
+        # lint_file keys off paths relative to the package dir; point PKG
+        # at tmp_path for this call
+        old_pkg = negzero_lint.PKG
+        negzero_lint.PKG = tmp_path
+        try:
+            errs, _ = negzero_lint.lint_file(bad)
+        finally:
+            negzero_lint.PKG = old_pkg
+        assert len(errs) == 1 and "unpinned F.round()" in errs[0]
+
+        # pinned and integral-cast forms must both pass
+        ok = tmp_path / "clean.py"
+        ok.write_text(
+            "from pyspark.sql import functions as F\n"
+            "from pipetree_spark.exact import pin_zero\n"
+            "def q_ok(df):\n"
+            "    a = pin_zero(F.round(df.x - df.y, 4)).alias('diff')\n"
+            "    b = F.round(df.x * 100).cast('long').alias('cents')\n"
+            "    return df.select(a, b)\n"
+        )
+        negzero_lint.PKG = tmp_path
+        try:
+            errs, _ = negzero_lint.lint_file(ok)
+        finally:
+            negzero_lint.PKG = old_pkg
+        assert errs == []
+    finally:
+        sys.path.remove(str(tools))
