@@ -54,7 +54,7 @@ def avi_mjpeg_encode(
     )
     strh = (
         b"vids" + b"MJPG"
-        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), max_bytes, 0, 0, 0)
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), max_bytes, 0, 0)
         + struct.pack("<4H", 0, 0, width, height)
     )
     strf = struct.pack(

@@ -5,7 +5,8 @@ implementable with the stdlib (GIF's LZW variant with variable code
 widths and LSB-first bit packing is ~60 lines each way), so web-scrape
 GIFs join PNG/JPEG/WAV/AVI as REAL decode paths. Decoder composes
 animated frames onto the logical canvas (interlacing, local color
-tables, GCE transparency, disposal none/background); encoder plants
+tables, GCE transparency, all four disposal methods including
+restore-previous); encoder plants
 GIF89a files (≤256 distinct colors per frame — true-color sources
 must quantize first, and the encoder refuses rather than dither
 silently). Honest :class:`GifFormatError` elsewhere.
@@ -132,8 +133,10 @@ def _deinterlace_rows(h: int) -> list[int]:
 def gif_decode(payload: bytes):
     """Decode a GIF → ``(frames, width, height)`` where ``frames`` is a
     list of (h, w, 3) uint8 arrays, each the COMPOSED logical canvas
-    after that frame (leave-in-place and restore-background disposal;
-    GCE transparent pixels keep the underlying canvas)."""
+    after that frame (disposal 0/1 leave-in-place, 2 restore-background,
+    3 restore-previous; GCE transparent pixels keep the underlying
+    canvas). Frames whose rect exceeds the logical screen raise
+    :class:`GifFormatError` rather than a bare numpy broadcast error."""
     import numpy as np
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -191,6 +194,14 @@ def gif_decode(payload: bytes):
         left, top, fw, fh = struct.unpack("<HHHH", payload[pos : pos + 8])
         fpacked = payload[pos + 8]
         pos += 9
+        if left + fw > w or top + fh > h:
+            # malformed rect past the logical screen: without this check
+            # the canvas slice is smaller than the frame and the masked
+            # assignment below raises a bare numpy broadcast ValueError,
+            # breaking the typed-error contract the decode stages rely on
+            raise GifFormatError(
+                f"frame rect {fw}x{fh}@({left},{top}) exceeds logical screen {w}x{h}"
+            )
         table = gct
         if fpacked & 0x80:
             n = 2 << (fpacked & 0x07)
@@ -213,6 +224,9 @@ def gif_decode(payload: bytes):
             grid = ordered
         if grid.max() >= len(table):
             raise GifFormatError("palette index out of range")
+        # disposal 3 (restore-previous) needs the pre-draw canvas back
+        # after this frame is emitted — snapshot the rect before drawing
+        saved = canvas[top : top + fh, left : left + fw].copy() if disposal == 3 else None
         rect = canvas[top : top + fh, left : left + fw]
         px = table[grid]
         if transparent is not None:
@@ -225,6 +239,8 @@ def gif_decode(payload: bytes):
             canvas[top : top + fh, left : left + fw] = (
                 gct[bg] if gct is not None and bg < len(gct) else 0
             )
+        elif disposal == 3:  # restore previous: undo this frame's draw
+            canvas[top : top + fh, left : left + fw] = saved
         transparent = None
         disposal = 0
     if not frames:

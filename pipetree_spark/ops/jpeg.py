@@ -458,11 +458,22 @@ def jpeg_decode(payload: bytes):
             raise JpegFormatError("truncated before SOS")
         if payload[pos] != 0xFF:
             raise JpegFormatError(f"expected marker at {pos}")
+        # spec-legal 0xFF fill bytes may pad between segments: skip runs
+        # of 0xFF so the byte after the run is the marker code
+        while payload[pos + 1] == 0xFF:
+            pos += 1
+            if pos + 4 > len(payload):
+                raise JpegFormatError("truncated before SOS")
         marker = payload[pos + 1]
         if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegFormatError(
                 f"unsupported JPEG variant (SOF marker 0x{marker:02x}; baseline only)"
             )
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # standalone markers (TEM, RSTn) carry no length field —
+            # misreading their next two bytes as a length corrupts the walk
+            pos += 2
+            continue
         (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         if pos + 2 + ln > len(payload):
             raise JpegFormatError(f"truncated segment 0x{marker:02x}")

@@ -44,12 +44,16 @@ def wav_decode(payload: bytes):
     fmt = None
     data = None
     pos = 12
-    while pos + 8 <= len(payload):
+    # walk to the RIFF end, not len(payload): real-world WAVs carry
+    # trailing non-RIFF bytes (appended ID3 tags etc.) that are not part
+    # of the chunk list and must not trip the truncated-chunk error
+    end = min(len(payload), 8 + riff_size)
+    while pos + 8 <= end:
         cid = payload[pos : pos + 4]
         (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
-        body = payload[pos + 8 : pos + 8 + clen]
-        if len(body) != clen:
+        if pos + 8 + clen > end:
             raise WavFormatError(f"truncated {cid!r} chunk")
+        body = payload[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
             if clen < 16:
                 raise WavFormatError("fmt chunk too short")

@@ -2391,3 +2391,76 @@ def test_sssp_khop_hand_graph(spark):
     bfs = {r.node: r.dist for r in bfs_khop(edges, srcs, k=2).collect()}
     ss = {r.node: r.dist for r in sssp_khop(ones, srcs, k=2).collect()}
     assert bfs == ss
+
+
+def test_codec_wild_file_tolerance_r11():
+    """r11 ADVICE fixes, each exercised on a hand-built 'wild' payload:
+    GIF disposal-3 (restore-previous) composition + typed error on a
+    frame rect past the logical screen; JPEG 0xFF fill bytes and
+    standalone (length-less) TEM/RST markers between header segments;
+    WAV trailing non-RIFF bytes (appended ID3 tag); AVI strh is the
+    canonical 56-byte AVISTREAMHEADER."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pipetree_spark.ops import gif as G
+    from pipetree_spark.ops import jpeg as J
+    from pipetree_spark.ops import wav as W
+    from pipetree_spark.ops import avi as A
+
+    # --- GIF disposal 3: frame 2 must compose on the RESTORED canvas
+    gct = bytes([10, 10, 10,  200, 0, 0,  0, 200, 0,  0, 0, 200])
+    hdr = b"GIF89a" + struct.pack("<HH", 2, 2) + bytes([0x80 | 1, 0, 0]) + gct
+    def frame(left, top, fw, fh, idxs):
+        body = _lzw_frame(idxs)
+        return (b"\x2c" + struct.pack("<HHHH", left, top, fw, fh) + b"\x00"
+                + bytes([2]) + bytes([len(body)]) + body + b"\x00")
+    def _lzw_frame(idxs):
+        return G._lzw_encode(2, idxs)
+    gce_d3 = b"\x21\xf9\x04" + bytes([3 << 2, 0, 0, 0]) + b"\x00"
+    payload = (hdr + gce_d3 + frame(0, 0, 2, 2, [1, 1, 1, 1])
+               + frame(0, 0, 1, 1, [2]) + b"\x3b")
+    frames, w, h = G.gif_decode(payload)
+    assert (w, h, len(frames)) == (2, 2, 2)
+    assert (frames[0] == [200, 0, 0]).all()  # frame 1 fills red
+    # disposal 3 restored the background before frame 2's 1x1 green px
+    assert (frames[1][0, 0] == [0, 200, 0]).all()
+    assert (frames[1][0, 1] == [10, 10, 10]).all()
+    assert (frames[1][1, :] == [10, 10, 10]).all()
+
+    # --- GIF frame rect past the logical screen: typed error, not numpy
+    bad = hdr + frame(1, 0, 2, 2, [1, 1, 1, 1]) + b"\x3b"
+    with _pytest.raises(G.GifFormatError, match="exceeds logical screen"):
+        G.gif_decode(bad)
+
+    # --- JPEG: fill bytes + standalone markers between header segments
+    img = np.full((8, 8, 3), 128, dtype=np.uint8)
+    enc = J.jpeg_encode(img)
+    ref = J.jpeg_decode(enc)
+    # inject a 0xFF fill run and a TEM (FF 01) + RST0 (FF D0) standalone
+    # marker after SOI — all spec-legal noise a header walk must skip
+    wild = enc[:2] + b"\xff\xff" + b"\xff\x01" + b"\xff\xd0" + enc[2:]
+    out = J.jpeg_decode(wild)
+    assert (out == ref).all()
+
+    # --- WAV: trailing non-RIFF bytes after the RIFF end
+    s = (np.arange(64).reshape(-1, 2) * 100).astype("<i2")
+    wenc = W.wav_encode(s, 8000)
+    dec, sr = W.wav_decode(wenc + b"ID3\x03trailing-tag-bytes")
+    assert sr == 8000 and (dec == s).all()
+    # a chunk truncated WITHIN the RIFF extent still errors: blow up the
+    # data chunk's length field (fmt body is 16B -> data length at 40:44)
+    assert wenc[36:40] == b"data"
+    with _pytest.raises(W.WavFormatError, match="truncated"):
+        W.wav_decode(wenc[:40] + b"\xff\xff\xff\x7f" + wenc[44:])
+
+    # --- AVI: canonical 56-byte strh (11 dwords + rcFrame, not 12)
+    jf = [J.jpeg_encode(np.full((16, 16, 3), v, dtype=np.uint8)) for v in (0, 80)]
+    av = A.avi_mjpeg_encode(jf, 16, 16, fps=5)
+    i = av.find(b"strh")
+    (ln,) = struct.unpack("<I", av[i + 4 : i + 8])
+    assert ln == 56
+    got = A.avi_mjpeg_decode(av)
+    assert len(got[0] if isinstance(got, tuple) else got) >= 1
