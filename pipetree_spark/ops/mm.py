@@ -1399,3 +1399,122 @@ def pcm_feature_stage(
             )
 
     return df.mapInPandas(run, schema=PCM_FEATURE_SCHEMA)
+
+
+GIF_MIME = "image/gif"
+
+
+def make_gif_payload(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    width: int = 16,
+    height: int = 16,
+) -> DataFrame:
+    """Synthesize a REAL (GIF89a, stdlib-decodable) GIF payload per
+    row: deterministic sha256-counter pixels (domain-separated from the
+    PNG maker by a ``gif:`` prefix), encoded through
+    :func:`ops.gif.gif_encode`. GIF is palette-based and the encoder
+    refuses >256 distinct colors, so the certified shape keeps
+    width·height ≤ 256 (distinct colors can never exceed the pixel
+    count); the roundtrip is then lossless and the PNG-style
+    hash-certification argument carries over verbatim."""
+    from pipetree_spark.ops.gif import gif_encode
+
+    if width * height > 256:
+        raise ValueError("make_gif_payload: width*height must be <= 256 (palette bound)")
+    need = width * height * 3
+    schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mime", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                base = hashlib.sha256(b"gif:" + str(t).encode()).hexdigest()
+                buf = bytearray()
+                counter = 0
+                while len(buf) < need:
+                    buf += hashlib.sha256(f"{base}:{counter}".encode()).digest()
+                    counter += 1
+                px = np.frombuffer(bytes(buf[:need]), np.uint8).reshape(height, width, 3)
+                payloads.append(gif_encode(px))
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].astype("int64"),
+                    "content": payloads,
+                    "width": width,
+                    "height": height,
+                    "mime": GIF_MIME,
+                }
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def make_flac_payload(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_frames: int = 256,
+    sample_rate: int = 8000,
+    channel_mode: str = "mid_side",
+) -> DataFrame:
+    """Synthesize a REAL FLAC payload per row: deterministic STEREO
+    PCM16 frames (sha256 counter-mode, ``flac:`` domain prefix;
+    interleaved L/R exactly as the bytes arrive, so frame k's left
+    sample is int16 #2k), encoded through :func:`ops.flac.flac_encode`
+    with a stereo decorrelation mode (default mid-side) — a hash-exact
+    downstream therefore certifies the predictor/rice path AND the
+    stereo reconstruction, not just verbatim storage. Output layout
+    matches make_wav_payload with n_samples = n_frames (the decode
+    stage keeps channel 0)."""
+    from pipetree_spark.ops.flac import flac_encode
+
+    need = n_frames * 2 * 2  # stereo int16
+    schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("mime", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                base = hashlib.sha256(b"flac:" + str(t).encode()).hexdigest()
+                buf = bytearray()
+                counter = 0
+                while len(buf) < need:
+                    buf += hashlib.sha256(f"{base}:{counter}".encode()).digest()
+                    counter += 1
+                x = np.frombuffer(bytes(buf[:need]), dtype="<i2").reshape(-1, 2)
+                payloads.append(
+                    flac_encode(x, sample_rate, subframe="fixed", channel_mode=channel_mode)
+                )
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].astype("int64"),
+                    "content": payloads,
+                    "n_samples": n_frames,
+                    "sample_rate": sample_rate,
+                    "mime": FLAC_MIME,
+                }
+            )
+
+    return df.mapInPandas(run, schema=schema)

@@ -2847,3 +2847,100 @@ def q_mm_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wavs = MM.make_wav_payload(d, n_samples=256, sample_rate=8000)
     return MM.pcm_int_stats_stage(MM.wav_decode_stage(wavs))
+
+
+@declare(
+    "q_mm_gif_roundtrip",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, sha256('gif:' || text) AS bh FROM documents WHERE doc_id < 24),
+blk AS (
+  SELECT doc_id, i, sha256(bh || ':' || CAST(i AS VARCHAR)) AS hx
+  FROM d CROSS JOIN generate_series(0, 23) g(i)),
+byt AS (
+  SELECT doc_id, i * 32 + j AS p,
+         CAST(concat('0x', substr(hx, j * 2 + 1, 2)) AS BIGINT) AS b
+  FROM blk CROSS JOIN generate_series(0, 31) gj(j))
+SELECT doc_id,
+       CAST(COUNT(*) FILTER (p % 3 = 0) AS BIGINT) AS n_px,
+       CAST(SUM(b) FILTER (p % 3 = 0) AS BIGINT) AS sum_r,
+       CAST(SUM(b) FILTER (p % 3 = 1) AS BIGINT) AS sum_g,
+       CAST(SUM(b) FILTER (p % 3 = 2) AS BIGINT) AS sum_b,
+       CAST(SUM(b * b) AS BIGINT) AS sum_sq
+FROM byt GROUP BY doc_id
+""",
+    tags=("mm",),
+)
+def q_mm_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-certified GIF codec chain (r11, the palette third of the
+    image-codec family after q_mm_png_roundtrip): deterministic pixels
+    ('gif:'-prefixed sha256 counter-mode over each doc's text) → REAL
+    GIF89a encode (ops/gif.py: palette build + LZW) → REAL decode via
+    the magic-dispatch ingest scanner (ops.mm.image_decode_stage, so
+    the dispatch path is under the hash gate too, not just gif_decode)
+    → integer-exact channel stats. The oracle re-derives the stats from
+    the pixel DEFINITION alone; GIF is lossless for ≤256 distinct
+    colors, and 16×16 images can never exceed 256 distinct colors, so
+    a hash match proves palette construction, LZW both ways, and frame
+    composition byte-exact. All-int64 output, no float policy."""
+    from pipetree_spark.ops import mm as MM
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 24)
+        .select("doc_id", "text")
+    )
+    gifs = MM.make_gif_payload(d, width=16, height=16)
+    return MM.rgb_int_stats_stage(MM.image_decode_stage(gifs))
+
+
+@declare(
+    "q_mm_flac_roundtrip",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, sha256('flac:' || text) AS bh FROM documents WHERE doc_id < 24),
+blk AS (
+  SELECT doc_id, i, sha256(bh || ':' || CAST(i AS VARCHAR)) AS hx
+  FROM d CROSS JOIN generate_series(0, 31) g(i)),
+byt AS (
+  SELECT doc_id, i * 32 + j AS p,
+         CAST(concat('0x', substr(hx, j * 2 + 1, 2)) AS BIGINT) AS b
+  FROM blk CROSS JOIN generate_series(0, 31) gj(j)),
+smp AS (
+  SELECT doc_id, p // 2 AS k,
+         SUM(CASE WHEN p % 2 = 0 THEN b ELSE 256 * b END) AS u
+  FROM byt GROUP BY doc_id, p // 2),
+sv AS (
+  SELECT doc_id, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+  FROM smp WHERE k % 2 = 0)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(v) AS BIGINT) AS sum_s,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs
+FROM sv GROUP BY doc_id
+""",
+    tags=("mm",),
+)
+def q_mm_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-certified FLAC codec chain (r11, the lossless-compression
+    twin of q_mm_wav_roundtrip): deterministic STEREO PCM16 frames
+    ('flac:'-prefixed sha256 counter-mode; interleaved L/R, so frame
+    k's left sample is int16 #2k — the k % 2 = 0 rows in the oracle) →
+    REAL FLAC encode (ops/flac.py: fixed predictors, rice residuals,
+    MID-SIDE stereo decorrelation) → REAL decode (flac_decode_stage
+    keeps channel 0) → integer-exact waveform stats. The oracle
+    re-derives the left channel from the byte DEFINITION with no audio
+    code, so a hash match certifies the predictor/rice path AND the
+    mid-side reconstruction — strictly more decoder surface than a
+    verbatim roundtrip. All-int64 output, no float policy. 256 stereo
+    frames = 1024 bytes = 32 digests: synthesis truncates nothing."""
+    from pipetree_spark.ops import mm as MM
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 24)
+        .select("doc_id", "text")
+    )
+    flacs = MM.make_flac_payload(d, n_frames=256, sample_rate=8000, channel_mode="mid_side")
+    return MM.pcm_int_stats_stage(MM.flac_decode_stage(flacs))

@@ -14,6 +14,7 @@ embeddings, tied timestamps, single-user event streams.
 from __future__ import annotations
 
 import datetime as dt
+import os
 import sys
 from pathlib import Path
 
@@ -128,7 +129,9 @@ vec_rows = st.lists(
 )
 
 FUZZ_SETTINGS = dict(
-    max_examples=4,
+    # 4 examples by default (CI budget); validation runs crank it up via
+    # FUZZ_MAX_EXAMPLES=60 (r11: the 50+-example signed-zero closure run)
+    max_examples=int(os.environ.get("FUZZ_MAX_EXAMPLES", "4")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )

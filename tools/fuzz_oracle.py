@@ -159,6 +159,25 @@ def generate(spark, out: str, seed: int) -> None:
     vecs = np.float32(rng.uniform(-1, 1, (n_vec, 64)))
     vecs[n_vec - 1] = vecs[0]          # byte-identical pair
     vecs[n_vec - 2] = np.float32(0.0)  # zero vector
+    # Adversarial signed-zero emitters (r10 verdict: the corpus-based
+    # negzero audit missed q_vec_norm because uniform draws almost never
+    # land a component sum in (-5e-5, 0)). Plant vectors whose sums,
+    # means, and pairwise cosines round to zero FROM BELOW so any
+    # unpinned round() edge over vector math diverges on every seed:
+    # tiny all-negative atoms, exact-cancelling pairs with a -1e-5
+    # residue, and a near-orthogonal pair (cosine ~ -2e-6).
+    if n_vec >= 8:
+        vecs[n_vec - 3] = np.float32(-1e-5)              # sum = -6.4e-4 → rounds to -0.0 at 2dp..3dp
+        tiny = np.zeros(64, np.float32)
+        tiny[0::2], tiny[1::2] = np.float32(0.5), np.float32(-0.5)
+        tiny[0] = np.float32(0.5 - 4.9e-5)               # cancels to ~-4.9e-5
+        vecs[n_vec - 4] = tiny
+        orth = np.zeros(64, np.float32)
+        orth[0], orth[1] = np.float32(1.0), np.float32(-2e-6)
+        vecs[n_vec - 5] = orth
+        orth2 = np.zeros(64, np.float32)
+        orth2[1], orth2[0] = np.float32(1.0), np.float32(1e-6)
+        vecs[n_vec - 6] = orth2                          # cos(orth, orth2) ≈ -1e-6 → rounds to -0.0
     w(
         [(i, [float(x) for x in v], int(rng.randint(0, 10))) for i, v in enumerate(vecs)],
         "vec_id long, embedding array<float>, label int",
