@@ -1518,3 +1518,112 @@ def make_flac_payload(
             )
 
     return df.mapInPandas(run, schema=schema)
+
+
+def make_avi_payload(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_frames: int = 12,
+    width: int = 16,
+    height: int = 16,
+    fps: int = 5,
+) -> DataFrame:
+    """Synthesize a REAL MJPEG-AVI payload per row: ``n_frames``
+    FLAT-COLOR frames (frame k's RGB = the first 3 bytes of
+    sha256(base ':' k), base = sha256('avi:' + text)), each JPEG-encoded
+    then boxed by :func:`ops.avi.avi_mjpeg_encode`. Flat blocks put all
+    DCT energy in the quantized DC coefficient, so baseline JPEG
+    round-trips them EXACTLY (pinned in tests across random colors) —
+    which makes a lossy-codec container chain hash-certifiable: the
+    oracle can re-derive every sampled frame's pixels from the color
+    definition alone."""
+    from pipetree_spark.ops.avi import avi_mjpeg_encode
+    from pipetree_spark.ops.jpeg import jpeg_encode
+
+    schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("fps", T.IntegerType()),
+            T.StructField("mime", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                base = hashlib.sha256(b"avi:" + str(t).encode()).hexdigest()
+                frames = []
+                for k in range(n_frames):
+                    rgb = hashlib.sha256(f"{base}:{k}".encode()).digest()[:3]
+                    img = np.empty((height, width, 3), np.uint8)
+                    img[:, :] = np.frombuffer(rgb, np.uint8)
+                    frames.append(jpeg_encode(img, quality=85))
+                payloads.append(avi_mjpeg_encode(frames, width, height, fps=fps))
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].astype("int64"),
+                    "content": payloads,
+                    "n_frames": n_frames,
+                    "fps": fps,
+                    "mime": MJPEG_MIME,
+                }
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
+RGB_FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+    ]
+)
+
+
+def rgb_int_stats_by_frame_stage(
+    df: DataFrame, content_col: str = "content", key_col: str = "doc_id"
+) -> DataFrame:
+    """Per-(doc, frame) variant of :func:`rgb_int_stats_stage` for the
+    one-row-per-sampled-frame layout :func:`video_frame_sample_stage`
+    emits — same all-int64, float-free contract, with frame_idx carried
+    through so the oracle can address individual frames."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, fidx, n, sr, sg, sb, sq = [], [], [], [], [], [], []
+            for did, fi, p, w, h in zip(
+                pdf[key_col], pdf["frame_idx"], pdf[content_col], pdf["width"], pdf["height"]
+            ):
+                img = rawrgb_decode(p, int(w), int(h)).astype(np.int64)
+                keys.append(int(did))
+                fidx.append(int(fi))
+                n.append(int(w) * int(h))
+                sr.append(int(img[:, :, 0].sum()))
+                sg.append(int(img[:, :, 1].sum()))
+                sb.append(int(img[:, :, 2].sum()))
+                sq.append(int((img * img).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(keys, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int64"),
+                    "n_px": pd.Series(n, dtype="int64"),
+                    "sum_r": pd.Series(sr, dtype="int64"),
+                    "sum_g": pd.Series(sg, dtype="int64"),
+                    "sum_b": pd.Series(sb, dtype="int64"),
+                    "sum_sq": pd.Series(sq, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=RGB_FRAME_STATS_SCHEMA)

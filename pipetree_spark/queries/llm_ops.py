@@ -2944,3 +2944,58 @@ def q_mm_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flacs = MM.make_flac_payload(d, n_frames=256, sample_rate=8000, channel_mode="mid_side")
     return MM.pcm_int_stats_stage(MM.flac_decode_stage(flacs))
+
+
+@declare(
+    "q_mm_avi_framesample",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, sha256('avi:' || text) AS bh FROM documents WHERE doc_id < 24),
+fr AS (
+  SELECT doc_id, k, sha256(bh || ':' || CAST(k AS VARCHAR)) AS hx
+  FROM d CROSS JOIN generate_series(0, 9, 3) g(k)),
+px AS (
+  SELECT doc_id, k,
+         CAST(concat('0x', substr(hx, 1, 2)) AS BIGINT) AS r,
+         CAST(concat('0x', substr(hx, 3, 2)) AS BIGINT) AS g,
+         CAST(concat('0x', substr(hx, 5, 2)) AS BIGINT) AS b
+  FROM fr)
+SELECT doc_id,
+       CAST(k AS BIGINT) AS frame_idx,
+       CAST(256 AS BIGINT) AS n_px,
+       CAST(256 * r AS BIGINT) AS sum_r,
+       CAST(256 * g AS BIGINT) AS sum_g,
+       CAST(256 * b AS BIGINT) AS sum_b,
+       CAST(256 * (r * r + g * g + b * b) AS BIGINT) AS sum_sq
+FROM px
+""",
+    tags=("mm",),
+)
+def q_mm_avi_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-certified VIDEO chain (r11), completing the codec family:
+    deterministic FLAT-COLOR frames (frame k's RGB = first 3 bytes of
+    sha256(base ':' k)) → REAL per-frame JPEG encode → REAL MJPEG-AVI
+    boxing (ops/avi.py, canonical 56-byte strh) → container parse +
+    decode-AFTER-sample of every 3rd frame (ops.mm.video_frame_sample_
+    stage — the 1-fps-of-30-fps production shape) → per-frame
+    integer-exact channel stats. Flat blocks put all DCT energy in the
+    quantized DC coefficient, so baseline JPEG round-trips them EXACTLY
+    (pinned across random colors in tests) — the one shape where a
+    lossy-codec chain is hash-certifiable. The oracle re-derives each
+    sampled frame's color from its DEFINITION (DuckDB sha256 + hex
+    bytes, no codec), so a hash match certifies JPEG encode/decode, the
+    RIFF walk, the idx-aligned frame order, and the sampling stride in
+    one gate. All-int64 output, no float policy.
+
+    Scale shape: narrow per-row map, no shuffle; sampling happens on
+    the container BEFORE any JPEG decode, so cost is per-kept-frame."""
+    from pipetree_spark.ops import mm as MM
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 24)
+        .select("doc_id", "text")
+    )
+    avis = MM.make_avi_payload(d, n_frames=12, width=16, height=16, fps=5)
+    sampled = MM.video_frame_sample_stage(avis, every_n=3)
+    return MM.rgb_int_stats_by_frame_stage(sampled)
