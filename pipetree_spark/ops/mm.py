@@ -1461,7 +1461,7 @@ def make_gif_payload(
     return df.mapInPandas(run, schema=schema)
 
 
-def make_flac_payload(
+def make_flac_stereo_payload(
     df: DataFrame,
     text_col: str = "text",
     key_col: str = "doc_id",

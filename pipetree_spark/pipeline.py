@@ -352,6 +352,13 @@ def _op_registry() -> dict[str, tuple[Callable, int]]:
         "pcm_int_stats": (MM.pcm_int_stats_stage, 1),
         "image_decode": (MM.image_decode_stage, 1),
         "make_flac_payload": (MM.make_flac_payload, 1),
+        # r11 certified-chain generators: stereo FLAC (mid-side under
+        # the driver hash), palette GIF, flat-frame MJPEG-AVI, and the
+        # per-frame int stats the video chain reports through
+        "make_flac_stereo_payload": (MM.make_flac_stereo_payload, 1),
+        "make_gif_payload": (MM.make_gif_payload, 1),
+        "make_avi_payload": (MM.make_avi_payload, 1),
+        "rgb_int_stats_by_frame": (MM.rgb_int_stats_by_frame_stage, 1),
         "flac_decode": (MM.flac_decode_stage, 1),
         "audio_decode": (MM.audio_decode_stage, 1),
     }

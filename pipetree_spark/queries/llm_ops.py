@@ -2942,7 +2942,7 @@ def q_mm_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") < 24)
         .select("doc_id", "text")
     )
-    flacs = MM.make_flac_payload(d, n_frames=256, sample_rate=8000, channel_mode="mid_side")
+    flacs = MM.make_flac_stereo_payload(d, n_frames=256, sample_rate=8000, channel_mode="mid_side")
     return MM.pcm_int_stats_stage(MM.flac_decode_stage(flacs))
 
 
