@@ -814,3 +814,30 @@ def test_multimodal_png_pipeline_is_json_declarable(spark, sf_small):
         )
     )
     assert got == {tuple(r) for r in direct.collect()}
+
+
+def test_shipped_video_audio_spec_runs_end_to_end(spark, sf_small, tmp_path):
+    """The r11 examples/video_audio_pipeline.json (flat-frame MJPEG-AVI
+    generate → decode-after-sample → per-frame int stats, plus stereo
+    FLAC generate → magic-dispatch audio decode → waveform int stats,
+    joined in one report) runs end-to-end through from_spec with a
+    cache, and the second run serves the materialized frame-sample
+    stage from cache."""
+    import json
+    from pathlib import Path
+
+    spec = json.loads(
+        (Path(__file__).resolve().parent.parent / "examples/video_audio_pipeline.json").read_text()
+    )
+    cache = ArtifactCache(str(tmp_path))
+    p = Pipeline.from_spec(spec, sf_dir=sf_small)
+    out = p.run(spark, cache=cache)
+    rep = out["report"].collect()[0]
+    # 16 docs x ceil(12/3) sampled frames; flat 16x16 frames bound the
+    # per-frame energy by 256 * 3 * 255^2
+    assert rep.n_sampled_frames == 64 and rep.n_audio_docs == 16
+    assert 0 < rep.video_energy <= 64 * 256 * 3 * 255 * 255
+    assert rep.audio_energy > 0
+    p2 = Pipeline.from_spec(spec, sf_dir=sf_small)
+    p2.run(spark, cache=cache)
+    assert p2.last_run_report["frames"] == "hit"
