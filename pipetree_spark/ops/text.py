@@ -920,3 +920,134 @@ def ngram_decontam(
         .agg(F.count("*").alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)
     )
+
+
+# --------------------------------------------------------------- BPE train
+
+BPE_SEP = "\x1f"  # unit separator: never appears in whitespace-split tokens we keep
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    sep: str = BPE_SEP,
+) -> DataFrame:
+    """Distributed byte-pair-encoding merge training (tokenizer fitting —
+    the LLM-pipeline op the token-counting family stops short of).
+
+    Classic word-level BPE: the corpus collapses ONCE to a
+    (word, freq) vocabulary (one map-side-combined shuffle — the only
+    corpus-sized pass), each word becomes a separator-delimited
+    character string, and every round then (1) counts freq-weighted
+    adjacent symbol pairs over the |vocab|-sized state, (2) picks the
+    max-count pair with a deterministic (count DESC, pair ASC)
+    tie-break, (3) applies the merge greedily left-to-right in every
+    word. The greedy merge is a pure string rewrite — double the
+    separators, replace ``sep·x·sep·sep·y·sep`` with ``sep·xy·sep``
+    (left-to-right non-overlapping, exactly BPE's scan; the doubled
+    inner separator prevents prefix collisions like (a,a) matching
+    a·ab), then halve separators — so the whole round is JVM-side
+    built-in functions: no UDF, no driver loop over data.
+
+    Scale shape: round state is |vocab| rows (≪ corpus; bounded by
+    distinct words), the best pair is a broadcast 1-row frame, and each
+    round adds exactly one small shuffle (the pair-count groupBy). Each
+    round's winner is localCheckpoint(eager=False)-ed — the
+    kmeans_portable pattern — so round r's plan does not replay rounds
+    0..r-1 per branch. Production BPE at larger n_merges would update
+    pair counts incrementally instead of recounting (only pairs
+    overlapping a merged occurrence change); the full recount keeps
+    every round oracle-expressible and costs O(n_merges · vocab).
+
+    Returns one row per merge: (rank, lhs, rhs, merged, pair_count),
+    rank 0-based in merge order. Words containing ``sep`` (impossible
+    for whitespace tokenization of sane text) and empty tokens are
+    excluded on both engines.
+    """
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .where((F.length("word") > 0) & (~F.col("word").contains(sep)))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    state = words.select(
+        F.concat(F.lit(sep), F.regexp_replace("word", "(.)", "$1" + sep)).alias("w"),
+        "freq",
+    )
+    pairs_expr = (
+        f"zip_with(slice(split(w, '{sep}'), 2, greatest(size(split(w, '{sep}')) - 3, 0)), "
+        f"slice(split(w, '{sep}'), 3, greatest(size(split(w, '{sep}')) - 3, 0)), "
+        f"(x, y) -> concat(x, '{sep}', y))"
+    )
+    merge_expr = (
+        f"replace(replace(replace(w, '{sep}', '{sep}{sep}'), "
+        f"concat('{sep}', lhs, '{sep}{sep}', rhs, '{sep}'), "
+        f"concat('{sep}', lhs, rhs, '{sep}')), '{sep}{sep}', '{sep}')"
+    )
+    rounds = []
+    for r in range(n_merges):
+        cnt = (
+            state.select(F.explode(F.expr(pairs_expr)).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        best = (
+            cnt.orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+            .limit(1)
+            .select(
+                F.lit(r).cast("long").alias("rank"),
+                F.split("pair", sep).getItem(0).alias("lhs"),
+                F.split("pair", sep).getItem(1).alias("rhs"),
+                "pair_count",
+            )
+            .localCheckpoint(eager=False)
+        )
+        rounds.append(best)
+        state = state.crossJoin(F.broadcast(best.select("lhs", "rhs"))).select(
+            F.expr(merge_expr).alias("w"), "freq"
+        )
+    out = rounds[0]
+    for b in rounds[1:]:
+        out = out.unionAll(b)
+    return out.select(
+        "rank", "lhs", "rhs", F.concat("lhs", "rhs").alias("merged"), "pair_count"
+    )
+
+
+def bpe_train_sql(n_merges: int, table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB twin of :func:`bpe_train` for the oracle gate: the same
+    rounds unrolled as CTEs (w0 → c1/b1/w1 → … ), generated from the
+    same ``n_merges`` so Spark and SQL can never drift on round count."""
+    s = "chr(31)"
+    head = f"""
+WITH w0 AS (
+  SELECT {s} || regexp_replace(word, '(.)', '\\1' || {s}, 'g') AS w,
+         COUNT(*) AS freq
+  FROM (SELECT unnest(string_split({text_col}, ' ')) AS word FROM {table}) t
+  WHERE length(word) > 0 AND NOT contains(word, {s})
+  GROUP BY 1)"""
+    parts = [head]
+    for r in range(n_merges):
+        parts.append(f""",
+p{r} AS (
+  SELECT unnest(list_transform(generate_series(1, len(a) - 3),
+                               i -> a[i+1] || {s} || a[i+2])) AS pair, freq
+  FROM (SELECT string_split(w, {s}) AS a, freq FROM w{r}) s{r}),
+c{r} AS (SELECT pair, SUM(freq) AS pair_count FROM p{r} GROUP BY pair),
+b{r} AS (
+  SELECT CAST({r} AS BIGINT) AS rank,
+         string_split(pair, {s})[1] AS lhs,
+         string_split(pair, {s})[2] AS rhs,
+         CAST(pair_count AS BIGINT) AS pair_count
+  FROM c{r} ORDER BY pair_count DESC, pair ASC LIMIT 1),
+w{r + 1} AS (
+  SELECT replace(replace(replace(w, {s}, {s} || {s}),
+                 {s} || b.lhs || {s} || {s} || b.rhs || {s},
+                 {s} || b.lhs || b.rhs || {s}), {s} || {s}, {s}) AS w, freq
+  FROM w{r}, b{r} b)""")
+    union = " UNION ALL ".join(f"SELECT * FROM b{r}" for r in range(n_merges))
+    parts.append(f"""
+SELECT rank, lhs, rhs, lhs || rhs AS merged, pair_count
+FROM ({union}) ORDER BY rank""")
+    return "".join(parts)

@@ -361,6 +361,8 @@ def _op_registry() -> dict[str, tuple[Callable, int]]:
         "rgb_int_stats_by_frame": (MM.rgb_int_stats_by_frame_stage, 1),
         "flac_decode": (MM.flac_decode_stage, 1),
         "audio_decode": (MM.audio_decode_stage, 1),
+        # r11: distributed BPE merge training (ops/text.py)
+        "bpe_train": (TX.bpe_train, 1),
     }
 
 

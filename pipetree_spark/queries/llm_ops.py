@@ -2999,3 +2999,25 @@ def q_mm_avi_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     avis = MM.make_avi_payload(d, n_frames=12, width=16, height=16, fps=5)
     sampled = MM.video_frame_sample_stage(avis, every_n=3)
     return MM.rgb_int_stats_by_frame_stage(sampled)
+
+
+@declare(
+    "q_text_bpe_train",
+    oracle=TX.bpe_train_sql(4),
+    tags=("text",),
+)
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training (ops.text.bpe_train), 4 rounds
+    hash-certified: the corpus collapses once to a (word, freq) vocab,
+    then each round counts freq-weighted adjacent symbol pairs over the
+    vocab-sized state, broadcasts the (count DESC, pair ASC) winner,
+    and applies the greedy left-to-right merge as a pure JVM string
+    rewrite (doubled-separator replace — no UDF anywhere). The oracle
+    unrolls the SAME rounds as DuckDB CTEs from the same n_merges
+    constant, so the two sides cannot drift on round count; a hash
+    match certifies tokenization, pair counting, tie-breaks, and the
+    greedy merge semantics end-to-end. The op itself takes arbitrary
+    n_merges (state is |vocab| rows, one small shuffle per round,
+    winners localCheckpoint-ed — the kmeans_portable scale pattern)."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.bpe_train(d, "text", n_merges=4)

@@ -66,6 +66,7 @@ DOC_QUERIES = [
     "q_dedup_cc",
     "q_text_tfidf",
     "q_text_decontam",
+    "q_text_bpe_train",
 ]
 VEC_QUERIES = [
     "q_vec_norm",

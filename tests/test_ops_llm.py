@@ -2464,3 +2464,26 @@ def test_codec_wild_file_tolerance_r11():
     assert ln == 56
     got = A.avi_mjpeg_decode(av)
     assert len(got[0] if isinstance(got, tuple) else got) >= 1
+
+
+def test_bpe_train_matches_hand_computed_merges(spark, tmp_path):
+    """ops.text.bpe_train on the textbook corpus (low x3, lower x2,
+    newest x1): four hand-derived merges including BOTH tie-break
+    cases — round 0 ties (l,o)=(o,w)=5 and must pick the pair-ASC
+    winner (l,o); round 2 ties (e,r)=(low,e)=2 and must pick (e,r)."""
+    from pipetree_spark.ops import text as TXO
+
+    docs = spark.createDataFrame(
+        [(0, "low low low"), (1, "lower lower"), (2, "newest")],
+        "doc_id long, text string",
+    )
+    got = [tuple(r) for r in TXO.bpe_train(docs, "text", n_merges=4).orderBy("rank").collect()]
+    assert got == [
+        (0, "l", "o", "lo", 5),
+        (1, "lo", "w", "low", 5),
+        (2, "e", "r", "er", 2),
+        (3, "low", "er", "lower", 2),
+    ]
+    # empty corpus: zero merge rows, no error, on both engines' semantics
+    empty = spark.createDataFrame([(0, "")], "doc_id long, text string")
+    assert TXO.bpe_train(empty, "text", n_merges=2).count() == 0
