@@ -1051,3 +1051,105 @@ w{r + 1} AS (
 SELECT rank, lhs, rhs, lhs || rhs AS merged, pair_count
 FROM ({union}) ORDER BY rank""")
     return "".join(parts)
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_merges: int | None = None,
+    sep: str = BPE_SEP,
+) -> DataFrame:
+    """Apply learned BPE merges (the :func:`bpe_train` output) to a
+    corpus and report per-doc token counts — the ENCODE half of the
+    tokenizer: (key, n_words, n_bpe_tokens).
+
+    The merge table is applied rank by rank to the |vocab|-sized
+    distinct-word state (same greedy doubled-separator rewrite as
+    training), then per-word symbol counts join back to the corpus on
+    the word — so the corpus is touched exactly twice (word explode +
+    the final count join) regardless of n_merges. Each rank's row
+    arrives as a broadcast LEFT join guarded by COALESCE: a corpus
+    whose pairs run out before n_merges (every word fully merged) has
+    empty late ranks, and the rewrite must pass state through, not
+    annihilate it — the crossJoin shape would. ``n_merges`` defaults to
+    one pass per distinct rank ONLY when given; pass it explicitly to
+    keep plan construction independent of the merge table's content
+    (no collect)."""
+    if n_merges is None:
+        raise ValueError("bpe_apply: pass n_merges explicitly (no driver-side collect)")
+    doc_words = df.select(
+        F.col(key_col),
+        F.explode(tokens(text_col)).alias("word"),
+    ).where((F.length("word") > 0) & (~F.col("word").contains(sep)))
+    state = doc_words.select("word").distinct().select(
+        "word",
+        F.concat(F.lit(sep), F.regexp_replace("word", "(.)", "$1" + sep)).alias("w"),
+    )
+    # pattern that can never occur in a delimited word: three separators
+    never = sep * 3
+    merge_expr = (
+        f"replace(replace(replace(w, '{sep}', '{sep}{sep}'), "
+        f"coalesce(concat('{sep}', lhs, '{sep}{sep}', rhs, '{sep}'), '{never}'), "
+        f"coalesce(concat('{sep}', lhs, rhs, '{sep}'), '{never}')), '{sep}{sep}', '{sep}')"
+    )
+    for r in range(n_merges):
+        mr = merges.where(F.col("rank") == r).select(
+            F.lit(1).alias("__k"), "lhs", "rhs"
+        )
+        state = (
+            state.withColumn("__k", F.lit(1))
+            .join(F.broadcast(mr), "__k", "left")
+            .select("word", F.expr(merge_expr).alias("w"))
+        )
+    counts = state.select(
+        "word", (F.size(F.split("w", sep)) - 2).cast("long").alias("n_sym")
+    )
+    return (
+        doc_words.join(counts, "word")
+        .groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def bpe_apply_sql(
+    n_merges: int, table: str = "documents", text_col: str = "text", key_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`bpe_train` + :func:`bpe_apply` in one
+    statement: unrolls the training CTE chain (identical to
+    :func:`bpe_train_sql`), then applies b0..b{n-1} to the distinct
+    words with LEFT JOIN ON TRUE (the empty-late-rank guard) and sums
+    symbol counts per doc."""
+    s = "chr(31)"
+    train = bpe_train_sql(n_merges, table=table, text_col=text_col)
+    # keep only the WITH chain of the train SQL (drop its final SELECT)
+    with_chain = train[: train.rindex("\nSELECT rank, lhs, rhs")]
+    parts = [with_chain]
+    parts.append(f""",
+dw AS (
+  SELECT {key_col}, word
+  FROM (SELECT {key_col}, unnest(string_split({text_col}, ' ')) AS word FROM {table}) t
+  WHERE length(word) > 0 AND NOT contains(word, {s})),
+a0 AS (
+  SELECT word, {s} || regexp_replace(word, '(.)', '\\1' || {s}, 'g') AS w
+  FROM (SELECT DISTINCT word FROM dw))""")
+    for r in range(n_merges):
+        parts.append(f""",
+a{r + 1} AS (
+  SELECT word,
+         replace(replace(replace(w, {s}, {s} || {s}),
+                 coalesce({s} || b.lhs || {s} || {s} || b.rhs || {s}, repeat({s}, 3)),
+                 coalesce({s} || b.lhs || b.rhs || {s}, repeat({s}, 3))),
+                 {s} || {s}, {s}) AS w
+  FROM a{r} LEFT JOIN b{r} b ON TRUE)""")
+    parts.append(f"""
+SELECT dw.{key_col},
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(string_split(a.w, {s})) - 2) AS BIGINT) AS n_bpe_tokens
+FROM dw JOIN a{n_merges} a USING (word)
+GROUP BY dw.{key_col}""")
+    return "".join(parts)

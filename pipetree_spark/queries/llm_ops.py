@@ -3021,3 +3021,24 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     winners localCheckpoint-ed — the kmeans_portable scale pattern)."""
     d = load_table(spark, sf_dir, "documents")
     return TX.bpe_train(d, "text", n_merges=4)
+
+
+@declare(
+    "q_text_bpe_encode",
+    oracle=TX.bpe_apply_sql(4),
+    tags=("text",),
+)
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE (ops.text.bpe_apply): learn 4 merges on the corpus
+    (ops.text.bpe_train) and apply them back, reporting per-doc
+    (n_words, n_bpe_tokens) — the token-budget number a packing/pricing
+    pipeline actually consumes. Merges apply to the DISTINCT-WORD state
+    and join back on the word, so the corpus is touched exactly twice
+    however many merges run; empty late ranks (tiny corpora whose pairs
+    run out early — the fuzz corpora hit this) pass state through via
+    the COALESCE-guarded LEFT join rather than annihilating it. The
+    oracle re-runs training AND application as one unrolled-CTE DuckDB
+    statement from the same n_merges constant. All-int64 output."""
+    d = load_table(spark, sf_dir, "documents")
+    merges = TX.bpe_train(d, "text", n_merges=4)
+    return TX.bpe_apply(d, merges, "text", n_merges=4)

@@ -67,6 +67,7 @@ DOC_QUERIES = [
     "q_text_tfidf",
     "q_text_decontam",
     "q_text_bpe_train",
+    "q_text_bpe_encode",
 ]
 VEC_QUERIES = [
     "q_vec_norm",

@@ -2487,3 +2487,28 @@ def test_bpe_train_matches_hand_computed_merges(spark, tmp_path):
     # empty corpus: zero merge rows, no error, on both engines' semantics
     empty = spark.createDataFrame([(0, "")], "doc_id long, text string")
     assert TXO.bpe_train(empty, "text", n_merges=2).count() == 0
+
+
+def test_bpe_apply_counts_and_exhausted_merges(spark):
+    """ops.text.bpe_apply: per-doc BPE token counts on the textbook
+    corpus (low->1 sym, lower->1 sym after the (low,er) merge, newest
+    untouched at 6 syms), and the empty-late-rank guard — a corpus
+    whose pairs run out after one merge must pass state through the
+    remaining ranks, not annihilate it."""
+    from pipetree_spark.ops import text as TXO
+
+    docs = spark.createDataFrame(
+        [(0, "low low low"), (1, "lower lower"), (2, "newest")],
+        "doc_id long, text string",
+    )
+    merges = TXO.bpe_train(docs, "text", n_merges=4)
+    got = {r.doc_id: (r.n_words, r.n_bpe_tokens)
+           for r in TXO.bpe_apply(docs, merges, "text", n_merges=4).collect()}
+    assert got == {0: (3, 3), 1: (2, 2), 2: (1, 6)}
+
+    tiny = spark.createDataFrame([(0, "aa aa"), (1, "b")], "doc_id long, text string")
+    m2 = TXO.bpe_train(tiny, "text", n_merges=3)
+    assert m2.count() == 1  # pairs run out after (a,a)
+    got2 = {r.doc_id: (r.n_words, r.n_bpe_tokens)
+            for r in TXO.bpe_apply(tiny, m2, "text", n_merges=3).collect()}
+    assert got2 == {0: (2, 2), 1: (1, 1)}
