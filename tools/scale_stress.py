@@ -98,6 +98,8 @@ QUERIES = [
     "q_agg_ks_hist",       # r9: shared-scan histograms + constant spine
     "q_agg_quantile_hist_bygroup",  # r9: per-group 256-bucket histograms
     "q_pipe_validate",     # r9: fingerprint + diff through the spec walker
+    "q_text_bpe_train",    # r11: corpus collapses to |vocab| once; 4 small per-round shuffles
+    "q_text_bpe_encode",   # r11: train + apply; corpus touched exactly twice
     "q_agg_hll_sliding",   # r9: day-spine x 64-register merge — register-level work
     "q_graph_sssp",        # r9: weighted Bellman-Ford, k frontier shuffles
     "q_agg_gini",          # r9: per-group rank window + moment agg
