@@ -2512,3 +2512,61 @@ def test_bpe_apply_counts_and_exhausted_merges(spark):
     got2 = {r.doc_id: (r.n_words, r.n_bpe_tokens)
             for r in TXO.bpe_apply(tiny, m2, "text", n_merges=3).collect()}
     assert got2 == {0: (2, 2), 1: (1, 1)}
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    """Differential gate for the doubled-separator replace trick: the
+    DuckDB oracle shares the string-rewrite mechanism, so it cannot
+    catch a conceptual error in the trick itself. This reference
+    implements greedy BPE the textbook way — an explicit left-to-right
+    pair scan over symbol tuples — and must agree with bpe_train on
+    corpora built to stress the rewrite: odd same-symbol runs (aaa),
+    merged-symbol prefix collisions (a vs ab), count ties, and words
+    that exhaust their pairs mid-run."""
+    from collections import Counter
+
+    from pipetree_spark.ops import text as TXO
+
+    SEP = TXO.BPE_SEP
+
+    def ref_bpe(word_freqs, n_merges):
+        state = {tuple(w): f for w, f in word_freqs.items()}
+        merges = []
+        for r in range(n_merges):
+            cnt = Counter()
+            for syms, f in state.items():
+                for i in range(len(syms) - 1):
+                    cnt[(syms[i], syms[i + 1])] += f
+            if not cnt:
+                break
+            best = min(cnt, key=lambda p: (-cnt[p], p[0] + SEP + p[1]))
+            merges.append((r, best[0], best[1], best[0] + best[1], cnt[best]))
+            new_state = {}
+            for syms, f in state.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                        out.append(syms[i] + syms[i + 1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new_state[tuple(out)] = new_state.get(tuple(out), 0) + f
+            state = new_state
+        return merges
+
+    corpora = [
+        ["aaa aaa", "aa"],                      # odd runs + same-symbol merges
+        ["abab abab ab", "ba baba"],            # alternating, merged-prefix collisions
+        ["aa ab ba bb aa ab", "a b"],           # dense ties
+        ["xyz xyz xy yz", "zzz"],               # exhaustion + 3-symbol words
+        ["the cat the hat", "the the cat"],     # words repeat across docs
+    ]
+    for docs in corpora:
+        wf = Counter(w for d in docs for w in d.split(" ") if w)
+        expect = ref_bpe(wf, 5)
+        sdf = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+        )
+        got = [tuple(r) for r in TXO.bpe_train(sdf, "text", n_merges=5).orderBy("rank").collect()]
+        assert got == expect, f"{docs}: {got} != {expect}"
