@@ -1115,3 +1115,66 @@ def test_flac_codec_roundtrip_property(n, ch, sub, bs, seed):
     x = np.random.RandomState(seed).randint(-32768, 32768, size=(n, ch)).astype(np.int64)
     got, sr = FL.flac_decode(FL.flac_encode(x, 22050, subframe=sub, block_size=bs))
     assert sr == 22050 and got.shape == (n, ch) and (got == x).all()
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=6),
+            min_size=1,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_bpe_train_matches_reference_on_random_corpora(spark, docs):
+    """Property form of the r11 differential BPE gate: on random
+    3-letter-alphabet corpora (dense ties, same-symbol runs, prefix
+    collisions by construction), ops.text.bpe_train must equal a pure
+    -Python greedy left-to-right pair-scan reference, merge for merge."""
+    from collections import Counter
+
+    from pipetree_spark.ops import text as TXO
+
+    SEP = TXO.BPE_SEP
+
+    def ref_bpe(word_freqs, n_merges):
+        state = {tuple(w): f for w, f in word_freqs.items()}
+        merges = []
+        for r in range(n_merges):
+            cnt = Counter()
+            for syms, f in state.items():
+                for i in range(len(syms) - 1):
+                    cnt[(syms[i], syms[i + 1])] += f
+            if not cnt:
+                break
+            best = min(cnt, key=lambda p: (-cnt[p], p[0] + SEP + p[1]))
+            merges.append((r, best[0], best[1], best[0] + best[1], cnt[best]))
+            nxt = {}
+            for syms, f in state.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                        out.append(syms[i] + syms[i + 1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                nxt[tuple(out)] = nxt.get(tuple(out), 0) + f
+            state = nxt
+        return merges
+
+    from collections import Counter as C2
+
+    wf = C2(w for d in docs for w in d.split(" ") if w)
+    expect = ref_bpe(wf, 3)
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = [
+        tuple(r)
+        for r in TXO.bpe_train(sdf, "text", n_merges=3).orderBy("rank").collect()
+    ]
+    assert got == expect, (docs, got, expect)
