@@ -1178,3 +1178,85 @@ def test_bpe_train_matches_reference_on_random_corpora(spark, docs):
         for r in TXO.bpe_train(sdf, "text", n_merges=3).orderBy("rank").collect()
     ]
     assert got == expect, (docs, got, expect)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=6),
+            min_size=1,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_bpe_apply_matches_reference_on_random_corpora(spark, docs):
+    """Encode half of the differential BPE gate: per-doc n_bpe_tokens
+    after 3 learned merges must equal the pure-Python reference's
+    greedy application — including corpora whose pairs run out before
+    n_merges (the LEFT-join guard path)."""
+    from collections import Counter
+
+    from pipetree_spark.ops import text as TXO
+
+    SEP = TXO.BPE_SEP
+
+    def ref_train(word_freqs, n_merges):
+        state = {tuple(w): f for w, f in word_freqs.items()}
+        merges = []
+        for _ in range(n_merges):
+            cnt = Counter()
+            for syms, f in state.items():
+                for i in range(len(syms) - 1):
+                    cnt[(syms[i], syms[i + 1])] += f
+            if not cnt:
+                break
+            best = min(cnt, key=lambda p: (-cnt[p], p[0] + SEP + p[1]))
+            merges.append(best)
+            nxt = {}
+            for syms, f in state.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                        out.append(syms[i] + syms[i + 1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                nxt[tuple(out)] = nxt.get(tuple(out), 0) + f
+            state = nxt
+        return merges
+
+    def ref_apply(word, merges):
+        syms = list(word)
+        for pair in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    wf = Counter(w for d in docs for w in d.split(" ") if w)
+    merges = ref_train(wf, 3)
+    expect = {}
+    for i, d in enumerate(docs):
+        ws = [w for w in d.split(" ") if w]
+        if ws:
+            expect[i] = (len(ws), sum(ref_apply(w, merges) for w in ws))
+
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    m = TXO.bpe_train(sdf, "text", n_merges=3)
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in TXO.bpe_apply(sdf, m, "text", n_merges=3).collect()
+    }
+    assert got == expect, (docs, got, expect)
