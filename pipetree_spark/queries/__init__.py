@@ -68,34 +68,19 @@ WINDOW = 50  # observed driver cut, constant across r1–r7
 #: Queries whose implementation or oracle changed since their last
 #: driver grade and whose certification is therefore stale regardless
 #: of the record. The ONLY hand-maintained part of the rotation.
-#: r11 note: the two r10 KMV entries went green in CORRECTNESS_r10 and
-#: are dropped (r10 verdict item 4). This round's changes are the
-#: signed-zero closure-by-construction sweep (tools/negzero_lint.py):
-#: every F.round() over a signable expression is now pin_zero-wrapped
-#: with the matching `+ 0.0` oracle twin. pin_zero is an IEEE identity
-#: for every value except -0.0 → +0.0, so driver-corpus outputs are
-#: bit-identical UNLESS a -0.0 was previously emitted by both engines
-#: in agreement — which the old hashes can't distinguish, so every
-#: touched query re-certifies. All 17 were green before the change
-#: (never-rowed queries must NOT sit here — they lead the window).
+#: r12 note: all 17 r11 pin-touched entries graded green in
+#: CORRECTNESS_r11 (q_vec_ann_ivf rows-only-ran, its strongest grade),
+#: so the list empties per the standing rule. r12's new declarations
+#: (BPE scale path, phash dedup, substring dedup, html extract,
+#: unigram trainer, bm25) are never-graded and lead the window
+#: automatically — they must NOT sit here. The two entries below are
+#: r11-green queries whose ORACLE TEXT changed this round (CTEs became
+#: AS MATERIALIZED so the unroll is linear, not 2^n, in round count —
+#: required for the 16-round scale twins; results are identical but
+#: the certification is against the old string).
 RECONFIRM: tuple[str, ...] = (
-    "q_vec_norm",            # r11: comp_sum pinned (the r10-verdict live defect)
-    "q_vec_cosine_knn",      # r11: cos_sim pinned in ops/vector.knn_bruteforce
-    "q_vec_ann_lsh",         # r11: cos_sim pinned in ops/vector.lsh_bucket_ann
-    "q_vec_ann_ivf",         # r11: cos_sim pinned in ops/vector.ivf_ann (rows-only)
-    "q_vec_ann_ivf_port",    # r11: cos_sim pinned in ops/vector.ivf_ann_portable
-    "q_vec_ann_pq_ivf",      # r11: cos_sim pinned in ops/vector._rerank_exact
-    "q_vec_ann_ivfpq_res",   # r11: cos_sim pinned in ops/vector._rerank_exact
-    "q_dedup_embcos",        # r11: cos_sim pinned on emit
-    "q_vec_decontam",        # r11: cos_sim pinned on emit
-    "q_agg_stats",           # r11: corr_disc_tax pinned (correlation is signable)
-    "q_agg_ab_test",         # r11: mean_a/mean_b/t_stat/welch_df pinned
-    "q_agg_gini",            # r11: gini pinned (signed numerator)
-    "q_agg_spearman",        # r11: spearman pinned (1 - ratio)
-    "q_agg_pearson",         # r11: pearson pinned (correlation)
-    "q_ts_trend",            # r11: slope_per_day/mean_value pinned
-    "q_ts_autocorr",         # r11: autocorr_lag1 pinned
-    "q_fn_hof",              # r11: head_sum pinned (signed 8-term sum)
+    "q_text_bpe_train",   # r12: oracle CTEs materialized (same values)
+    "q_text_bpe_encode",  # r12: oracle CTEs materialized (same values)
 )
 
 

@@ -1260,3 +1260,55 @@ def test_bpe_apply_matches_reference_on_random_corpora(spark, docs):
         for r in TXO.bpe_apply(sdf, m, "text", n_merges=3).collect()
     }
     assert got == expect, (docs, got, expect)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=6),
+            min_size=1,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_bpe_scale_path_matches_distributed_on_random_corpora(spark, docs, nm):
+    """r12 differential gate for the production-scale BPE path: on
+    random dense-tie corpora, the driver-side incremental trainer
+    (ops.text.bpe_train_scale) must equal the distributed unrolled
+    ops.text.bpe_train merge-for-merge, and the single-stage
+    mapInPandas encoder (ops.text.bpe_encode) must equal the chained
+    broadcast-join ops.text.bpe_apply doc-for-doc — including corpora
+    whose pairs run out before n_merges and words absent from the
+    training vocab ordering."""
+    from pipetree_spark.ops import text as TXO
+
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    dist = [
+        tuple(r)
+        for r in TXO.bpe_train(sdf, "text", n_merges=nm).orderBy("rank").collect()
+    ]
+    scale = [
+        tuple(r)
+        for r in TXO.bpe_train_scale(sdf, "text", n_merges=nm)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert scale == dist, (docs, nm, scale, dist)
+
+    m = TXO.bpe_train(sdf, "text", n_merges=nm)
+    exp = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in TXO.bpe_apply(sdf, m, "text", n_merges=nm).collect()
+    }
+    pairs = [(lhs, rhs) for (_, lhs, rhs, _, _) in dist]
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in TXO.bpe_encode(sdf, pairs, "text", "doc_id").collect()
+    }
+    assert got == exp, (docs, nm, got, exp)
