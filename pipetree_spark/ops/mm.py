@@ -1627,3 +1627,154 @@ def rgb_int_stats_by_frame_stage(
             )
 
     return df.mapInPandas(run, schema=RGB_FRAME_STATS_SCHEMA)
+
+
+# ----------------------------------------------- perceptual image near-dup
+
+DHASH_BANDS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band_0", T.LongType()),
+        T.StructField("band_1", T.LongType()),
+        T.StructField("band_2", T.LongType()),
+        T.StructField("band_3", T.LongType()),
+    ]
+)
+
+
+def rgb_perturb_stage(
+    df: DataFrame,
+    every: int = 64,
+    delta: int = 1,
+    content_col: str = "content",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic NEAR-DUPLICATE synthesis over raw-RGB8 payloads:
+    saturating ``+delta`` on every ``every``-th byte (a slight
+    brightness nudge on a sparse pixel subset — the kind of
+    re-encode/watermark drift perceptual dedup must survive). Purely
+    byte-positional, so an oracle can re-derive the perturbed pixels
+    from the payload DEFINITION with one CASE."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf[content_col]:
+                buf = np.frombuffer(bytes(p), np.uint8).copy()
+                idx = np.arange(0, len(buf), every)
+                buf[idx] = np.minimum(buf[idx].astype(np.int32) + delta, 255).astype(
+                    np.uint8
+                )
+                out.append(buf.tobytes())
+            pdf = pdf.copy()
+            pdf[content_col] = out
+            yield pdf
+
+    return df.mapInPandas(run, schema=df.schema)
+
+
+def dhash_bands_stage(
+    df: DataFrame, content_col: str = "content", key_col: str = "doc_id"
+) -> DataFrame:
+    """Integer dHash perceptual fingerprint over raw-RGB8 payloads,
+    emitted as FOUR 16-bit band integers (the Hamming-LSH keys; their
+    concatenation is the classic 64-bit dHash — never materialized as
+    one int64, so no sign-bit headaches on any engine).
+
+    Definition (all integer, hence oracle-expressible): per-pixel luma
+    = 77·R + 150·G + 29·B; the image partitions into an 8×8 grid of
+    (h/8 × w/8) blocks whose luma SUMS g[r][c] stand in for the resized
+    grayscale (comparisons on sums == comparisons on means); bit(r,c)
+    = 1 iff g[r][c] > g[r][(c+1) % 8] (row-wise difference hash with
+    wraparound); band_i packs rows 2i and 2i+1 as
+    Σ bit(r,c) · 2^((r%2)·8 + c). Width/height must be multiples of 8.
+
+    Scale shape: one narrow mapInPandas (no shuffle); the 64-bit
+    fingerprint replaces the image for all downstream dedup."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, bands = [], ([], [], [], [])
+            for did, p, w, h in zip(
+                pdf[key_col], pdf[content_col], pdf["width"], pdf["height"]
+            ):
+                w, h = int(w), int(h)
+                if w % 8 or h % 8:
+                    raise ValueError(f"dhash_bands_stage: {w}x{h} not /8")
+                img = rawrgb_decode(p, w, h).astype(np.int64)
+                luma = 77 * img[:, :, 0] + 150 * img[:, :, 1] + 29 * img[:, :, 2]
+                g = luma.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
+                bits = (g > np.roll(g, -1, axis=1)).astype(np.int64)
+                weights = 1 << np.arange(8, dtype=np.int64)
+                rowvals = (bits * weights).sum(axis=1)  # 8 row bytes
+                keys.append(int(did))
+                for i in range(4):
+                    bands[i].append(int(rowvals[2 * i] + (rowvals[2 * i + 1] << 8)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(keys, dtype="int64"),
+                    **{
+                        f"band_{i}": pd.Series(bands[i], dtype="int64")
+                        for i in range(4)
+                    },
+                }
+            )
+
+    return df.mapInPandas(run, schema=DHASH_BANDS_SCHEMA)
+
+
+def dhash_hamming_pairs(
+    bands: DataFrame, key_col: str = "doc_id", max_hamming: int = 6
+) -> DataFrame:
+    """Hamming-ball near-dup pairs over dHash band fingerprints via
+    band-equality LSH (the image twin of the text MinHash banding at
+    ops/text.py): two images are CANDIDATES iff any 16-bit band
+    matches exactly (a ≤3-bit-flip pair always has an intact band —
+    pigeonhole; unrelated images collide on a band with p ≈ 4·2⁻¹⁶),
+    then candidates verify exactly: hamming = Σ bit_count(xor(band_a,
+    band_b)) ≤ max_hamming. No all-pairs anywhere — the join is
+    bucketed on (band_idx, band_value), the verify runs on candidates
+    only. Returns (doc_a, doc_b, hamming), doc_a < doc_b."""
+    melted = bands.select(
+        key_col,
+        "band_0",
+        "band_1",
+        "band_2",
+        "band_3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"), F.col(f"band_{i}").alias("band_val")
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(key_col, "band_0", "band_1", "band_2", "band_3", "bb.*")
+    a, b = melted.alias("a"), melted.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
+        )
+        .select(
+            F.col(f"a.{key_col}").alias("doc_a"),
+            F.col(f"b.{key_col}").alias("doc_b"),
+            *[F.col(f"a.band_{i}").alias(f"a{i}") for i in range(4)],
+            *[F.col(f"b.band_{i}").alias(f"b{i}") for i in range(4)],
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}"))) for i in range(4)
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -3086,3 +3086,88 @@ def q_text_bpe_encode_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     wf = TX.bpe_word_freqs(d, "text")
     merges = TX.bpe_train_merges(wf, 16)
     return TX.bpe_encode(d, [(l, r) for (_, l, r, _) in merges], "text", "doc_id")
+
+
+@declare(
+    "q_mm_phash_dedup",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, sha256(text) AS bh FROM documents WHERE doc_id < 24),
+blk AS (
+  SELECT doc_id, i, sha256(bh || ':' || CAST(i AS VARCHAR)) AS hx
+  FROM d CROSS JOIN generate_series(0, 23) g(i)),
+byt AS (
+  SELECT doc_id, i * 32 + j AS p,
+         CAST(concat('0x', substr(hx, j * 2 + 1, 2)) AS BIGINT) AS b
+  FROM blk CROSS JOIN generate_series(0, 31) gj(j)),
+img AS (
+  SELECT doc_id AS id, p, b FROM byt
+  UNION ALL
+  SELECT doc_id + 100 AS id, p,
+         CASE WHEN p % 64 = 0 THEN LEAST(b + 1, 255) ELSE b END AS b
+  FROM byt),
+px AS (
+  SELECT id, p // 3 AS k,
+         SUM(CASE p % 3 WHEN 0 THEN 77 * b WHEN 1 THEN 150 * b ELSE 29 * b END) AS luma
+  FROM img GROUP BY id, p // 3),
+grid AS (
+  SELECT id, (k // 16) // 2 AS r, (k % 16) // 2 AS c, SUM(luma) AS g
+  FROM px GROUP BY id, (k // 16) // 2, (k % 16) // 2),
+bits AS (
+  SELECT a.id, a.r, a.c, CASE WHEN a.g > n.g THEN 1 ELSE 0 END AS bit
+  FROM grid a JOIN grid n ON n.id = a.id AND n.r = a.r AND n.c = (a.c + 1) % 8),
+bands AS (
+  SELECT id, r // 2 AS band_idx,
+         SUM(bit * (CAST(1 AS BIGINT) << ((r % 2) * 8 + c))) AS band_val
+  FROM bits GROUP BY id, r // 2),
+fp AS (
+  SELECT id,
+         SUM(CASE WHEN band_idx = 0 THEN band_val ELSE 0 END) AS b0,
+         SUM(CASE WHEN band_idx = 1 THEN band_val ELSE 0 END) AS b1,
+         SUM(CASE WHEN band_idx = 2 THEN band_val ELSE 0 END) AS b2,
+         SUM(CASE WHEN band_idx = 3 THEN band_val ELSE 0 END) AS b3
+  FROM bands GROUP BY id),
+pairs AS (
+  SELECT a.id AS doc_a, b.id AS doc_b,
+         CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT)
+           AS hamming
+  FROM fp a JOIN fp b
+    ON a.id < b.id
+   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 6
+""",
+    tags=("mm", "dedup"),
+)
+def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup (r11 verdict item 2): deterministic
+    base images (24, sha256-counter pixels) → REAL PNG encode → REAL
+    decode → planted near-duplicates (ops.mm.rgb_perturb_stage:
+    saturating +1 on every 64th byte — a slight brightness nudge on 12
+    of 256 pixels, id = base + 100) → integer dHash fingerprints as
+    four 16-bit bands (ops.mm.dhash_bands_stage: block-luma-sum
+    comparisons, wraparound row differences) → Hamming-ball pairs via
+    band-equality LSH + exact bit_count verify
+    (ops.mm.dhash_hamming_pairs, the image twin of the text MinHash
+    banding). The oracle re-derives pixels, perturbation, grid, bands,
+    and Hamming pairs from the payload DEFINITION alone — a hash match
+    certifies codec, fingerprint, and LSH end-to-end in pure int64.
+
+    Scale shape: fingerprinting is a narrow map (the 8-byte hash
+    replaces the image); candidates come from a bucketed
+    (band_idx, band_val) self-join — never all-pairs; verify touches
+    candidates only. The oracle's OR-join is oracle-side convenience,
+    not the Spark plan."""
+    from pipetree_spark.ops import mm as MM
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 24)
+        .select("doc_id", "text")
+    )
+    base = MM.png_decode_stage(MM.make_png_payload(d, width=16, height=16))
+    variants = MM.rgb_perturb_stage(
+        base.withColumn("doc_id", F.col("doc_id") + 100), every=64, delta=1
+    )
+    bands = MM.dhash_bands_stage(base.unionByName(variants))
+    return MM.dhash_hamming_pairs(bands, max_hamming=6)

@@ -2570,3 +2570,46 @@ def test_bpe_train_matches_pure_python_reference(spark):
         )
         got = [tuple(r) for r in TXO.bpe_train(sdf, "text", n_merges=5).orderBy("rank").collect()]
         assert got == expect, f"{docs}: {got} != {expect}"
+
+
+def test_phash_dedup_finds_planted_near_dups_and_nothing_else(spark):
+    """r12 perceptual image near-dup: every planted perturbed variant
+    (saturating +1 on every 64th byte, id = base + 100) must pair with
+    its base within Hamming ≤ 6, and no cross-image pair may appear —
+    unrelated sha256-counter images differ by ~32 bits and share no
+    16-bit band."""
+    from pipetree_spark.ops import mm as MM
+    from pyspark.sql import functions as F
+
+    d = spark.createDataFrame(
+        [(i, f"phash-test-doc-{i}") for i in range(12)], "doc_id long, text string"
+    )
+    base = MM.png_decode_stage(MM.make_png_payload(d, width=16, height=16))
+    variants = MM.rgb_perturb_stage(
+        base.withColumn("doc_id", F.col("doc_id") + 100), every=64, delta=1
+    )
+    bands = MM.dhash_bands_stage(base.unionByName(variants))
+    pairs = MM.dhash_hamming_pairs(bands, max_hamming=6).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+    assert set(got) == {(i, i + 100) for i in range(12)}, got
+    assert all(h <= 6 for h in got.values())
+    # identical inputs hash identically: hamming 0 dominates (the +1
+    # nudge flips a block comparison only on near-tie sums)
+    assert sum(1 for h in got.values() if h == 0) >= 8, got
+
+
+def test_dhash_bands_identical_images_collide_exactly(spark):
+    """Byte-identical images produce identical band fingerprints
+    (hamming 0) regardless of partitioning."""
+    from pipetree_spark.ops import mm as MM
+
+    d = spark.createDataFrame(
+        [(0, "same-text"), (7, "same-text")], "doc_id long, text string"
+    ).repartition(2)
+    bands = MM.dhash_bands_stage(
+        MM.png_decode_stage(MM.make_png_payload(d, width=16, height=16))
+    )
+    rows = {r.doc_id: (r.band_0, r.band_1, r.band_2, r.band_3) for r in bands.collect()}
+    assert rows[0] == rows[7]
+    pairs = MM.dhash_hamming_pairs(bands, max_hamming=0).collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in pairs] == [(0, 7, 0)]
