@@ -1424,3 +1424,112 @@ def bpe_encode(
     return df.select(key_col, text_col).mapInPandas(
         encode_batches, f"{key_col} long, n_words long, n_bpe_tokens long"
     )
+
+
+# ------------------------------------------- substring-level exact dedup
+
+def dup_span_islands(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+    sep: str = BPE_SEP,
+) -> DataFrame:
+    """Substring-level exact duplication spans (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" shape,
+    re-expressed for fixed minimum span length): every k-token window
+    that occurs ≥ min_count times ANYWHERE in the corpus (across or
+    within docs) marks its token interval as duplicated; per doc, the
+    overlapping-or-adjacent intervals merge into MAXIMAL spans
+    (gaps-and-islands over a running max of interval ends).
+
+    Returns (key, span_start, span_end) — token offsets, inclusive, over
+    the doc's non-empty whitespace tokens. Any corpus-repeated span of
+    length ≥ k is found in full (it is a union of repeated k-grams);
+    spans shorter than k are invisible by construction — k IS the
+    minimum match length, exactly the suffix-array threshold parameter.
+
+    Scale shape: token/gram formation is per-doc windows (shuffle on
+    key); the duplicated-gram set comes from one map-side-combined
+    groupBy on the gram; the mark-back join shuffles on the gram string
+    (content-bounded, k words); island merging is another per-doc
+    window. No all-pairs, no driver state — the 100 TB plan is three
+    keyed shuffles. A production variant can pre-hash grams to int64
+    (xxhash64) to shrink the shuffle; the certified form keeps exact
+    strings so collisions are impossible."""
+    wk = Window.partitionBy(key_col).orderBy("pos")
+    toks = (
+        df.select(F.col(key_col), F.posexplode(tokens(text_col)).alias("pos", "word"))
+        .where(F.length("word") > 0)
+        .withColumn("rn", F.row_number().over(wk) - 1)
+    )
+    wr = Window.partitionBy(key_col).orderBy("rn")
+    gram_cols = [F.col("word")] + [F.lead("word", i).over(wr) for i in range(1, k)]
+    grams = (
+        toks.select(
+            key_col,
+            F.col("rn").alias("s"),
+            F.concat_ws(sep, *gram_cols).alias("gram"),
+            F.lead("word", k - 1).over(wr).alias("__full"),
+        )
+        .where(F.col("__full").isNotNull())
+        .drop("__full")
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("__n"))
+        .where(F.col("__n") >= min_count)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram").select(
+        key_col, "s", (F.col("s") + k - 1).alias("e")
+    )
+    ws = Window.partitionBy(key_col).orderBy("s")
+    marked = hits.withColumn(
+        "__prev_end", F.max("e").over(ws.rowsBetween(Window.unboundedPreceding, -1))
+    ).withColumn(
+        "__new",
+        F.when(
+            F.col("__prev_end").isNull() | (F.col("s") > F.col("__prev_end") + 1), 1
+        ).otherwise(0),
+    ).withColumn(
+        "__island", F.sum("__new").over(ws.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        marked.groupBy(key_col, "__island")
+        .agg(F.min("s").alias("span_start"), F.max("e").alias("span_end"))
+        .select(key_col, "span_start", "span_end")
+    )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-doc substring-duplication report over :func:`dup_span_islands`:
+    (key, n_tokens, n_dup_spans, n_dup_tokens, max_span_len), zeros for
+    clean docs — the audit a curation pipeline runs before deciding to
+    strip (all-int64, no float policy)."""
+    spans = dup_span_islands(df, text_col, key_col, k=k, min_count=min_count)
+    per_doc = spans.groupBy(key_col).agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("n_dup_tokens"),
+        F.max(F.col("span_end") - F.col("span_start") + 1).alias("max_span_len"),
+    )
+    totals = (
+        df.select(F.col(key_col), F.explode(tokens(text_col)).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy(key_col)
+        .agg(F.count("*").alias("n_tokens"))
+    )
+    return totals.join(per_doc, key_col, "left").select(
+        key_col,
+        "n_tokens",
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+        F.coalesce("max_span_len", F.lit(0)).cast("long").alias("max_span_len"),
+    )

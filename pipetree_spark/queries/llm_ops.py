@@ -3171,3 +3171,66 @@ def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bands = MM.dhash_bands_stage(base.unionByName(variants))
     return MM.dhash_hamming_pairs(bands, max_hamming=6)
+
+
+@declare(
+    "q_dedup_substring",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(range(len(a))) AS rn, unnest(a) AS word
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> length(w) > 0) AS a
+        FROM documents)),
+grams AS (
+  SELECT doc_id, rn AS s,
+         string_agg(word, chr(31)) OVER (PARTITION BY doc_id ORDER BY rn
+           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS gram,
+         count(*) OVER (PARTITION BY doc_id ORDER BY rn
+           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS n
+  FROM toks QUALIFY n = 8),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+hits AS (
+  SELECT doc_id, s, s + 7 AS e FROM grams JOIN dup USING (gram)),
+marked AS (
+  SELECT doc_id, s, e,
+         MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM hits),
+isl AS (
+  SELECT doc_id, s, e,
+         SUM(CASE WHEN prev_end IS NULL OR s > prev_end + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked),
+spans AS (
+  SELECT doc_id, island, MIN(s) AS span_start, MAX(e) AS span_end
+  FROM isl GROUP BY doc_id, island),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_dup_spans,
+         SUM(span_end - span_start + 1) AS n_dup_tokens,
+         MAX(span_end - span_start + 1) AS max_span_len
+  FROM spans GROUP BY doc_id),
+totals AS (SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(COALESCE(p.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+       CAST(COALESCE(p.max_span_len, 0) AS BIGINT) AS max_span_len
+FROM totals t LEFT JOIN per_doc p USING (doc_id)
+""",
+    tags=("text", "dedup"),
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-level exact dedup audit (r11 verdict item 3; the Lee
+    et al. 2022 span-dedup shape at fixed minimum match length k=8):
+    every 8-token window repeated ≥2 times anywhere in the corpus marks
+    its interval, per-doc intervals merge into maximal spans
+    (gaps-and-islands over a running-max window), and the report is
+    (doc_id, n_tokens, n_dup_spans, n_dup_tokens, max_span_len) with
+    zeros for clean docs (ops.text.dup_span_islands / dup_span_stats).
+    Any repeated span of ≥ k tokens is recovered in full as a union of
+    repeated k-grams — k is exactly the suffix-array length threshold.
+    All-int64; the oracle replays tokenization, gram windows, the
+    duplicate set, island merging, and the zero-filled join."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.dup_span_stats(d, "text", "doc_id", k=8, min_count=2)

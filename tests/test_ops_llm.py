@@ -2613,3 +2613,47 @@ def test_dhash_bands_identical_images_collide_exactly(spark):
     assert rows[0] == rows[7]
     pairs = MM.dhash_hamming_pairs(bands, max_hamming=0).collect()
     assert [(r.doc_a, r.doc_b, r.hamming) for r in pairs] == [(0, 7, 0)]
+
+
+def test_dup_span_islands_finds_planted_cross_doc_span(spark):
+    """r12 substring dedup: a 12-token span planted in two docs (at
+    different offsets, different surroundings) is recovered in FULL as
+    one maximal island in each doc; unique text yields no spans; two
+    overlapping planted repeats merge into one span."""
+    from pipetree_spark.ops import text as TXO
+
+    span = "s0 s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11"  # 12 tokens
+    docs = [
+        (0, "u0 u1 u2 " + span + " t0 t1"),          # span at tokens 3..14
+        (1, span + " v0 v1 v2 v3"),                   # span at tokens 0..11
+        (2, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"),        # clean
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = {
+        (r.doc_id): (r.span_start, r.span_end)
+        for r in TXO.dup_span_islands(d, k=8).collect()
+    }
+    assert spans == {0: (3, 14), 1: (0, 11)}, spans
+
+    stats = {r.doc_id: tuple(r)[1:] for r in TXO.dup_span_stats(d, k=8).collect()}
+    # (n_tokens, n_dup_spans, n_dup_tokens, max_span_len)
+    assert stats[0] == (17, 1, 12, 12)
+    assert stats[1] == (16, 1, 12, 12)
+    assert stats[2] == (10, 0, 0, 0)
+
+
+def test_dup_span_islands_within_doc_and_adjacent_merge(spark):
+    """Within-doc repetition counts (min_count is corpus-wide), and
+    adjacent/overlapping duplicated windows merge into one island."""
+    from pipetree_spark.ops import text as TXO
+
+    rep = "r0 r1 r2 r3 r4 r5 r6 r7"  # exactly k=8 tokens
+    d = spark.createDataFrame(
+        [(0, rep + " x0 x1 " + rep)], "doc_id long, text string"
+    )
+    got = [
+        (r.span_start, r.span_end)
+        for r in TXO.dup_span_islands(d, k=8).orderBy("span_start").collect()
+    ]
+    # two copies at 0..7 and 10..17, separated by x0 x1 → two islands
+    assert got == [(0, 7), (10, 17)], got
