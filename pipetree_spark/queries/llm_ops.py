@@ -3234,3 +3234,88 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate set, island merging, and the zero-filled join."""
     d = load_table(spark, sf_dir, "documents")
     return TX.dup_span_stats(d, "text", "doc_id", k=8, min_count=2)
+
+
+@declare(
+    "q_text_extract_html",
+    oracle=r"""
+WITH src AS (
+  SELECT doc_id,
+         '<html><head><title>' || substr(text, 1, 10) ||
+         '</title><style>p { margin:0 }</style><script>var x = 1 < 2;</script></head><body><div id=nav><a href=/>Home</a> <a href=/a>About</a> <a href=/c>Contact</a></div><p>' ||
+         substr(text, 1, 120) || ' &amp; tail</p><div>See <a href=/x>' ||
+         substr(text, 1, 15) || '</a> ' || substr(text, 121) ||
+         '</div><div id=footer><a href=/t>Terms</a> <a href=/p>Privacy</a></div></body></html>'
+           AS html
+  FROM documents WHERE doc_id < 200),
+stripped AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(html,
+           '(?is)<head[^>]*>.*?</head>', ' ', 'g'),
+           '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+           '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS c
+  FROM src),
+per AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(
+             string_split_regex(c, '(?i)</(?:p|div|li)>'),
+             b -> {'txt': trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')),
+                   'lc': coalesce(list_sum(list_transform(
+                           regexp_extract_all(b, '(?is)<a\s[^>]*>(.*?)</a>', 1),
+                           x -> length(trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))))), 0)}),
+           s -> length(s.txt) > 0) AS nonempty
+  FROM stripped),
+k AS (
+  SELECT doc_id, nonempty,
+         list_filter(nonempty, s -> s.lc * 2 <= length(s.txt)) AS kept
+  FROM per)
+SELECT doc_id,
+       trim(regexp_replace(
+         replace(replace(replace(replace(replace(replace(
+           array_to_string(list_transform(kept, s -> s.txt), ' '),
+           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           chr(38) || '#39;', chr(39)), '&amp;', '&'),
+         '\s+', ' ', 'g')) AS extracted,
+       CAST(len(nonempty) AS BIGINT) AS n_blocks,
+       CAST(len(kept) AS BIGINT) AS n_kept_blocks,
+       CAST(coalesce(list_sum(list_transform(nonempty, s -> s.lc)), 0) AS BIGINT) AS link_chars,
+       CAST(coalesce(list_sum(list_transform(nonempty, s -> length(s.txt))), 0) AS BIGINT) AS text_chars
+FROM k
+
+""",
+    tags=("text",),
+)
+def q_text_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate extraction (r11 verdict item 4): a
+    deterministic HTML corpus is synthesized from each doc's text in
+    BOTH engines (title + style + script + a pure-link nav div + a
+    content paragraph with an entity + a mixed link/text div + a
+    pure-link footer), then ops.text.html_extract_stage strips
+    head/script/style, splits into blocks at block-tag closers, drops
+    high-link-density blocks via the integer rule 2*link_chars <=
+    text_chars, joins the survivors, and decodes entities. The oracle
+    replays synthesis AND extraction with RE2 regexes (the op sticks
+    to the Java-RE2 common subset: no backreferences, inline (?is)
+    only); extracted text + four int64 block metrics hash-certify tag
+    stripping, block segmentation, anchor accounting, the keep rule,
+    and entity decoding end-to-end. Narrow per-row HOF exprs -- NO
+    shuffle, the clean_text scale shape."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    html = F.concat(
+        F.lit("<html><head><title>"),
+        F.substring("text", 1, 10),
+        F.lit("</title><style>p { margin:0 }</style>"
+              "<script>var x = 1 < 2;</script></head><body>"
+              "<div id=nav><a href=/>Home</a> <a href=/a>About</a> "
+              "<a href=/c>Contact</a></div><p>"),
+        F.substring("text", 1, 120),
+        F.lit(" &amp; tail</p><div>See <a href=/x>"),
+        F.substring("text", 1, 15),
+        F.lit("</a> "),
+        F.expr("substring(text, 121)"),
+        F.lit("</div><div id=footer><a href=/t>Terms</a> "
+              "<a href=/p>Privacy</a></div></body></html>"),
+    )
+    src = d.select("doc_id", html.alias("html"))
+    return TX.html_extract_stage(src, "html", "doc_id")

@@ -2657,3 +2657,40 @@ def test_dup_span_islands_within_doc_and_adjacent_merge(spark):
     ]
     # two copies at 0..7 and 10..17, separated by x0 x1 → two islands
     assert got == [(0, 7), (10, 17)], got
+
+
+def test_html_extract_drops_boilerplate_keeps_content(spark):
+    """r12 HTML extraction: nav/footer (pure links) drop, content
+    paragraphs keep, script/style/head vanish, entities decode, and
+    a mixed block keeps iff 2*link_chars <= text_chars."""
+    from pipetree_spark.ops import text as TXO
+    from pyspark.sql import functions as F
+
+    html = (
+        "<html><head><title>Ignore Me</title>"
+        "<style>p{color:red}</style><script>if(1<2){alert('</p>')}</script></head>"
+        "<body><div id=nav><a href=/>Home</a> <a href=/x>About us now</a></div>"
+        "<p>The quick brown fox &amp; the lazy dog jumped over.</p>"
+        "<div>Read <a href=/m>more</a> about foxes and dogs here today.</div>"
+        "<div><a href=/t>Terms of service</a> ok</div>"
+        "</body></html>"
+    )
+    d = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    r = TXO.html_extract_stage(d, "html", "doc_id").collect()[0]
+    # nav: text 'Home About us now' (17) vs links 17 -> 34 > 17 dropped
+    # p: no links -> kept;  mixed div: links 4, text 40 -> kept
+    # terms div: text 'Terms of service ok' (19), links 16 -> 32 > 19 dropped
+    assert r.extracted == (
+        "The quick brown fox & the lazy dog jumped over. "
+        "Read more about foxes and dogs here today."
+    ), r.extracted
+    assert r.n_blocks == 4 and r.n_kept_blocks == 2, (r.n_blocks, r.n_kept_blocks)
+    assert "alert" not in r.extracted and "Ignore" not in r.extracted
+
+    # degenerate: empty html and tag-only html produce zero blocks
+    d2 = spark.createDataFrame(
+        [(1, ""), (2, "<div></div><p></p>")], "doc_id long, html string"
+    )
+    rows = {x.doc_id: x for x in TXO.html_extract_stage(d2, "html", "doc_id").collect()}
+    assert rows[1].extracted == "" and rows[1].n_blocks == 0
+    assert rows[2].extracted == "" and rows[2].n_blocks == 0
