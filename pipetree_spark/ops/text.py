@@ -1620,3 +1620,185 @@ def html_extract_stage(
         ),
     )
     return out
+
+
+# ------------------------------------------- unigram-LM tokenizer trainer
+
+def _unigram_best_seg(
+    word: str, probs: dict[str, float], max_piece_len: int, sep: str
+) -> str:
+    """Best segmentation of ``word`` under piece probabilities: maximum
+    LEFT-TO-RIGHT probability product, ties broken by ascending
+    segmentation string — the exact rule the SQL oracle's recursive
+    path enumeration applies, so scores stay bit-comparable (products
+    of count/total doubles; no transcendental anywhere). Returns the
+    sep-joined piece list (leading sep, the oracle's format)."""
+    # BFS over (pos, score, segstr) — small words, tetranacci(n) paths
+    states = [(0, 1.0, "")]
+    finals: list[tuple[float, str]] = []
+    n = len(word)
+    while states:
+        nxt = []
+        for pos, score, seg in states:
+            if pos == n:
+                finals.append((score, seg))
+                continue
+            for ln in range(1, min(max_piece_len, n - pos) + 1):
+                piece = word[pos : pos + ln]
+                p = probs.get(piece)
+                if p is not None:
+                    nxt.append((pos + ln, score * p, seg + sep + piece))
+        states = nxt
+    best = min(finals, key=lambda c: (-c[0], c[1]))
+    return best[1]
+
+
+def unigram_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_rounds: int = 2,
+    top_k: int = 48,
+    max_piece_len: int = 4,
+    max_word_len: int = 12,
+    sep: str = BPE_SEP,
+) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training, hard-EM /
+    Viterbi variant (r11 verdict item 5 — the EM twin of
+    :func:`bpe_train_scale`), in fully exact arithmetic:
+
+    * SEED: every ≤ max_piece_len substring of the vocab words, counted
+      by freq-weighted occurrence; keep the top_k by (count DESC, piece
+      ASC) plus ALL single characters (coverage guarantee — every word
+      always has at least one segmentation). Initial probabilities are
+      exact int/int doubles count/Σcount.
+    * EM round: E-step segments each vocab word by maximum probability
+      product (left-to-right multiplication order, ties by ascending
+      sep-joined segmentation string) and accumulates freq-weighted
+      piece usage; M-step re-estimates prob = (used + 1) / Σ(used + 1)
+      (Laplace keeps unused pieces alive, mirroring SentencePiece's
+      smoothing role). Fixed n_rounds, like the reference's fixed EM
+      schedule.
+
+    Words longer than max_word_len are excluded on both engines (the
+    documented long-tail cutoff; corpus max is 8). Scale shape: the
+    corpus → (word, freq) collapse is the ONLY corpus-sized pass
+    (distributed, map-side combined); seeding, EM, and the piece table
+    are all vocab-bound state — the same driver-side-trainer design the
+    r11 verdict sanctioned for BPE. At production vocab the E-step
+    shards trivially (broadcast probs, mapInPandas over words).
+
+    Returns (piece, n_used, prob): final-round raw usage (int64) and
+    the final M-step probability (exact count/total double — the SQL
+    oracle reproduces it bit-for-bit)."""
+    rows = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .where(
+            (F.length("word") > 0)
+            & (F.length("word") <= max_word_len)
+            & (~F.col("word").contains(sep))
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .collect()
+    )
+    wf = {r["word"]: r["freq"] for r in rows}
+
+    seed: dict[str, int] = {}
+    for w, f in wf.items():
+        for st in range(len(w)):
+            for ln in range(1, min(max_piece_len, len(w) - st) + 1):
+                piece = w[st : st + ln]
+                seed[piece] = seed.get(piece, 0) + f
+    ranked = sorted(seed.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+    sel = dict(ranked)
+    for piece, cnt in seed.items():
+        if len(piece) == 1:
+            sel[piece] = cnt
+    total0 = sum(sel.values())
+    probs = {p: c / total0 for p, c in sel.items()}
+
+    used: dict[str, int] = {}
+    for _ in range(n_rounds):
+        used = {p: 0 for p in sel}
+        for w, f in wf.items():
+            seg = _unigram_best_seg(w, probs, max_piece_len, sep)
+            for piece in seg[1:].split(sep) if seg else []:
+                used[piece] += f
+        total = sum(used[p] + 1 for p in sel)
+        probs = {p: (used[p] + 1) / total for p in sel}
+
+    out = [(p, used.get(p, 0), probs[p]) for p in sorted(sel)]
+    return df.sparkSession.createDataFrame(
+        out, "piece string, n_used long, prob double"
+    )
+
+
+def unigram_train_sql(
+    n_rounds: int = 2,
+    top_k: int = 48,
+    max_piece_len: int = 4,
+    max_word_len: int = 12,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`unigram_train`, generated from the same
+    constants so the engines cannot drift on round count or caps: the
+    EM rounds unroll as a WITH RECURSIVE chain whose per-round
+    recursive CTE enumerates every segmentation path (left-to-right
+    score products, the same tie-break), QUALIFY-picks the best per
+    word, and re-estimates Laplace probabilities."""
+    s = "chr(31)"
+    parts = [f"""
+WITH RECURSIVE words AS MATERIALIZED (
+  SELECT word, COUNT(*) AS freq
+  FROM (SELECT unnest(string_split({text_col}, ' ')) AS word FROM {table}) t
+  WHERE length(word) > 0 AND length(word) <= {max_word_len}
+    AND NOT contains(word, {s})
+  GROUP BY word),
+seed AS MATERIALIZED (
+  SELECT substr(word, st + 1, ln) AS piece, SUM(freq) AS cnt
+  FROM words
+  CROSS JOIN generate_series(0, {max_word_len - 1}) g_st(st)
+  CROSS JOIN generate_series(1, {max_piece_len}) g_ln(ln)
+  WHERE st + ln <= length(word)
+  GROUP BY 1),
+ranked AS (SELECT piece, cnt FROM seed ORDER BY cnt DESC, piece ASC LIMIT {top_k}),
+sel AS MATERIALIZED (
+  SELECT DISTINCT piece, cnt FROM (
+    SELECT * FROM ranked
+    UNION ALL
+    SELECT piece, cnt FROM seed WHERE length(piece) = 1)),
+probs0 AS MATERIALIZED (
+  SELECT piece, CAST(cnt AS DOUBLE) / t.total AS prob
+  FROM sel CROSS JOIN (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM sel) t)"""]
+    for r in range(1, n_rounds + 1):
+        parts.append(f""",
+segs{r} AS (
+  SELECT word, freq, 0 AS pos, CAST(1.0 AS DOUBLE) AS score,
+         CAST('' AS VARCHAR) AS segstr
+  FROM words
+  UNION ALL
+  SELECT sg.word, sg.freq, sg.pos + length(p.piece), sg.score * p.prob,
+         sg.segstr || {s} || p.piece
+  FROM segs{r} sg JOIN probs{r - 1} p
+    ON sg.pos + length(p.piece) <= length(sg.word)
+   AND p.piece = substr(sg.word, sg.pos + 1, length(p.piece))),
+best{r} AS MATERIALIZED (
+  SELECT word, freq, segstr FROM segs{r} WHERE pos = length(word)
+  QUALIFY row_number() OVER (PARTITION BY word
+                             ORDER BY score DESC, segstr ASC) = 1),
+usage{r} AS MATERIALIZED (
+  SELECT piece, SUM(freq) AS used FROM (
+    SELECT freq, unnest(string_split(substr(segstr, 2), {s})) AS piece
+    FROM best{r}) u GROUP BY piece),
+probs{r} AS MATERIALIZED (
+  SELECT sel.piece,
+         COALESCE(u.used, 0) AS used,
+         CAST(COALESCE(u.used, 0) + 1 AS DOUBLE) / t.total AS prob
+  FROM sel LEFT JOIN usage{r} u USING (piece)
+  CROSS JOIN (SELECT CAST(SUM(COALESCE(u2.used, 0) + 1) AS DOUBLE) AS total
+              FROM sel LEFT JOIN usage{r} u2 USING (piece)) t)""")
+    parts.append(f"""
+SELECT piece, CAST(used AS BIGINT) AS n_used, prob
+FROM probs{n_rounds}""")
+    return "".join(parts)

@@ -3319,3 +3319,25 @@ def q_text_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = d.select("doc_id", html.alias("html"))
     return TX.html_extract_stage(src, "html", "doc_id")
+
+
+@declare(
+    "q_text_unigram_train",
+    oracle=TX.unigram_train_sql(2),
+    tags=("text",),
+)
+def q_text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training, 2 hard-EM
+    rounds hash-certified (ops.text.unigram_train — r11 verdict item
+    5, the EM twin of BPE training): substring seeding with a top-48 +
+    all-single-chars piece inventory, Viterbi E-step (max left-to-right
+    probability product, ascending-segstr tie-break), Laplace M-step
+    (used+1)/Σ(used+1). Every probability is an exact int/int double
+    and every comparison is on identically-derived IEEE values, so the
+    DuckDB oracle — which re-runs seeding and both EM rounds with a
+    recursive segmentation-path CTE generated from the same constants
+    — matches bit-for-bit including the prob column. Corpus is touched
+    once (the distributed (word,freq) collapse); all EM state is
+    vocab-bound."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.unigram_train(d, "text", n_rounds=2)

@@ -2694,3 +2694,38 @@ def test_html_extract_drops_boilerplate_keeps_content(spark):
     rows = {x.doc_id: x for x in TXO.html_extract_stage(d2, "html", "doc_id").collect()}
     assert rows[1].extracted == "" and rows[1].n_blocks == 0
     assert rows[2].extracted == "" and rows[2].n_blocks == 0
+
+
+def test_unigram_train_prefers_frequent_pieces(spark):
+    """r12 unigram-LM trainer: on a corpus dominated by one 4-char
+    word, the word itself becomes a piece and wins its own Viterbi
+    segmentation (usage = its frequency); single-char coverage pieces
+    survive with zero usage; probabilities are the exact Laplace
+    ratios summing to 1 over the inventory."""
+    from pipetree_spark.ops import text as TXO
+
+    d = spark.createDataFrame(
+        [(i, "abab abab abab cd") for i in range(5)], "doc_id long, text string"
+    )
+    rows = {r.piece: (r.n_used, r.prob) for r in TXO.unigram_train(d, n_rounds=2).collect()}
+    assert rows["abab"][0] == 15          # 5 docs x 3 occurrences
+    assert rows["cd"][0] == 5
+    assert "a" in rows and "b" in rows    # coverage singles survive
+    total = sum(u + 1 for u, _ in rows.values())
+    for piece, (u, p) in rows.items():
+        assert p == (u + 1) / total, piece
+
+
+def test_unigram_best_seg_tiebreak_is_ascending_segstr():
+    """Equal-probability alternatives resolve by ascending sep-joined
+    segmentation string — the oracle's ORDER BY segstr ASC."""
+    from pipetree_spark.ops.text import _unigram_best_seg, BPE_SEP
+
+    # 'ab' -> ('ab') vs ('a','b'): give them EQUAL product scores
+    probs = {"ab": 0.25, "a": 0.5, "b": 0.5}
+    seg = _unigram_best_seg("ab", probs, 4, BPE_SEP)
+    # 0.25 == 0.5*0.5 exactly in IEEE; sep+'a'+sep+'b' < sep+'ab' since sep < 'b'
+    assert seg == BPE_SEP + "a" + BPE_SEP + "b"
+
+    probs = {"ab": 0.26, "a": 0.5, "b": 0.5}
+    assert _unigram_best_seg("ab", probs, 4, BPE_SEP) == BPE_SEP + "ab"
