@@ -33,7 +33,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
-    eager_check: bool = True,
+    check_every: int = 3,
     jump_after: int = 4,
 ) -> DataFrame:
     """Min-label connected components over an undirected edge list.
@@ -47,9 +47,18 @@ def connected_components(
     Raises ``RuntimeError`` if ``max_iter`` rounds pass while labels are
     still changing (component diameter > max_iter): silently returning
     half-propagated labels would split one real component into several.
-    With ``eager_check=False`` there is no change tracking — the caller
-    accepts fixed-round semantics and must size ``max_iter`` to the
-    graph's diameter.
+
+    Convergence checking is AMORTIZED (r12, closing the r11-verdict
+    note on the per-round driver sync): the changed-labels count — a
+    driver-blocking job, i.e. a full-cluster barrier at scale — runs
+    only every ``check_every`` rounds and always on the final round, so
+    the last check doubles as the FIXPOINT ASSERTION (the round-r
+    comparison ``component < __own`` measures exactly whether one more
+    round would change anything, independent of what earlier rounds
+    did). A graph converging in d rounds costs at most
+    ``check_every - 1`` extra cheap propagation rounds and
+    ``ceil(d / check_every)`` syncs instead of d. ``check_every=1``
+    reproduces the old per-round behavior.
 
     Per-round cost (r6 rewrite — was the slowest op in the suite at
     11.6 s sf0.1): ONE shuffle job per round. The old label rides the
@@ -85,7 +94,7 @@ def connected_components(
     labels = sym.select("u").distinct().withColumn("component", F.col("u"))
     own_type = labels.schema["component"].dataType
 
-    converged = not eager_check
+    converged = False
     for it in range(max_iter):
         # candidate label for u: min over (own label, neighbors' labels).
         # Own rows carry their label in __own, neighbor rows carry null
@@ -117,18 +126,17 @@ def connected_components(
                 .select("u", F.col("__cc").alias("component"), "__own")
                 .localCheckpoint(eager=True)
             )
-        if eager_check:
+        labels = new_labels.drop("__own")
+        if (it + 1) % check_every == 0 or it == max_iter - 1:
             # runs against the materialized checkpoint — no recompute,
-            # no join: a label changed iff the new min beat the old one
+            # no join: a label changed iff the new min beat the old one.
+            # On the final round this IS the fixpoint assertion.
             changed = (
                 new_labels.filter(F.col("component") < F.col("__own")).limit(1).count()
             )
-            labels = new_labels.drop("__own")
             if changed == 0:
                 converged = True
                 break
-        else:
-            labels = new_labels.drop("__own")
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in max_iter={max_iter} rounds "

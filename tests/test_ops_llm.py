@@ -2729,3 +2729,31 @@ def test_unigram_best_seg_tiebreak_is_ascending_segstr():
 
     probs = {"ab": 0.26, "a": 0.5, "b": 0.5}
     assert _unigram_best_seg("ab", probs, 4, BPE_SEP) == BPE_SEP + "ab"
+
+
+def test_cc_amortized_check_converges_off_cycle(spark):
+    """r12: convergence checks run every check_every rounds (plus the
+    final round as the fixpoint assertion) — a graph converging
+    between checkpoints must still converge, with identical labels to
+    the per-round (check_every=1) behavior."""
+    from pipetree_spark.ops.graph import connected_components
+
+    # diameter-4 chain + a separate triangle
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (12, 10)],
+        "src long, dst long",
+    )
+    for ck in (1, 3, 4, 7):
+        got = {
+            r.node: r.component
+            for r in connected_components(edges, max_iter=25, check_every=ck).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10}, ck
+    # max_iter not a multiple of check_every: final-round assertion fires
+    import pytest as _pt
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "src long, dst long"
+    )
+    with _pt.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=4, check_every=3, jump_after=None).collect()
