@@ -1802,3 +1802,77 @@ probs{r} AS MATERIALIZED (
 SELECT piece, CAST(used AS BIGINT) AS n_used, prob
 FROM probs{n_rounds}""")
     return "".join(parts)
+
+
+# --------------------------------------------------------- BM25 scoring
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of each document for each query term — the
+    text-retrieval scorer beside TF-IDF (r11 verdict item 8):
+
+        score = ln(1 + (N - df + 0.5)/(df + 0.5))
+                · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+    with N = docs with ≥1 token, df = docs containing the term, tf =
+    in-doc term count, dl = doc token count, avgdl = Σdl/N. Emits one
+    row per (doc, term) with tf > 0 — scores are never float-summed
+    across terms, so there is no summation-order hazard; the single
+    ln() follows the certified q_text_pmi precedent (both engines'
+    libm agree after round(·, 4); the value is strictly positive but
+    the result is pin_zero'd to keep the lint's invariant audited).
+    Every other operation is an int-derived IEEE double in a pinned
+    order mirrored by the oracle.
+
+    Scale shape: one corpus pass for (doc, term, tf) + dl (the explode
+    collapses map-side), a broadcast 1-row (N, avgdl) frame, a
+    broadcast |terms|-row df frame — no shuffle wider than the token
+    explode. Returns (key, term, tf, dl, score)."""
+    from pipetree_spark.exact import pin_zero
+
+    toks = df.select(
+        F.col(key_col), F.explode(tokens(text_col)).alias("word")
+    ).where(F.length("word") > 0)
+    dl = toks.groupBy(key_col).agg(F.count("*").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).select(
+        "n_docs",
+        (F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    tset = [t for t in terms]
+    tf = (
+        toks.where(F.col("word").isin(tset))
+        .groupBy(key_col, F.col("word").alias("term"))
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(dl, key_col)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(corpus))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    denom = F.col("tf").cast("double") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    num = F.col("tf").cast("double") * F.lit(k1 + 1.0)
+    return scored.select(
+        F.col(key_col),
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("dl").cast("long").alias("dl"),
+        pin_zero(F.round(idf * (num / denom), 4)).alias("score"),
+    )

@@ -3341,3 +3341,49 @@ def q_text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-bound."""
     d = load_table(spark, sf_dir, "documents")
     return TX.unigram_train(d, "text", n_rounds=2)
+
+
+@declare(
+    "q_text_bm25",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, word
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) t
+  WHERE length(word) > 0),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM dl),
+tf AS (
+  SELECT doc_id, word AS term, COUNT(*) AS tf
+  FROM toks WHERE word IN ('table', 'spark', 'query')
+  GROUP BY doc_id, word),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id, tf.term,
+       CAST(tf.tf AS BIGINT) AS tf,
+       CAST(dl.dl AS BIGINT) AS dl,
+       round(
+         ln(1.0 + (CAST(c.n_docs - dfreq.df AS DOUBLE) + 0.5)
+                  / (CAST(dfreq.df AS DOUBLE) + 0.5))
+         * ((CAST(tf.tf AS DOUBLE) * 2.2)
+            / (CAST(tf.tf AS DOUBLE)
+               + 1.2 * (1.0 - 0.75
+                        + 0.75 * (CAST(dl.dl AS DOUBLE) / c.avgdl)))),
+         4) + 0.0 AS score
+FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN corpus c
+""",
+    tags=("text",),
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 per-(doc, term) relevance for a 3-term query over the
+    corpus (ops.text.bm25_scores; r11 verdict item 8 — the retrieval
+    scorer beside TF-IDF). k1=1.2, b=0.75 (1.2+1.0 == 2.2 exactly in
+    IEEE, so both engines parse the same numerator constant); tf/dl/df/
+    N are exact ints, avgdl and every factor an int-derived double in
+    an operation order the oracle mirrors token for token; one ln()
+    under round(·,4) (the q_text_pmi precedent) with the pin_zero/+0.0
+    twin. One row per (doc, term) — scores never float-sum across
+    terms, so no summation-order hazard anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.bm25_scores(d, ["table", "spark", "query"], "text", "doc_id")

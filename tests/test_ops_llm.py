@@ -2757,3 +2757,31 @@ def test_cc_amortized_check_converges_off_cycle(spark):
     )
     with _pt.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=4, check_every=3, jump_after=None).collect()
+
+
+def test_bm25_monotonicity_and_hand_value(spark):
+    """BM25 sanity on a tiny corpus: rarer terms out-score common ones
+    at equal tf/dl; higher tf raises the score; hand-computed value
+    matches to the rounded digit."""
+    import math
+
+    from pipetree_spark.ops import text as TXO
+
+    docs = [
+        (0, "rare common common extra pad"),
+        (1, "common common common common pad"),
+        (2, "common pad pad pad pad"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {
+        (r.doc_id, r.term): r
+        for r in TXO.bm25_scores(d, ["rare", "common"]).collect()
+    }
+    # all docs have dl=5, avgdl=5 -> length factor is exactly 1
+    # rare: df=1, N=3; common: df=3
+    idf_rare = math.log(1.0 + (3 - 1 + 0.5) / 1.5)
+    score_rare = round(idf_rare * ((1 * 2.2) / (1 + 1.2 * (1.0 - 0.75 + 0.75 * 1.0))), 4)
+    assert rows[(0, "rare")].score == score_rare
+    assert rows[(0, "rare")].score > rows[(0, "common")].score  # rarity wins
+    assert rows[(1, "common")].score > rows[(2, "common")].score  # tf wins
+    assert rows[(1, "common")].tf == 4 and rows[(1, "common")].dl == 5

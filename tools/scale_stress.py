@@ -56,6 +56,7 @@ QUERIES = [
     "q_dedup_cc",          # r5: iterative min-label propagation (graph op)
     "q_vec_cosine_knn",    # brute-force kNN (broadcast query side)
     "q_text_tfidf",        # explode + two shuffles + window
+    "q_text_bm25",         # r12: explode + tf groupBy + broadcast df/corpus
     "q_tpch_q5",           # six-way join
     "q_vec_kmeans_port",   # portable Lloyd (r3): broadcast centroids + dim shuffle
     "q_vec_pca_port",      # portable power iteration (r3): narrow dot + dim shuffle
