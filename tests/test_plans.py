@@ -541,3 +541,44 @@ def test_negzero_lint_catches_planted_emitter(tmp_path):
         assert errs == []
     finally:
         sys.path.remove(str(tools))
+
+
+def test_negzero_lint_string_channel(tmp_path):
+    """r12 (r11-advice fix): round() inside F.expr/selectExpr/spark.sql
+    STRING literals is linted too — integral casts and the '+ 0.0' twin
+    pass, a bare signable round() fails."""
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(root / "tools"))
+    try:
+        import negzero_lint
+    finally:
+        sys.path.pop(0)
+
+    errs: list[str] = []
+    negzero_lint._scan_sql_literal("round(x - y, 2) AS z", "f.py", 1, "q", errs)
+    assert len(errs) == 1 and "STRING" in errs[0]
+    ok: list[str] = []
+    for s in (
+        "CAST(round(value * 100) AS BIGINT)",
+        "round(a / b, 4) + 0.0 AS s",
+        "round(n, 2)::bigint",
+        "no rounds here",
+    ):
+        negzero_lint._scan_sql_literal(s, "f.py", 1, "q", ok)
+    assert ok == [], ok
+
+    # end-to-end: a file using F.expr with a bare round() fails lint_file
+    bad = root / "pipetree_spark" / "__lint_probe__.py"
+    bad.write_text(
+        "from pyspark.sql import functions as F\n"
+        "def q():\n"
+        "    return F.expr('round(a - b, 2) as s')\n"
+    )
+    try:
+        errs2, _ = negzero_lint.lint_file(bad)
+        assert any("STRING" in e for e in errs2), errs2
+    finally:
+        bad.unlink()

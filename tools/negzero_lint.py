@@ -22,11 +22,22 @@ Allowlist keys are ``(relpath, qualname-of-enclosing-def, arg-sketch)``
 rather than line numbers so unrelated edits don't silently orphan or
 misattach a waiver. Run: ``python tools/negzero_lint.py`` — exit 0 iff
 clean. Wired into tests/test_plans.py so pytest is the gate.
+
+The STRING channel is covered too (r11-advice fix): every string
+literal passed to ``F.expr`` / ``selectExpr`` / ``spark.sql`` (including
+f-string fragments) is scanned for ``round(`` occurrences; each must be
+followed, after its matching close paren, by an integral ``AS <type>``
+cast, a ``::<int type>`` cast, or the ``+ 0.0`` pin twin. Out of scope,
+by documented construction: SQL assembled OUTSIDE the call expression
+(e.g. a variable built elsewhere and passed by name) — keep round()
+edges inline in the expr/sql call or route them through F.round so a
+lint channel sees them.
 """
 
 from __future__ import annotations
 
 import ast
+import re
 import sys
 from pathlib import Path
 
@@ -183,7 +194,46 @@ def _cast_target_is_integral(call: ast.Call) -> bool:
     return False
 
 
-def lint_file(path: Path) -> list[str]:
+_EXPR_FUNCS = ("expr", "selectExpr", "sql")
+_INT_SQL_TYPES = r"(?:bigint|integer|int|long|smallint|tinyint|byte|decimal)"
+_SAFE_TAILS = (
+    re.compile(r"\s*as\s+" + _INT_SQL_TYPES, re.I),   # CAST(round(x) AS BIGINT)
+    re.compile(r"\s*::\s*" + _INT_SQL_TYPES, re.I),   # round(x)::BIGINT
+    re.compile(r"\s*\+\s*0\.0"),                     # round(x) + 0.0 pin twin
+)
+
+
+def _scan_sql_literal(
+    text: str, rel: str, lineno: int, qual: str, errors: list[str]
+) -> None:
+    """Flag ``round(`` inside an expr/selectExpr/sql string literal unless
+    its matching close paren is followed by an integral cast or ``+ 0.0``."""
+    i = 0
+    while True:
+        m = re.search(r"\bround\s*\(", text[i:], re.I)
+        if not m:
+            return
+        op = i + m.end() - 1  # the '('
+        depth, j = 1, op + 1
+        while j < len(text) and depth:
+            if text[j] == "(":
+                depth += 1
+            elif text[j] == ")":
+                depth -= 1
+            j += 1
+        tail = text[j:]
+        if depth == 0 and any(pat.match(tail) for pat in _SAFE_TAILS):
+            i = j
+            continue
+        errors.append(
+            f"{rel}:{lineno} unpinned round() inside expr/sql STRING in {qual} — "
+            f"follow it with an integral CAST (… AS BIGINT / ::BIGINT) or the "
+            f"'+ 0.0' pin twin, or restate it as F.round under pin_zero"
+        )
+        i = j if depth == 0 else len(text)
+
+
+def lint_file(path: Path) -> tuple[list[str], set[tuple[str, str, str]]]:
     rel = str(path.relative_to(PKG))
     tree = ast.parse(path.read_text(), filename=str(path))
 
@@ -237,6 +287,18 @@ def lint_file(path: Path) -> list[str]:
             f"wrap in pin_zero() [+ '+ 0.0' in the oracle], cast to an integral "
             f"type, or add a non-negativity waiver to tools/negzero_lint.py"
         )
+
+    for node in ast.walk(tree):
+        if not (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr in _EXPR_FUNCS
+        ):
+            continue
+        qual = enclosing_def(node)
+        for arg in ast.walk(node):
+            if isinstance(arg, ast.Constant) and isinstance(arg.value, str):
+                _scan_sql_literal(arg.value, rel, node.lineno, qual, errors)
 
     return errors, matched_waivers
 
