@@ -1778,3 +1778,91 @@ def dhash_hamming_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ----------------------------------------------- perceptual audio near-dup
+
+
+def pcm_perturb_stage(
+    df: DataFrame,
+    every: int = 37,
+    delta: int = 1,
+    content_col: str = "content",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic NEAR-DUPLICATE synthesis over raw-PCM16 payloads:
+    saturating ``+delta`` on every ``every``-th SAMPLE (the audio twin
+    of :func:`rgb_perturb_stage` — the kind of re-encode/transcode
+    amplitude drift perceptual audio dedup must survive). Purely
+    sample-positional and saturating at the int16 rails, so an oracle
+    can re-derive the perturbed waveform from the sample DEFINITION
+    with one CASE + LEAST/GREATEST."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf[content_col]:
+                x = np.frombuffer(bytes(p), dtype="<i2").astype(np.int32)
+                idx = np.arange(0, len(x), every)
+                x[idx] = np.clip(x[idx] + delta, -32768, 32767)
+                out.append(x.astype("<i2").tobytes())
+            pdf = pdf.copy()
+            pdf[content_col] = out
+            yield pdf
+
+    return df.mapInPandas(run, schema=df.schema)
+
+
+def audiofp_bands_stage(
+    df: DataFrame, content_col: str = "content", key_col: str = "doc_id"
+) -> DataFrame:
+    """Integer Haitsma–Kalker-style acoustic fingerprint over raw-PCM16
+    payloads, emitted as FOUR 16-bit band integers in the SAME layout
+    as :func:`dhash_bands_stage`, so :func:`dhash_hamming_pairs` is the
+    shared Hamming-LSH back end for image AND audio near-dup.
+
+    Definition (all integer, hence oracle-expressible): the waveform
+    splits into 64 equal frames; each frame splits into two halves
+    whose energies E0[t], E1[t] = Σ v² (exact int64 — |v| ≤ 32768 so a
+    half of any realistic length is far from overflow). The classic
+    Haitsma–Kalker bit is the sign of the band-and-time second
+    difference; here the two time-domain half-energies stand in for
+    adjacent spectral bands (exact where a float filterbank would
+    drift): bit(t) = 1 iff (E0[t] − E0[t−1]) > (E1[t] − E1[t−1]), with
+    t−1 wrapping 0 → 63 like dhash's column wraparound. band_i packs
+    bits 16i..16i+15 little-endian. Requires n_samples divisible by
+    128 (64 frames × an even frame length).
+
+    Scale shape: one narrow mapInPandas (no shuffle); the 8-byte
+    fingerprint replaces the waveform for all downstream dedup."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, bands = [], ([], [], [], [])
+            for did, p in zip(pdf[key_col], pdf[content_col]):
+                x = np.frombuffer(bytes(p), dtype="<i2").astype(np.int64)
+                if len(x) % 128:
+                    raise ValueError(
+                        f"audiofp_bands_stage: {len(x)} samples not /128"
+                    )
+                half = len(x) // 128  # samples per half-frame
+                e = (x * x).reshape(64, 2, half).sum(axis=2)  # (frame, half)
+                d = e - np.roll(e, 1, axis=0)  # Δ vs previous frame, wrap
+                bits = (d[:, 0] > d[:, 1]).astype(np.int64)
+                weights = 1 << np.arange(16, dtype=np.int64)
+                keys.append(int(did))
+                for i in range(4):
+                    bands[i].append(int((bits[16 * i : 16 * i + 16] * weights).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(keys, dtype="int64"),
+                    **{
+                        f"band_{i}": pd.Series(bands[i], dtype="int64")
+                        for i in range(4)
+                    },
+                }
+            )
+
+    return df.mapInPandas(run, schema=DHASH_BANDS_SCHEMA)

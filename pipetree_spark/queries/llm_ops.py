@@ -3174,6 +3174,100 @@ def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "q_mm_audiofp_dedup",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, sha256('pcm:' || text) AS bh FROM documents WHERE doc_id < 24),
+blk AS (
+  SELECT doc_id, i, sha256(bh || ':' || CAST(i AS VARCHAR)) AS hx
+  FROM d CROSS JOIN generate_series(0, 31) g(i)),
+byt AS (
+  SELECT doc_id, i * 32 + j AS p,
+         CAST(concat('0x', substr(hx, j * 2 + 1, 2)) AS BIGINT) AS b
+  FROM blk CROSS JOIN generate_series(0, 31) gj(j)),
+smp AS (
+  SELECT doc_id, p // 2 AS k,
+         SUM(CASE WHEN p % 2 = 0 THEN b ELSE 256 * b END) AS u
+  FROM byt GROUP BY doc_id, p // 2),
+sv AS (
+  SELECT doc_id, k, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v FROM smp),
+wave AS (
+  SELECT doc_id AS id, k, v FROM sv
+  UNION ALL
+  SELECT doc_id + 100 AS id, k,
+         CASE WHEN k % 37 = 0 THEN LEAST(v + 1, 32767) ELSE v END AS v
+  FROM sv),
+en AS (
+  SELECT id, k // 8 AS t, (k % 8) // 4 AS h, SUM(v * v) AS e
+  FROM wave GROUP BY id, k // 8, (k % 8) // 4),
+fr AS (
+  SELECT id, t,
+         SUM(CASE WHEN h = 0 THEN e ELSE 0 END) AS e0,
+         SUM(CASE WHEN h = 1 THEN e ELSE 0 END) AS e1
+  FROM en GROUP BY id, t),
+bits AS (
+  SELECT a.id, a.t,
+         CASE WHEN (a.e0 - p.e0) > (a.e1 - p.e1) THEN 1 ELSE 0 END AS bit
+  FROM fr a JOIN fr p ON p.id = a.id AND p.t = (a.t + 63) % 64),
+bands AS (
+  SELECT id, t // 16 AS band_idx,
+         SUM(bit * (CAST(1 AS BIGINT) << (t % 16))) AS band_val
+  FROM bits GROUP BY id, t // 16),
+fp AS (
+  SELECT id,
+         SUM(CASE WHEN band_idx = 0 THEN band_val ELSE 0 END) AS b0,
+         SUM(CASE WHEN band_idx = 1 THEN band_val ELSE 0 END) AS b1,
+         SUM(CASE WHEN band_idx = 2 THEN band_val ELSE 0 END) AS b2,
+         SUM(CASE WHEN band_idx = 3 THEN band_val ELSE 0 END) AS b3
+  FROM bands GROUP BY id),
+pairs AS (
+  SELECT a.id AS doc_a, b.id AS doc_b,
+         CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT)
+           AS hamming
+  FROM fp a JOIN fp b
+    ON a.id < b.id
+   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 6
+""",
+    tags=("mm", "dedup"),
+)
+def q_mm_audiofp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO near-dup — the acoustic twin of
+    q_mm_phash_dedup, completing the fingerprint story across both
+    media families: deterministic base waveforms (24 docs, sha256-
+    counter PCM16) → REAL RIFF/WAVE encode → REAL decode → planted
+    near-duplicates (ops.mm.pcm_perturb_stage: saturating +1 on every
+    37th sample — transcode-grade amplitude drift, id = base + 100) →
+    integer Haitsma–Kalker-style fingerprints as four 16-bit bands
+    (ops.mm.audiofp_bands_stage: 64-frame half-energy second
+    differences, wraparound frame 0) → Hamming-ball pairs via the
+    SHARED band-equality LSH + exact bit_count verify
+    (ops.mm.dhash_hamming_pairs — one back end for image and audio).
+    The oracle re-derives waveform, perturbation, frame energies,
+    bits, bands, and pairs from the payload DEFINITION alone — a hash
+    match certifies the WAV codec, the fingerprint, and the LSH
+    end-to-end in pure int64.
+
+    Scale shape: fingerprinting is a narrow map (8 bytes replace the
+    waveform); candidates come from a bucketed (band_idx, band_val)
+    self-join — never all-pairs; verify touches candidates only."""
+    from pipetree_spark.ops import mm as MM
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 24)
+        .select("doc_id", "text")
+    )
+    base = MM.wav_decode_stage(MM.make_wav_payload(d, n_samples=512, sample_rate=8000))
+    variants = MM.pcm_perturb_stage(
+        base.withColumn("doc_id", F.col("doc_id") + 100), every=37, delta=1
+    )
+    bands = MM.audiofp_bands_stage(base.unionByName(variants))
+    return MM.dhash_hamming_pairs(bands, max_hamming=6)
+
+
+@declare(
     "q_dedup_substring",
     oracle="""
 WITH toks AS (

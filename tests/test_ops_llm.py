@@ -2615,6 +2615,99 @@ def test_dhash_bands_identical_images_collide_exactly(spark):
     assert [(r.doc_a, r.doc_b, r.hamming) for r in pairs] == [(0, 7, 0)]
 
 
+def test_audiofp_dedup_finds_planted_near_dups_and_nothing_else(spark):
+    """r12 perceptual audio near-dup: every planted perturbed variant
+    (saturating +1 on every 37th sample, id = base + 100) must pair
+    with its base within Hamming ≤ 6, and no cross-waveform pair may
+    appear — unrelated sha256-counter waveforms differ by ~32 bits and
+    share no 16-bit band."""
+    from pipetree_spark.ops import mm as MM
+    from pyspark.sql import functions as F
+
+    d = spark.createDataFrame(
+        [(i, f"audiofp-test-doc-{i}") for i in range(12)], "doc_id long, text string"
+    )
+    base = MM.wav_decode_stage(MM.make_wav_payload(d, n_samples=512, sample_rate=8000))
+    variants = MM.pcm_perturb_stage(
+        base.withColumn("doc_id", F.col("doc_id") + 100), every=37, delta=1
+    )
+    bands = MM.audiofp_bands_stage(base.unionByName(variants))
+    pairs = MM.dhash_hamming_pairs(bands, max_hamming=6).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+    assert set(got) == {(i, i + 100) for i in range(12)}, got
+    assert all(h <= 6 for h in got.values())
+    # the +1 nudge flips an energy-delta comparison only on near-ties
+    assert sum(1 for h in got.values() if h == 0) >= 8, got
+
+
+def test_audiofp_bands_matches_numpy_reference(spark):
+    """audiofp_bands_stage pins to an independent numpy re-derivation
+    of the Haitsma–Kalker bit definition (explicit loops, no reshape
+    tricks), and identical waveforms collide at hamming 0."""
+    import hashlib
+
+    import numpy as np
+    from pipetree_spark.ops import mm as MM
+
+    d = spark.createDataFrame(
+        [(0, "afp-ref-a"), (1, "afp-ref-b"), (9, "afp-ref-a")],
+        "doc_id long, text string",
+    )
+    raw = MM.wav_decode_stage(MM.make_wav_payload(d, n_samples=512, sample_rate=8000))
+    rows = {
+        r.doc_id: (r.band_0, r.band_1, r.band_2, r.band_3)
+        for r in MM.audiofp_bands_stage(raw).collect()
+    }
+    assert rows[0] == rows[9] != rows[1]
+
+    def ref_bands(text: str) -> tuple:
+        base = hashlib.sha256(b"pcm:" + text.encode()).hexdigest()
+        buf = bytearray()
+        c = 0
+        while len(buf) < 1024:
+            buf += hashlib.sha256(f"{base}:{c}".encode()).digest()
+            c += 1
+        x = np.frombuffer(bytes(buf[:1024]), dtype="<i2").astype(np.int64)
+        e = [
+            [int(sum(v * v for v in x[8 * t + 4 * h : 8 * t + 4 * h + 4]))
+             for h in range(2)]
+            for t in range(64)
+        ]
+        bits = [
+            1 if (e[t][0] - e[(t - 1) % 64][0]) > (e[t][1] - e[(t - 1) % 64][1]) else 0
+            for t in range(64)
+        ]
+        return tuple(
+            sum(bits[16 * i + j] << j for j in range(16)) for i in range(4)
+        )
+
+    assert rows[0] == ref_bands("afp-ref-a")
+    assert rows[1] == ref_bands("afp-ref-b")
+
+
+def test_pcm_perturb_saturates_at_int16_rails(spark):
+    """pcm_perturb_stage clips at ±32767/−32768 instead of wrapping —
+    the property the oracle's LEAST() mirrors."""
+    import numpy as np
+    from pipetree_spark.ops import mm as MM
+    from pyspark.sql import types as T
+
+    x = np.array([32767, -32768, 0, 100], dtype="<i2")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame([(1, bytearray(x.tobytes()))], schema)
+    out = MM.pcm_perturb_stage(df, every=1, delta=1).collect()[0]
+    got = np.frombuffer(bytes(out.content), dtype="<i2").tolist()
+    assert got == [32767, -32767, 1, 101]
+    out2 = MM.pcm_perturb_stage(df, every=1, delta=-1).collect()[0]
+    got2 = np.frombuffer(bytes(out2.content), dtype="<i2").tolist()
+    assert got2 == [32766, -32768, -1, 99]
+
+
 def test_dup_span_islands_finds_planted_cross_doc_span(spark):
     """r12 substring dedup: a 12-token span planted in two docs (at
     different offsets, different surroundings) is recovered in FULL as
