@@ -1876,3 +1876,74 @@ def bm25_scores(
         F.col("dl").cast("long").alias("dl"),
         pin_zero(F.round(idf * (num / denom), 4)).alias("score"),
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    model_pred: Column,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram-LM quality scoring, the full CCNet recipe beside the
+    unigram core (q_text_unigram_lm): train an add-one-smoothed bigram
+    model on the rows where ``model_pred`` holds (the "clean reference
+    corpus" split), then score EVERY row by its mean conditional
+    bigram probability p(w2|w1) = (c12+1)/(c1+V) plus the OOV bigram
+    count. Returns (key, n_bigrams, n_unseen, sum_p9, mean_p) with
+    sum_p9 = Σ round(1e9·p) as an exact long — per-term round-pinning
+    keeps the score bit-stable cross-engine where a float Σ would
+    drift with summation order.
+
+    Scale shape: the bigram table is vocab-bound (Heaps' law), built
+    with one map-side-combined shuffle over the REFERENCE split only
+    and broadcast back onto the full stream; the per-doc branch
+    partial-aggregates before its key shuffle. Beyond broadcast range
+    (≳10⁷ bigram types) drop the hints and let AQE pick the join."""
+    b = (
+        df.select(key_col, tokens(text_col).alias("a"))
+        .where(F.size("a") >= 2)
+        .select(
+            key_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(a) - 2),"
+                    " i -> struct(a[i] AS w1, a[i + 1] AS w2))"
+                )
+            ).alias("g"),
+        )
+        .select(key_col, "g.w1", "g.w2")
+    )
+    model = b.where(model_pred)
+    c12 = model.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = c12.agg(F.countDistinct("w2").alias("v"))
+    p = (
+        F.lit(1e9)
+        * (F.coalesce(F.col("c12"), F.lit(0)) + 1)
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+    )
+    scored = (
+        b.join(F.broadcast(c12), ["w1", "w2"], "left")
+        .join(F.broadcast(c1), ["w1"], "left")
+        .crossJoin(F.broadcast(v))
+        .groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.when(F.col("c12").isNull(), 1).otherwise(0)).alias("n_unseen"),
+            F.sum(F.round(p).cast("long")).alias("sum_p9"),
+        )
+    )
+    return (
+        df.select(key_col)
+        .join(scored, key_col, "left")
+        .select(
+            key_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("n_unseen", F.lit(0)).cast("long").alias("n_unseen"),
+            F.coalesce("sum_p9", F.lit(0)).cast("long").alias("sum_p9"),
+            F.when(
+                F.col("n_bigrams").isNotNull(),
+                (F.col("sum_p9").cast("double") / F.col("n_bigrams")) / F.lit(1e9),
+            ).alias("mean_p"),
+        )
+    )

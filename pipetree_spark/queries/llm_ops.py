@@ -2499,6 +2499,71 @@ def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "q_text_ppl_bigram",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+bg AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, len(a) - 1),
+                               i -> struct_pack(w1 := a[i], w2 := a[i + 1]))) AS g
+  FROM w),
+b AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM bg),
+c12 AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM b WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w2) AS v FROM c12),
+scored AS (
+  SELECT b.doc_id,
+         COUNT(*) AS n_bigrams,
+         SUM(CASE WHEN c12.c12 IS NULL THEN 1 ELSE 0 END) AS n_unseen,
+         SUM(CAST(ROUND(1e9 * (COALESCE(c12.c12, 0) + 1)
+                        / (COALESCE(c1.c1, 0) + v.v)) AS BIGINT)) AS sum_p9
+  FROM b
+  LEFT JOIN c12 USING (w1, w2)
+  LEFT JOIN c1 USING (w1)
+  CROSS JOIN v
+  GROUP BY b.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(s.n_unseen, 0) AS BIGINT) AS n_unseen,
+       CAST(COALESCE(s.sum_p9, 0) AS BIGINT) AS sum_p9,
+       CASE WHEN s.n_bigrams IS NULL THEN NULL
+            ELSE (CAST(s.sum_p9 AS DOUBLE) / s.n_bigrams) / 1e9 END AS mean_p
+FROM (SELECT doc_id FROM documents) d LEFT JOIN scored s USING (doc_id)
+""",
+    tags=("text", "pipeline"),
+)
+def q_text_ppl_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity filtering — the full CCNet recipe beside
+    q_text_unigram_lm's unigram core: train an add-one-smoothed BIGRAM
+    model on a reference split (even doc_ids stand in for CCNet's
+    clean Wikipedia slice), then score EVERY document by its mean
+    conditional bigram probability p(w2|w1) = (c12+1)/(c1+V), plus the
+    OOV share ``n_unseen`` (bigrams the reference never saw). A
+    curation pipeline drops the low-mean_p / high-n_unseen tail —
+    gibberish and boilerplate score identically badly under a
+    conditional model even when their unigrams look fine.
+
+    Exactness: each per-bigram probability is one IEEE divide of two
+    exactly-representable integers, scaled by 1e9 and round-pinned to
+    a LONG (round→long is the dsum_sql convention — both engines round
+    half-away on positives), so the per-doc sum is an exact integer
+    and the final mean is two correctly-rounded divides — bit-stable
+    cross-engine where a naive Σ of doubles would drift with summation
+    order. Log-domain perplexity is one ``ln`` swap if needed
+    downstream (SURVEY §2.0 drift class keeps it out of the gate).
+
+    Scale shape: the bigram table is vocab-bound (Heaps' law), built
+    with one map-side-combined shuffle on the REFERENCE split only and
+    broadcast back onto the full stream; the per-doc branch partial-
+    aggregates before its doc_id shuffle, so the wire carries ~|docs|
+    rows. Beyond broadcast range (≳10⁷ bigram types) drop the hints
+    and let AQE pick the join — the plan stays three shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.bigram_lm_scores(d, model_pred=F.col("doc_id") % 2 == 0)
+
+
+@declare(
     "q_text_ngram_top",
     oracle="""
 WITH grams AS (

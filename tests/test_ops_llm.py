@@ -2708,6 +2708,34 @@ def test_pcm_perturb_saturates_at_int16_rails(spark):
     assert got2 == [32766, -32768, -1, 99]
 
 
+def test_bigram_lm_scores_hand_computed(spark):
+    """r12 bigram-LM perplexity filter: hand-computed add-one-smoothed
+    conditional probabilities on a 4-doc corpus where the model trains
+    on even doc_ids. Model bigrams: (a,b)x3, (b,a), (b,c), (b,x) =>
+    c1[a]=3, c1[b]=3, V=|{b,a,c,x}|=4."""
+    from pipetree_spark.ops import text as TXO
+    from pyspark.sql import functions as F
+
+    docs = [
+        (0, "a b a b c"),  # model: (a,b),(b,a),(a,b),(b,c)
+        (2, "a b x"),      # model: (a,b),(b,x)
+        (1, "a b q"),      # score-only: (a,b) seen, (b,q) unseen
+        (3, "z"),          # no bigrams at all
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_bigrams, r.n_unseen, r.sum_p9, r.mean_p)
+        for r in TXO.bigram_lm_scores(d, F.col("doc_id") % 2 == 0).collect()
+    }
+    p_ab = round(1e9 * 4 / 7)   # (3+1)/(3+4) = 571428571
+    p_b_ = round(1e9 * 2 / 7)   # (1+1)/(3+4) = 285714286
+    p_unseen = round(1e9 * 1 / 7)  # (0+1)/(3+4) = 142857143
+    assert out[0] == (4, 0, 2 * p_ab + 2 * p_b_, (2 * p_ab + 2 * p_b_) / 4 / 1e9)
+    assert out[2] == (2, 0, p_ab + p_b_, (p_ab + p_b_) / 2 / 1e9)
+    assert out[1] == (2, 1, p_ab + p_unseen, (p_ab + p_unseen) / 2 / 1e9)
+    assert out[3] == (0, 0, 0, None)
+
+
 def test_dup_span_islands_finds_planted_cross_doc_span(spark):
     """r12 substring dedup: a 12-token span planted in two docs (at
     different offsets, different surroundings) is recovered in FULL as

@@ -66,6 +66,7 @@ QUERIES = [
     "q_dedup_semantic_ann",  # r7: same, block = portable-IVF quantizer cell
     "q_vec_decontam",      # r6: broadcast eval split × train cosine
     "q_text_unigram_lm",   # r6: broadcast-vocab corpus-LM scoring
+    "q_text_ppl_bigram",   # r12: reference-split bigram LM, broadcast model joins
     "q_text_ngram_top",    # r6: (lang, gram) map-side-combined counts
     "q_dedup_incremental", # r6: broadcast-increment vs streaming corpus
     "q_ts_sessionize",     # r6: gaps-and-islands, one user_id exchange
