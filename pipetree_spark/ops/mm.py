@@ -1866,3 +1866,160 @@ def audiofp_bands_stage(
             )
 
     return df.mapInPandas(run, schema=DHASH_BANDS_SCHEMA)
+
+
+# ----------------------------------------------- perceptual video near-dup
+
+
+def make_avi_quad_payload(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_frames: int = 16,
+    fps: int = 5,
+) -> DataFrame:
+    """Synthesize a REAL MJPEG-AVI payload of 16×16 frames with FOUR
+    flat 8×8 quadrants each (quadrant q of frame k takes RGB bytes
+    3q..3q+2 of sha256(base ':' k), base = sha256('aviq:' + text)) —
+    the spatially-structured twin of :func:`make_avi_payload`. Each
+    8×8 quadrant is exactly one baseline-JPEG block per channel in
+    4:4:4, so all DCT energy still lands in the quantized DC
+    coefficient and the lossy chain round-trips EXACTLY (pinned in
+    tests across random colors) while giving downstream fingerprints
+    real per-frame spatial structure to hash."""
+    from pipetree_spark.ops.avi import avi_mjpeg_encode
+    from pipetree_spark.ops.jpeg import jpeg_encode
+
+    schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("fps", T.IntegerType()),
+            T.StructField("mime", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                base = hashlib.sha256(b"aviq:" + str(t).encode()).hexdigest()
+                frames = []
+                for k in range(n_frames):
+                    dig = hashlib.sha256(f"{base}:{k}".encode()).digest()
+                    img = np.empty((16, 16, 3), np.uint8)
+                    for q in range(4):
+                        r0, c0 = (q // 2) * 8, (q % 2) * 8
+                        img[r0 : r0 + 8, c0 : c0 + 8] = np.frombuffer(
+                            dig[3 * q : 3 * q + 3], np.uint8
+                        )
+                    frames.append(jpeg_encode(img, quality=85))
+                payloads.append(avi_mjpeg_encode(frames, 16, 16, fps=fps))
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].astype("int64"),
+                    "content": payloads,
+                    "n_frames": n_frames,
+                    "fps": fps,
+                    "mime": MJPEG_MIME,
+                }
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
+VID_BLOCK_LUMA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("q", T.LongType()),
+        T.StructField("luma", T.LongType()),
+    ]
+)
+
+
+def vid_block_luma_stage(
+    df: DataFrame, content_col: str = "content", key_col: str = "doc_id"
+) -> DataFrame:
+    """Per-(frame, 2×2-quadrant) integer luma sums over the raw-RGB8
+    one-row-per-frame layout :func:`video_frame_sample_stage` emits:
+    luma = Σ over the quadrant's pixels of 77·R + 150·G + 29·B
+    (the dhash weights). Width/height must be even. Four int64s
+    replace each frame — the narrow-map reduction that makes video
+    fingerprinting affordable at scale."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, fidx, qs, lums = [], [], [], []
+            for did, fi, p, w, h in zip(
+                pdf[key_col],
+                pdf["frame_idx"],
+                pdf[content_col],
+                pdf["width"],
+                pdf["height"],
+            ):
+                w, h = int(w), int(h)
+                if w % 2 or h % 2:
+                    raise ValueError(f"vid_block_luma_stage: {w}x{h} not /2")
+                img = rawrgb_decode(p, w, h).astype(np.int64)
+                luma = 77 * img[:, :, 0] + 150 * img[:, :, 1] + 29 * img[:, :, 2]
+                g = luma.reshape(2, h // 2, 2, w // 2).sum(axis=(1, 3))
+                for q in range(4):
+                    keys.append(int(did))
+                    fidx.append(int(fi))
+                    qs.append(q)
+                    lums.append(int(g[q // 2, q % 2]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(keys, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int64"),
+                    "q": pd.Series(qs, dtype="int64"),
+                    "luma": pd.Series(lums, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=VID_BLOCK_LUMA_SCHEMA)
+
+
+def vid_tdhash_bands(luma: DataFrame, n_frames: int, key_col: str = "doc_id") -> DataFrame:
+    """Temporal difference-hash over per-(frame, quadrant) luma sums:
+    bit(t, q) = 1 iff luma[t][q] > luma[(t+1) % n_frames][q] — dHash's
+    "is the next one darker?" applied along TIME per spatial quadrant,
+    wraparound closing the last frame against the first. The
+    n_frames·4 bits (= 64 at the canonical 16 frames) pack into the
+    four 16-bit bands of :func:`dhash_bands_stage`'s layout, so
+    :func:`dhash_hamming_pairs` is the shared Hamming-LSH back end for
+    image, audio AND video near-dup. All JVM expressions — one
+    modular self-join on (key, q, frame) plus two tiny aggregations;
+    the luma relation is 4·n_frames rows per video, so every stage
+    here is fingerprint-sized, never pixel-sized."""
+    if n_frames * 4 != 64:
+        raise ValueError("vid_tdhash_bands packs exactly 64 bits: n_frames must be 16")
+    a, b = luma.alias("a"), luma.alias("b")
+    bits = a.join(
+        b,
+        (F.col(f"a.{key_col}") == F.col(f"b.{key_col}"))
+        & (F.col("a.q") == F.col("b.q"))
+        & (F.col("b.frame_idx") == (F.col("a.frame_idx") + 1) % n_frames),
+    ).select(
+        F.col(f"a.{key_col}").alias(key_col),
+        (F.col("a.frame_idx") * 4 + F.col("a.q")).alias("j"),
+        (F.col("a.luma") > F.col("b.luma")).cast("long").alias("bit"),
+    )
+    packed = bits.groupBy(key_col, (F.col("j") / 16).cast("long").alias("band_idx")).agg(
+        F.sum(
+            F.expr("CAST(bit AS BIGINT) * shiftleft(CAST(1 AS BIGINT), CAST(j % 16 AS INT))")
+        ).alias("band_val")
+    )
+    return packed.groupBy(key_col).agg(
+        *[
+            F.sum(F.when(F.col("band_idx") == i, F.col("band_val")).otherwise(0))
+            .cast("long")
+            .alias(f"band_{i}")
+            for i in range(4)
+        ]
+    )

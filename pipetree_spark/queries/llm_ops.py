@@ -3333,6 +3333,106 @@ def q_mm_audiofp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "q_mm_vidhash_dedup",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, sha256('aviq:' || text) AS bh FROM documents WHERE doc_id < 24),
+fr AS (
+  SELECT doc_id, k, sha256(bh || ':' || CAST(k AS VARCHAR)) AS hx
+  FROM d CROSS JOIN generate_series(0, 15) g(k)),
+quad AS (
+  SELECT doc_id, k, q,
+         CAST(concat('0x', substr(hx, q * 6 + 1, 2)) AS BIGINT) AS r,
+         CAST(concat('0x', substr(hx, q * 6 + 3, 2)) AS BIGINT) AS g,
+         CAST(concat('0x', substr(hx, q * 6 + 5, 2)) AS BIGINT) AS b
+  FROM fr CROSS JOIN generate_series(0, 3) gq(q)),
+byt AS (
+  SELECT doc_id, k, p,
+         ((p // 3) // 16 // 8) * 2 + (((p // 3) % 16) // 8) AS q,
+         p % 3 AS c
+  FROM fr CROSS JOIN generate_series(0, 767) gp(p)),
+val AS (
+  SELECT y.doc_id, y.k, y.q, y.p, y.c,
+         CASE y.c WHEN 0 THEN qd.r WHEN 1 THEN qd.g ELSE qd.b END AS v
+  FROM byt y JOIN quad qd ON qd.doc_id = y.doc_id AND qd.k = y.k AND qd.q = y.q),
+luma AS (
+  SELECT doc_id AS id, k, q,
+         SUM(CASE c WHEN 0 THEN 77 * v WHEN 1 THEN 150 * v ELSE 29 * v END) AS luma
+  FROM val GROUP BY doc_id, k, q
+  UNION ALL
+  SELECT doc_id + 100 AS id, k, q,
+         SUM(CASE c WHEN 0 THEN 77 * vp WHEN 1 THEN 150 * vp ELSE 29 * vp END) AS luma
+  FROM (SELECT *, CASE WHEN p % 64 = 0 THEN LEAST(v + 1, 255) ELSE v END AS vp
+        FROM val) t
+  GROUP BY doc_id, k, q),
+bits AS (
+  SELECT a.id, a.k * 4 + a.q AS j,
+         CASE WHEN a.luma > n.luma THEN 1 ELSE 0 END AS bit
+  FROM luma a JOIN luma n ON n.id = a.id AND n.q = a.q AND n.k = (a.k + 1) % 16),
+bands AS (
+  SELECT id, j // 16 AS band_idx,
+         SUM(bit * (CAST(1 AS BIGINT) << (j % 16))) AS band_val
+  FROM bits GROUP BY id, j // 16),
+fp AS (
+  SELECT id,
+         SUM(CASE WHEN band_idx = 0 THEN band_val ELSE 0 END) AS b0,
+         SUM(CASE WHEN band_idx = 1 THEN band_val ELSE 0 END) AS b1,
+         SUM(CASE WHEN band_idx = 2 THEN band_val ELSE 0 END) AS b2,
+         SUM(CASE WHEN band_idx = 3 THEN band_val ELSE 0 END) AS b3
+  FROM bands GROUP BY id),
+pairs AS (
+  SELECT a.id AS doc_a, b.id AS doc_b,
+         CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT)
+           AS hamming
+  FROM fp a JOIN fp b
+    ON a.id < b.id
+   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 6
+""",
+    tags=("mm", "dedup"),
+)
+def q_mm_vidhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual VIDEO near-dup — third member of the fingerprint
+    family (image dHash, audio Haitsma–Kalker, and now temporal
+    video hashing), all sharing ONE Hamming-LSH back end:
+    deterministic quadrant-structured MJPEG-AVI videos (24 docs, 16
+    frames of four flat 8×8 JPEG blocks — the shape a lossy codec
+    round-trips exactly; ops.mm.make_avi_quad_payload) → REAL
+    container parse + per-frame JPEG decode (every frame sampled) →
+    planted near-duplicates (ops.mm.rgb_perturb_stage per frame:
+    saturating +1 on every 64th byte, id = base + 100) → per-(frame,
+    quadrant) integer luma sums (ops.mm.vid_block_luma_stage — four
+    int64s replace each frame) → temporal difference-hash bits packed
+    into four 16-bit bands (ops.mm.vid_tdhash_bands, wraparound last
+    frame → first) → Hamming-ball pairs via band-equality LSH + exact
+    bit_count verify (ops.mm.dhash_hamming_pairs). The oracle
+    re-derives frame colors, perturbation, quadrant lumas, bits,
+    bands, and pairs from the payload DEFINITION alone — a hash match
+    certifies the JPEG/AVI chain, the temporal fingerprint, and the
+    LSH end-to-end in pure int64.
+
+    Scale shape: decode cost is per-sampled-frame; four int64s
+    replace each frame before any shuffle; the fingerprint join is
+    4·n_frames rows per video; candidates come from a bucketed
+    (band_idx, band_val) self-join — never all-pairs."""
+    from pipetree_spark.ops import mm as MM
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 24)
+        .select("doc_id", "text")
+    )
+    frames = MM.video_frame_sample_stage(MM.make_avi_quad_payload(d, n_frames=16), every_n=1)
+    variants = MM.rgb_perturb_stage(
+        frames.withColumn("doc_id", F.col("doc_id") + 100), every=64, delta=1
+    )
+    lumas = MM.vid_block_luma_stage(frames.unionByName(variants))
+    bands = MM.vid_tdhash_bands(lumas, n_frames=16)
+    return MM.dhash_hamming_pairs(bands, max_hamming=6)
+
+
+@declare(
     "q_dedup_substring",
     oracle="""
 WITH toks AS (

@@ -2708,6 +2708,62 @@ def test_pcm_perturb_saturates_at_int16_rails(spark):
     assert got2 == [32766, -32768, -1, 99]
 
 
+def test_vidhash_dedup_finds_planted_near_dups_and_nothing_else(spark):
+    """r12 perceptual video near-dup: every planted perturbed variant
+    (saturating +1 on every 64th raw-frame byte, id = base + 100) must
+    pair with its base within Hamming ≤ 6; unrelated videos share no
+    16-bit band."""
+    from pipetree_spark.ops import mm as MM
+    from pyspark.sql import functions as F
+
+    d = spark.createDataFrame(
+        [(i, f"vidhash-test-doc-{i}") for i in range(8)], "doc_id long, text string"
+    )
+    frames = MM.video_frame_sample_stage(MM.make_avi_quad_payload(d, n_frames=16), every_n=1)
+    variants = MM.rgb_perturb_stage(
+        frames.withColumn("doc_id", F.col("doc_id") + 100), every=64, delta=1
+    )
+    lumas = MM.vid_block_luma_stage(frames.unionByName(variants))
+    bands = MM.vid_tdhash_bands(lumas, n_frames=16)
+    pairs = MM.dhash_hamming_pairs(bands, max_hamming=6).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+    assert set(got) == {(i, i + 100) for i in range(8)}, got
+    assert all(h <= 6 for h in got.values())
+
+
+def test_avi_quad_payload_roundtrips_jpeg_exactly(spark):
+    """Quadrant-flat 16×16 frames keep all DCT energy in each block's
+    DC coefficient, so the lossy MJPEG chain round-trips bit-exactly —
+    decoded quadrant lumas equal the analytic 64·(77r+150g+29b) from
+    the color definition."""
+    import hashlib
+
+    import numpy as np
+    from pipetree_spark.ops import mm as MM
+
+    d = spark.createDataFrame([(3, "quad-exact-check")], "doc_id long, text string")
+    frames = MM.video_frame_sample_stage(MM.make_avi_quad_payload(d, n_frames=16), every_n=1)
+    lumas = {
+        (r.frame_idx, r.q): r.luma
+        for r in MM.vid_block_luma_stage(frames).collect()
+    }
+    base = hashlib.sha256(b"aviq:" + b"quad-exact-check").hexdigest()
+    for k in range(16):
+        dig = hashlib.sha256(f"{base}:{k}".encode()).digest()
+        for q in range(4):
+            r, g, b = dig[3 * q], dig[3 * q + 1], dig[3 * q + 2]
+            assert lumas[(k, q)] == 64 * (77 * r + 150 * g + 29 * b), (k, q)
+
+
+def test_vid_tdhash_bands_rejects_wrong_frame_count(spark):
+    from pipetree_spark.ops import mm as MM
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_frames must be 16"):
+        MM.vid_tdhash_bands(None, n_frames=12)
+
+
 def test_bigram_lm_scores_hand_computed(spark):
     """r12 bigram-LM perplexity filter: hand-computed add-one-smoothed
     conditional probabilities on a 4-doc corpus where the model trains
