@@ -1947,3 +1947,92 @@ def bigram_lm_scores(
             ).alias("mean_p"),
         )
     )
+
+
+def nb_classify(
+    df: DataFrame,
+    model_pred: Column,
+    text_col: str = "text",
+    label_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Multinomial Naive-Bayes document classifier — the classic
+    linear-time text classifier a curation pipeline trains for
+    language/domain/quality routing (the exact-arithmetic core of the
+    fastText-style filter): train add-one-smoothed per-label token
+    models and log priors on the rows where ``model_pred`` holds, then
+    classify EVERY row by argmax label. Returns
+    (key, true_label, pred_label, score4, is_correct).
+
+    Exactness: each per-(token, label) log-likelihood is one libm
+    ``ln`` of a correctly-rounded IEEE divide, immediately pinned to a
+    scaled long (round(1e4·ln p) — the q_text_pmi/bm25 precedent for
+    the one admissible ln per value), so per-document scores are exact
+    integer sums (occurrence-weighted) and argmax + (score DESC, label
+    ASC) tie-break is bit-deterministic cross-engine.
+
+    Scale shape: the model (token×label counts, |labels| priors, one
+    V scalar) is vocab-bound and broadcast; the scoring stream
+    partial-aggregates (key, token) before its one shuffle, then joins
+    the broadcast model — no shuffle wider than the token explode.
+    Beyond broadcast range drop the hints and let AQE pick the join."""
+    toks = df.select(
+        key_col, F.col(label_col).alias("__true"), F.explode(tokens(text_col)).alias("w")
+    ).where(F.length("w") > 0)
+    train = toks.where(model_pred)
+    cwl = train.groupBy(F.col("__true").alias("label"), "w").agg(
+        F.count("*").alias("cwl")
+    )
+    cl = cwl.groupBy("label").agg(F.sum("cwl").alias("cl"))
+    vv = cwl.agg(F.countDistinct("w").alias("v"))
+    pri = (
+        df.where(model_pred)
+        .groupBy(F.col(label_col).alias("label"))
+        .agg(F.count("*").alias("nd"))
+    )
+    nt = pri.agg(F.sum("nd").alias("n_train"))
+    labels = pri.select("label")
+    tf = toks.groupBy(key_col, "w").agg(F.count("*").alias("tf"))
+    term_val = F.round(
+        F.log(
+            (F.coalesce(F.col("cwl"), F.lit(0)) + F.lit(1.0))
+            / (F.col("cl") + F.col("v"))
+        )
+        * 10000
+    ).cast("long")
+    terms = (
+        tf.crossJoin(F.broadcast(labels))
+        .join(F.broadcast(cwl), ["label", "w"], "left")
+        .join(F.broadcast(cl), "label")
+        .crossJoin(F.broadcast(vv))
+        .groupBy(key_col, "label")
+        .agg(F.sum(F.col("tf") * term_val).alias("tsum"))
+    )
+    prior_val = F.round(
+        F.log(F.col("nd").cast("double") / F.col("n_train")) * 10000
+    ).cast("long")
+    scores = (
+        df.select(key_col, F.col(label_col).alias("true_label"))
+        .crossJoin(F.broadcast(labels))
+        .join(terms, [key_col, "label"], "left")
+        .join(F.broadcast(pri), "label")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            key_col,
+            "true_label",
+            "label",
+            (F.coalesce(F.col("tsum"), F.lit(0)) + prior_val).alias("score4"),
+        )
+    )
+    w = Window.partitionBy(key_col).orderBy(F.col("score4").desc(), F.col("label"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            key_col,
+            "true_label",
+            F.col("label").alias("pred_label"),
+            F.col("score4").cast("long").alias("score4"),
+            (F.col("label") == F.col("true_label")).cast("long").alias("is_correct"),
+        )
+    )

@@ -2564,6 +2564,72 @@ def q_text_ppl_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "q_text_nb_classify",
+    oracle="""
+WITH tk AS (
+  SELECT doc_id, lang, w
+  FROM (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) > 0),
+train AS (SELECT * FROM tk WHERE doc_id % 2 = 0),
+cwl AS (SELECT lang AS label, w, COUNT(*) AS cwl FROM train GROUP BY lang, w),
+cl AS (SELECT label, SUM(cwl) AS cl FROM cwl GROUP BY label),
+vv AS (SELECT COUNT(DISTINCT w) AS v FROM cwl),
+pri AS (
+  SELECT lang AS label, COUNT(*) AS nd FROM documents
+  WHERE doc_id % 2 = 0 GROUP BY lang),
+nt AS (SELECT SUM(nd) AS n_train FROM pri),
+labels AS (SELECT label FROM pri),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tk GROUP BY doc_id, w),
+terms AS (
+  SELECT tf.doc_id, l.label,
+         SUM(tf.tf * CAST(ROUND(LN((COALESCE(cwl.cwl, 0) + 1.0)
+                                   / (cl.cl + vv.v)) * 10000) AS BIGINT)) AS tsum
+  FROM tf
+  CROSS JOIN labels l
+  LEFT JOIN cwl ON cwl.label = l.label AND cwl.w = tf.w
+  JOIN cl ON cl.label = l.label
+  CROSS JOIN vv
+  GROUP BY tf.doc_id, l.label),
+scores AS (
+  SELECT d.doc_id, d.lang AS true_label, l.label,
+         COALESCE(t.tsum, 0)
+         + CAST(ROUND(LN(CAST(p.nd AS DOUBLE) / nt.n_train) * 10000) AS BIGINT)
+           AS score4
+  FROM (SELECT doc_id, lang FROM documents) d
+  CROSS JOIN labels l
+  LEFT JOIN terms t ON t.doc_id = d.doc_id AND t.label = l.label
+  JOIN pri p ON p.label = l.label
+  CROSS JOIN nt),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score4 DESC, label) AS rn
+  FROM scores)
+SELECT doc_id, true_label, label AS pred_label, CAST(score4 AS BIGINT) AS score4,
+       CAST(CASE WHEN label = true_label THEN 1 ELSE 0 END AS BIGINT) AS is_correct
+FROM ranked WHERE rn = 1
+""",
+    tags=("text", "pipeline"),
+)
+def q_text_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive-Bayes language classification
+    (ops.text.nb_classify) — the exact-arithmetic core of the
+    fastText-style classifier every curation pipeline trains for
+    language/domain/quality routing: add-one-smoothed per-label token
+    models + log priors train on the even-doc_id reference split, and
+    EVERY document is classified by integer-argmax over scaled-long
+    log scores (round(1e4·ln p) per model value — the q_text_pmi/bm25
+    one-ln-then-pin precedent — so per-doc scores are exact integer
+    sums and the (score DESC, label ASC) tie-break is deterministic).
+    Emits per-doc (true_label, pred_label, score4, is_correct) — the
+    audit a router consumes directly.
+
+    Scale shape: the model is vocab-bound and broadcast; scoring
+    partial-aggregates (doc, token) before its one shuffle, then a
+    |docs|·|labels| window picks the argmax."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.nb_classify(d, model_pred=F.col("doc_id") % 2 == 0)
+
+
+@declare(
     "q_text_ngram_top",
     oracle="""
 WITH grams AS (

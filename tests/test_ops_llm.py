@@ -2792,6 +2792,63 @@ def test_bigram_lm_scores_hand_computed(spark):
     assert out[3] == (0, 0, 0, None)
 
 
+def test_nb_classify_separates_planted_vocabularies(spark):
+    """r12 NB classifier: two disjoint planted vocabularies train on
+    the even split and classify the odd split correctly; ties break
+    (score DESC, label ASC) deterministically."""
+    from pipetree_spark.ops import text as TXO
+    from pyspark.sql import functions as F
+
+    docs = [
+        (0, "en", "the cat sat on the mat"),
+        (2, "en", "the dog and the cat"),
+        (4, "de", "der hund und die katze"),
+        (6, "de", "die katze sitzt auf der matte"),
+        (1, "en", "the cat and the dog sat"),   # score-only
+        (3, "de", "der hund und die matte"),    # score-only
+        (5, "en", "zz qq xx"),                  # all-OOV: falls back to prior
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    out = {
+        r.doc_id: (r.true_label, r.pred_label, r.is_correct)
+        for r in TXO.nb_classify(d, F.col("doc_id") % 2 == 0).collect()
+    }
+    assert out[1] == ("en", "en", 1)
+    assert out[3] == ("de", "de", 1)
+    # training rows classify themselves correctly too
+    for i in (0, 2, 4, 6):
+        assert out[i][2] == 1, (i, out[i])
+    # all-OOV doc: every label scores prior + n_tok*ln(1/(cl+V));
+    # en/de priors tie (2 docs each) but en's cl+V is smaller or equal;
+    # just assert determinism of the emitted argmax
+    assert out[5][1] in ("de", "en")
+
+
+def test_nb_classify_scores_are_exact_scaled_longs(spark):
+    """The per-doc score is an exact integer: recompute doc 1's winning
+    score by hand from the planted counts."""
+    import math
+
+    from pipetree_spark.ops import text as TXO
+    from pyspark.sql import functions as F
+
+    docs = [
+        (0, "en", "a b a"),
+        (2, "de", "x y"),
+        (1, "en", "a b"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    rows = {r.doc_id: r for r in TXO.nb_classify(d, F.col("doc_id") % 2 == 0).collect()}
+    # model: en: a:2 b:1 (cl=3), de: x:1 y:1 (cl=2); V=4; priors 1/2 each
+    def pin(p):
+        return round(math.log(p) * 10000)
+
+    en_score = pin(0.5) + pin((2 + 1.0) / (3 + 4)) + pin((1 + 1.0) / (3 + 4))
+    de_score = pin(0.5) + 2 * pin((0 + 1.0) / (2 + 4))
+    assert rows[1].pred_label == ("en" if en_score >= de_score else "de")
+    assert rows[1].score4 == max(en_score, de_score)
+
+
 def test_dup_span_islands_finds_planted_cross_doc_span(spark):
     """r12 substring dedup: a 12-token span planted in two docs (at
     different offsets, different surroundings) is recovered in FULL as
