@@ -2036,3 +2036,59 @@ def nb_classify(
             (F.col("label") == F.col("true_label")).cast("long").alias("is_correct"),
         )
     )
+
+
+def dup_span_strip(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Substring-level exact-dedup REMOVAL — the action half of
+    :func:`dup_span_stats` (Lee et al. 2022 ExactSubstr semantics:
+    every corpus-duplicated span of ≥ k tokens is cut from EVERY
+    document, which can remove all copies — exactly what the released
+    suffix-array tool does; a keep-one-copy variant is one keeper
+    window over the span's minimal (key, start) occurrence if a
+    pipeline wants it). Returns (key, n_kept, n_dropped, clean_text)
+    with clean_text rebuilt from the surviving tokens in order.
+
+    Scale shape: marking reuses :func:`dup_span_islands` (three keyed
+    shuffles, no all-pairs); removal is one anti-join of tokens
+    against the per-doc span intervals (equi on key + bounded range
+    predicate); reconstruction is a per-doc ordered collect bounded by
+    the document's own length — the same per-row bound every text
+    rewrite stage carries."""
+    wk = Window.partitionBy(key_col).orderBy("pos")
+    toks = (
+        df.select(F.col(key_col), F.posexplode(tokens(text_col)).alias("pos", "word"))
+        .where(F.length("word") > 0)
+        .withColumn("rn", F.row_number().over(wk) - 1)
+        .select(key_col, "rn", "word")
+    )
+    spans = dup_span_islands(df, text_col, key_col, k=k, min_count=min_count)
+    kept = toks.join(
+        spans,
+        (toks[key_col] == spans[key_col])
+        & (toks["rn"] >= spans["span_start"])
+        & (toks["rn"] <= spans["span_end"]),
+        "left_anti",
+    )
+    agg = kept.groupBy(key_col).agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "word"))),
+                lambda x: x["word"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    tot = toks.groupBy(key_col).agg(F.count("*").alias("n_tokens"))
+    return tot.join(agg, key_col, "left").select(
+        key_col,
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_dropped"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

@@ -3399,6 +3399,79 @@ def q_mm_audiofp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "q_dedup_substring_rm",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(range(len(a))) AS rn, unnest(a) AS word
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> length(w) > 0) AS a
+        FROM documents)),
+grams AS (
+  SELECT doc_id, rn AS s,
+         string_agg(word, chr(31)) OVER (PARTITION BY doc_id ORDER BY rn
+           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS gram,
+         count(*) OVER (PARTITION BY doc_id ORDER BY rn
+           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS n
+  FROM toks QUALIFY n = 8),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+hits AS (
+  SELECT doc_id, s, s + 7 AS e FROM grams JOIN dup USING (gram)),
+marked AS (
+  SELECT doc_id, s, e,
+         MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM hits),
+isl AS (
+  SELECT doc_id, s, e,
+         SUM(CASE WHEN prev_end IS NULL OR s > prev_end + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked),
+spans AS (
+  SELECT doc_id, island, MIN(s) AS span_start, MAX(e) AS span_end
+  FROM isl GROUP BY doc_id, island),
+dropped AS (
+  SELECT DISTINCT t.doc_id, t.rn
+  FROM toks t JOIN spans s
+    ON s.doc_id = t.doc_id AND t.rn BETWEEN s.span_start AND s.span_end),
+kept AS (
+  SELECT t.doc_id, t.rn, t.word
+  FROM toks t LEFT JOIN dropped d ON d.doc_id = t.doc_id AND d.rn = t.rn
+  WHERE d.rn IS NULL),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(word, ' ' ORDER BY rn) AS clean_text
+  FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id)
+SELECT tot.doc_id,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(tot.n_tokens - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM tot LEFT JOIN agg a USING (doc_id)
+""",
+    tags=("text", "dedup"),
+)
+def q_dedup_substring_rm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup REMOVAL (ops.text.dup_span_strip) — the action
+    half of q_dedup_substring: every corpus-duplicated ≥8-token span
+    is CUT from every document (Lee et al. 2022 ExactSubstr removal
+    semantics — all copies go, matching the released suffix-array
+    tool) and the text is rebuilt from the surviving tokens. Emits
+    per-doc (n_kept, n_dropped, clean_text) — the rewrite a curation
+    pipeline feeds forward in place of the original text. The oracle
+    re-derives spans, the interval anti-join, and the ordered
+    reconstruction in one statement, so a hash match certifies the
+    marking AND the rewrite.
+
+    Scale shape: marking is the certified three-keyed-shuffle island
+    pipeline; removal is one key-partitioned interval anti-join;
+    reconstruction is a per-doc ordered collect bounded by the doc's
+    own token count."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.dup_span_strip(d, k=8, min_count=2)
+
+
+@declare(
     "q_mm_vidhash_dedup",
     oracle="""
 WITH d AS (

@@ -2792,6 +2792,43 @@ def test_bigram_lm_scores_hand_computed(spark):
     assert out[3] == (0, 0, 0, None)
 
 
+def test_dup_span_strip_removes_planted_span_everywhere(spark):
+    """r12 substring-dedup removal: the planted 12-token cross-doc
+    span is cut from BOTH docs (ExactSubstr removes all copies), the
+    surrounding unique text survives in order, and clean docs pass
+    through untouched."""
+    from pipetree_spark.ops import text as TXO
+
+    span = "s0 s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11"
+    docs = [
+        (0, "u0 u1 u2 " + span + " t0 t1"),
+        (1, span + " v0 v1 v2 v3"),
+        (2, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_kept, r.n_dropped, r.clean_text)
+        for r in TXO.dup_span_strip(d, k=8).collect()
+    }
+    assert out[0] == (5, 12, "u0 u1 u2 t0 t1")
+    assert out[1] == (4, 12, "v0 v1 v2 v3")
+    assert out[2] == (10, 0, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9")
+
+
+def test_dup_span_strip_fully_duplicated_doc_empties(spark):
+    """A doc that IS a duplicated span strips to the empty string
+    (n_kept = 0) rather than vanishing from the output."""
+    from pipetree_spark.ops import text as TXO
+
+    span = "a b c d e f g h"
+    docs = [(0, span), (1, span), (2, "x " + span + " y")]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: (r.n_kept, r.clean_text) for r in TXO.dup_span_strip(d, k=8).collect()}
+    assert out[0] == (0, "")
+    assert out[1] == (0, "")
+    assert out[2] == (2, "x y")
+
+
 def test_nb_classify_separates_planted_vocabularies(spark):
     """r12 NB classifier: two disjoint planted vocabularies train on
     the even split and classify the odd split correctly; ties break

@@ -51,6 +51,7 @@ QUERIES = [
     "q_dedup_exact",       # hash dedup over documents
     "q_dedup_near",        # inverted-index Jaccard pairs
     "q_dedup_substring",   # r12: k-gram span islands, 3 keyed shuffles
+    "q_dedup_substring_rm",  # r12: island marking + interval anti-join rewrite
     "q_dedup_minhash_band",  # LSH banding + collapse_exact flood guard (r4)
     "q_dedup_near_lsh",    # r5: THE production path (banding + exact verify)
     "q_dedup_cc",          # r5: iterative min-label propagation (graph op)
