@@ -1916,7 +1916,10 @@ def bigram_lm_scores(
     model = b.where(model_pred)
     c12 = model.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    v = c12.agg(F.countDistinct("w2").alias("v"))
+    # V clamps to ≥1 so an EMPTY reference split (possible on random
+    # fuzz corpora) degrades to p = 1 for every bigram instead of an
+    # ANSI divide-by-zero (Spark) vs +inf (DuckDB) split-brain.
+    v = c12.agg(F.greatest(F.countDistinct("w2"), F.lit(1)).alias("v"))
     p = (
         F.lit(1e9)
         * (F.coalesce(F.col("c12"), F.lit(0)) + 1)
@@ -2068,11 +2071,14 @@ def dup_span_strip(
         .select(key_col, "rn", "word")
     )
     spans = dup_span_islands(df, text_col, key_col, k=k, min_count=min_count)
-    kept = toks.join(
-        spans,
-        (toks[key_col] == spans[key_col])
-        & (toks["rn"] >= spans["span_start"])
-        & (toks["rn"] <= spans["span_end"]),
+    # alias both sides: toks and spans share lineage (both derive from
+    # df), so unaliased key equality resolves trivially-true
+    t, s = toks.alias("__t"), spans.alias("__s")
+    kept = t.join(
+        s,
+        (F.col(f"__t.{key_col}") == F.col(f"__s.{key_col}"))
+        & (F.col("__t.rn") >= F.col("__s.span_start"))
+        & (F.col("__t.rn") <= F.col("__s.span_end")),
         "left_anti",
     )
     agg = kept.groupBy(key_col).agg(

@@ -2511,7 +2511,7 @@ b AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM bg),
 c12 AS (
   SELECT w1, w2, COUNT(*) AS c12 FROM b WHERE doc_id % 2 = 0 GROUP BY w1, w2),
 c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
-v AS (SELECT COUNT(DISTINCT w2) AS v FROM c12),
+v AS (SELECT GREATEST(COUNT(DISTINCT w2), 1) AS v FROM c12),
 scored AS (
   SELECT b.doc_id,
          COUNT(*) AS n_bigrams,
