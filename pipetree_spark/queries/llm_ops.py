@@ -3572,6 +3572,64 @@ def q_mm_vidhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "q_mm_exif_extract",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, sha256('exif:' || text) AS hx FROM documents WHERE doc_id < 24),
+b AS (
+  SELECT doc_id, hx,
+         CAST(concat('0x', substr(hx, 1, 2)) AS BIGINT) AS b0,
+         CAST(concat('0x', substr(hx, 3, 2)) AS BIGINT) AS b1,
+         CAST(concat('0x', substr(hx, 5, 2)) AS BIGINT) AS b2,
+         CAST(concat('0x', substr(hx, 7, 2)) AS BIGINT) AS b3,
+         CAST(concat('0x', substr(hx, 9, 2)) AS BIGINT) AS b4,
+         CAST(concat('0x', substr(hx, 11, 2)) AS BIGINT) AS b5,
+         CAST(concat('0x', substr(hx, 13, 2)) AS BIGINT) AS b6,
+         CAST(concat('0x', substr(hx, 15, 2)) AS BIGINT) AS b7,
+         CAST(concat('0x', substr(hx, 17, 2)) AS BIGINT) AS b8,
+         CAST(concat('0x', substr(hx, 19, 2)) AS BIGINT) AS b9,
+         CAST(concat('0x', substr(hx, 21, 2)) AS BIGINT) AS b10
+  FROM d)
+SELECT doc_id,
+       CASE WHEN b0 % 2 = 1 THEN 'MM' ELSE 'II' END AS endian,
+       'MK' || substr(hx, 5, 6) AS make,
+       CAST(1 + b1 % 8 AS BIGINT) AS orientation,
+       CAST(b2 * 256 + b3 AS BIGINT) AS xres_num,
+       CAST(1 + b4 AS BIGINT) AS xres_den,
+       printf('%04d:%02d:%02d %02d:%02d:%02d',
+              2000 + b5 % 100, 1 + b6 % 12, 1 + b7 % 28,
+              b8 % 24, b9 % 60, b10 % 60) AS dt_original
+FROM b
+""",
+    tags=("mm",),
+)
+def q_mm_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata extraction (ops.exif + ops.mm.exif_extract_stage)
+    — the metadata stage a multimodal crawl pipeline runs BEFORE any
+    pixel decode (orientation → rotation normalization, timestamps →
+    freshness filters, make → provenance audits): deterministic JPEGs
+    carrying REAL EXIF APP1 segments (spec-conformant TIFF with BOTH
+    byte orders — digest-selected per doc — inline SHORTs, offset
+    ASCII strings, an offset RATIONAL, and an Exif sub-IFD;
+    ops.mm.make_jpeg_exif_payload) → a real byte-level segment walk +
+    IFD parse (ops.exif.exif_parse). The oracle re-derives every field
+    from the digest DEFINITION alone, so a hash match certifies the
+    APP1 builder, both endian decode paths, inline-vs-offset value
+    handling, and the sub-IFD walk in one gate.
+
+    Scale shape: narrow per-row map, no shuffle; only segment headers
+    are walked — entropy-coded data is never touched."""
+    from pipetree_spark.ops import mm as MM
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 24)
+        .select("doc_id", "text")
+    )
+    return MM.exif_extract_stage(MM.make_jpeg_exif_payload(d))
+
+
+@declare(
     "q_dedup_substring",
     oracle="""
 WITH toks AS (

@@ -2708,6 +2708,67 @@ def test_pcm_perturb_saturates_at_int16_rails(spark):
     assert got2 == [32766, -32768, -1, 99]
 
 
+def test_exif_build_parse_roundtrip_both_endians():
+    """ops.exif: the builder's APP1 parses back field-for-field in II
+    and MM byte order; EXIF-less JPEGs return None; malformed TIFF
+    raises loudly."""
+    import pytest as _pytest
+    from pipetree_spark.ops.exif import (
+        ExifFormatError,
+        exif_app1,
+        exif_parse,
+        insert_app1,
+    )
+
+    skeleton = b"\xff\xd8\xff\xd9"
+    for be, bom in ((False, "II"), (True, "MM")):
+        app1 = exif_app1("MKtest01", 6, (7200, 100), "2026:08:16 12:34:56", big_endian=be)
+        got = exif_parse(insert_app1(skeleton, app1))
+        assert got == {
+            "endian": bom,
+            "make": "MKtest01",
+            "orientation": 6,
+            "xres_num": 7200,
+            "xres_den": 100,
+            "dt_original": "2026:08:16 12:34:56",
+        }
+    assert exif_parse(skeleton) is None
+    bad = insert_app1(skeleton, b"\xff\xe1\x00\x10Exif\x00\x00XXtrash....")
+    with _pytest.raises(ExifFormatError):
+        exif_parse(bad)
+
+
+def test_exif_extract_stage_reads_planted_metadata(spark):
+    """The Spark stage parses the planted EXIF from a REAL JPEG (after
+    the encoder's own segments) and splits endianness by digest — both
+    decode paths exercised in one frame."""
+    import hashlib
+
+    from pipetree_spark.ops import mm as MM
+
+    d = spark.createDataFrame(
+        [(i, f"exif-test-{i}") for i in range(8)], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r
+        for r in MM.exif_extract_stage(MM.make_jpeg_exif_payload(d)).collect()
+    }
+    endians = set()
+    for i in range(8):
+        hx = hashlib.sha256(f"exif:exif-test-{i}".encode()).hexdigest()
+        dig = bytes.fromhex(hx)
+        r = rows[i]
+        assert r.endian == ("MM" if dig[0] % 2 else "II")
+        endians.add(r.endian)
+        assert r.make == "MK" + hx[4:10]
+        assert r.orientation == 1 + dig[1] % 8
+        assert (r.xres_num, r.xres_den) == (dig[2] * 256 + dig[3], 1 + dig[4])
+        assert r.dt_original == "%04d:%02d:%02d %02d:%02d:%02d" % (
+            2000 + dig[5] % 100, 1 + dig[6] % 12, 1 + dig[7] % 28,
+            dig[8] % 24, dig[9] % 60, dig[10] % 60,
+        )
+
+
 def test_vidhash_dedup_finds_planted_near_dups_and_nothing_else(spark):
     """r12 perceptual video near-dup: every planted perturbed variant
     (saturating +1 on every 64th raw-frame byte, id = base + 100) must
