@@ -2196,6 +2196,107 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "q_text_temperature_mix",
+    oracle="""
+WITH dt AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS ntok FROM documents),
+s AS (
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens
+  FROM dt GROUP BY source),
+w AS (
+  SELECT source, n_tokens,
+         CAST(ROUND(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS wi
+  FROM s),
+tot AS (SELECT SUM(wi) AS tw, SUM(n_tokens) AS nt FROM w),
+r AS (
+  SELECT source, n_tokens,
+         LEAST(1000, CAST(FLOOR(500.0 * ((CAST(nt AS DOUBLE)
+                * (CAST(wi AS DOUBLE) / tw)) / n_tokens)) AS BIGINT)) AS permille
+  FROM w CROSS JOIN tot),
+kept AS (
+  SELECT d.source, d.ntok
+  FROM dt d JOIN r ON d.source = r.source
+  WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        % 1000 < r.permille),
+ka AS (
+  SELECT source, COUNT(*) AS n_kept, CAST(SUM(ntok) AS BIGINT) AS tok_kept
+  FROM kept GROUP BY source)
+SELECT r.source, r.permille,
+       CAST(COALESCE(ka.n_kept, 0) AS BIGINT) AS n_docs_kept,
+       CAST(COALESCE(ka.tok_kept, 0) AS BIGINT) AS n_tokens_kept
+FROM r LEFT JOIN ka USING (source)
+""",
+    tags=("text", "sampling", "pipeline"),
+)
+def q_text_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-mixture EXECUTOR — the composition that turns
+    q_corpus_mixture's α = 0.5 weights into an actually-sampled
+    corpus: per-source token masses → sqrt temperature weights
+    (round-pinned to scaled longs so the normalizing sum is exact
+    integer) → a 50%-of-tokens budget split ∝ the weights → integer
+    keep-permilles (floor + cap at 1000) → the NESTED deterministic
+    md5-bucket selection of q_sample_strat_hash. Emits the per-source
+    audit (permille, docs kept, tokens kept) a data-recipe run logs.
+    Every float op is a pinned tree over exact integers (sqrt and
+    divide are correctly-rounded IEEE; the one cross-source sum runs
+    over the ROUNDED integer weights, not doubles), so the selected
+    row set — not just the rates — is bit-reproducible cross-engine.
+
+    Scale shape: one map-side-combined groupBy(source) over the
+    corpus; rates broadcast back; the keep predicate is a pure per-row
+    expression; the audit re-aggregates map-side. Two |sources|-row
+    relations and two corpus passes, nothing wider."""
+    d = load_table(spark, sf_dir, "documents")
+    dt = d.select("doc_id", "source", F.size(TX.tokens("text")).alias("ntok"))
+    s = dt.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("ntok").alias("n_tokens")
+    )
+    w = s.select(
+        "source",
+        "n_tokens",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1000000.0))
+        .cast("long")
+        .alias("wi"),
+    )
+    tot = w.agg(F.sum("wi").alias("tw"), F.sum("n_tokens").alias("nt"))
+    r = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.least(
+            F.lit(1000).cast("long"),
+            F.floor(
+                F.lit(500.0)
+                * (
+                    (
+                        F.col("nt").cast("double")
+                        * (F.col("wi").cast("double") / F.col("tw"))
+                    )
+                    / F.col("n_tokens")
+                )
+            ).cast("long"),
+        ).alias("permille"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        )
+        % 1000
+    )
+    kept = (
+        dt.join(F.broadcast(r.select("source", "permille")), "source")
+        .where(bucket < F.col("permille"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.sum("ntok").alias("tok_kept"))
+    )
+    return r.join(kept, "source", "left").select(
+        "source",
+        "permille",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_docs_kept"),
+        F.coalesce("tok_kept", F.lit(0)).cast("long").alias("n_tokens_kept"),
+    )
+
+
+@declare(
     "q_vec_decontam",
     oracle=f"""
 WITH ev AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 19 = 0),

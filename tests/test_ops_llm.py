@@ -2708,6 +2708,48 @@ def test_pcm_perturb_saturates_at_int16_rails(spark):
     assert got2 == [32766, -32768, -1, 99]
 
 
+def test_temperature_mix_rates_and_selection_match_reference(spark):
+    """r12 temperature-mix executor: permilles match an independent
+    python re-derivation (sqrt weights → 50%-token budget → floor),
+    the head source downsamples while the tail saturates at 1000, and
+    the selected docs are exactly the md5-bucket winners."""
+    import hashlib
+    import math
+    import os
+    import tempfile
+
+    from pipetree_spark.queries import load_registry
+
+    # big head source (90 docs x 10 tokens), small tail (10 docs x 2)
+    docs = [(i, "head", " ".join(["w"] * 10)) for i in range(90)]
+    docs += [(i, "tail", "a b") for i in range(90, 100)]
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(docs, "doc_id long, source string, text string") \
+        .withColumn("lang", F.lit("en")) \
+        .withColumn("n_chars", F.length("text").cast("long")) \
+        .select("doc_id", "text", "lang", "source", "n_chars") \
+        .write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    q = load_registry()["q_text_temperature_mix"].fn
+    out = {r.source: r for r in q(spark, tmp).collect()}
+
+    masses = {"head": 900, "tail": 20}
+    wi = {s: round(math.sqrt(m) * 1e6) for s, m in masses.items()}
+    tw, nt = sum(wi.values()), sum(masses.values())
+    perm = {
+        s: min(1000, math.floor(500.0 * ((float(nt) * (wi[s] / tw)) / masses[s])))
+        for s in masses
+    }
+    assert out["head"].permille == perm["head"] < 1000
+    assert out["tail"].permille == perm["tail"] == 1000
+    for s, lo, hi in (("head", 0, 90), ("tail", 90, 100)):
+        kept = [
+            i for i in range(lo, hi)
+            if int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 1000
+            < perm[s]
+        ]
+        assert out[s].n_docs_kept == len(kept), s
+
+
 def test_exif_build_parse_roundtrip_both_endians():
     """ops.exif: the builder's APP1 parses back field-for-field in II
     and MM byte order; EXIF-less JPEGs return None; malformed TIFF
