@@ -78,8 +78,12 @@ def exif_app1(
     def entry(tag: int, typ: int, n: int, val: bytes) -> bytes:
         return struct.pack(f"{e}HHI", tag, typ, n) + val.ljust(4, b"\x00")
 
+    # TIFF 6.0: values of ≤ 4 bytes store INLINE in the entry's value
+    # field (left-justified); only longer values store at an offset
+    make_val = make_b if len(make_b) <= 4 else struct.pack(f"{e}I", make_off)
+
     ifd0 = struct.pack(f"{e}H", 4)
-    ifd0 += entry(TAG_MAKE, TYPE_ASCII, len(make_b), struct.pack(f"{e}I", make_off))
+    ifd0 += entry(TAG_MAKE, TYPE_ASCII, len(make_b), make_val)
     ifd0 += entry(TAG_ORIENTATION, TYPE_SHORT, 1, struct.pack(f"{e}H", orientation))
     ifd0 += entry(TAG_XRESOLUTION, TYPE_RATIONAL, 1, struct.pack(f"{e}I", xres_off))
     ifd0 += entry(TAG_EXIF_IFD, TYPE_LONG, 1, struct.pack(f"{e}I", sub_off))

@@ -2144,3 +2144,133 @@ def exif_extract_stage(
             )
 
     return df.mapInPandas(run, schema=EXIF_SCHEMA)
+
+
+# ----------------------------------------------- WARC crawl ingest
+
+WARC_MIME = "application/warc"
+
+
+def make_warc_payload(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize a REAL WARC/1.0 archive per row — the CommonCrawl
+    record layout a crawl-ingest stage actually walks: one warcinfo
+    record, one request record, one response record whose HTTP message
+    wraps the doc's text as HTML (status 404 with a fixed not-found
+    body when sha256('warc:' + text) byte 0 ≡ 0 mod 4, else 200 —
+    so the error-classification path is under the gate too). An
+    oracle re-derives every extracted field from the digest + text
+    definition with no byte-level code."""
+    from pipetree_spark.ops.warc import http_response, warc_build
+
+    schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("mime", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                t = str(t)
+                hx = hashlib.sha256(b"warc:" + t.encode()).hexdigest()
+                b0 = int(hx[:2], 16)
+                uri = "http://crawl.test/" + hx[:8]
+                if b0 % 4 == 0:
+                    status, reason = 404, "Not Found"
+                    body = "<html><body><p>not found</p></body></html>"
+                else:
+                    status, reason = 200, "OK"
+                    body = f"<html><body><p>{t}</p></body></html>"
+                payloads.append(
+                    warc_build(
+                        [
+                            (
+                                "warcinfo",
+                                {"WARC-Record-ID": f"<urn:sha256:{hx[:16]}>"},
+                                b"software: pipetree-spark\r\n",
+                            ),
+                            (
+                                "request",
+                                {"WARC-Target-URI": uri},
+                                f"GET /{hx[:8]} HTTP/1.1\r\nHost: crawl.test\r\n\r\n".encode(),
+                            ),
+                            (
+                                "response",
+                                {"WARC-Target-URI": uri},
+                                http_response(status, reason, body.encode("utf-8")),
+                            ),
+                        ]
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].astype("int64"),
+                    "content": payloads,
+                    "mime": WARC_MIME,
+                }
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
+WARC_EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_records", T.LongType()),
+        T.StructField("http_status", T.LongType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("body_bytes", T.LongType()),
+        T.StructField("body_html", T.StringType()),
+    ]
+)
+
+
+def warc_extract_stage(
+    df: DataFrame, content_col: str = "content", key_col: str = "doc_id"
+) -> DataFrame:
+    """REAL WARC ingest: walk the record framing (ops.warc.warc_parse,
+    strict Content-Length + CRLF separators, loud failure), keep the
+    ``response`` record, parse its HTTP message, and emit the row the
+    rest of the text pipeline consumes — status for error filtering,
+    target URI for provenance/URL rules, the HTML body for
+    html_extract_stage. One row per archive (the canonical
+    one-response-per-capture layout; a multi-capture archive would
+    emit one row per response with the same code).
+
+    Scale shape: narrow per-row map, no shuffle; the walk is
+    framing-sized (headers + one memcpy per payload). Gzip-membered
+    CommonCrawl files compose decompress_stage in front."""
+    from pipetree_spark.ops.warc import warc_parse
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("doc_id", "n_records", "http_status", "target_uri", "body_bytes", "body_html")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for did, p in zip(pdf[key_col], pdf[content_col]):
+                recs = warc_parse(bytes(p))
+                resp = [r for r in recs if r["warc_type"] == "response"]
+                for r in resp:
+                    body = r["http_body"]
+                    rows["doc_id"].append(int(did))
+                    rows["n_records"].append(len(recs))
+                    rows["http_status"].append(int(r["http_status"]))
+                    rows["target_uri"].append(r["fields"].get("WARC-Target-URI"))
+                    rows["body_bytes"].append(len(body))
+                    rows["body_html"].append(body.decode("utf-8"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "n_records": pd.Series(rows["n_records"], dtype="int64"),
+                    "http_status": pd.Series(rows["http_status"], dtype="int64"),
+                    "target_uri": rows["target_uri"],
+                    "body_bytes": pd.Series(rows["body_bytes"], dtype="int64"),
+                    "body_html": rows["body_html"],
+                }
+            )
+
+    return df.mapInPandas(run, schema=WARC_EXTRACT_SCHEMA)

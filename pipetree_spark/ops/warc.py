@@ -1,0 +1,122 @@
+"""WARC (Web ARChive, ISO 28500) build + parse — pure text/struct.
+
+WARC is THE crawl interchange format (CommonCrawl ships it), so a
+training-data pipeline's first stage is a WARC record walk: split
+records on the Content-Length framing, read the WARC named fields,
+and for ``response`` records parse the embedded HTTP message down to
+the body that feeds HTML extraction (ops/text.py html_extract_stage).
+This module is the byte-level half of that stage — a real parser with
+a builder twin so planted archives certify it end-to-end, the same
+pattern as ops/exif.py and the media codecs.
+
+Production note: CommonCrawl WARCs are per-record gzip members;
+``ops.mm.decompress_stage`` (gzip) composes in front of this parser
+for that layout. Parsing here is strict framing (Content-Length +
+CRLF CRLF record separators) with loud failure — a truncated record
+raises, it does not silently yield garbage.
+
+Reference note: /root/reference is empty (SURVEY §0); the reference is
+an ML-pipeline orchestrator with no WARC surface — extension surface
+for the ingest family (SURVEY §2.1/§2.12).
+"""
+
+from __future__ import annotations
+
+CRLF = "\r\n"
+
+
+class WarcFormatError(ValueError):
+    """Raised on malformed WARC framing (loud-fail contract)."""
+
+
+def warc_record(warc_type: str, headers: dict[str, str], payload: bytes) -> bytes:
+    """One spec-conformant WARC/1.0 record: version line, named
+    fields, Content-Length, blank line, payload, double CRLF."""
+    head = f"WARC/1.0{CRLF}WARC-Type: {warc_type}{CRLF}"
+    for k, v in headers.items():
+        head += f"{k}: {v}{CRLF}"
+    head += f"Content-Length: {len(payload)}{CRLF}{CRLF}"
+    return head.encode("ascii") + payload + (CRLF + CRLF).encode("ascii")
+
+
+def http_response(status: int, reason: str, body: bytes, content_type: str = "text/html") -> bytes:
+    """A minimal HTTP/1.1 response message for a WARC response record."""
+    head = (
+        f"HTTP/1.1 {status} {reason}{CRLF}"
+        f"Content-Type: {content_type}{CRLF}"
+        f"Content-Length: {len(body)}{CRLF}{CRLF}"
+    )
+    return head.encode("ascii") + body
+
+
+def warc_build(records: list[tuple[str, dict[str, str], bytes]]) -> bytes:
+    """Concatenate records into one WARC file."""
+    return b"".join(warc_record(t, h, p) for (t, h, p) in records)
+
+
+def _parse_headers(block: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for line in block.split(CRLF):
+        if not line:
+            continue
+        if ":" not in line:
+            raise WarcFormatError(f"bad header line {line!r}")
+        k, v = line.split(":", 1)
+        out[k.strip()] = v.strip()
+    return out
+
+
+def warc_parse(data: bytes) -> list[dict[str, object]]:
+    """Walk a WARC file record-by-record. Returns one dict per record:
+    warc_type, the WARC named fields, payload (bytes) — and for
+    ``response`` records the parsed HTTP status plus body bytes."""
+    out: list[dict[str, object]] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record padding
+        while pos < n and data[pos : pos + 2] == CRLF.encode():
+            pos += 2
+        if pos >= n:
+            break
+        hdr_end = data.find((CRLF + CRLF).encode(), pos)
+        if hdr_end < 0:
+            raise WarcFormatError("unterminated record header")
+        head = data[pos:hdr_end].decode("ascii", errors="strict")
+        lines = head.split(CRLF)
+        if not lines[0].startswith("WARC/"):
+            raise WarcFormatError(f"bad version line {lines[0]!r}")
+        fields = _parse_headers(CRLF.join(lines[1:]))
+        if "Content-Length" not in fields:
+            raise WarcFormatError("record missing Content-Length")
+        clen = int(fields["Content-Length"])
+        body_start = hdr_end + 4
+        if body_start + clen > n:
+            raise WarcFormatError("truncated record payload")
+        payload = data[body_start : body_start + clen]
+        rec: dict[str, object] = {
+            "warc_type": fields.get("WARC-Type", ""),
+            "fields": fields,
+            "payload": payload,
+        }
+        if rec["warc_type"] == "response":
+            rec.update(_parse_http(payload))
+        out.append(rec)
+        pos = body_start + clen
+    return out
+
+
+def _parse_http(payload: bytes) -> dict[str, object]:
+    sep = payload.find((CRLF + CRLF).encode())
+    if sep < 0:
+        raise WarcFormatError("response payload is not an HTTP message")
+    head = payload[:sep].decode("ascii", errors="strict")
+    lines = head.split(CRLF)
+    parts = lines[0].split(" ", 2)
+    if len(parts) < 2 or not parts[0].startswith("HTTP/"):
+        raise WarcFormatError(f"bad HTTP status line {lines[0]!r}")
+    return {
+        "http_status": int(parts[1]),
+        "http_headers": _parse_headers(CRLF.join(lines[1:])),
+        "http_body": payload[sep + 4 :],
+    }

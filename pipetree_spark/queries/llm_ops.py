@@ -3673,6 +3673,58 @@ def q_mm_vidhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "q_src_warc",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, sha256('warc:' || text) AS hx
+  FROM documents WHERE doc_id < 64),
+b AS (
+  SELECT doc_id, text, hx,
+         CAST(concat('0x', substr(hx, 1, 2)) AS BIGINT) AS b0
+  FROM d),
+h AS (
+  SELECT doc_id, hx, b0,
+         CASE WHEN b0 % 4 = 0
+              THEN '<html><body><p>not found</p></body></html>'
+              ELSE '<html><body><p>' || text || '</p></body></html>' END AS body
+  FROM b)
+SELECT doc_id,
+       CAST(3 AS BIGINT) AS n_records,
+       CAST(CASE WHEN b0 % 4 = 0 THEN 404 ELSE 200 END AS BIGINT) AS http_status,
+       'http://crawl.test/' || substr(hx, 1, 8) AS target_uri,
+       CAST(strlen(body) AS BIGINT) AS body_bytes,
+       body AS body_html
+FROM h
+""",
+    tags=("source", "mm"),
+)
+def q_src_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl ingest (ops.warc + ops.mm.warc_extract_stage) — the
+    FIRST stage of every CommonCrawl-fed pipeline, before HTML
+    extraction even starts: deterministic WARC/1.0 archives (warcinfo
+    + request + response records, strict Content-Length framing; 404
+    captures planted by digest so the error-classification path is
+    gated too) → a real record walk + embedded-HTTP parse → (status,
+    target URI, body bytes, HTML body). The oracle re-derives every
+    field from the digest + text definition alone, so a hash match
+    certifies the framing walk, the header parse, the HTTP split, and
+    byte-exact body passthrough (the HTML body then feeds the
+    certified q_text_extract_html stage).
+
+    Scale shape: narrow per-row map, framing-sized work, no shuffle;
+    per-record-gzipped CommonCrawl files compose decompress_stage in
+    front of the same walk."""
+    from pipetree_spark.ops import mm as MM
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 64)
+        .select("doc_id", "text")
+    )
+    return MM.warc_extract_stage(MM.make_warc_payload(d))
+
+
+@declare(
     "q_mm_exif_extract",
     oracle="""
 WITH d AS (

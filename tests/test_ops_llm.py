@@ -2750,6 +2750,64 @@ def test_temperature_mix_rates_and_selection_match_reference(spark):
         assert out[s].n_docs_kept == len(kept), s
 
 
+def test_warc_build_parse_roundtrip_and_strict_framing():
+    """ops.warc: built archives parse back record-for-record; a
+    truncated payload and a missing Content-Length raise loudly."""
+    import pytest as _pytest
+    from pipetree_spark.ops.warc import (
+        WarcFormatError,
+        http_response,
+        warc_build,
+        warc_parse,
+    )
+
+    body = b"<html><body><p>hi</p></body></html>"
+    data = warc_build(
+        [
+            ("warcinfo", {"WARC-Record-ID": "<urn:x:1>"}, b"software: t\r\n"),
+            ("request", {"WARC-Target-URI": "http://e/a"}, b"GET /a HTTP/1.1\r\n\r\n"),
+            ("response", {"WARC-Target-URI": "http://e/a"}, http_response(200, "OK", body)),
+        ]
+    )
+    recs = warc_parse(data)
+    assert [r["warc_type"] for r in recs] == ["warcinfo", "request", "response"]
+    assert recs[2]["http_status"] == 200 and recs[2]["http_body"] == body
+    with _pytest.raises(WarcFormatError):
+        warc_parse(data[:-10])  # truncated final payload
+    with _pytest.raises(WarcFormatError):
+        warc_parse(b"WARC/1.0\r\nWARC-Type: response\r\n\r\nxx")  # no length
+
+
+def test_warc_extract_stage_classifies_planted_captures(spark):
+    """The Spark ingest stage walks planted archives: 200 captures
+    carry the doc's HTML body byte-exact, 404 captures carry the
+    fixed not-found body, URIs come from the digest."""
+    import hashlib
+
+    from pipetree_spark.ops import mm as MM
+
+    d = spark.createDataFrame(
+        [(i, f"warc test doc {i}") for i in range(16)], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r for r in MM.warc_extract_stage(MM.make_warc_payload(d)).collect()
+    }
+    seen = set()
+    for i in range(16):
+        t = f"warc test doc {i}"
+        hx = hashlib.sha256(b"warc:" + t.encode()).hexdigest()
+        r = rows[i]
+        assert r.n_records == 3
+        assert r.target_uri == "http://crawl.test/" + hx[:8]
+        if int(hx[:2], 16) % 4 == 0:
+            assert r.http_status == 404
+            assert r.body_html == "<html><body><p>not found</p></body></html>"
+        else:
+            assert r.http_status == 200
+            assert r.body_html == f"<html><body><p>{t}</p></body></html>"
+        seen.add(r.http_status)
+
+
 def test_exif_build_parse_roundtrip_both_endians():
     """ops.exif: the builder's APP1 parses back field-for-field in II
     and MM byte order; EXIF-less JPEGs return None; malformed TIFF

@@ -1312,3 +1312,63 @@ def test_bpe_scale_path_matches_distributed_on_random_corpora(spark, docs, nm):
         for r in TXO.bpe_encode(sdf, pairs, "text", "doc_id").collect()
     }
     assert got == exp, (docs, nm, got, exp)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["warcinfo", "request", "response", "metadata"]),
+            st.binary(min_size=0, max_size=300),
+            st.integers(min_value=100, max_value=599),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_warc_roundtrip_property(recs):
+    """Pure-parser property (no Spark): warc_build → warc_parse is the
+    identity for every record mix — types, payload bytes (response
+    payloads get a real HTTP wrapper), and record count survive, and
+    framing never bleeds across records even with CRLFs inside
+    payloads."""
+    from pipetree_spark.ops import warc as W
+
+    built = []
+    for typ, payload, status in recs:
+        if typ == "response":
+            built.append((typ, {"WARC-Target-URI": "http://t/x"},
+                          W.http_response(status, "X", payload)))
+        else:
+            built.append((typ, {"WARC-Record-ID": "<urn:t:1>"}, payload))
+    parsed = W.warc_parse(W.warc_build(built))
+    assert [r["warc_type"] for r in parsed] == [t for (t, _, _) in recs]
+    for (typ, payload, status), r in zip(recs, parsed):
+        if typ == "response":
+            assert r["http_status"] == status
+            assert r["http_body"] == payload
+        else:
+            assert r["payload"] == payload
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=1, max_size=30).map(str.strip).filter(bool),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=2**31 - 1),
+    st.integers(min_value=1, max_value=2**31 - 1),
+    st.booleans(),
+)
+def test_exif_roundtrip_property(make, orientation, num, den, big_endian):
+    """Pure-parser property (no Spark): exif_app1 → exif_parse is the
+    identity for every make string, orientation, rational, and byte
+    order — including 32-bit boundary rationals."""
+    from pipetree_spark.ops import exif as E
+
+    app1 = E.exif_app1(make, orientation, (num, den),
+                       "2026:08:16 00:00:00", big_endian=big_endian)
+    got = E.exif_parse(E.insert_app1(b"\xff\xd8\xff\xd9", app1))
+    assert got["make"] == make
+    assert got["orientation"] == orientation
+    assert (got["xres_num"], got["xres_den"]) == (num, den)
+    assert got["endian"] == ("MM" if big_endian else "II")
