@@ -2185,7 +2185,16 @@ def make_warc_payload(
                     body = "<html><body><p>not found</p></body></html>"
                 else:
                     status, reason = 200, "OK"
-                    body = f"<html><body><p>{t}</p></body></html>"
+                    # realistic capture shape: pure-link nav + content
+                    # paragraph (entity included) + pure-link footer, so
+                    # the downstream link-density extractor has real
+                    # boilerplate to drop (q_pipe_crawl_e2e)
+                    body = (
+                        "<html><body><div id=nav><a href=/>Home</a> "
+                        "<a href=/a>About</a></div><p>" + t + " &amp; tail</p>"
+                        "<div id=footer><a href=/t>Terms</a> "
+                        "<a href=/p>Privacy</a></div></body></html>"
+                    )
                 payloads.append(
                     warc_build(
                         [

@@ -3686,7 +3686,10 @@ h AS (
   SELECT doc_id, hx, b0,
          CASE WHEN b0 % 4 = 0
               THEN '<html><body><p>not found</p></body></html>'
-              ELSE '<html><body><p>' || text || '</p></body></html>' END AS body
+              ELSE '<html><body><div id=nav><a href=/>Home</a> <a href=/a>About</a></div><p>'
+                   || text ||
+                   ' &amp; tail</p><div id=footer><a href=/t>Terms</a> <a href=/p>Privacy</a></div></body></html>'
+              END AS body
   FROM b)
 SELECT doc_id,
        CAST(3 AS BIGINT) AS n_records,
@@ -3722,6 +3725,87 @@ def q_src_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     return MM.warc_extract_stage(MM.make_warc_payload(d))
+
+
+@declare(
+    "q_pipe_crawl_e2e",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id, text, sha256('warc:' || text) AS hx
+  FROM documents WHERE doc_id < 64),
+ok AS (
+  SELECT doc_id,
+         '<html><body><div id=nav><a href=/>Home</a> <a href=/a>About</a></div><p>'
+         || text ||
+         ' &amp; tail</p><div id=footer><a href=/t>Terms</a> <a href=/p>Privacy</a></div></body></html>'
+           AS html
+  FROM d
+  WHERE CAST(concat('0x', substr(hx, 1, 2)) AS BIGINT) % 4 <> 0),
+stripped AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(html,
+           '(?is)<head[^>]*>.*?</head>', ' ', 'g'),
+           '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+           '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS c
+  FROM ok),
+per AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(
+             string_split_regex(c, '(?i)</(?:p|div|li)>'),
+             b -> {'txt': trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')),
+                   'lc': coalesce(list_sum(list_transform(
+                           regexp_extract_all(b, '(?is)<a\s[^>]*>(.*?)</a>', 1),
+                           x -> length(trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))))), 0)}),
+           s -> length(s.txt) > 0) AS nonempty
+  FROM stripped),
+k AS (
+  SELECT doc_id, nonempty,
+         list_filter(nonempty, s -> s.lc * 2 <= length(s.txt)) AS kept
+  FROM per)
+SELECT doc_id,
+       trim(regexp_replace(
+         replace(replace(replace(replace(replace(replace(
+           array_to_string(list_transform(kept, s -> s.txt), ' '),
+           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           chr(38) || '#39;', chr(39)), '&amp;', '&'),
+         '\s+', ' ', 'g')) AS extracted,
+       CAST(len(nonempty) AS BIGINT) AS n_blocks,
+       CAST(len(kept) AS BIGINT) AS n_kept_blocks,
+       CAST(coalesce(list_sum(list_transform(nonempty, s -> s.lc)), 0) AS BIGINT) AS link_chars,
+       CAST(coalesce(list_sum(list_transform(nonempty, s -> length(s.txt))), 0) AS BIGINT) AS text_chars
+FROM k
+""",
+    tags=("pipeline", "text", "mm"),
+)
+def q_pipe_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl FRONT-END end-to-end, certified as one unit (the
+    q_pipe_curation pattern applied to ingest): WARC archives
+    (ops.mm.make_warc_payload — warcinfo/request/response records,
+    planted 404 captures) → REAL record-framing walk + HTTP parse
+    (ops.mm.warc_extract_stage) → error filtering (keep status 200)
+    → HTML boilerplate extraction on the captured bodies
+    (ops.text.html_extract_stage: block split, integer link-density
+    rule, entity decode). One hash match certifies the WARC parser,
+    the status classification, byte-exact body passthrough, AND the
+    extraction arithmetic composed — the exact path a CommonCrawl-fed
+    corpus takes before q_text_clean ever sees a byte.
+
+    Scale shape: two chained narrow maps + per-row HOF expressions —
+    zero shuffles end-to-end; at 100 TB this whole front-end is
+    embarrassingly parallel scan work."""
+    from pipetree_spark.ops import mm as MM
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 64)
+        .select("doc_id", "text")
+    )
+    rows = MM.warc_extract_stage(MM.make_warc_payload(d))
+    ok = rows.where(F.col("http_status") == 200).select(
+        "doc_id", F.col("body_html").alias("html")
+    )
+    return TX.html_extract_stage(ok, "html", "doc_id")
 
 
 @declare(

@@ -2804,8 +2804,40 @@ def test_warc_extract_stage_classifies_planted_captures(spark):
             assert r.body_html == "<html><body><p>not found</p></body></html>"
         else:
             assert r.http_status == 200
-            assert r.body_html == f"<html><body><p>{t}</p></body></html>"
+            assert f"<p>{t} &amp; tail</p>" in r.body_html
+            assert r.body_html.startswith("<html><body><div id=nav>")
         seen.add(r.http_status)
+
+
+def test_crawl_e2e_extracts_content_and_drops_boilerplate(spark):
+    """r12 crawl front-end composition: WARC parse → 200-filter →
+    link-density extraction. The nav and footer (pure links) drop,
+    the content paragraph survives with its entity decoded, and 404
+    captures never reach the extractor."""
+    import hashlib
+
+    from pipetree_spark.ops import mm as MM
+    from pipetree_spark.ops import text as TXO
+
+    d = spark.createDataFrame(
+        [(i, f"crawl e2e doc {i} body words") for i in range(12)],
+        "doc_id long, text string",
+    )
+    rows = MM.warc_extract_stage(MM.make_warc_payload(d))
+    ok = rows.where(F.col("http_status") == 200).select(
+        "doc_id", F.col("body_html").alias("html")
+    )
+    out = {r.doc_id: r for r in TXO.html_extract_stage(ok, "html", "doc_id").collect()}
+    for i in range(12):
+        t = f"crawl e2e doc {i} body words"
+        hx = hashlib.sha256(b"warc:" + t.encode()).hexdigest()
+        if int(hx[:2], 16) % 4 == 0:
+            assert i not in out  # 404 never reaches extraction
+        else:
+            r = out[i]
+            assert r.extracted == f"{t} & tail"      # entity decoded
+            assert r.n_blocks == 3                    # nav, content, footer
+            assert r.n_kept_blocks == 1               # boilerplate dropped
 
 
 def test_exif_build_parse_roundtrip_both_endians():
