@@ -1877,6 +1877,7 @@ def make_avi_quad_payload(
     key_col: str = "doc_id",
     n_frames: int = 16,
     fps: int = 5,
+    repeat: int = 1,
 ) -> DataFrame:
     """Synthesize a REAL MJPEG-AVI payload of 16×16 frames with FOUR
     flat 8×8 quadrants each (quadrant q of frame k takes RGB bytes
@@ -1909,7 +1910,9 @@ def make_avi_quad_payload(
                 base = hashlib.sha256(b"aviq:" + str(t).encode()).hexdigest()
                 frames = []
                 for k in range(n_frames):
-                    dig = hashlib.sha256(f"{base}:{k}".encode()).digest()
+                    # repeat > 1 emits runs of identical frames (shot
+                    # structure) for keyframe-selection tests/oracles
+                    dig = hashlib.sha256(f"{base}:{k // repeat}".encode()).digest()
                     img = np.empty((16, 16, 3), np.uint8)
                     for q in range(4):
                         r0, c0 = (q // 2) * 8, (q % 2) * 8
@@ -2283,3 +2286,58 @@ def warc_extract_stage(
             )
 
     return df.mapInPandas(run, schema=WARC_EXTRACT_SCHEMA)
+
+
+def pcm_downsample_stage(
+    df: DataFrame, factor: int = 2, content_col: str = "content", key_col: str = "doc_id"
+) -> DataFrame:
+    """Stride-decimation stage over raw-PCM16 rows (every ``factor``-th
+    sample kept; :func:`pcm_downsample` per row): narrow map, output
+    layout unchanged with n_samples/sample_rate divided by ``factor``
+    so downstream waveform stages chain unmodified."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out, counts, rates = [], [], []
+            for p, n, sr in zip(pdf[content_col], pdf["n_samples"], pdf["sample_rate"]):
+                out.append(pcm_downsample(bytes(p), int(n), factor))
+                counts.append((int(n) + factor - 1) // factor)
+                rates.append(int(sr) // factor)
+            pdf = pdf.copy()
+            pdf[content_col] = out
+            pdf["n_samples"] = pd.Series(counts, dtype="int32")
+            pdf["sample_rate"] = pd.Series(rates, dtype="int32")
+            yield pdf
+
+    return df.mapInPandas(run, schema=df.schema)
+
+
+def vid_keyframes(luma: DataFrame, n_frames: int, key_col: str = "doc_id") -> DataFrame:
+    """Content-change keyframe selection over per-(frame, quadrant)
+    luma sums (:func:`vid_block_luma_stage`): frame t is a KEYFRAME iff
+    t = 0 or its total absolute quadrant-luma change vs frame t−1 is
+    nonzero — the integer-exact core of the shot-boundary sampling a
+    vision-language corpus runs so it stores one frame per shot
+    instead of ``fps`` near-identical copies. Returns
+    (key, frame_idx, delta) for keyframes only (delta = 0 for t = 0 by
+    convention). All JVM expressions over the fingerprint-sized luma
+    relation; a production threshold simply replaces the > 0."""
+    a, b = luma.alias("a"), luma.alias("b")
+    deltas = (
+        a.join(
+            b,
+            (F.col(f"a.{key_col}") == F.col(f"b.{key_col}"))
+            & (F.col("a.q") == F.col("b.q"))
+            & (F.col("b.frame_idx") == F.col("a.frame_idx") - 1),
+            "left",
+        )
+        .select(
+            F.col(f"a.{key_col}").alias(key_col),
+            F.col("a.frame_idx").alias("frame_idx"),
+            F.abs(F.col("a.luma") - F.coalesce(F.col("b.luma"), F.col("a.luma"))).alias("d"),
+        )
+        .groupBy(key_col, "frame_idx")
+        .agg(F.sum("d").alias("delta"))
+    )
+    return deltas.where((F.col("frame_idx") == 0) | (F.col("delta") > 0)).select(
+        key_col, "frame_idx", F.col("delta").cast("long").alias("delta")
+    )

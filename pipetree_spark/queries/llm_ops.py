@@ -3809,6 +3809,162 @@ def q_pipe_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "q_mm_resize",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, sha256(text) AS bh FROM documents WHERE doc_id < 24),
+blk AS (
+  SELECT doc_id, i, sha256(bh || ':' || CAST(i AS VARCHAR)) AS hx
+  FROM d CROSS JOIN generate_series(0, 23) g(i)),
+byt AS (
+  SELECT doc_id, i * 32 + j AS p,
+         CAST(concat('0x', substr(hx, j * 2 + 1, 2)) AS BIGINT) AS b
+  FROM blk CROSS JOIN generate_series(0, 31) gj(j)),
+kept AS (
+  SELECT doc_id, p, b FROM byt
+  WHERE ((p // 3) // 16) % 2 = 0 AND ((p // 3) % 16) % 2 = 0)
+SELECT doc_id,
+       CAST(COUNT(*) FILTER (p % 3 = 0) AS BIGINT) AS n_px,
+       CAST(SUM(b) FILTER (p % 3 = 0) AS BIGINT) AS sum_r,
+       CAST(SUM(b) FILTER (p % 3 = 1) AS BIGINT) AS sum_g,
+       CAST(SUM(b) FILTER (p % 3 = 2) AS BIGINT) AS sum_b,
+       CAST(SUM(b * b) AS BIGINT) AS sum_sq
+FROM kept GROUP BY doc_id
+""",
+    tags=("mm",),
+)
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE under the driver hash gate — the preprocessing op
+    every vision pipeline runs first: deterministic 16×16 pixels →
+    REAL PNG encode/decode → nearest-neighbor resize to 8×8
+    (ops.mm.rgb_resize_stage: integer index maps y = r·h_in//h_out, so
+    the kept source pixels are exactly the even rows × even columns —
+    oracle-expressible with two modular predicates) → integer channel
+    stats. A hash match certifies the codec AND the index arithmetic
+    (an off-by-one in the map would shift every kept pixel).
+
+    Scale shape: narrow per-row map; the resize shrinks payloads 4×
+    before any downstream stage."""
+    from pipetree_spark.ops import mm as MM
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 24)
+        .select("doc_id", "text")
+    )
+    base = MM.png_decode_stage(MM.make_png_payload(d, width=16, height=16))
+    return MM.rgb_int_stats_stage(MM.rgb_resize_stage(base, out_w=8, out_h=8))
+
+
+@declare(
+    "q_mm_audio_downsample",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, sha256('pcm:' || text) AS bh FROM documents WHERE doc_id < 24),
+blk AS (
+  SELECT doc_id, i, sha256(bh || ':' || CAST(i AS VARCHAR)) AS hx
+  FROM d CROSS JOIN generate_series(0, 31) g(i)),
+byt AS (
+  SELECT doc_id, i * 32 + j AS p,
+         CAST(concat('0x', substr(hx, j * 2 + 1, 2)) AS BIGINT) AS b
+  FROM blk CROSS JOIN generate_series(0, 31) gj(j)),
+smp AS (
+  SELECT doc_id, p // 2 AS k,
+         SUM(CASE WHEN p % 2 = 0 THEN b ELSE 256 * b END) AS u
+  FROM byt GROUP BY doc_id, p // 2),
+sv AS (
+  SELECT doc_id, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+  FROM smp WHERE k % 4 = 0)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(v) AS BIGINT) AS sum_s,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs
+FROM sv GROUP BY doc_id
+""",
+    tags=("mm",),
+)
+def q_mm_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio DOWNSAMPLE under the driver hash gate — the waveform twin
+    of q_mm_resize: deterministic PCM16 → REAL WAV encode/decode →
+    stride decimation by 4 (ops.mm.pcm_downsample_stage: keep samples
+    k ≡ 0 mod 4 — the exact, dependency-free resample this container
+    supports; a production resampler adds a low-pass first) →
+    integer-exact waveform stats. A hash match certifies the codec
+    AND the stride arithmetic.
+
+    Scale shape: narrow per-row map; payloads shrink 4× before any
+    downstream stage."""
+    from pipetree_spark.ops import mm as MM
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 24)
+        .select("doc_id", "text")
+    )
+    raw = MM.wav_decode_stage(MM.make_wav_payload(d, n_samples=512, sample_rate=8000))
+    return MM.pcm_int_stats_stage(MM.pcm_downsample_stage(raw, factor=4))
+
+
+@declare(
+    "q_mm_keyframes",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, sha256('aviq:' || text) AS bh FROM documents WHERE doc_id < 24),
+fr AS (
+  SELECT doc_id, k, sha256(bh || ':' || CAST(k // 3 AS VARCHAR)) AS hx
+  FROM d CROSS JOIN generate_series(0, 15) g(k)),
+quad AS (
+  SELECT doc_id, k, q,
+         CAST(concat('0x', substr(hx, q * 6 + 1, 2)) AS BIGINT) AS r,
+         CAST(concat('0x', substr(hx, q * 6 + 3, 2)) AS BIGINT) AS g,
+         CAST(concat('0x', substr(hx, q * 6 + 5, 2)) AS BIGINT) AS b
+  FROM fr CROSS JOIN generate_series(0, 3) gq(q)),
+luma AS (
+  SELECT doc_id, k, q, 64 * (77 * r + 150 * g + 29 * b) AS luma FROM quad),
+delt AS (
+  SELECT a.doc_id, a.k AS frame_idx,
+         SUM(ABS(a.luma - COALESCE(p.luma, a.luma))) AS delta
+  FROM luma a LEFT JOIN luma p
+    ON p.doc_id = a.doc_id AND p.q = a.q AND p.k = a.k - 1
+  GROUP BY a.doc_id, a.k)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, CAST(delta AS BIGINT) AS delta
+FROM delt WHERE frame_idx = 0 OR delta > 0
+""",
+    tags=("mm",),
+)
+def q_mm_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-change KEYFRAME selection — the shot-boundary sampling
+    a vision-language corpus runs so it stores one frame per shot
+    instead of fps near-identical copies: quadrant-structured
+    MJPEG-AVI videos with PLANTED shot structure (runs of 3 identical
+    frames via make_avi_quad_payload(repeat=3)) → real container parse
+    + per-frame JPEG decode → per-(frame, quadrant) luma sums → keep
+    frame t iff t = 0 or its total absolute quadrant-luma change vs
+    t−1 is nonzero (ops.mm.vid_keyframes — integer-exact; a production
+    threshold replaces the > 0). The oracle re-derives shot colors,
+    lumas, deltas, and the keep rule from the payload DEFINITION — a
+    hash match certifies the codec chain and the boundary arithmetic,
+    and the result is exactly one keyframe per planted shot.
+
+    Scale shape: decode is per-sampled-frame; selection runs on the
+    fingerprint-sized luma relation (4 ints per frame), one keyed
+    self-join, no all-pairs."""
+    from pipetree_spark.ops import mm as MM
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 24)
+        .select("doc_id", "text")
+    )
+    frames = MM.video_frame_sample_stage(
+        MM.make_avi_quad_payload(d, n_frames=16, repeat=3), every_n=1
+    )
+    lumas = MM.vid_block_luma_stage(frames)
+    return MM.vid_keyframes(lumas, n_frames=16)
+
+
+@declare(
     "q_mm_exif_extract",
     oracle="""
 WITH d AS (

@@ -2750,6 +2750,48 @@ def test_temperature_mix_rates_and_selection_match_reference(spark):
         assert out[s].n_docs_kept == len(kept), s
 
 
+def test_vid_keyframes_selects_one_frame_per_planted_shot(spark):
+    """r12 keyframe selection: repeat=3 plants 6 shots of 3 identical
+    frames into a 16-frame video; exactly the shot-opening frames
+    (0,3,6,9,12,15) survive, frame 0 with delta 0."""
+    from pipetree_spark.ops import mm as MM
+
+    d = spark.createDataFrame(
+        [(0, "keyframe-test-a"), (1, "keyframe-test-b")], "doc_id long, text string"
+    )
+    frames = MM.video_frame_sample_stage(
+        MM.make_avi_quad_payload(d, n_frames=16, repeat=3), every_n=1
+    )
+    out = MM.vid_keyframes(MM.vid_block_luma_stage(frames), n_frames=16).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.doc_id, {})[r.frame_idx] = r.delta
+    for doc in (0, 1):
+        assert sorted(got[doc]) == [0, 3, 6, 9, 12, 15], got[doc]
+        assert got[doc][0] == 0
+        assert all(v > 0 for k, v in got[doc].items() if k > 0)
+
+
+def test_pcm_downsample_stage_keeps_every_factorth_sample(spark):
+    import numpy as np
+    from pipetree_spark.ops import mm as MM
+    from pyspark.sql import types as T
+
+    x = np.arange(16, dtype="<i2")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+        ]
+    )
+    df = spark.createDataFrame([(1, bytearray(x.tobytes()), 16, 8000)], schema)
+    out = MM.pcm_downsample_stage(df, factor=4).collect()[0]
+    assert np.frombuffer(bytes(out.content), dtype="<i2").tolist() == [0, 4, 8, 12]
+    assert (out.n_samples, out.sample_rate) == (4, 2000)
+
+
 def test_warc_build_parse_roundtrip_and_strict_framing():
     """ops.warc: built archives parse back record-for-record; a
     truncated payload and a missing Content-Length raise loudly."""
