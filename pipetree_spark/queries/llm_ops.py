@@ -465,6 +465,118 @@ def q_text_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "q_dedup_lsh_recall",
+    oracle=f"""
+WITH rep AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (
+             PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1
+),
+sh AS (
+  SELECT doc_id, {{_SHINGLES}} AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM rep)
+),
+truth AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+),
+sig AS (
+  SELECT doc_id, [{{_SIG}}] AS m FROM sh
+),
+bands AS (
+  SELECT doc_id, j, CASE j {{_BANDS}} END AS bk
+  FROM sig CROSS JOIN generate_series(0, 3) AS g(j)
+  QUALIFY count(*) OVER (PARTITION BY j, bk) <= 1024
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.j = b.j AND a.bk = b.bk AND a.doc_id < b.doc_id
+),
+hit AS (SELECT id_a, id_b FROM truth INTERSECT SELECT id_a, id_b FROM cand)
+SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_cand,
+       CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+       ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+             / NULLIF((SELECT COUNT(*) FROM truth), 0), 4) + 0.0 AS recall4,
+       ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+             / NULLIF((SELECT COUNT(*) FROM cand), 0), 4) + 0.0 AS precision4
+""".replace("{_SHINGLES}", _SHINGLES_SQL)
+   .replace("{_SIG}", ", ".join(_MH))
+   .replace("{_BANDS}", " ".join(f"WHEN {j} THEN {b}" for j, b in enumerate(_MH_BANDS))),
+    tags=("dedup", "pipeline"),
+)
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-recall AUDIT under the driver hash gate: measure the
+    MinHash-LSH banding's candidate recall and precision against the
+    EXACT Jaccard ≥ 0.5 truth set on the same exact-collapsed corpus —
+    the quantified-recall number (theory: p = 1−(1−J^r)^b ≈ 0.93 at
+    J = 0.5, r = b = 4) promoted from an offline SCALING.md
+    measurement to a driver-certified query. A curation team runs this
+    audit on samples to choose (num_hashes, bands) before a 100 TB
+    dedup pass; emitting it as a query means the measurement itself is
+    reproducible cross-engine, not a one-off note.
+
+    Truth comes from the inverted-shingle-index exact algorithm (any
+    pair with J > 0 shares a shingle, so the index finds every
+    qualifying pair without all-pairs); candidates from the certified
+    banding path with its production flood guards. At 100 TB the
+    truth side is what you run ON A SAMPLE — the audit's cost is the
+    sample's, the banding being audited is the full-corpus path."""
+    docs = load_table(spark, sf_dir, "documents")
+    wk = Window.partitionBy(TX.text_hash("text")).orderBy("doc_id")
+    reps = (
+        docs.withColumn("__rn", F.row_number().over(wk))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "text")
+    )
+    sh = reps.select("doc_id", TX.word_shingles("text").alias("s"))
+    sizes = sh.select("doc_id", F.size("s").alias("n"))
+    idx = sh.select("doc_id", F.explode("s").alias("g"))
+    a, b = idx.alias("a"), idx.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("ninter"))
+    )
+    truth = (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .where(
+            F.col("ninter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("ninter"))
+            >= 0.5
+        )
+        .select("id_a", "id_b")
+    )
+    cand = TX.minhash_band_pairs(docs).select("id_a", "id_b").distinct()
+    hit = truth.join(cand, ["id_a", "id_b"])
+    nt = truth.agg(F.count("*").alias("n_truth"))
+    nc = cand.agg(F.count("*").alias("n_cand"))
+    nh = hit.agg(F.count("*").alias("n_hit"))
+    row = nt.crossJoin(nc).crossJoin(nh)
+    return row.select(
+        "n_truth",
+        "n_cand",
+        "n_hit",
+        pin_zero(
+            F.round(
+                F.col("n_hit").cast("double") / F.nullif(F.col("n_truth"), F.lit(0)), 4
+            )
+        ).alias("recall4"),
+        pin_zero(
+            F.round(
+                F.col("n_hit").cast("double") / F.nullif(F.col("n_cand"), F.lit(0)), 4
+            )
+        ).alias("precision4"),
+    )
+
+
+@declare(
     "q_dedup_minhash_band",
     oracle=f"""
 WITH rep AS (

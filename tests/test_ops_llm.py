@@ -2708,6 +2708,35 @@ def test_pcm_perturb_saturates_at_int16_rails(spark):
     assert got2 == [32766, -32768, -1, 99]
 
 
+def test_lsh_recall_audit_counts_planted_pairs(spark):
+    """r12 dedup-recall audit: a planted high-J pair lands in truth AND
+    candidates (hit), a below-threshold pair in neither, and the
+    emitted ratios are the exact integer quotients."""
+    import os
+    import tempfile
+
+    from pipetree_spark.queries import load_registry
+
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    docs = [
+        (0, base),                                  # truth pair with 1
+        (1, base + " w10"),                         # J = 8/9 vs doc 0
+        (2, "x0 x1 x2 x3 w0 w1 w2 y0 y1 y2"),      # shares 1 shingle, low J
+        (3, "z0 z1 z2 z3 z4 z5 z6 z7"),            # unrelated
+    ]
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .withColumn("lang", F.lit("en")) \
+        .withColumn("source", F.lit("t")) \
+        .withColumn("n_chars", F.length("text").cast("long")) \
+        .select("doc_id", "text", "lang", "source", "n_chars") \
+        .write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    r = load_registry()["q_dedup_lsh_recall"].fn(spark, tmp).collect()[0]
+    assert r.n_truth == 1 and r.n_hit == 1, r.asDict()
+    assert r.recall4 == 1.0
+    assert r.n_cand >= 1 and r.precision4 == round(1 / r.n_cand, 4), r.asDict()
+
+
 def test_temperature_mix_rates_and_selection_match_reference(spark):
     """r12 temperature-mix executor: permilles match an independent
     python re-derivation (sqrt weights → 50%-token budget → floor),
