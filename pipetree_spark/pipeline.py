@@ -363,7 +363,52 @@ def _op_registry() -> dict[str, tuple[Callable, int]]:
         "audio_decode": (MM.audio_decode_stage, 1),
         # r11: distributed BPE merge training (ops/text.py)
         "bpe_train": (TX.bpe_train, 1),
+        # r12 text ops: substring dedup (stats + removal), HTML
+        # extraction, retrieval scoring, the production BPE trainer
+        "dup_span_stats": (TX.dup_span_stats, 1),
+        "dup_span_strip": (TX.dup_span_strip, 1),
+        "html_extract": (TX.html_extract_stage, 1),
+        "bm25_scores": (TX.bm25_scores, 1),
+        "bpe_train_scale": (TX.bpe_train_scale, 1),
+        "unigram_train": (TX.unigram_train, 1),
+        # r12 reference-split models: the JSON surface selects the
+        # training split as key_col % model_mod == model_rem (a Column
+        # predicate isn't JSON-able; the modular split is)
+        "bigram_lm_scores": (_modsplit(TX.bigram_lm_scores), 1),
+        "nb_classify": (_modsplit(TX.nb_classify), 1),
+        # r12 perceptual fingerprints (image/audio/video share the
+        # Hamming-LSH pair back end) + media preprocessing
+        "rgb_perturb": (MM.rgb_perturb_stage, 1),
+        "pcm_perturb": (MM.pcm_perturb_stage, 1),
+        "dhash_bands": (MM.dhash_bands_stage, 1),
+        "audiofp_bands": (MM.audiofp_bands_stage, 1),
+        "dhash_hamming_pairs": (MM.dhash_hamming_pairs, 1),
+        "vid_block_luma": (MM.vid_block_luma_stage, 1),
+        "vid_tdhash_bands": (MM.vid_tdhash_bands, 1),
+        "vid_keyframes": (MM.vid_keyframes, 1),
+        "make_avi_quad_payload": (MM.make_avi_quad_payload, 1),
+        "pcm_downsample": (MM.pcm_downsample_stage, 1),
+        # r12 crawl ingest + metadata extraction
+        "make_warc_payload": (MM.make_warc_payload, 1),
+        "warc_extract": (MM.warc_extract_stage, 1),
+        "make_jpeg_exif_payload": (MM.make_jpeg_exif_payload, 1),
+        "exif_extract": (MM.exif_extract_stage, 1),
     }
+
+
+def _modsplit(fn: Callable) -> Callable:
+    """Adapt an op taking a Column ``model_pred`` (reference-split
+    selector) to the JSON spec surface: the split becomes
+    ``key_col % model_mod == model_rem`` (ints are spec-able)."""
+
+    def wrapped(df: DataFrame, model_mod: int = 2, model_rem: int = 0,
+                key_col: str = "doc_id", **kw):
+        from pyspark.sql import functions as F
+
+        return fn(df, F.col(key_col) % model_mod == model_rem,
+                  key_col=key_col, **kw)
+
+    return wrapped
 
 
 def _op_fn(op: str, inputs: list[str], args: dict) -> StageFn:

@@ -841,3 +841,63 @@ def test_shipped_video_audio_spec_runs_end_to_end(spark, sf_small, tmp_path):
     p2 = Pipeline.from_spec(spec, sf_dir=sf_small)
     p2.run(spark, cache=cache)
     assert p2.last_run_report["frames"] == "hit"
+
+
+def test_r12_ops_are_json_declarable(spark, sf_small):
+    """The r12 surface routes through the JSON ``op`` stage like every
+    other library operator: the crawl front-end (make_warc_payload →
+    warc_extract → sql status filter → html_extract) runs from one
+    spec and matches the declared q_pipe_crawl_e2e engine; the
+    reference-split classifiers expose their split as spec-able
+    (model_mod, model_rem) ints."""
+    spec = {
+        "stages": {
+            "documents": {"type": "source", "table": "documents"},
+            "heads": {
+                "type": "sql",
+                "inputs": ["documents"],
+                "query": "SELECT doc_id, text FROM documents WHERE doc_id < 64",
+            },
+            "archives": {"type": "op", "op": "make_warc_payload", "inputs": ["heads"]},
+            "captures": {"type": "op", "op": "warc_extract", "inputs": ["archives"]},
+            "ok": {
+                "type": "sql",
+                "inputs": ["captures"],
+                "query": "SELECT doc_id, body_html AS html FROM captures WHERE http_status = 200",
+            },
+            "extracted": {
+                "type": "op",
+                "op": "html_extract",
+                "inputs": ["ok"],
+                "args": {"html_col": "html"},
+            },
+        }
+    }
+    p = Pipeline.from_spec(spec, sf_dir=sf_small)
+    got = {tuple(r) for r in p.run(spark)["extracted"].collect()}
+    from pipetree_spark.queries import load_registry
+
+    want = {
+        tuple(r)
+        for r in load_registry()["q_pipe_crawl_e2e"].fn(spark, sf_small).collect()
+    }
+    assert got == want and len(got) > 0
+
+    nb_spec = {
+        "stages": {
+            "documents": {"type": "source", "table": "documents"},
+            "routed": {
+                "type": "op",
+                "op": "nb_classify",
+                "inputs": ["documents"],
+                "args": {"model_mod": 2, "model_rem": 0},
+            },
+        }
+    }
+    p2 = Pipeline.from_spec(nb_spec, sf_dir=sf_small)
+    got2 = {tuple(r) for r in p2.run(spark)["routed"].collect()}
+    want2 = {
+        tuple(r)
+        for r in load_registry()["q_text_nb_classify"].fn(spark, sf_small).collect()
+    }
+    assert got2 == want2 and len(got2) > 0
