@@ -2152,10 +2152,14 @@ def exif_extract_stage(
 # ----------------------------------------------- WARC crawl ingest
 
 WARC_MIME = "application/warc"
+WARC_GZ_MIME = "application/warc+gzip"
 
 
 def make_warc_payload(
-    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    gzip_members: bool = False,
 ) -> DataFrame:
     """Synthesize a REAL WARC/1.0 archive per row — the CommonCrawl
     record layout a crawl-ingest stage actually walks: one warcinfo
@@ -2165,7 +2169,9 @@ def make_warc_payload(
     so the error-classification path is under the gate too). An
     oracle re-derives every extracted field from the digest + text
     definition with no byte-level code."""
-    from pipetree_spark.ops.warc import http_response, warc_build
+    import gzip
+
+    from pipetree_spark.ops.warc import http_response, warc_record
 
     schema = T.StructType(
         [
@@ -2198,32 +2204,37 @@ def make_warc_payload(
                         "<div id=footer><a href=/t>Terms</a> "
                         "<a href=/p>Privacy</a></div></body></html>"
                     )
-                payloads.append(
-                    warc_build(
-                        [
-                            (
-                                "warcinfo",
-                                {"WARC-Record-ID": f"<urn:sha256:{hx[:16]}>"},
-                                b"software: pipetree-spark\r\n",
-                            ),
-                            (
-                                "request",
-                                {"WARC-Target-URI": uri},
-                                f"GET /{hx[:8]} HTTP/1.1\r\nHost: crawl.test\r\n\r\n".encode(),
-                            ),
-                            (
-                                "response",
-                                {"WARC-Target-URI": uri},
-                                http_response(status, reason, body.encode("utf-8")),
-                            ),
-                        ]
+                records = [
+                    warc_record(
+                        "warcinfo",
+                        {"WARC-Record-ID": f"<urn:sha256:{hx[:16]}>"},
+                        b"software: pipetree-spark\r\n",
+                    ),
+                    warc_record(
+                        "request",
+                        {"WARC-Target-URI": uri},
+                        f"GET /{hx[:8]} HTTP/1.1\r\nHost: crawl.test\r\n\r\n".encode(),
+                    ),
+                    warc_record(
+                        "response",
+                        {"WARC-Target-URI": uri},
+                        http_response(status, reason, body.encode("utf-8")),
+                    ),
+                ]
+                if gzip_members:
+                    # the CommonCrawl layout: each record its own gzip
+                    # member, members concatenated (mtime pinned to 0
+                    # so payload bytes are deterministic)
+                    payloads.append(
+                        b"".join(gzip.compress(r, mtime=0) for r in records)
                     )
-                )
+                else:
+                    payloads.append(b"".join(records))
             yield pd.DataFrame(
                 {
                     key_col: pdf[key_col].astype("int64"),
                     "content": payloads,
-                    "mime": WARC_MIME,
+                    "mime": WARC_GZ_MIME if gzip_members else WARC_MIME,
                 }
             )
 

@@ -3784,9 +3784,7 @@ def q_mm_vidhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.dhash_hamming_pairs(bands, max_hamming=6)
 
 
-@declare(
-    "q_src_warc",
-    oracle="""
+_WARC_ORACLE = """
 WITH d AS (
   SELECT doc_id, text, sha256('warc:' || text) AS hx
   FROM documents WHERE doc_id < 64),
@@ -3810,9 +3808,10 @@ SELECT doc_id,
        CAST(strlen(body) AS BIGINT) AS body_bytes,
        body AS body_html
 FROM h
-""",
-    tags=("source", "mm"),
-)
+"""
+
+
+@declare("q_src_warc", oracle=_WARC_ORACLE, tags=("source", "mm"))
 def q_src_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC crawl ingest (ops.warc + ops.mm.warc_extract_stage) — the
     FIRST stage of every CommonCrawl-fed pipeline, before HTML
@@ -3837,6 +3836,32 @@ def q_src_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     return MM.warc_extract_stage(MM.make_warc_payload(d))
+
+
+@declare("q_src_warc_gz", oracle=_WARC_ORACLE, tags=("source", "mm"))
+def q_src_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION CommonCrawl layout: per-record gzip members
+    concatenated into one file (make_warc_payload(gzip_members=True),
+    mtime pinned for deterministic bytes) → multi-member gzip
+    decompression as a COLUMN op (ops.mm.decompress_stage — stdlib
+    gzip transparently consumes concatenated members) → the same WARC
+    walk as q_src_warc. Shares q_src_warc's oracle verbatim: the
+    compression layer must be invisible to every extracted field, and
+    a hash match proves exactly that — decompression, framing, HTTP
+    parse, and body passthrough composed.
+
+    Scale shape: two chained narrow maps; decompression is
+    executor-side per payload (Spark decompresses files natively but
+    has no built-in for a compressed column)."""
+    from pipetree_spark.ops import mm as MM
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 64)
+        .select("doc_id", "text")
+    )
+    gz = MM.make_warc_payload(d, gzip_members=True)
+    return MM.warc_extract_stage(MM.decompress_stage(gz, codec="gzip"))
 
 
 @declare(

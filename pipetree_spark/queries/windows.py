@@ -327,3 +327,44 @@ def q_win_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("c_acctbal", 2).over(w).alias("second_bal"),
         F.nth_value("c_acctbal", 3).over(w).alias("third_bal"),
     )
+
+
+@declare(
+    "q_win_distribution",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       NTILE(4) OVER w AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+QUALIFY o_orderkey % 97 = 0
+""",
+    tags=("window",),
+)
+def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution window trio — NTILE / PERCENT_RANK / CUME_DIST
+    (the §2.5 members not yet declared): quartile bucketing and
+    percentile position of each order's price within its priority
+    class. The order carries the unique orderkey tie-break, which
+    makes all three deterministic AND makes percent_rank = (rn−1)/
+    (n−1) and cume_dist = rn/n exact integer ratios (no peer groups) —
+    single correctly-rounded IEEE divides, hash-stable cross-engine.
+    Output samples every 97th orderkey AFTER the windows run, so the
+    emitted rows are a stable audit slice while the window semantics
+    cover the full table.
+
+    Scale shape: one shuffle on the partition key; all three windows
+    share a single WindowExec pass."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .where(F.col("o_orderkey") % 97 == 0)
+    )

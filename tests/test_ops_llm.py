@@ -2911,6 +2911,29 @@ def test_crawl_e2e_extracts_content_and_drops_boilerplate(spark):
             assert r.n_kept_blocks == 1               # boilerplate dropped
 
 
+def test_warc_gzip_members_decompress_transparently(spark):
+    """Per-record gzip members (the CommonCrawl layout) decompress as
+    one multi-member stream and parse identically to the plain WARC."""
+    from pipetree_spark.ops import mm as MM
+
+    d = spark.createDataFrame(
+        [(i, f"warc gz doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    plain = {
+        tuple(r)
+        for r in MM.warc_extract_stage(MM.make_warc_payload(d)).collect()
+    }
+    gz = MM.make_warc_payload(d, gzip_members=True)
+    assert gz.collect()[0].content[:2] == b"\x1f\x8b"  # really gzip
+    via_gz = {
+        tuple(r)
+        for r in MM.warc_extract_stage(
+            MM.decompress_stage(gz, codec="gzip")
+        ).collect()
+    }
+    assert plain == via_gz and len(plain) == 6
+
+
 def test_exif_build_parse_roundtrip_both_endians():
     """ops.exif: the builder's APP1 parses back field-for-field in II
     and MM byte order; EXIF-less JPEGs return None; malformed TIFF
