@@ -2098,3 +2098,47 @@ def dup_span_strip(
         (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_dropped"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+def url_parts(url: Column | str) -> Column:
+    """Split a URL into (scheme, host, port, path, query) with
+    portable regexes (Java ∩ RE2 subset — no lookarounds, no
+    backreferences). Empty string, not NULL, for absent parts so
+    downstream exprs never null-propagate."""
+    c = F.col(url) if isinstance(url, str) else url
+    hostport = F.regexp_extract(c, r"^[A-Za-z]+://([^/?]+)", 1)
+    return F.struct(
+        F.lower(F.regexp_extract(c, r"^([A-Za-z]+)://", 1)).alias("scheme"),
+        F.regexp_extract(hostport, r"^([^:]+)", 1).alias("host"),
+        F.regexp_extract(hostport, r":([0-9]+)$", 1).alias("port"),
+        F.regexp_extract(c, r"^[A-Za-z]+://[^/?]+(/[^?]*)", 1).alias("path"),
+        F.regexp_extract(c, r"\?(.*)$", 1).alias("query"),
+    )
+
+
+def url_canonicalize(url: Column | str) -> Column:
+    """Canonical URL form for crawl dedup/provenance — the
+    normalization every URL-keyed pipeline stage runs first:
+    lowercase host, strip a leading ``www.``, drop default ports
+    (80/443), drop tracking params (``utm_*``), sort the surviving
+    query params, and strip a bare trailing ``?``. All JVM
+    expressions (regex + array HOFs), mirrored 1:1 by a DuckDB
+    oracle; a per-row narrow map at any scale."""
+    p = url_parts(url)
+    host = F.regexp_replace(F.lower(p["host"]), r"^www\.", "")
+    port = F.when(p["port"].isin("80", "443"), F.lit("")).otherwise(p["port"])
+    params = F.array_sort(
+        F.filter(
+            F.split(p["query"], "&"),
+            lambda x: (F.length(x) > 0) & ~x.startswith("utm_"),
+        )
+    )
+    q = F.array_join(params, "&")
+    return F.concat(
+        p["scheme"],
+        F.lit("://"),
+        host,
+        F.when(F.length(port) > 0, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        p["path"],
+        F.when(F.length(q) > 0, F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )

@@ -3838,6 +3838,114 @@ def q_src_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.warc_extract_stage(MM.make_warc_payload(d))
 
 
+@declare(
+    "q_text_url_canon",
+    oracle=r"""
+WITH d AS (SELECT doc_id, sha256('url:' || text) AS hx FROM documents),
+b AS (
+  SELECT doc_id, hx,
+         CAST(concat('0x', substr(hx, 1, 2)) AS BIGINT) AS b0,
+         CAST(concat('0x', substr(hx, 3, 2)) AS BIGINT) AS b1,
+         CAST(concat('0x', substr(hx, 5, 2)) AS BIGINT) AS b2,
+         CAST(concat('0x', substr(hx, 7, 2)) AS BIGINT) AS b3,
+         CAST(concat('0x', substr(hx, 9, 2)) AS BIGINT) AS b4,
+         CAST(concat('0x', substr(hx, 11, 2)) AS BIGINT) AS b5,
+         CAST(concat('0x', substr(hx, 13, 2)) AS BIGINT) AS b6
+  FROM d),
+u AS (
+  SELECT doc_id,
+         (CASE WHEN b0 % 2 = 1 THEN 'https' ELSE 'http' END) || '://' ||
+         (CASE WHEN b1 % 2 = 1 THEN 'www.' ELSE '' END) ||
+         (CASE WHEN b3 % 2 = 1 THEN upper('crawl' || (b2 % 10) || '.test')
+               ELSE 'crawl' || (b2 % 10) || '.test' END) ||
+         (CASE WHEN b4 % 2 = 1
+               THEN (CASE WHEN b0 % 2 = 1 THEN ':443' ELSE ':80' END)
+               ELSE '' END) ||
+         '/p/' || substr(hx, 9, 4) || '?' ||
+         (CASE WHEN b6 % 2 = 1 THEN 'utm_source=feed&id=' || (b5 % 100)
+               ELSE 'id=' || (b5 % 100) END) AS url
+  FROM b),
+parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+         regexp_extract(regexp_extract(url, '^[A-Za-z]+://([^/?]+)', 1),
+                        '^([^:]+)', 1) AS host,
+         regexp_extract(regexp_extract(url, '^[A-Za-z]+://([^/?]+)', 1),
+                        ':([0-9]+)$', 1) AS port,
+         regexp_extract(url, '^[A-Za-z]+://[^/?]+(/[^?]*)', 1) AS path,
+         regexp_extract(url, '\?(.*)$', 1) AS q
+  FROM u),
+canon AS (
+  SELECT doc_id, url,
+         regexp_replace(lower(host), '^www\.', '') AS chost,
+         CASE WHEN port IN ('80', '443') THEN '' ELSE port END AS cport,
+         list_sort(list_filter(string_split(q, '&'),
+                   x -> length(x) > 0 AND NOT starts_with(x, 'utm_'))) AS params,
+         scheme, path
+  FROM parts)
+SELECT doc_id, url,
+       scheme || '://' || chost ||
+       (CASE WHEN length(cport) > 0 THEN ':' || cport ELSE '' END) || path ||
+       (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
+             ELSE '' END) AS canon,
+       chost AS host,
+       CAST(len(params) AS BIGINT) AS n_params
+FROM canon
+""",
+    tags=("text", "pipeline"),
+)
+def q_text_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (ops.text.url_parts / url_canonicalize) —
+    the normalization every URL-keyed crawl stage runs before dedup or
+    provenance joins: deterministic MESSY urls synthesized in both
+    engines (mixed-case hosts, optional www., default ports, utm_*
+    tracking params) → lowercase host, www./default-port strip, utm
+    drop, param sort. A hash match certifies the regex part-split and
+    the canonical reassembly byte-for-byte; the canonical string is
+    the dedup/join key a 100 TB crawl pipeline groups on.
+
+    Scale shape: pure per-row expressions — narrow map, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    hx = F.sha2(F.concat(F.lit("url:"), F.col("text")), 256)
+    byte = lambda i: F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("long")  # noqa: E731
+    b0, b1, b2, b3, b4, b5, b6 = [byte(i) for i in range(7)]
+    hostbase = F.concat(F.lit("crawl"), (b2 % 10).cast("string"), F.lit(".test"))
+    url = F.concat(
+        F.when(b0 % 2 == 1, F.lit("https")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(b1 % 2 == 1, F.lit("www.")).otherwise(F.lit("")),
+        F.when(b3 % 2 == 1, F.upper(hostbase)).otherwise(hostbase),
+        F.when(
+            b4 % 2 == 1,
+            F.when(b0 % 2 == 1, F.lit(":443")).otherwise(F.lit(":80")),
+        ).otherwise(F.lit("")),
+        F.lit("/p/"),
+        F.substring(hx, 9, 4),
+        F.lit("?"),
+        F.when(
+            b6 % 2 == 1,
+            F.concat(F.lit("utm_source=feed&id="), (b5 % 100).cast("string")),
+        ).otherwise(F.concat(F.lit("id="), (b5 % 100).cast("string"))),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    p = TX.url_parts("url")
+    host = F.regexp_replace(F.lower(p["host"]), r"^www\.", "")
+    return u.select(
+        "doc_id",
+        "url",
+        TX.url_canonicalize("url").alias("canon"),
+        host.alias("host"),
+        F.size(
+            F.filter(
+                F.split(p["query"], "&"),
+                lambda x: (F.length(x) > 0) & ~x.startswith("utm_"),
+            )
+        )
+        .cast("long")
+        .alias("n_params"),
+    )
+
+
 @declare("q_src_warc_gz", oracle=_WARC_ORACLE, tags=("source", "mm"))
 def q_src_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION CommonCrawl layout: per-record gzip members

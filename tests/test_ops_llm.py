@@ -2911,6 +2911,26 @@ def test_crawl_e2e_extracts_content_and_drops_boilerplate(spark):
             assert r.n_kept_blocks == 1               # boilerplate dropped
 
 
+def test_url_canonicalize_rules(spark):
+    """r12 URL canonicalization: case, www., default ports, utm params,
+    and param order all collapse; non-default ports and real params
+    survive; bare '?' is stripped."""
+    from pipetree_spark.ops import text as TXO
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/a?utm_source=x&b=2&a=1",
+         "https://example.com/a?a=1&b=2"),
+        ("http://site.test:80/p?utm_campaign=z", "http://site.test/p"),
+        ("http://site.test:8080/p?z=1", "http://site.test:8080/p?z=1"),
+        ("https://example.com/only", "https://example.com/only"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i long, url string")
+    got = {r.i: r.c for r in df.select("i", TXO.url_canonicalize("url").alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+
+
 def test_warc_gzip_members_decompress_transparently(spark):
     """Per-record gzip members (the CommonCrawl layout) decompress as
     one multi-member stream and parse identically to the plain WARC."""
