@@ -29,12 +29,16 @@ from pipetree_spark.queries import declare
 _SCALE = 10**12
 
 
-def _pagerank_sql(iters: int = 3, scale: int = _SCALE) -> str:
-    """Unrolled DuckDB twin of ops.graph.pagerank_exact over the
-    customer→supplier trade graph. All-BIGINT arithmetic; ``//`` on
-    positive BIGINTs truncates exactly like Spark's ``div``."""
+def _pagerank_sql(iters: int = 3, scale: int = _SCALE, edges_cte: str | None = None) -> str:
+    """Unrolled DuckDB twin of ops.graph.pagerank_exact. All-BIGINT
+    arithmetic; ``//`` on positive BIGINTs truncates exactly like
+    Spark's ``div``. ``edges_cte`` overrides the edge derivation (one
+    or more leading CTEs ending in ``e(src, dst)``) so compositions —
+    e.g. the crawl link graph — reuse the same unrolled iterations;
+    default is the customer→supplier trade graph."""
     ctes = [
-        "e AS (SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst"
+        edges_cte
+        or "e AS (SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst"
         " FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)",
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
         "nn AS (SELECT COUNT(*) AS n FROM nodes)",

@@ -3946,6 +3946,74 @@ def q_text_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LINK_EDGES_CTE = """d AS (
+  SELECT doc_id, sha256('link:' || text) AS hx
+  FROM documents WHERE doc_id < 128),
+e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src,
+           CAST(concat('0x', substr(hx, 1, 2)) AS BIGINT) % 128 AS dst FROM d
+    UNION ALL
+    SELECT doc_id AS src,
+           CAST(concat('0x', substr(hx, 3, 2)) AS BIGINT) % 128 AS dst FROM d))"""
+
+
+def _linkgraph_oracle() -> str:
+    from pipetree_spark.queries.graph import _pagerank_sql
+
+    return _pagerank_sql(iters=3, edges_cte=_LINK_EDGES_CTE)
+
+
+@declare("q_pipe_linkgraph", oracle=_linkgraph_oracle(), tags=("pipeline", "graph", "text"))
+def q_pipe_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl LINK-GRAPH analytics composed end-to-end: deterministic
+    HTML pages whose anchor targets are digest-driven cross-document
+    links (page i links to docs sha-byte₀ mod 128 and sha-byte₁ mod
+    128) → REAL href extraction (regexp_extract_all over the anchor
+    pattern — the link-graph construction step of any web-corpus
+    pipeline) → distinct edge list → 3 iterations of INTEGER-EXACT
+    PageRank (ops.graph.pagerank_exact — dangling mass, teleport, and
+    truncating division all bit-pinned). The oracle derives the SAME
+    edges from the digest definition and replays the same unrolled
+    iterations, so a hash match certifies the extraction regex AND the
+    graph arithmetic composed — crawl → graph, the second half of the
+    q_pipe_crawl_e2e story.
+
+    Scale shape: extraction is a narrow map; PageRank is one |edges|
+    shuffle per iteration with the rank side alone moving."""
+    from pipetree_spark.ops.graph import pagerank_exact
+    from pipetree_spark.queries.graph import _SCALE
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 128)
+        .select("doc_id", "text")
+    )
+    hx = F.sha2(F.concat(F.lit("link:"), F.col("text")), 256)
+    t1 = (F.conv(F.substring(hx, 1, 2), 16, 10).cast("long") % 128).cast("string")
+    t2 = (F.conv(F.substring(hx, 3, 2), 16, 10).cast("long") % 128).cast("string")
+    html = F.concat(
+        F.lit("<html><body><p>"),
+        F.substring("text", 1, 40),
+        F.lit('</p><a href=http://doc'), t1, F.lit(".test/>x</a> "),
+        F.lit("<a href=http://doc"), t2, F.lit(".test/>y</a></body></html>"),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    edges = (
+        pages.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.regexp_extract_all(
+                    "html", F.lit(r"<a href=http://doc([0-9]+)\.test/>"), 1
+                )
+            ).alias("tgt"),
+        )
+        .select("src", F.col("tgt").cast("long").alias("dst"))
+        .distinct()
+    )
+    return pagerank_exact(edges, iters=3, scale=_SCALE)
+
+
 @declare("q_src_warc_gz", oracle=_WARC_ORACLE, tags=("source", "mm"))
 def q_src_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION CommonCrawl layout: per-record gzip members

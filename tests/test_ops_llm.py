@@ -2911,6 +2911,37 @@ def test_crawl_e2e_extracts_content_and_drops_boilerplate(spark):
             assert r.n_kept_blocks == 1               # boilerplate dropped
 
 
+def test_linkgraph_extracts_digest_driven_edges(spark):
+    """r12 crawl link graph: the regexp href extraction recovers
+    exactly the two digest-driven targets per page (deduped), and the
+    composed PageRank emits one positive rank per node."""
+    import hashlib
+
+    import os
+    import tempfile
+
+    from pipetree_spark.queries import load_registry
+
+    docs = [(i, f"linkgraph doc {i} text") for i in range(20)]
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .withColumn("lang", F.lit("en")) \
+        .withColumn("source", F.lit("t")) \
+        .withColumn("n_chars", F.length("text").cast("long")) \
+        .select("doc_id", "text", "lang", "source", "n_chars") \
+        .write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    rows = load_registry()["q_pipe_linkgraph"].fn(spark, tmp).collect()
+    nodes = {r.node for r in rows}
+    # nodes = all sources plus all digest targets
+    want_nodes = set(range(20))
+    for i, t in docs:
+        hx = hashlib.sha256(f"link:{t}".encode()).hexdigest()
+        want_nodes.add(int(hx[0:2], 16) % 128)
+        want_nodes.add(int(hx[2:4], 16) % 128)
+    assert nodes == want_nodes
+    assert all(r.rank > 0 for r in rows)
+
+
 def test_url_canonicalize_rules(spark):
     """r12 URL canonicalization: case, www., default ports, utm params,
     and param order all collapse; non-default ports and real params
