@@ -2352,3 +2352,103 @@ def vid_keyframes(luma: DataFrame, n_frames: int, key_col: str = "doc_id") -> Da
     return deltas.where((F.col("frame_idx") == 0) | (F.col("delta") > 0)).select(
         key_col, "frame_idx", F.col("delta").cast("long").alias("delta")
     )
+
+
+# ----------------------------------------------- corrupt-media triage
+
+MEDIA_CLASSIFY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("n_px", T.LongType()),
+    ]
+)
+
+
+def classify_media_stage(
+    df: DataFrame, content_col: str = "content", key_col: str = "doc_id"
+) -> DataFrame:
+    """Dead-letter TRIAGE for mixed image shards — the
+    classify-don't-crash counterpart of :func:`image_decode_stage`
+    (whose loud-fail contract is right for curated shards but wrong
+    for a raw 100 TB crawl, where corrupt and mislabeled payloads are
+    a certainty, not an exception): sniff the magic, attempt the real
+    decode, and emit (fmt, status, n_px) — ``ok`` with the pixel
+    count, ``corrupt`` when a recognized format fails its decoder,
+    ``unknown`` when no magic matches. The emitting pipeline routes
+    ``ok`` rows onward and the rest to a dead-letter audit, exactly
+    like q_src_corrupt_json does for JSONL.
+
+    Scale shape: narrow per-row map; failures cost only the bytes
+    already read."""
+    from pipetree_spark.ops.gif import gif_decode
+    from pipetree_spark.ops.jpeg import jpeg_decode
+    from pipetree_spark.ops.png import png_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, fmts, stats, npx = [], [], [], []
+            for did, p in zip(pdf[key_col], pdf[content_col]):
+                raw = bytes(p)
+                if raw[:8] == b"\x89PNG\r\n\x1a\n":
+                    fmt, decode = "png", png_decode
+                elif raw[:2] == b"\xff\xd8":
+                    fmt, decode = "jpeg", jpeg_decode
+                elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                    fmt, decode = "gif", (lambda b: gif_decode(b)[0][0])
+                else:
+                    fmt, decode = "unknown", None
+                status, n = "unknown", 0
+                if decode is not None:
+                    try:
+                        img = decode(raw)
+                        status, n = "ok", int(img.shape[0]) * int(img.shape[1])
+                    except Exception:
+                        status = "corrupt"
+                keys.append(int(did))
+                fmts.append(fmt)
+                stats.append(status)
+                npx.append(n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(keys, dtype="int64"),
+                    "fmt": fmts,
+                    "status": stats,
+                    "n_px": pd.Series(npx, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=MEDIA_CLASSIFY_SCHEMA)
+
+
+def corrupt_media_variant_stage(
+    df: DataFrame, content_col: str = "content", key_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic corruption synthesis for triage tests/oracles,
+    keyed on ``key mod 4`` so an oracle knows each row's variant from
+    the key alone: 0 passes through intact; 1 truncates the last 24
+    bytes (mid-stream EOF); 2 flips the first byte (magic destroyed);
+    3 zeroes 8 bytes mid-file (bitrot). On CRC-framed payloads (PNG)
+    variants 1 and 3 are GUARANTEED decode failures — every chunk is
+    checksummed — which is what makes the triage outcome
+    oracle-derivable rather than merely likely."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, p in zip(pdf[key_col], pdf[content_col]):
+                raw = bytes(p)
+                v = int(did) % 4
+                if v == 1:
+                    raw = raw[:-24]
+                elif v == 2:
+                    raw = bytes([raw[0] ^ 0xFF]) + raw[1:]
+                elif v == 3:
+                    mid = len(raw) // 2
+                    raw = raw[:mid] + b"\x00" * 8 + raw[mid + 8 :]
+                out.append(raw)
+            pdf = pdf.copy()
+            pdf[content_col] = out
+            yield pdf
+
+    return df.mapInPandas(run, schema=df.schema)

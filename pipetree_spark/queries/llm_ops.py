@@ -4014,6 +4014,48 @@ def q_pipe_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_exact(edges, iters=3, scale=_SCALE)
 
 
+@declare(
+    "q_mm_corrupt_triage",
+    oracle="""
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 2 THEN 'unknown' ELSE 'png' END AS fmt,
+       CASE doc_id % 4 WHEN 0 THEN 'ok'
+                       WHEN 2 THEN 'unknown'
+                       ELSE 'corrupt' END AS status,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 256 ELSE 0 END AS BIGINT) AS n_px
+FROM documents WHERE doc_id < 64
+""",
+    tags=("mm", "source"),
+)
+def q_mm_corrupt_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-media TRIAGE — the dead-letter path a raw crawl ingest
+    needs where curated-shard decode stages rightly fail loudly
+    (the media analog of q_src_corrupt_json): REAL PNGs are
+    deterministically damaged per doc_id mod 4 (intact / truncated /
+    magic-flipped / 8-byte mid-file bitrot;
+    ops.mm.corrupt_media_variant_stage) and
+    ops.mm.classify_media_stage sniffs, attempts the REAL decode, and
+    classifies instead of crashing. PNG's per-chunk CRC32 makes the
+    truncation and bitrot outcomes GUARANTEED decode failures, so the
+    oracle can assert the full triage table from the variant
+    definition alone — a hash match certifies magic dispatch, the
+    decoder's loud-fail contract, and the classification mapping.
+
+    Scale shape: narrow per-row map; corrupt rows cost only the bytes
+    already read, and the emitted audit is 4 small columns per
+    payload."""
+    from pipetree_spark.ops import mm as MM
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 64)
+        .select("doc_id", "text")
+    )
+    pngs = MM.make_png_payload(d, width=16, height=16)
+    damaged = MM.corrupt_media_variant_stage(pngs)
+    return MM.classify_media_stage(damaged)
+
+
 @declare("q_src_warc_gz", oracle=_WARC_ORACLE, tags=("source", "mm"))
 def q_src_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION CommonCrawl layout: per-record gzip members

@@ -2911,6 +2911,28 @@ def test_crawl_e2e_extracts_content_and_drops_boilerplate(spark):
             assert r.n_kept_blocks == 1               # boilerplate dropped
 
 
+def test_classify_media_stage_triages_each_corruption_class(spark):
+    """r12 media triage: intact decodes ok, truncation and bitrot hit
+    PNG's CRC wall as 'corrupt', a flipped magic is 'unknown', and a
+    mixed shard with a valid GIF dispatches by format."""
+    from pipetree_spark.ops import mm as MM
+
+    d = spark.createDataFrame(
+        [(i, f"triage doc {i}") for i in range(8)], "doc_id long, text string"
+    )
+    damaged = MM.corrupt_media_variant_stage(MM.make_png_payload(d, width=16, height=16))
+    out = {r.doc_id: (r.fmt, r.status, r.n_px)
+           for r in MM.classify_media_stage(damaged).collect()}
+    for i in range(8):
+        want = [("png", "ok", 256), ("png", "corrupt", 0),
+                ("unknown", "unknown", 0), ("png", "corrupt", 0)][i % 4]
+        assert out[i] == want, (i, out[i], want)
+
+    gifs = MM.make_gif_payload(d.where(F.col("doc_id") == 0), width=16, height=16)
+    g = MM.classify_media_stage(gifs).collect()[0]
+    assert (g.fmt, g.status, g.n_px) == ("gif", "ok", 256)
+
+
 def test_linkgraph_extracts_digest_driven_edges(spark):
     """r12 crawl link graph: the regexp href extraction recovers
     exactly the two digest-driven targets per page (deduped), and the
