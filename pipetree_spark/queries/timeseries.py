@@ -801,3 +801,66 @@ def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("at_event"),
         )
     )
+
+
+@declare(
+    "q_ts_ewma",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, ts, event_id, CAST(ROUND(value * 10000) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL),
+arr AS (
+  SELECT user_id, COUNT(*) AS n, list(x ORDER BY ts, event_id) AS xs
+  FROM ev GROUP BY user_id)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(xs[len(xs)] AS BIGINT) AS last_x4,
+       CAST(list_reduce(xs, (r, x) -> CAST(FLOOR((3 * r + x) / 4) AS BIGINT))
+            AS BIGINT) AS ewma4
+FROM arr
+""",
+    tags=("timeseries",),
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average, INTEGER-EXACT — the
+    recursive smoother missing from the rolling/anomaly family (EWMA
+    is a recurrence, so no window frame expresses it): per user, over
+    (ts, event_id)-ordered 4-dp-scaled values, r ← ⌊(3·r + x) / 4⌋
+    with r₀ = x₀ (α = 1/4). The divisor is a power of two, so the
+    IEEE divide is exact and FLOOR is the same function in both
+    engines — no truncate-vs-floor divergence on negative deltas, the
+    trap that rules out integer ``div`` here. Spark folds with
+    F.aggregate over the sorted per-user array (first element as init,
+    mirroring DuckDB's list_reduce seeding) — per-user state is one
+    long, and the collected array is bounded by the user's own event
+    count, the same per-key bound every sessionization op carries.
+
+    Scale shape: one groupBy(user_id) shuffle; the fold is a narrow
+    array expression. NULL values are filtered explicitly because the
+    engines disagree on NULLs in collected lists."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 10000).cast("long").alias("x"),
+        )
+    )
+    arr = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "x"))).alias("s"),
+    )
+    xs = F.transform(F.col("s"), lambda t: t["x"])
+    ewma = F.aggregate(
+        F.slice(xs, F.lit(2), F.size(xs) - 1),
+        F.element_at(xs, 1),
+        lambda r, x: F.floor((r * 3 + x) / 4).cast("long"),
+    )
+    return arr.select(
+        "user_id",
+        "n_events",
+        F.element_at(xs, -1).alias("last_x4"),
+        ewma.alias("ewma4"),
+    )

@@ -82,3 +82,36 @@ def test_anomaly_flags_spike_against_trailing_window(spark, tmp_path):
     r = got[0]
     assert r.baseline_mean == pytest.approx(11.0, abs=0)
     assert r.z == pytest.approx((100.0 - 11.0) / math.sqrt(20.0 / 19.0), rel=1e-12)
+
+
+def test_ewma_hand_computed_and_negative_safe(spark, sf_small):
+    """r12 EWMA: hand-checked fold (r0 = x0, r ← ⌊(3r+x)/4⌋) including
+    a negative value, where floor ≠ truncate — the divergence the
+    power-of-two floor formulation exists to avoid."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from pipetree_spark.queries.timeseries import q_ts_ewma  # noqa: F401
+    from pipetree_spark.queries import load_registry
+    import os
+    import tempfile
+
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = [
+        (1, t0, 1, "a", 4.0, "{}"),                               # x=40000
+        (1, t0 + datetime.timedelta(minutes=1), 2, "a", 0.0, "{}"),   # x=0
+        (1, t0 + datetime.timedelta(minutes=2), 3, "a", 8.0, "{}"),   # x=80000
+        (2, t0, 4, "a", -0.0001, "{}"),                           # x=-1
+        (2, t0 + datetime.timedelta(minutes=1), 5, "a", 0.0, "{}"),   # x=0
+    ]
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string, value double, props string"
+    ).select("event_id", "ts", "user_id", "event_type", "value", "props") \
+        .write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+    out = {r.user_id: (r.n_events, r.last_x4, r.ewma4)
+           for r in load_registry()["q_ts_ewma"].fn(spark, tmp).collect()}
+    # user 1: r0=40000; r1=floor(120000/4)=30000; r2=floor(170000/4)=42500
+    assert out[1] == (3, 80000, 42500)
+    # user 2: r0=-1; r1=floor(-3/4)=-1 (floor, NOT truncate-to-zero 0)
+    assert out[2] == (2, 0, -1)

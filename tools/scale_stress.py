@@ -73,6 +73,7 @@ QUERIES = [
     "q_dedup_incremental", # r6: broadcast-increment vs streaming corpus
     "q_ts_sessionize",     # r6: gaps-and-islands, one user_id exchange
     "q_ts_anomaly",        # r6: rolling-z window moments
+    "q_ts_ewma",           # r12: per-user fold, one user_id shuffle
     "q_dedup_cluster_lsh", # r6: THE production clustered dedup e2e (capped pairs → CC)
     "q_agg_moments",       # r6: three exact-decimal moments in one agg pass
     "q_join_salted",       # r6: salted shuffle-hash skew join
