@@ -69,6 +69,7 @@ QUERIES = [
     "q_text_unigram_lm",   # r6: broadcast-vocab corpus-LM scoring
     "q_text_ppl_bigram",   # r12: reference-split bigram LM, broadcast model joins
     "q_text_nb_classify",  # r12: NB classifier, broadcast model + argmax window
+    "q_text_url_canon",    # r12: pure per-row regex/HOF normalization — must be ~flat
     "q_text_ngram_top",    # r6: (lang, gram) map-side-combined counts
     "q_dedup_incremental", # r6: broadcast-increment vs streaming corpus
     "q_ts_sessionize",     # r6: gaps-and-islands, one user_id exchange
