@@ -57,10 +57,17 @@ def exif_app1(
     ASCII), Orientation (inline SHORT), XResolution (offset RATIONAL),
     and an Exif sub-IFD holding DateTimeOriginal (offset ASCII)."""
     e = ">" if big_endian else "<"
-    make_b = make.encode("ascii") + b"\x00"
-    dt_b = dt_original.encode("ascii") + b"\x00"
+    try:
+        make_b = make.encode("ascii") + b"\x00"
+        dt_b = dt_original.encode("ascii") + b"\x00"
+    except UnicodeEncodeError as exc:
+        raise ExifFormatError(f"EXIF ASCII fields must be ASCII: {exc}") from None
     if len(dt_b) != 20:
         raise ExifFormatError(f"DateTimeOriginal must be 19 chars, got {dt_original!r}")
+    # APP1 length is a u16 including its own 2 bytes: cap the variable
+    # part so struct.pack can't leak a bare struct.error
+    if len(make_b) > 65000:
+        raise ExifFormatError(f"Make too long for an APP1 segment ({len(make_b)} B)")
 
     # Layout (offsets from TIFF origin):
     #   8:          IFD0 (2 + 4*12 + 4 bytes)
@@ -177,22 +184,38 @@ def exif_parse(jpeg: bytes) -> dict[str, object] | None:
     (ifd0_off,) = struct.unpack_from(f"{e}I", tiff, 4)
     ifd0 = _ifd_entries(tiff, ifd0_off, e)
 
-    out: dict[str, object] = {"endian": bom.decode("ascii")}
-    typ, cnt, voff = ifd0[TAG_MAKE]
-    out["make"] = _ascii_at(tiff, typ, cnt, voff, e)
-    typ, cnt, voff = ifd0[TAG_ORIENTATION]
-    if typ != TYPE_SHORT:
-        raise ExifFormatError("Orientation must be SHORT")
-    (out["orientation"],) = struct.unpack_from(f"{e}H", tiff, voff)
-    typ, cnt, voff = ifd0[TAG_XRESOLUTION]
-    if typ != TYPE_RATIONAL:
-        raise ExifFormatError("XResolution must be RATIONAL")
-    (roff,) = struct.unpack_from(f"{e}I", tiff, voff)
-    num, den = struct.unpack_from(f"{e}II", tiff, roff)
-    out["xres_num"], out["xres_den"] = num, den
-    typ, cnt, voff = ifd0[TAG_EXIF_IFD]
-    (sub_off,) = struct.unpack_from(f"{e}I", tiff, voff)
-    sub = _ifd_entries(tiff, sub_off, e)
-    typ, cnt, voff = sub[TAG_DATETIME_ORIGINAL]
-    out["dt_original"] = _ascii_at(tiff, typ, cnt, voff, e)
+    # every tag below is OPTIONAL per TIFF/EXIF — a real camera JPEG
+    # may carry any subset, so absent tags yield None fields rather
+    # than a KeyError escaping the documented loud-fail contract
+    # (ExifFormatError stays reserved for STRUCTURALLY broken data)
+    out: dict[str, object] = {
+        "endian": bom.decode("ascii"),
+        "make": None,
+        "orientation": None,
+        "xres_num": None,
+        "xres_den": None,
+        "dt_original": None,
+    }
+    if TAG_MAKE in ifd0:
+        typ, cnt, voff = ifd0[TAG_MAKE]
+        out["make"] = _ascii_at(tiff, typ, cnt, voff, e)
+    if TAG_ORIENTATION in ifd0:
+        typ, cnt, voff = ifd0[TAG_ORIENTATION]
+        if typ != TYPE_SHORT:
+            raise ExifFormatError("Orientation must be SHORT")
+        (out["orientation"],) = struct.unpack_from(f"{e}H", tiff, voff)
+    if TAG_XRESOLUTION in ifd0:
+        typ, cnt, voff = ifd0[TAG_XRESOLUTION]
+        if typ != TYPE_RATIONAL:
+            raise ExifFormatError("XResolution must be RATIONAL")
+        (roff,) = struct.unpack_from(f"{e}I", tiff, voff)
+        num, den = struct.unpack_from(f"{e}II", tiff, roff)
+        out["xres_num"], out["xres_den"] = num, den
+    if TAG_EXIF_IFD in ifd0:
+        typ, cnt, voff = ifd0[TAG_EXIF_IFD]
+        (sub_off,) = struct.unpack_from(f"{e}I", tiff, voff)
+        sub = _ifd_entries(tiff, sub_off, e)
+        if TAG_DATETIME_ORIGINAL in sub:
+            typ, cnt, voff = sub[TAG_DATETIME_ORIGINAL]
+            out["dt_original"] = _ascii_at(tiff, typ, cnt, voff, e)
     return out

@@ -56,7 +56,7 @@ from typing import Any
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -2002,6 +2002,7 @@ def vid_tdhash_bands(luma: DataFrame, n_frames: int, key_col: str = "doc_id") ->
     here is fingerprint-sized, never pixel-sized."""
     if n_frames * 4 != 64:
         raise ValueError("vid_tdhash_bands packs exactly 64 bits: n_frames must be 16")
+    luma = _assert_contiguous_frames(luma, n_frames, key_col)
     a, b = luma.alias("a"), luma.alias("b")
     bits = a.join(
         b,
@@ -2322,6 +2323,35 @@ def pcm_downsample_stage(
     return df.mapInPandas(run, schema=df.schema)
 
 
+def _assert_contiguous_frames(
+    luma: DataFrame, n_frames: int, key_col: str
+) -> DataFrame:
+    """Loud-fail guard for the temporal video ops: every video must
+    carry exactly frames 0..n_frames−1 (4 quadrant rows each). Sparse
+    sampling (video_frame_sample_stage's every_n > 1) would otherwise
+    make the modular next-frame join match NOTHING and the ops emit a
+    silent 'no duplicates / frame 0 only' — the failure mode a
+    spec-wired pipeline would never notice. The predicate evaluates
+    distributed (window count + max over the fingerprint-sized luma
+    relation); assert_true raises on the first violating row."""
+    wcnt = Window.partitionBy(key_col)
+    ok = (F.col("__cnt") == 4 * n_frames) & (F.col("__maxf") == n_frames - 1)
+    return (
+        luma.withColumn("__cnt", F.count("*").over(wcnt))
+        .withColumn("__maxf", F.max("frame_idx").over(wcnt))
+        .where(
+            F.assert_true(
+                ok,
+                F.lit(
+                    f"temporal video ops need contiguous frames 0..{n_frames - 1} "
+                    "(sample with every_n=1)"
+                ),
+            ).isNull()
+        )
+        .drop("__cnt", "__maxf")
+    )
+
+
 def vid_keyframes(luma: DataFrame, n_frames: int, key_col: str = "doc_id") -> DataFrame:
     """Content-change keyframe selection over per-(frame, quadrant)
     luma sums (:func:`vid_block_luma_stage`): frame t is a KEYFRAME iff
@@ -2332,6 +2362,7 @@ def vid_keyframes(luma: DataFrame, n_frames: int, key_col: str = "doc_id") -> Da
     (key, frame_idx, delta) for keyframes only (delta = 0 for t = 0 by
     convention). All JVM expressions over the fingerprint-sized luma
     relation; a production threshold simply replaces the > 0."""
+    luma = _assert_contiguous_frames(luma, n_frames, key_col)
     a, b = luma.alias("a"), luma.alias("b")
     deltas = (
         a.join(

@@ -1428,6 +1428,20 @@ def bpe_encode(
 
 # ------------------------------------------- substring-level exact dedup
 
+def _doc_tokens(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+    """(key, rn, word) — the per-doc 0-based token stream the
+    substring-dedup family shares (one explode + one per-doc window;
+    callers that need it twice pass it through ``toks=`` instead of
+    paying the pass again)."""
+    wk = Window.partitionBy(key_col).orderBy("pos")
+    return (
+        df.select(F.col(key_col), F.posexplode(tokens(text_col)).alias("pos", "word"))
+        .where(F.length("word") > 0)
+        .withColumn("rn", F.row_number().over(wk) - 1)
+        .select(key_col, "rn", "word")
+    )
+
+
 def dup_span_islands(
     df: DataFrame,
     text_col: str = "text",
@@ -1435,6 +1449,7 @@ def dup_span_islands(
     k: int = 8,
     min_count: int = 2,
     sep: str = BPE_SEP,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Substring-level exact duplication spans (the Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better" shape,
@@ -1458,12 +1473,8 @@ def dup_span_islands(
     keyed shuffles. A production variant can pre-hash grams to int64
     (xxhash64) to shrink the shuffle; the certified form keeps exact
     strings so collisions are impossible."""
-    wk = Window.partitionBy(key_col).orderBy("pos")
-    toks = (
-        df.select(F.col(key_col), F.posexplode(tokens(text_col)).alias("pos", "word"))
-        .where(F.length("word") > 0)
-        .withColumn("rn", F.row_number().over(wk) - 1)
-    )
+    if toks is None:
+        toks = _doc_tokens(df, text_col, key_col)
     wr = Window.partitionBy(key_col).orderBy("rn")
     gram_cols = [F.col("word")] + [F.lead("word", i).over(wr) for i in range(1, k)]
     grams = (
@@ -1987,7 +1998,11 @@ def nb_classify(
         F.count("*").alias("cwl")
     )
     cl = cwl.groupBy("label").agg(F.sum("cwl").alias("cl"))
-    vv = cwl.agg(F.countDistinct("w").alias("v"))
+    # V clamps to ≥1 and the cl join below is LEFT + coalesce: a label
+    # whose training docs have zero tokens must still be charged
+    # ln(1/(0+V)) per token, not silently scored prior-only (which
+    # would make it win argmax for every multi-token doc)
+    vv = cwl.agg(F.greatest(F.countDistinct("w"), F.lit(1)).alias("v"))
     pri = (
         df.where(model_pred)
         .groupBy(F.col(label_col).alias("label"))
@@ -1999,14 +2014,14 @@ def nb_classify(
     term_val = F.round(
         F.log(
             (F.coalesce(F.col("cwl"), F.lit(0)) + F.lit(1.0))
-            / (F.col("cl") + F.col("v"))
+            / (F.coalesce(F.col("cl"), F.lit(0)) + F.col("v"))
         )
         * 10000
     ).cast("long")
     terms = (
         tf.crossJoin(F.broadcast(labels))
         .join(F.broadcast(cwl), ["label", "w"], "left")
-        .join(F.broadcast(cl), "label")
+        .join(F.broadcast(cl), "label", "left")
         .crossJoin(F.broadcast(vv))
         .groupBy(key_col, "label")
         .agg(F.sum(F.col("tf") * term_val).alias("tsum"))
@@ -2063,14 +2078,8 @@ def dup_span_strip(
     predicate); reconstruction is a per-doc ordered collect bounded by
     the document's own length — the same per-row bound every text
     rewrite stage carries."""
-    wk = Window.partitionBy(key_col).orderBy("pos")
-    toks = (
-        df.select(F.col(key_col), F.posexplode(tokens(text_col)).alias("pos", "word"))
-        .where(F.length("word") > 0)
-        .withColumn("rn", F.row_number().over(wk) - 1)
-        .select(key_col, "rn", "word")
-    )
-    spans = dup_span_islands(df, text_col, key_col, k=k, min_count=min_count)
+    toks = _doc_tokens(df, text_col, key_col)
+    spans = dup_span_islands(df, text_col, key_col, k=k, min_count=min_count, toks=toks)
     # alias both sides: toks and spans share lineage (both derive from
     # df), so unaliased key equality resolves trivially-true
     t, s = toks.alias("__t"), spans.alias("__s")
@@ -2101,18 +2110,24 @@ def dup_span_strip(
 
 
 def url_parts(url: Column | str) -> Column:
-    """Split a URL into (scheme, host, port, path, query) with
-    portable regexes (Java ∩ RE2 subset — no lookarounds, no
-    backreferences). Empty string, not NULL, for absent parts so
-    downstream exprs never null-propagate."""
+    """Split a URL into (scheme, host, port, path, query, fragment)
+    with portable regexes (Java ∩ RE2 subset — no lookarounds, no
+    backreferences). The fragment is stripped BEFORE the other parts
+    so ``#sec`` never leaks into path or query, and userinfo
+    (``user:pass@``) is stripped from the authority so it never
+    masquerades as the host. Empty string, not NULL, for absent parts
+    so downstream exprs never null-propagate."""
     c = F.col(url) if isinstance(url, str) else url
-    hostport = F.regexp_extract(c, r"^[A-Za-z]+://([^/?]+)", 1)
+    nofrag = F.regexp_replace(c, r"#.*$", "")
+    authority = F.regexp_extract(nofrag, r"^[A-Za-z]+://([^/?]+)", 1)
+    hostport = F.regexp_extract(authority, r"([^@]*)$", 1)
     return F.struct(
-        F.lower(F.regexp_extract(c, r"^([A-Za-z]+)://", 1)).alias("scheme"),
+        F.lower(F.regexp_extract(nofrag, r"^([A-Za-z]+)://", 1)).alias("scheme"),
         F.regexp_extract(hostport, r"^([^:]+)", 1).alias("host"),
         F.regexp_extract(hostport, r":([0-9]+)$", 1).alias("port"),
-        F.regexp_extract(c, r"^[A-Za-z]+://[^/?]+(/[^?]*)", 1).alias("path"),
-        F.regexp_extract(c, r"\?(.*)$", 1).alias("query"),
+        F.regexp_extract(nofrag, r"^[A-Za-z]+://[^/?]+(/[^?]*)", 1).alias("path"),
+        F.regexp_extract(nofrag, r"\?(.*)$", 1).alias("query"),
+        F.regexp_extract(c, r"#(.*)$", 1).alias("fragment"),
     )
 
 
@@ -2121,9 +2136,12 @@ def url_canonicalize(url: Column | str) -> Column:
     normalization every URL-keyed pipeline stage runs first:
     lowercase host, strip a leading ``www.``, drop default ports
     (80/443), drop tracking params (``utm_*``), sort the surviving
-    query params, and strip a bare trailing ``?``. All JVM
-    expressions (regex + array HOFs), mirrored 1:1 by a DuckDB
-    oracle; a per-row narrow map at any scale."""
+    query params, strip a bare trailing ``?``, and DROP the fragment
+    and any userinfo (fragments are client-side, credentials are not a
+    resource identity — both would otherwise split one resource into
+    many dedup keys). All JVM expressions (regex + array HOFs),
+    mirrored 1:1 by a DuckDB oracle; a per-row narrow map at any
+    scale."""
     p = url_parts(url)
     host = F.regexp_replace(F.lower(p["host"]), r"^www\.", "")
     port = F.when(p["port"].isin("80", "443"), F.lit("")).otherwise(p["port"])

@@ -89,7 +89,12 @@ def warc_parse(data: bytes) -> list[dict[str, object]]:
         fields = _parse_headers(CRLF.join(lines[1:]))
         if "Content-Length" not in fields:
             raise WarcFormatError("record missing Content-Length")
-        clen = int(fields["Content-Length"])
+        try:
+            clen = int(fields["Content-Length"])
+        except ValueError:
+            raise WarcFormatError(
+                f"bad Content-Length {fields['Content-Length']!r}"
+            ) from None
         body_start = hdr_end + 4
         if body_start + clen > n:
             raise WarcFormatError("truncated record payload")
@@ -115,8 +120,12 @@ def _parse_http(payload: bytes) -> dict[str, object]:
     parts = lines[0].split(" ", 2)
     if len(parts) < 2 or not parts[0].startswith("HTTP/"):
         raise WarcFormatError(f"bad HTTP status line {lines[0]!r}")
+    try:
+        status = int(parts[1])
+    except ValueError:
+        raise WarcFormatError(f"bad HTTP status {parts[1]!r}") from None
     return {
-        "http_status": int(parts[1]),
+        "http_status": status,
         "http_headers": _parse_headers(CRLF.join(lines[1:])),
         "http_body": payload[sep + 4 :],
     }

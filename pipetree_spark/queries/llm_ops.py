@@ -528,12 +528,10 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth side is what you run ON A SAMPLE — the audit's cost is the
     sample's, the banding being audited is the full-corpus path."""
     docs = load_table(spark, sf_dir, "documents")
-    wk = Window.partitionBy(TX.text_hash("text")).orderBy("doc_id")
-    reps = (
-        docs.withColumn("__rn", F.row_number().over(wk))
-        .where(F.col("__rn") == 1)
-        .select("doc_id", "text")
-    )
+    # flood-safe exact collapse (map-side-combined min_by — NOT the
+    # row_number window shape, which funnels a boilerplate flood to
+    # one reducer; measurements in exact_dedup's docstring)
+    reps = TX.exact_dedup(docs).select("doc_id", "text")
     sh = reps.select("doc_id", TX.word_shingles("text").alias("s"))
     sizes = sh.select("doc_id", F.size("s").alias("n"))
     idx = sh.select("doc_id", F.explode("s").alias("g"))
@@ -2786,7 +2784,7 @@ WITH tk AS (
 train AS (SELECT * FROM tk WHERE doc_id % 2 = 0),
 cwl AS (SELECT lang AS label, w, COUNT(*) AS cwl FROM train GROUP BY lang, w),
 cl AS (SELECT label, SUM(cwl) AS cl FROM cwl GROUP BY label),
-vv AS (SELECT COUNT(DISTINCT w) AS v FROM cwl),
+vv AS (SELECT GREATEST(COUNT(DISTINCT w), 1) AS v FROM cwl),
 pri AS (
   SELECT lang AS label, COUNT(*) AS nd FROM documents
   WHERE doc_id % 2 = 0 GROUP BY lang),
@@ -2796,11 +2794,11 @@ tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tk GROUP BY doc_id, w),
 terms AS (
   SELECT tf.doc_id, l.label,
          SUM(tf.tf * CAST(ROUND(LN((COALESCE(cwl.cwl, 0) + 1.0)
-                                   / (cl.cl + vv.v)) * 10000) AS BIGINT)) AS tsum
+                                   / (COALESCE(cl.cl, 0) + vv.v)) * 10000) AS BIGINT)) AS tsum
   FROM tf
   CROSS JOIN labels l
   LEFT JOIN cwl ON cwl.label = l.label AND cwl.w = tf.w
-  JOIN cl ON cl.label = l.label
+  LEFT JOIN cl ON cl.label = l.label
   CROSS JOIN vv
   GROUP BY tf.doc_id, l.label),
 scores AS (

@@ -2847,6 +2847,11 @@ def test_warc_build_parse_roundtrip_and_strict_framing():
         warc_parse(data[:-10])  # truncated final payload
     with _pytest.raises(WarcFormatError):
         warc_parse(b"WARC/1.0\r\nWARC-Type: response\r\n\r\nxx")  # no length
+    with _pytest.raises(WarcFormatError):  # non-numeric length stays typed
+        warc_parse(b"WARC/1.0\r\nWARC-Type: x\r\nContent-Length: 1x\r\n\r\nzz")
+    with _pytest.raises(WarcFormatError):  # non-numeric HTTP status too
+        warc_parse(warc_build([("response", {"A": "b"},
+                                b"HTTP/1.1 2OO OK\r\n\r\n")]))
 
 
 def test_warc_extract_stage_classifies_planted_captures(spark):
@@ -2976,6 +2981,11 @@ def test_url_canonicalize_rules(spark):
         ("http://site.test:80/p?utm_campaign=z", "http://site.test/p"),
         ("http://site.test:8080/p?z=1", "http://site.test:8080/p?z=1"),
         ("https://example.com/only", "https://example.com/only"),
+        # fragments are client-side: same resource, same key
+        ("https://example.com/a#sec", "https://example.com/a"),
+        ("https://h.test/p?b=2#frag", "https://h.test/p?b=2"),
+        # userinfo is not resource identity (and must not become the host)
+        ("http://user:pw@h.test:80/p", "http://h.test/p"),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
                                "i long, url string")
@@ -3035,6 +3045,33 @@ def test_exif_build_parse_roundtrip_both_endians():
     bad = insert_app1(skeleton, b"\xff\xe1\x00\x10Exif\x00\x00XXtrash....")
     with _pytest.raises(ExifFormatError):
         exif_parse(bad)
+    # builder input validation stays inside the module's error type
+    with _pytest.raises(ExifFormatError):
+        exif_app1("Ñikon", 1, (72, 1), "2026:08:16 00:00:00")
+    with _pytest.raises(ExifFormatError):
+        exif_app1("x" * 70000, 1, (72, 1), "2026:08:16 00:00:00")
+
+
+def test_exif_parse_tolerates_missing_optional_tags():
+    """Every EXIF tag is optional per spec: an IFD0 with ONLY
+    Orientation parses to a row with None for the absent fields
+    instead of a KeyError escaping the loud-fail contract."""
+    import struct
+
+    from pipetree_spark.ops.exif import exif_parse, insert_app1
+
+    e = "<"
+    ifd0 = struct.pack(f"{e}H", 1)
+    ifd0 += struct.pack(f"{e}HHI", 0x0112, 3, 1) + struct.pack(f"{e}H", 6).ljust(4, b"\x00")
+    ifd0 += struct.pack(f"{e}I", 0)
+    tiff = b"II" + struct.pack(f"{e}H", 42) + struct.pack(f"{e}I", 8) + ifd0
+    body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+    got = exif_parse(insert_app1(b"\xff\xd8\xff\xd9", app1))
+    assert got == {
+        "endian": "II", "make": None, "orientation": 6,
+        "xres_num": None, "xres_den": None, "dt_original": None,
+    }
 
 
 def test_exif_extract_stage_reads_planted_metadata(spark):
@@ -3122,6 +3159,24 @@ def test_vid_tdhash_bands_rejects_wrong_frame_count(spark):
 
     with _pytest.raises(ValueError, match="n_frames must be 16"):
         MM.vid_tdhash_bands(None, n_frames=12)
+
+
+def test_vid_temporal_ops_fail_loudly_on_sparse_frames(spark):
+    """Sparse sampling (every_n > 1) must RAISE, not silently emit an
+    empty fingerprint ('no duplicates found') — the modular next-frame
+    join would match nothing."""
+    import pytest as _pytest
+    from pipetree_spark.ops import mm as MM
+
+    d = spark.createDataFrame([(0, "sparse-guard")], "doc_id long, text string")
+    sparse = MM.video_frame_sample_stage(
+        MM.make_avi_quad_payload(d, n_frames=16), every_n=2
+    )
+    lumas = MM.vid_block_luma_stage(sparse)
+    with _pytest.raises(Exception, match="contiguous frames"):
+        MM.vid_tdhash_bands(lumas, n_frames=16).collect()
+    with _pytest.raises(Exception, match="contiguous frames"):
+        MM.vid_keyframes(lumas, n_frames=16).collect()
 
 
 def test_bigram_lm_scores_hand_computed(spark):
@@ -3219,6 +3274,32 @@ def test_nb_classify_separates_planted_vocabularies(spark):
     # en/de priors tie (2 docs each) but en's cl+V is smaller or equal;
     # just assert determinism of the emitted argmax
     assert out[5][1] in ("de", "en")
+
+
+def test_nb_classify_zero_token_label_still_pays_smoothing(spark):
+    """A label whose training docs have NO tokens must be charged the
+    Laplace floor ln(1/(0+V)) per token like any other label — not
+    silently scored prior-only, which would make it win argmax for
+    every multi-token document."""
+    import math
+
+    from pipetree_spark.ops import text as TXO
+
+    docs = [
+        (0, "en", "the cat sat on the mat here now"),
+        (2, "xx", ""),                       # zero-token training label
+        (1, "en", "the cat sat on the mat"),  # score-only
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    rows = {r.doc_id: r for r in TXO.nb_classify(d, F.col("doc_id") % 2 == 0).collect()}
+    # en model: 8 tokens, V=7; priors 1/2 each. Doc 1 has 6 tokens, all seen.
+    assert rows[1].pred_label == "en", rows[1].asDict()
+
+    def pin(p):
+        return round(math.log(p) * 10000)
+
+    xx_score = pin(0.5) + 6 * pin(1.0 / 7)  # Laplace floor, V=7, cl=0
+    assert rows[1].score4 > xx_score  # and en actually outranks it
 
 
 def test_nb_classify_scores_are_exact_scaled_longs(spark):
