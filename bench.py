@@ -67,6 +67,9 @@ BENCH_QUERIES: dict[str, str] = {
     # sketch — the two new ops with non-trivial shuffle shapes
     "q_graph_triangles": "q_graph_triangles",
     "q_agg_kmv_setops": "q_agg_kmv_setops",
+    # r12: the crawl front-end e2e (WARC walk → status filter → HTML
+    # extraction) — the new nightly path, tracked from its first round
+    "q_pipe_crawl_e2e": "q_pipe_crawl_e2e",
 }
 
 #: r12: the extended family gets the same 5 reps as the core (was 3) —
