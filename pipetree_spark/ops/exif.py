@@ -64,10 +64,15 @@ def exif_app1(
         raise ExifFormatError(f"EXIF ASCII fields must be ASCII: {exc}") from None
     if len(dt_b) != 20:
         raise ExifFormatError(f"DateTimeOriginal must be 19 chars, got {dt_original!r}")
-    # APP1 length is a u16 including its own 2 bytes: cap the variable
-    # part so struct.pack can't leak a bare struct.error
+    # Range checks so struct.pack can't leak a bare struct.error for
+    # ANY field: APP1 length is a u16, Orientation a SHORT, the
+    # RATIONAL components u32s
     if len(make_b) > 65000:
         raise ExifFormatError(f"Make too long for an APP1 segment ({len(make_b)} B)")
+    if not 0 <= orientation <= 0xFFFF:
+        raise ExifFormatError(f"Orientation out of SHORT range: {orientation}")
+    if not all(0 <= v <= 0xFFFFFFFF for v in xres):
+        raise ExifFormatError(f"XResolution out of u32 range: {xres}")
 
     # Layout (offsets from TIFF origin):
     #   8:          IFD0 (2 + 4*12 + 4 bytes)

@@ -2335,10 +2335,17 @@ def _assert_contiguous_frames(
     distributed (window count + max over the fingerprint-sized luma
     relation); assert_true raises on the first violating row."""
     wcnt = Window.partitionBy(key_col)
-    ok = (F.col("__cnt") == 4 * n_frames) & (F.col("__maxf") == n_frames - 1)
+    # count + max alone would admit a missing frame compensated by a
+    # duplicated one; the distinct-frame count closes that hole
+    ok = (
+        (F.col("__cnt") == 4 * n_frames)
+        & (F.col("__maxf") == n_frames - 1)
+        & (F.col("__nf") == n_frames)
+    )
     return (
         luma.withColumn("__cnt", F.count("*").over(wcnt))
         .withColumn("__maxf", F.max("frame_idx").over(wcnt))
+        .withColumn("__nf", F.size(F.collect_set("frame_idx").over(wcnt)))
         .where(
             F.assert_true(
                 ok,
@@ -2348,7 +2355,7 @@ def _assert_contiguous_frames(
                 ),
             ).isNull()
         )
-        .drop("__cnt", "__maxf")
+        .drop("__cnt", "__maxf", "__nf")
     )
 
 

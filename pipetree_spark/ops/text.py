@@ -1525,18 +1525,14 @@ def dup_span_stats(
     (key, n_tokens, n_dup_spans, n_dup_tokens, max_span_len), zeros for
     clean docs — the audit a curation pipeline runs before deciding to
     strip (all-int64, no float policy)."""
-    spans = dup_span_islands(df, text_col, key_col, k=k, min_count=min_count)
+    toks = _doc_tokens(df, text_col, key_col)
+    spans = dup_span_islands(df, text_col, key_col, k=k, min_count=min_count, toks=toks)
     per_doc = spans.groupBy(key_col).agg(
         F.count("*").alias("n_dup_spans"),
         F.sum(F.col("span_end") - F.col("span_start") + 1).alias("n_dup_tokens"),
         F.max(F.col("span_end") - F.col("span_start") + 1).alias("max_span_len"),
     )
-    totals = (
-        df.select(F.col(key_col), F.explode(tokens(text_col)).alias("word"))
-        .where(F.length("word") > 0)
-        .groupBy(key_col)
-        .agg(F.count("*").alias("n_tokens"))
-    )
+    totals = toks.groupBy(key_col).agg(F.count("*").alias("n_tokens"))
     return totals.join(per_doc, key_col, "left").select(
         key_col,
         "n_tokens",

@@ -89,12 +89,13 @@ def warc_parse(data: bytes) -> list[dict[str, object]]:
         fields = _parse_headers(CRLF.join(lines[1:]))
         if "Content-Length" not in fields:
             raise WarcFormatError("record missing Content-Length")
-        try:
-            clen = int(fields["Content-Length"])
-        except ValueError:
-            raise WarcFormatError(
-                f"bad Content-Length {fields['Content-Length']!r}"
-            ) from None
+        # digits-only: int() alone accepts '-33' (which would walk the
+        # parse position BACKWARDS into an infinite loop), '+1' and
+        # '1_0' (silent mis-framing)
+        clen_s = fields["Content-Length"]
+        if not clen_s.isdigit():
+            raise WarcFormatError(f"bad Content-Length {clen_s!r}")
+        clen = int(clen_s)
         body_start = hdr_end + 4
         if body_start + clen > n:
             raise WarcFormatError("truncated record payload")
@@ -120,12 +121,10 @@ def _parse_http(payload: bytes) -> dict[str, object]:
     parts = lines[0].split(" ", 2)
     if len(parts) < 2 or not parts[0].startswith("HTTP/"):
         raise WarcFormatError(f"bad HTTP status line {lines[0]!r}")
-    try:
-        status = int(parts[1])
-    except ValueError:
-        raise WarcFormatError(f"bad HTTP status {parts[1]!r}") from None
+    if not parts[1].isdigit():  # rejects '-200', '+200', '2_0', '2OO'
+        raise WarcFormatError(f"bad HTTP status {parts[1]!r}")
     return {
-        "http_status": status,
+        "http_status": int(parts[1]),
         "http_headers": _parse_headers(CRLF.join(lines[1:])),
         "http_body": payload[sep + 4 :],
     }

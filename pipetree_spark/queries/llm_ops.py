@@ -3863,16 +3863,20 @@ u AS (
          (CASE WHEN b6 % 2 = 1 THEN 'utm_source=feed&id=' || (b5 % 100)
                ELSE 'id=' || (b5 % 100) END) AS url
   FROM b),
+nf AS (
+  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
 parts AS (
   SELECT doc_id, url,
-         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
-         regexp_extract(regexp_extract(url, '^[A-Za-z]+://([^/?]+)', 1),
-                        '^([^:]+)', 1) AS host,
-         regexp_extract(regexp_extract(url, '^[A-Za-z]+://([^/?]+)', 1),
-                        ':([0-9]+)$', 1) AS port,
-         regexp_extract(url, '^[A-Za-z]+://[^/?]+(/[^?]*)', 1) AS path,
-         regexp_extract(url, '\?(.*)$', 1) AS q
-  FROM u),
+         lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) AS scheme,
+         regexp_extract(regexp_extract(
+             regexp_extract(nofrag, '^[A-Za-z]+://([^/?]+)', 1),
+             '([^@]*)$', 1), '^([^:]+)', 1) AS host,
+         regexp_extract(regexp_extract(
+             regexp_extract(nofrag, '^[A-Za-z]+://([^/?]+)', 1),
+             '([^@]*)$', 1), ':([0-9]+)$', 1) AS port,
+         regexp_extract(nofrag, '^[A-Za-z]+://[^/?]+(/[^?]*)', 1) AS path,
+         regexp_extract(nofrag, '\?(.*)$', 1) AS q
+  FROM nf),
 canon AS (
   SELECT doc_id, url,
          regexp_replace(lower(host), '^www\.', '') AS chost,

@@ -2852,6 +2852,15 @@ def test_warc_build_parse_roundtrip_and_strict_framing():
     with _pytest.raises(WarcFormatError):  # non-numeric HTTP status too
         warc_parse(warc_build([("response", {"A": "b"},
                                 b"HTTP/1.1 2OO OK\r\n\r\n")]))
+    # int() leniency is rejected: a NEGATIVE length would walk the
+    # parse position backwards into an infinite loop; '+'/'_' mis-frame
+    with _pytest.raises(WarcFormatError):
+        warc_parse(b"WARC/1.0\r\nContent-Length: -33\r\n\r\n" + b"X" * 50)
+    with _pytest.raises(WarcFormatError):
+        warc_parse(b"WARC/1.0\r\nContent-Length: 1_0\r\n\r\n" + b"X" * 50)
+    with _pytest.raises(WarcFormatError):
+        warc_parse(warc_build([("response", {"A": "b"},
+                                b"HTTP/1.1 -200 OK\r\n\r\n")]))
 
 
 def test_warc_extract_stage_classifies_planted_captures(spark):
@@ -3050,6 +3059,10 @@ def test_exif_build_parse_roundtrip_both_endians():
         exif_app1("Ñikon", 1, (72, 1), "2026:08:16 00:00:00")
     with _pytest.raises(ExifFormatError):
         exif_app1("x" * 70000, 1, (72, 1), "2026:08:16 00:00:00")
+    with _pytest.raises(ExifFormatError):  # SHORT/u32 range checks
+        exif_app1("MK", 70000, (72, 1), "2026:08:16 00:00:00")
+    with _pytest.raises(ExifFormatError):
+        exif_app1("MK", 1, (-1, 1), "2026:08:16 00:00:00")
 
 
 def test_exif_parse_tolerates_missing_optional_tags():
