@@ -388,11 +388,13 @@ def _op_registry() -> dict[str, tuple[Callable, int]]:
         "vid_keyframes": (MM.vid_keyframes, 1),
         "make_avi_quad_payload": (MM.make_avi_quad_payload, 1),
         "pcm_downsample": (MM.pcm_downsample_stage, 1),
-        # r12 crawl ingest + metadata extraction
+        # r12 crawl ingest + metadata extraction + dead-letter triage
         "make_warc_payload": (MM.make_warc_payload, 1),
         "warc_extract": (MM.warc_extract_stage, 1),
         "make_jpeg_exif_payload": (MM.make_jpeg_exif_payload, 1),
         "exif_extract": (MM.exif_extract_stage, 1),
+        "classify_media": (MM.classify_media_stage, 1),
+        "corrupt_media_variant": (MM.corrupt_media_variant_stage, 1),
     }
 
 
