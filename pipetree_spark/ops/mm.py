@@ -1631,6 +1631,16 @@ def rgb_int_stats_by_frame_stage(
 
 # ----------------------------------------------- perceptual image near-dup
 
+def _keyed_schema(schema: T.StructType, key_col: str) -> T.StructType:
+    """Rename a canonical output schema's leading key field to the
+    caller's ``key_col``, so stages that accept a key column honor it
+    in the OUTPUT too instead of silently relabeling every key
+    'doc_id' (r12 ADVICE)."""
+    return T.StructType(
+        [T.StructField(key_col, schema.fields[0].dataType), *schema.fields[1:]]
+    )
+
+
 DHASH_BANDS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -1714,7 +1724,7 @@ def dhash_bands_stage(
                     bands[i].append(int(rowvals[2 * i] + (rowvals[2 * i + 1] << 8)))
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(keys, dtype="int64"),
+                    key_col: pd.Series(keys, dtype="int64"),
                     **{
                         f"band_{i}": pd.Series(bands[i], dtype="int64")
                         for i in range(4)
@@ -1722,7 +1732,7 @@ def dhash_bands_stage(
                 }
             )
 
-    return df.mapInPandas(run, schema=DHASH_BANDS_SCHEMA)
+    return df.mapInPandas(run, schema=_keyed_schema(DHASH_BANDS_SCHEMA, key_col))
 
 
 def dhash_hamming_pairs(
@@ -1857,7 +1867,7 @@ def audiofp_bands_stage(
                     bands[i].append(int((bits[16 * i : 16 * i + 16] * weights).sum()))
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(keys, dtype="int64"),
+                    key_col: pd.Series(keys, dtype="int64"),
                     **{
                         f"band_{i}": pd.Series(bands[i], dtype="int64")
                         for i in range(4)
@@ -1865,7 +1875,7 @@ def audiofp_bands_stage(
                 }
             )
 
-    return df.mapInPandas(run, schema=DHASH_BANDS_SCHEMA)
+    return df.mapInPandas(run, schema=_keyed_schema(DHASH_BANDS_SCHEMA, key_col))
 
 
 # ----------------------------------------------- perceptual video near-dup
@@ -1978,14 +1988,14 @@ def vid_block_luma_stage(
                     lums.append(int(g[q // 2, q % 2]))
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(keys, dtype="int64"),
+                    key_col: pd.Series(keys, dtype="int64"),
                     "frame_idx": pd.Series(fidx, dtype="int64"),
                     "q": pd.Series(qs, dtype="int64"),
                     "luma": pd.Series(lums, dtype="int64"),
                 }
             )
 
-    return df.mapInPandas(run, schema=VID_BLOCK_LUMA_SCHEMA)
+    return df.mapInPandas(run, schema=_keyed_schema(VID_BLOCK_LUMA_SCHEMA, key_col))
 
 
 def vid_tdhash_bands(luma: DataFrame, n_frames: int, key_col: str = "doc_id") -> DataFrame:
@@ -2124,11 +2134,11 @@ def exif_extract_stage(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k: [] for k in
-                    ("doc_id", "endian", "make", "orientation",
+                    (key_col, "endian", "make", "orientation",
                      "xres_num", "xres_den", "dt_original")}
             for did, p in zip(pdf[key_col], pdf[content_col]):
                 meta = exif_parse(bytes(p)) or {}
-                rows["doc_id"].append(int(did))
+                rows[key_col].append(int(did))
                 rows["endian"].append(meta.get("endian"))
                 rows["make"].append(meta.get("make"))
                 rows["orientation"].append(meta.get("orientation"))
@@ -2137,7 +2147,7 @@ def exif_extract_stage(
                 rows["dt_original"].append(meta.get("dt_original"))
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    key_col: pd.Series(rows[key_col], dtype="int64"),
                     "endian": rows["endian"],
                     "make": rows["make"],
                     "orientation": pd.Series(rows["orientation"], dtype="Int64"),
@@ -2147,7 +2157,7 @@ def exif_extract_stage(
                 }
             )
 
-    return df.mapInPandas(run, schema=EXIF_SCHEMA)
+    return df.mapInPandas(run, schema=_keyed_schema(EXIF_SCHEMA, key_col))
 
 
 # ----------------------------------------------- WARC crawl ingest
@@ -2266,13 +2276,38 @@ def warc_extract_stage(
     one-response-per-capture layout; a multi-capture archive would
     emit one row per response with the same code).
 
+    Body decode honors the HTTP Content-Type charset (default UTF-8,
+    RFC aliases for latin-1/ascii handled; an UNKNOWN charset raises
+    WarcFormatError — the typed loud-fail, never a raw LookupError)
+    and replaces, not raises on, undecodable bytes — real crawl bodies
+    lie about their encoding constantly and one mojibake byte must not
+    kill a 100 TB ingest (r12 ADVICE). ``body_bytes`` stays the RAW
+    byte length, so the replacement policy never changes a certified
+    count.
+
     Scale shape: narrow per-row map, no shuffle; the walk is
     framing-sized (headers + one memcpy per payload). Gzip-membered
     CommonCrawl files compose decompress_stage in front."""
-    from pipetree_spark.ops.warc import warc_parse
+    from pipetree_spark.ops.warc import WarcFormatError, warc_parse
+
+    def body_text(r: dict) -> str:
+        ctype = r["http_headers"].get("Content-Type", "")
+        charset = "utf-8"
+        for part in ctype.split(";")[1:]:
+            part = part.strip()
+            if part.lower().startswith("charset="):
+                charset = part[8:].strip().strip('"').lower() or "utf-8"
+        aliases = {
+            "utf-8": "utf-8", "utf8": "utf-8",
+            "iso-8859-1": "latin-1", "latin-1": "latin-1", "latin1": "latin-1",
+            "us-ascii": "ascii", "ascii": "ascii",
+        }
+        if charset not in aliases:
+            raise WarcFormatError(f"unsupported body charset {charset!r}")
+        return r["http_body"].decode(aliases[charset], errors="replace")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ("doc_id", "n_records", "http_status", "target_uri", "body_bytes", "body_html")
+        cols = (key_col, "n_records", "http_status", "target_uri", "body_bytes", "body_html")
         for pdf in batches:
             rows = {k: [] for k in cols}
             for did, p in zip(pdf[key_col], pdf[content_col]):
@@ -2280,15 +2315,15 @@ def warc_extract_stage(
                 resp = [r for r in recs if r["warc_type"] == "response"]
                 for r in resp:
                     body = r["http_body"]
-                    rows["doc_id"].append(int(did))
+                    rows[key_col].append(int(did))
                     rows["n_records"].append(len(recs))
                     rows["http_status"].append(int(r["http_status"]))
                     rows["target_uri"].append(r["fields"].get("WARC-Target-URI"))
                     rows["body_bytes"].append(len(body))
-                    rows["body_html"].append(body.decode("utf-8"))
+                    rows["body_html"].append(body_text(r))
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    key_col: pd.Series(rows[key_col], dtype="int64"),
                     "n_records": pd.Series(rows["n_records"], dtype="int64"),
                     "http_status": pd.Series(rows["http_status"], dtype="int64"),
                     "target_uri": rows["target_uri"],
@@ -2297,7 +2332,7 @@ def warc_extract_stage(
                 }
             )
 
-    return df.mapInPandas(run, schema=WARC_EXTRACT_SCHEMA)
+    return df.mapInPandas(run, schema=_keyed_schema(WARC_EXTRACT_SCHEMA, key_col))
 
 
 def pcm_downsample_stage(

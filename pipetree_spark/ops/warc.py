@@ -54,16 +54,33 @@ def warc_build(records: list[tuple[str, dict[str, str], bytes]]) -> bytes:
     return b"".join(warc_record(t, h, p) for (t, h, p) in records)
 
 
-def _parse_headers(block: str) -> dict[str, str]:
-    out: dict[str, str] = {}
+# Fields where a repeat with a DIFFERENT value makes the record
+# ambiguous to frame or classify — loud-fail, never guess.
+_SINGLETON_FIELDS = frozenset({"Content-Length", "WARC-Type"})
+
+
+def _parse_headers(block: str) -> tuple[dict[str, str], dict[str, list[str]]]:
+    """Parse a CRLF header block. Returns (scalar, multi): ``scalar``
+    is the convenient last-wins dict most consumers key into;
+    ``multi`` preserves EVERY value of legally repeatable fields
+    (WARC-Concurrent-To, Set-Cookie, ...) in order, which a last-wins
+    dict silently collapses (r12 ADVICE). Framing-critical fields
+    (Content-Length, WARC-Type) repeated with conflicting values raise
+    — framing must never be a coin flip on dict insertion order."""
+    scalar: dict[str, str] = {}
+    multi: dict[str, list[str]] = {}
     for line in block.split(CRLF):
         if not line:
             continue
         if ":" not in line:
             raise WarcFormatError(f"bad header line {line!r}")
         k, v = line.split(":", 1)
-        out[k.strip()] = v.strip()
-    return out
+        k, v = k.strip(), v.strip()
+        if k in _SINGLETON_FIELDS and k in scalar and scalar[k] != v:
+            raise WarcFormatError(f"conflicting repeated header {k}: {scalar[k]!r} vs {v!r}")
+        scalar[k] = v
+        multi.setdefault(k, []).append(v)
+    return scalar, multi
 
 
 def warc_parse(data: bytes) -> list[dict[str, object]]:
@@ -86,7 +103,7 @@ def warc_parse(data: bytes) -> list[dict[str, object]]:
         lines = head.split(CRLF)
         if not lines[0].startswith("WARC/"):
             raise WarcFormatError(f"bad version line {lines[0]!r}")
-        fields = _parse_headers(CRLF.join(lines[1:]))
+        fields, fields_all = _parse_headers(CRLF.join(lines[1:]))
         if "Content-Length" not in fields:
             raise WarcFormatError("record missing Content-Length")
         # digits-only: int() alone accepts '-33' (which would walk the
@@ -103,6 +120,7 @@ def warc_parse(data: bytes) -> list[dict[str, object]]:
         rec: dict[str, object] = {
             "warc_type": fields.get("WARC-Type", ""),
             "fields": fields,
+            "fields_all": fields_all,  # every value of repeated fields, in order
             "payload": payload,
         }
         if rec["warc_type"] == "response":
@@ -123,8 +141,10 @@ def _parse_http(payload: bytes) -> dict[str, object]:
         raise WarcFormatError(f"bad HTTP status line {lines[0]!r}")
     if not parts[1].isdigit():  # rejects '-200', '+200', '2_0', '2OO'
         raise WarcFormatError(f"bad HTTP status {parts[1]!r}")
+    headers, headers_all = _parse_headers(CRLF.join(lines[1:]))
     return {
         "http_status": int(parts[1]),
-        "http_headers": _parse_headers(CRLF.join(lines[1:])),
+        "http_headers": headers,
+        "http_headers_all": headers_all,  # Set-Cookie et al. keep every value
         "http_body": payload[sep + 4 :],
     }

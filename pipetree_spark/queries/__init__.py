@@ -73,14 +73,27 @@ WINDOW = 50  # observed driver cut, constant across r1–r7
 #: so the list empties per the standing rule. r12's new declarations
 #: (BPE scale path, phash dedup, substring dedup, html extract,
 #: unigram trainer, bm25) are never-graded and lead the window
-#: automatically — they must NOT sit here. The two entries below are
-#: r11-green queries whose ORACLE TEXT changed this round (CTEs became
-#: AS MATERIALIZED so the unroll is linear, not 2^n, in round count —
-#: required for the 16-round scale twins; results are identical but
-#: the certification is against the old string).
+#: automatically — they must NOT sit here.
+#: r13 note: both r12 entries (q_text_bpe_train/encode) graded green in
+#: CORRECTNESS_r12, so they drop off per the standing rule. The r13
+#: entries are the queries whose op code or oracle text changed this
+#: round (the r12 ADVICE fixes): the URL family's scheme-dependent
+#: default-port strip + mismatched-port synthesizer case (values
+#: changed on both engines), the WARC body decode's charset handling,
+#: the repeated-header parse, the key_col schema threading through the
+#: fingerprint/EXIF/WARC stages, and unigram_train's max_vocab kwarg
+#: (default None = certified path unchanged, but the collect shape
+#: moved into a shared DataFrame builder).
 RECONFIRM: tuple[str, ...] = (
-    "q_text_bpe_train",   # r12: oracle CTEs materialized (same values)
-    "q_text_bpe_encode",  # r12: oracle CTEs materialized (same values)
+    "q_text_url_canon",     # r13: scheme-dependent port strip, new synth case
+    "q_src_warc",           # r13: charset-aware body decode
+    "q_src_warc_gz",        # r13: charset-aware body decode
+    "q_pipe_crawl_e2e",     # r13: charset-aware body decode
+    "q_mm_exif_extract",    # r13: key_col-threaded output schema
+    "q_mm_phash_dedup",     # r13: key_col-threaded output schema
+    "q_mm_audiofp_dedup",   # r13: key_col-threaded output schema
+    "q_mm_vidhash_dedup",   # r13: key_col-threaded output schema
+    "q_text_unigram_train", # r13: max_vocab cap (default = exact path)
 )
 
 

@@ -3856,8 +3856,10 @@ u AS (
          (CASE WHEN b1 % 2 = 1 THEN 'www.' ELSE '' END) ||
          (CASE WHEN b3 % 2 = 1 THEN upper('crawl' || (b2 % 10) || '.test')
                ELSE 'crawl' || (b2 % 10) || '.test' END) ||
-         (CASE WHEN b4 % 2 = 1
+         (CASE WHEN b4 % 4 = 2
                THEN (CASE WHEN b0 % 2 = 1 THEN ':443' ELSE ':80' END)
+               WHEN b4 % 4 = 3
+               THEN (CASE WHEN b0 % 2 = 1 THEN ':80' ELSE ':443' END)
                ELSE '' END) ||
          '/p/' || substr(hx, 9, 4) || '?' ||
          (CASE WHEN b6 % 2 = 1 THEN 'utm_source=feed&id=' || (b5 % 100)
@@ -3870,7 +3872,7 @@ parts AS (
          lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) AS scheme,
          regexp_extract(regexp_extract(
              regexp_extract(nofrag, '^[A-Za-z]+://([^/?]+)', 1),
-             '([^@]*)$', 1), '^([^:]+)', 1) AS host,
+             '([^@]*)$', 1), '^(\[[^\]]+\]|[^:]+)', 1) AS host,
          regexp_extract(regexp_extract(
              regexp_extract(nofrag, '^[A-Za-z]+://([^/?]+)', 1),
              '([^@]*)$', 1), ':([0-9]+)$', 1) AS port,
@@ -3880,7 +3882,9 @@ parts AS (
 canon AS (
   SELECT doc_id, url,
          regexp_replace(lower(host), '^www\.', '') AS chost,
-         CASE WHEN port IN ('80', '443') THEN '' ELSE port END AS cport,
+         CASE WHEN (scheme = 'http' AND port = '80')
+                OR (scheme = 'https' AND port = '443')
+              THEN '' ELSE port END AS cport,
          list_sort(list_filter(string_split(q, '&'),
                    x -> length(x) > 0 AND NOT starts_with(x, 'utm_'))) AS params,
          scheme, path
@@ -3900,9 +3904,12 @@ def q_text_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (ops.text.url_parts / url_canonicalize) —
     the normalization every URL-keyed crawl stage runs before dedup or
     provenance joins: deterministic MESSY urls synthesized in both
-    engines (mixed-case hosts, optional www., default ports, utm_*
-    tracking params) → lowercase host, www./default-port strip, utm
-    drop, param sort. A hash match certifies the regex part-split and
+    engines (mixed-case hosts, optional www., scheme-matching AND
+    scheme-MISmatched default ports — http://h:443/ must keep its
+    port, it is a different resource; r12 ADVICE — utm_* tracking
+    params) → lowercase host, www. strip, scheme-dependent
+    default-port strip, utm drop, param sort. A hash match certifies
+    the regex part-split and
     the canonical reassembly byte-for-byte; the canonical string is
     the dedup/join key a 100 TB crawl pipeline groups on.
 
@@ -3918,9 +3925,14 @@ def q_text_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(b1 % 2 == 1, F.lit("www.")).otherwise(F.lit("")),
         F.when(b3 % 2 == 1, F.upper(hostbase)).otherwise(hostbase),
         F.when(
-            b4 % 2 == 1,
+            b4 % 4 == 2,
             F.when(b0 % 2 == 1, F.lit(":443")).otherwise(F.lit(":80")),
-        ).otherwise(F.lit("")),
+        )
+        .when(
+            b4 % 4 == 3,
+            F.when(b0 % 2 == 1, F.lit(":80")).otherwise(F.lit(":443")),
+        )
+        .otherwise(F.lit("")),
         F.lit("/p/"),
         F.substring(hx, 9, 4),
         F.lit("?"),
@@ -4547,6 +4559,33 @@ def q_text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-bound."""
     d = load_table(spark, sf_dir, "documents")
     return TX.unigram_train(d, "text", n_rounds=2)
+
+
+@declare(
+    "q_text_unigram_encode",
+    oracle=TX.unigram_encode_sql(2),
+    tags=("text",),
+)
+def q_text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM ENCODE at corpus scale (ops.text.unigram_encode —
+    r12 verdict item 2, the missing twin of bpe_encode): train the
+    2-round hard-EM piece inventory (q_text_unigram_train's certified
+    recipe), collect the vocab-bound (piece, prob) table, and segment
+    EVERY document with the probabilities broadcast as a dict through
+    ONE mapInPandas stage — a flat plan whose depth is independent of
+    piece-inventory size, zero shuffles after the trainer's one
+    corpus collapse. Per-word segmentation is the trainer's own exact
+    path enumerator (identical IEEE multiply order + ascending-segstr
+    tie-break), so the DuckDB oracle — the trainer chain plus one more
+    recursive segmentation round over distinct corpus words — matches
+    hash-exact including piece counts. Emits (doc_id, n_words,
+    n_pieces, n_oov); n_oov is 0 here (uncapped vocab over the
+    training corpus) and exists so capped-vocab information loss is
+    an audited column, never silent."""
+    d = load_table(spark, sf_dir, "documents")
+    trained = TX.unigram_train(d, "text", n_rounds=2)
+    probs = {r["piece"]: r["prob"] for r in trained.collect()}
+    return TX.unigram_encode(d, probs)
 
 
 @declare(

@@ -2995,6 +2995,15 @@ def test_url_canonicalize_rules(spark):
         ("https://h.test/p?b=2#frag", "https://h.test/p?b=2"),
         # userinfo is not resource identity (and must not become the host)
         ("http://user:pw@h.test:80/p", "http://h.test/p"),
+        # r12 ADVICE: a default port for the WRONG scheme is a real,
+        # distinct resource — only the scheme's own default collapses
+        ("http://h.test:443/p", "http://h.test:443/p"),
+        ("https://h.test:80/p", "https://h.test:80/p"),
+        ("https://h.test:443/p", "https://h.test/p"),
+        # r12 ADVICE: bracketed IPv6 authorities parse whole
+        ("http://[::1]:8080/p?z=1", "http://[::1]:8080/p?z=1"),
+        ("http://[2001:db8::1]:80/p", "http://[2001:db8::1]/p"),
+        ("https://[2001:DB8::a]/p", "https://[2001:db8::a]/p"),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
                                "i long, url string")
@@ -3454,6 +3463,131 @@ def test_unigram_best_seg_tiebreak_is_ascending_segstr():
 
     probs = {"ab": 0.26, "a": 0.5, "b": 0.5}
     assert _unigram_best_seg("ab", probs, 4, BPE_SEP) == BPE_SEP + "ab"
+
+
+def test_unigram_train_max_vocab_caps_driver_state(spark):
+    """r13 (the r12 verdict `weak`): max_vocab bounds the collected
+    word-freq state like bpe_word_freqs — top-K by (freq DESC, word
+    ASC). Capped at >= |vocab| the result is bit-identical to exact;
+    capped below, the dropped long-tail word stops contributing usage."""
+    from pipetree_spark.ops import text as TXO
+
+    d = spark.createDataFrame(
+        [(0, "aa aa aa bb bb zz")], "doc_id long, text string"
+    )
+    exact = {(r.piece, r.n_used, r.prob)
+             for r in TXO.unigram_train(d, n_rounds=2).collect()}
+    same = {(r.piece, r.n_used, r.prob)
+            for r in TXO.unigram_train(d, n_rounds=2, max_vocab=10).collect()}
+    assert exact == same
+    capped = {r.piece: r.n_used
+              for r in TXO.unigram_train(d, n_rounds=2, max_vocab=2).collect()}
+    assert "z" not in capped              # 'zz' fell off the top-2 vocab
+    assert capped["aa"] == 3 and capped["bb"] == 2
+
+
+def test_unigram_encode_counts_pieces_and_oov(spark):
+    """r13 unigram ENCODE: piece counts mirror the trainer's E-step
+    segmentation per word; a probs dict missing a word's chars makes
+    that word an explicit n_oov, never a silent zero."""
+    from pipetree_spark.ops import text as TXO
+    from pipetree_spark.ops.text import BPE_SEP, _unigram_best_seg
+
+    d = spark.createDataFrame(
+        [(0, "abab abab cd"), (1, "cd cd"), (2, "")],
+        "doc_id long, text string",
+    )
+    trained = TXO.unigram_train(d, n_rounds=2)
+    probs = {r.piece: r.prob for r in trained.collect()}
+    got = {r.doc_id: (r.n_words, r.n_pieces, r.n_oov)
+           for r in TXO.unigram_encode(d, probs).collect()}
+    # doc 2 has no valid words -> dropped (bpe_apply contract)
+    assert set(got) == {0, 1}
+    for did, words in ((0, ["abab", "abab", "cd"]), (1, ["cd", "cd"])):
+        want = sum(
+            _unigram_best_seg(w, probs, 4, BPE_SEP).count(BPE_SEP) for w in words
+        )
+        assert got[did] == (len(words), want, 0)
+    # OOV: drop every piece containing 'c' -> 'cd' has no path
+    noc = {p: v for p, v in probs.items() if "c" not in p}
+    got2 = {r.doc_id: (r.n_words, r.n_pieces, r.n_oov)
+            for r in TXO.unigram_encode(d, noc).collect()}
+    assert got2[1] == (2, 0, 2)
+    assert got2[0][2] == 1                # one OOV word ('cd')
+
+
+def test_warc_repeated_headers_preserved_and_conflicts_raise():
+    """r12 ADVICE: legally repeatable headers (WARC-Concurrent-To,
+    Set-Cookie) keep EVERY value in fields_all / http_headers_all;
+    framing-critical fields repeated with conflicting values raise."""
+    import pytest as _pytest
+    from pipetree_spark.ops.warc import WarcFormatError, warc_parse
+
+    http = b"HTTP/1.1 200 OK\r\nSet-Cookie: a=1\r\nSet-Cookie: b=2\r\n\r\nok"
+    raw = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Concurrent-To: <urn:a>\r\nWARC-Concurrent-To: <urn:b>\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n" + http
+    )
+    rec = warc_parse(raw)[0]
+    assert rec["fields_all"]["WARC-Concurrent-To"] == ["<urn:a>", "<urn:b>"]
+    assert rec["fields"]["WARC-Concurrent-To"] == "<urn:b>"  # last-wins scalar
+    assert rec["http_headers_all"]["Set-Cookie"] == ["a=1", "b=2"]
+    with _pytest.raises(WarcFormatError):  # ambiguous framing is never a guess
+        warc_parse(
+            b"WARC/1.0\r\nContent-Length: 2\r\nContent-Length: 9\r\n\r\nok"
+        )
+
+
+def test_warc_extract_body_charset_and_replacement(spark):
+    """r12 ADVICE: body decode honors the Content-Type charset, maps
+    undecodable bytes to U+FFFD instead of dying, keeps body_bytes as
+    the RAW length, and types unknown charsets as WarcFormatError."""
+    from pipetree_spark.ops import mm as MM
+    from pipetree_spark.ops.warc import warc_build
+
+    def archive(body: bytes, ctype: str) -> bytes:
+        head = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode("ascii")
+        return warc_build([("response", {"WARC-Target-URI": "http://e/x"},
+                            head + body)])
+
+    rows = [
+        (0, archive("caf\xe9".encode("latin-1"), 'text/html; charset="ISO-8859-1"')),
+        (1, archive(b"ok\xff\xfebad", "text/html; charset=utf-8")),
+        (2, archive(b"plain", "text/html")),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r.doc_id: r for r in MM.warc_extract_stage(d).collect()}
+    assert got[0].body_html == "caf\xe9" and got[0].body_bytes == 4
+    assert "�" in got[1].body_html and got[1].body_bytes == 7
+    assert got[2].body_html == "plain"
+    bad = spark.createDataFrame(
+        [(9, archive(b"x", "text/html; charset=shift_jis"))],
+        "doc_id long, content binary",
+    )
+    with pytest.raises(Exception) as ei:
+        MM.warc_extract_stage(bad).collect()
+    assert "unsupported body charset" in str(ei.value)
+
+
+def test_mm_stages_honor_key_col_in_output(spark):
+    """r12 ADVICE: stages that take key_col must emit THAT column, not
+    a hardcoded doc_id."""
+    from pipetree_spark.ops import mm as MM
+
+    d = spark.createDataFrame(
+        [(7, f"keyed {i}") for i in range(2)], "img_id long, text string"
+    )
+    warc = MM.make_warc_payload(d, key_col="img_id")
+    out = MM.warc_extract_stage(warc, key_col="img_id")
+    assert out.columns[0] == "img_id" and out.count() == 2
+    rgb = MM.make_rgb_payload(d, key_col="img_id")
+    bands = MM.dhash_bands_stage(rgb, key_col="img_id")
+    assert bands.columns == ["img_id", "band_0", "band_1", "band_2", "band_3"]
+    assert bands.count() == 2
 
 
 def test_cc_amortized_check_converges_off_cycle(spark):

@@ -109,6 +109,7 @@ QUERIES = [
     "q_text_bpe_encode",   # r11: train + apply; corpus touched exactly twice
     "q_text_bpe_train_scale",   # r12: one collapse pass + driver-side trainer
     "q_text_bpe_encode_scale",  # r12: one mapInPandas stage, zero pre-emit shuffles
+    "q_text_unigram_encode",    # r13: one collapse (train) + one mapInPandas encode
     "q_agg_hll_sliding",   # r9: day-spine x 64-register merge — register-level work
     "q_graph_sssp",        # r9: weighted Bellman-Ford, k frontier shuffles
     "q_agg_gini",          # r9: per-group rank window + moment agg
