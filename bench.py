@@ -91,6 +91,19 @@ BASELINE_METRICS = (
 )
 
 
+def _cpu_totals() -> tuple[int, int]:
+    """(total jiffies, steal jiffies) from /proc/stat's aggregate cpu
+    line — hypervisor steal is the one host-noise source the loadavg
+    gates can't see (r12: a byte-identical rep read 3.73× baseline at
+    ~4% steal)."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # crude sf extraction for the report (sf0.1 → 0.1)
@@ -134,6 +147,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    # r13 (r12 verdict item 6): outlier guard — a rep that reads worse
+    # than 2× its own query's median is a hypervisor stall, not a
+    # measurement; re-run it (bounded budget across the whole bench) so
+    # one stalled rep can't masquerade as a regression in the median.
+    rerun_budget = int(os.environ.get("BENCH_OUTLIER_RERUNS", "10"))
+    outlier_reruns = 0
+    cpu0, steal0 = _cpu_totals()
     for metric, qname in BENCH_QUERIES.items():
         # BASELINE.md protocol, honestly applied: each timed run builds
         # the query fresh and executes it fully (a new Dataset gets new
@@ -149,11 +169,24 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             times.append(time.perf_counter() - t0)
+        while outlier_reruns < rerun_budget:
+            times.sort()
+            med = times[len(times) // 2]
+            # 2× median AND ≥0.5 s absolute excess: sub-second queries
+            # jitter past 2× from ordinary scheduler noise — only a
+            # stall-sized excess is worth a reroll
+            if times[-1] <= 2.0 * med or times[-1] - med < 0.5:
+                break
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            times[-1] = time.perf_counter() - t0
+            outlier_reruns += 1
         times.sort()
         timings[metric] = round(times[0], 4)  # BENCH-comparable best
         medians[metric] = round(times[len(times) // 2], 4)
         spreads[metric] = round(times[-1] - times[0], 4)
 
+    cpu1, steal1 = _cpu_totals()
     print(
         json.dumps(
             {
@@ -170,6 +203,14 @@ def main() -> None:
                 "sf": sf,
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+                # r13: hypervisor steal over the measurement window and
+                # how many stall-shaped reps (> 2× query median, ≥0.5 s
+                # excess) were rerolled — nonzero steal + reruns says
+                # "host, not code" mechanically.
+                "steal_pct": round(
+                    100.0 * (steal1 - steal0) / max(cpu1 - cpu0, 1), 3
+                ),
+                "outlier_reruns": outlier_reruns,
                 # True ⇒ the machine never drained below the gate before
                 # measurement started: totals are contention-inflated,
                 # compare per-query deltas only (r9 lesson).

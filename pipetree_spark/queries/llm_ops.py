@@ -3516,6 +3516,139 @@ def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "q_mm_phash_recall",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, sha256(text) AS bh FROM documents WHERE doc_id < 24),
+blk AS (
+  SELECT doc_id, i, sha256(bh || ':' || CAST(i AS VARCHAR)) AS hx
+  FROM d CROSS JOIN generate_series(0, 23) g(i)),
+byt AS (
+  SELECT doc_id, i * 32 + j AS p,
+         CAST(concat('0x', substr(hx, j * 2 + 1, 2)) AS BIGINT) AS b
+  FROM blk CROSS JOIN generate_series(0, 31) gj(j)),
+img AS (
+  SELECT doc_id AS id, p, b FROM byt
+  UNION ALL
+  SELECT doc_id + 100 AS id, p,
+         CASE WHEN p % 16 = 0 THEN LEAST(b + 8, 255) ELSE b END AS b
+  FROM byt
+  UNION ALL
+  SELECT doc_id + 200 AS id, p,
+         CASE WHEN p % 8 = 0 THEN LEAST(b + 16, 255) ELSE b END AS b
+  FROM byt
+  UNION ALL
+  SELECT doc_id + 300 AS id, p,
+         CASE WHEN p % 4 = 0 THEN LEAST(b + 32, 255) ELSE b END AS b
+  FROM byt),
+px AS (
+  SELECT id, p // 3 AS k,
+         SUM(CASE p % 3 WHEN 0 THEN 77 * b WHEN 1 THEN 150 * b ELSE 29 * b END) AS luma
+  FROM img GROUP BY id, p // 3),
+grid AS (
+  SELECT id, (k // 16) // 2 AS r, (k % 16) // 2 AS c, SUM(luma) AS g
+  FROM px GROUP BY id, (k // 16) // 2, (k % 16) // 2),
+bits AS (
+  SELECT a.id, a.r, a.c, CASE WHEN a.g > n.g THEN 1 ELSE 0 END AS bit
+  FROM grid a JOIN grid n ON n.id = a.id AND n.r = a.r AND n.c = (a.c + 1) % 8),
+bands AS (
+  SELECT id, r // 2 AS band_idx,
+         SUM(bit * (CAST(1 AS BIGINT) << ((r % 2) * 8 + c))) AS band_val
+  FROM bits GROUP BY id, r // 2),
+fp AS (
+  SELECT id,
+         SUM(CASE WHEN band_idx = 0 THEN band_val ELSE 0 END) AS b0,
+         SUM(CASE WHEN band_idx = 1 THEN band_val ELSE 0 END) AS b1,
+         SUM(CASE WHEN band_idx = 2 THEN band_val ELSE 0 END) AS b2,
+         SUM(CASE WHEN band_idx = 3 THEN band_val ELSE 0 END) AS b3
+  FROM bands GROUP BY id),
+pairs AS (
+  SELECT CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT)
+           AS hamming,
+         CASE WHEN a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3
+              THEN 1 ELSE 0 END AS hit
+  FROM fp a JOIN fp b ON a.id < b.id)
+SELECT hamming,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(hit) AS BIGINT) AS n_hit,
+       ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 4) + 0.0 AS recall4
+FROM pairs GROUP BY hamming
+""",
+    tags=("mm", "dedup"),
+)
+def q_mm_phash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-LSH recall AUDIT (r12 verdict item 4 — the image twin
+    of q_dedup_lsh_recall): band-equality LSH over 4×16-bit dHash bands
+    guarantees recall 1.0 only at Hamming distance ≤ 3 (pigeonhole —
+    ≤3 flipped bits leave one band intact); this query QUANTIFIES
+    recall at every distance against the exact bit_count truth. Three
+    planted perturbation gradients over 24 base images (saturating
+    +8/every 16th byte → Hamming 0–3, +16/every 8th → 0–6, +32/every
+    4th → 2–11; measured spreads, see rgb_perturb_stage) plus the
+    ~32-bit random cross-pairs give the full curve: per Hamming
+    distance, how many of the EXACT all-pairs at that distance the
+    banding catches. A curation team runs exactly this audit on a
+    sample to pick the band layout / verify radius before a 100 TB
+    perceptual dedup pass; emitting it as a driver-certified query
+    makes the measurement reproducible cross-engine, not a SCALING.md
+    one-off.
+
+    Scale shape: fingerprints are a narrow map (8 bytes per image);
+    the all-pairs truth join is the AUDIT side, bounded by
+    construction (96 fingerprints → 4 560 pairs — you run it on a
+    sample); the banding being audited is the bucketed production
+    path. The broadcast theta-join is fingerprint-sized, never
+    pixel-sized."""
+    from pipetree_spark.ops import mm as MM
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 24)
+        .select("doc_id", "text")
+    )
+    base = MM.make_rgb_payload(d)
+    grads = [
+        MM.rgb_perturb_stage(
+            base.withColumn("doc_id", F.col("doc_id") + off), every=e, delta=dl
+        )
+        for off, e, dl in ((100, 16, 8), (200, 8, 16), (300, 4, 32))
+    ]
+    all_imgs = base
+    for g in grads:
+        all_imgs = all_imgs.unionByName(g)
+    fp = MM.dhash_bands_stage(all_imgs)
+    a, b = fp.alias("a"), fp.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
+    ham = sum(
+        F.bit_count(F.col(f"a.band_{i}").bitwiseXOR(F.col(f"b.band_{i}")))
+        for i in range(4)
+    )
+    hit = (
+        (F.col("a.band_0") == F.col("b.band_0"))
+        | (F.col("a.band_1") == F.col("b.band_1"))
+        | (F.col("a.band_2") == F.col("b.band_2"))
+        | (F.col("a.band_3") == F.col("b.band_3"))
+    )
+    return (
+        pairs.select(
+            ham.cast("long").alias("hamming"),
+            F.when(hit, F.lit(1)).otherwise(F.lit(0)).alias("hit"),
+        )
+        .groupBy("hamming")
+        .agg(F.count("*").alias("n_pairs"), F.sum("hit").alias("n_hit"))
+        .select(
+            "hamming",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            pin_zero(
+                F.round(F.col("n_hit").cast("double") / F.col("n_pairs"), 4)
+            ).alias("recall4"),
+        )
+    )
+
+
+@declare(
     "q_mm_audiofp_dedup",
     oracle="""
 WITH d AS (
