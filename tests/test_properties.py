@@ -1314,6 +1314,52 @@ def test_bpe_scale_path_matches_distributed_on_random_corpora(spark, docs, nm):
     assert got == exp, (docs, nm, got, exp)
 
 
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=6),
+            min_size=1,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_unigram_encode_matches_estep_on_random_corpora(spark, docs, nr):
+    """r13 differential gate for the unigram ENCODE stage: on random
+    corpora, the broadcast-probs mapInPandas encoder must equal a
+    pure-Python per-word recomputation with the trainer's own exact
+    path enumerator — same words filter, same tie-break, same piece
+    counts, zero OOV when probs come from the same corpus uncapped."""
+    from pipetree_spark.ops import text as TXO
+    from pipetree_spark.ops.text import BPE_SEP, _unigram_best_seg
+
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    probs = {
+        r.piece: r.prob
+        for r in TXO.unigram_train(sdf, "text", n_rounds=nr).collect()
+    }
+    exp = {}
+    for i, t in enumerate(docs):
+        words = [w for w in t.split(" ") if 0 < len(w) <= 12]
+        if not words:
+            continue
+        np_ = sum(
+            _unigram_best_seg(w, probs, 4, BPE_SEP).count(BPE_SEP)
+            for w in words
+        )
+        exp[i] = (len(words), np_, 0)
+    got = {
+        r.doc_id: (r.n_words, r.n_pieces, r.n_oov)
+        for r in TXO.unigram_encode(sdf, probs).collect()
+    }
+    assert got == exp, (docs, nr, got, exp)
+
+
 @settings(max_examples=40, deadline=None)
 @given(
     st.lists(
