@@ -2291,12 +2291,18 @@ def warc_extract_stage(
     from pipetree_spark.ops.warc import WarcFormatError, warc_parse
 
     def body_text(r: dict) -> str:
-        ctype = r["http_headers"].get("Content-Type", "")
+        # header names are case-insensitive (rfc 9110) and real crawls
+        # use every casing; parameter whitespace (`charset = x`) too
+        ctype = next(
+            (v for k, v in r["http_headers"].items()
+             if k.lower() == "content-type"),
+            "",
+        )
         charset = "utf-8"
         for part in ctype.split(";")[1:]:
-            part = part.strip()
-            if part.lower().startswith("charset="):
-                charset = part[8:].strip().strip('"').lower() or "utf-8"
+            name, _, val = part.partition("=")
+            if name.strip().lower() == "charset":
+                charset = val.strip().strip('"').lower() or "utf-8"
         aliases = {
             "utf-8": "utf-8", "utf8": "utf-8",
             "iso-8859-1": "latin-1", "latin-1": "latin-1", "latin1": "latin-1",

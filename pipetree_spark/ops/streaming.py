@@ -354,7 +354,10 @@ def incremental_dedup_sink(ledger_dir: str, out_dir: str):
 
 
 def warc_stream_extract(
-    spark: SparkSession, feed_dir: str, pattern: str = "*.warc"
+    spark: SparkSession,
+    feed_dir: str,
+    pattern: str = "*.warc",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """STREAMING twin of the batch crawl front-end (r12 verdict item 5
     — completes the "daily crawl" story): WARC archives arriving as
@@ -363,34 +366,57 @@ def warc_stream_extract(
     certified batch path (q_src_warc / q_pipe_crawl_e2e) runs — one
     parser, two execution modes, so stream and batch can never drift
     on framing or charset rules. The doc key derives from the file
-    name's trailing digits (a crawl's shard id). Downstream composes
-    unchanged: status filter, html_extract, and the exactly-once
-    :func:`incremental_dedup_sink` for cross-day dedup.
+    name's trailing digits before the ``.warc``/``.warc.gz`` suffix (a
+    crawl's shard id); a file name with NO digit key fails loudly via a
+    distributed assert — a NULL key must never reach the dedup ledger
+    silently. Downstream composes unchanged: status filter,
+    html_extract, and the exactly-once :func:`incremental_dedup_sink`
+    for cross-day dedup.
 
-    Scale shape: the file source lists incrementally (maxFilesPerTrigger
-    bounds a micro-batch), parse stays a zero-shuffle narrow map, and
-    the dedup sink's ledger anti-join is hash-sized — the same
-    properties the batch plan certifies, now with arrival-time
-    incrementality. Gzip-membered feeds: point ``pattern`` at
-    ``*.warc.gz`` files and compose ops.mm.decompress_stage in front of
-    the extract, exactly as in batch."""
+    Scale shape: the file source lists incrementally
+    (``max_files_per_trigger`` bounds a micro-batch — it is a SOURCE
+    option and is exposed here because setting it on the sink is a
+    silent no-op), parse stays a zero-shuffle narrow map, and the
+    dedup sink's ledger anti-join is hash-sized — the same properties
+    the batch plan certifies, now with arrival-time incrementality.
+    Gzip-membered feeds: point ``pattern`` at ``*.warc.gz`` files and
+    compose ops.mm.decompress_stage in front of the extract, exactly
+    as in batch."""
     from pipetree_spark.ops.mm import warc_extract_stage
 
     # binaryFile's schema is FIXED by the source, but the streaming
     # variant still demands it explicitly (no inference on streams)
-    raw = (
+    reader = (
         spark.readStream.format("binaryFile")
         .schema(
             "path string, modificationTime timestamp, length long, content binary"
         )
         .option("pathGlobFilter", pattern)
-        .load(feed_dir)
     )
-    keyed = raw.select(
-        F.regexp_extract(F.col("path"), r"(\d+)\.warc$", 1)
-        .cast("long")
-        .alias("doc_id"),
-        "content",
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(feed_dir)
+    keyed = (
+        raw.select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.warc(?:\.gz)?$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "path",
+            "content",
+        )
+        # loud-fail, distributed (filter form — a bare assert_true
+        # column gets pruned by Catalyst): a key-less file name must
+        # never flow a NULL key into the dedup ledger
+        .filter(
+            F.assert_true(
+                F.col("doc_id").isNotNull(),
+                F.concat(
+                    F.lit("warc_stream_extract: no digit shard key in "),
+                    F.col("path"),
+                ),
+            ).isNull()
+        )
+        .drop("path")
     )
     return warc_extract_stage(keyed)
 

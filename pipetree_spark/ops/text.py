@@ -1284,16 +1284,24 @@ def bpe_word_freqs(
     text_col: str = "text",
     max_vocab: int | None = None,
     sep: str = BPE_SEP,
+    max_word_len: int | None = None,
 ) -> dict[str, int]:
     """The one corpus-sized pass of the scale path: distributed
     corpus → (word, freq) collapse (map-side-combined groupBy),
     collected as the vocab-bound training state. ``max_vocab`` caps the
     driver state for production corpora (top-K by freq DESC, word ASC —
     the standard tokenizer-trainer cap; None = exact, used by the
-    oracle-certified queries)."""
+    oracle-certified queries). ``max_word_len`` additionally drops the
+    long-tail words the unigram trainer excludes (None = keep all, the
+    BPE contract) — this is the SHARED collapse for both tokenizer
+    trainers, so the cap ordering and the sep filter can never drift
+    between them."""
+    length_ok = F.length("word") > 0
+    if max_word_len is not None:
+        length_ok = length_ok & (F.length("word") <= max_word_len)
     words = (
         df.select(F.explode(tokens(text_col)).alias("word"))
-        .where((F.length("word") > 0) & (~F.col("word").contains(sep)))
+        .where(length_ok & (~F.col("word").contains(sep)))
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
@@ -1706,21 +1714,9 @@ def unigram_train(
     Returns (piece, n_used, prob): final-round raw usage (int64) and
     the final M-step probability (exact count/total double — the SQL
     oracle reproduces it bit-for-bit)."""
-    words = (
-        df.select(F.explode(tokens(text_col)).alias("word"))
-        .where(
-            (F.length("word") > 0)
-            & (F.length("word") <= max_word_len)
-            & (~F.col("word").contains(sep))
-        )
-        .groupBy("word")
-        .agg(F.count("*").alias("freq"))
+    wf = bpe_word_freqs(
+        df, text_col, max_vocab=max_vocab, sep=sep, max_word_len=max_word_len
     )
-    if max_vocab is not None:
-        words = words.orderBy(F.col("freq").desc(), F.col("word").asc()).limit(
-            max_vocab
-        )
-    wf = {r["word"]: r["freq"] for r in words.collect()}
 
     seed: dict[str, int] = {}
     for w, f in wf.items():

@@ -54,9 +54,18 @@ def warc_build(records: list[tuple[str, dict[str, str], bytes]]) -> bytes:
     return b"".join(warc_record(t, h, p) for (t, h, p) in records)
 
 
-# Fields where a repeat with a DIFFERENT value makes the record
+# Fields (lowercased — header names are case-insensitive, RFC 9110 /
+# ISO 28500) where a repeat with a DIFFERENT value makes the record
 # ambiguous to frame or classify — loud-fail, never guess.
-_SINGLETON_FIELDS = frozenset({"Content-Length", "WARC-Type"})
+_SINGLETON_FIELDS = frozenset({"content-length", "warc-type"})
+
+
+def _get_ci(fields: dict[str, str], name: str, default: str | None = None) -> str | None:
+    """Case-insensitive header lookup (first match in insertion order)
+    — `content-length:` frames a record just as well as
+    `Content-Length:` and real crawls use every casing."""
+    lname = name.lower()
+    return next((v for k, v in fields.items() if k.lower() == lname), default)
 
 
 def _parse_headers(block: str) -> tuple[dict[str, str], dict[str, list[str]]]:
@@ -66,9 +75,12 @@ def _parse_headers(block: str) -> tuple[dict[str, str], dict[str, list[str]]]:
     (WARC-Concurrent-To, Set-Cookie, ...) in order, which a last-wins
     dict silently collapses (r12 ADVICE). Framing-critical fields
     (Content-Length, WARC-Type) repeated with conflicting values raise
-    — framing must never be a coin flip on dict insertion order."""
+    — CASE-INSENSITIVELY, so `Content-Length: 2` + `content-length: 9`
+    is caught too — framing must never be a coin flip on dict
+    insertion order or header casing."""
     scalar: dict[str, str] = {}
     multi: dict[str, list[str]] = {}
+    singleton_seen: dict[str, str] = {}
     for line in block.split(CRLF):
         if not line:
             continue
@@ -76,8 +88,13 @@ def _parse_headers(block: str) -> tuple[dict[str, str], dict[str, list[str]]]:
             raise WarcFormatError(f"bad header line {line!r}")
         k, v = line.split(":", 1)
         k, v = k.strip(), v.strip()
-        if k in _SINGLETON_FIELDS and k in scalar and scalar[k] != v:
-            raise WarcFormatError(f"conflicting repeated header {k}: {scalar[k]!r} vs {v!r}")
+        lk = k.lower()
+        if lk in _SINGLETON_FIELDS:
+            if lk in singleton_seen and singleton_seen[lk] != v:
+                raise WarcFormatError(
+                    f"conflicting repeated header {k}: {singleton_seen[lk]!r} vs {v!r}"
+                )
+            singleton_seen[lk] = v
         scalar[k] = v
         multi.setdefault(k, []).append(v)
     return scalar, multi
@@ -104,12 +121,12 @@ def warc_parse(data: bytes) -> list[dict[str, object]]:
         if not lines[0].startswith("WARC/"):
             raise WarcFormatError(f"bad version line {lines[0]!r}")
         fields, fields_all = _parse_headers(CRLF.join(lines[1:]))
-        if "Content-Length" not in fields:
+        clen_s = _get_ci(fields, "Content-Length")
+        if clen_s is None:
             raise WarcFormatError("record missing Content-Length")
         # digits-only: int() alone accepts '-33' (which would walk the
         # parse position BACKWARDS into an infinite loop), '+1' and
         # '1_0' (silent mis-framing)
-        clen_s = fields["Content-Length"]
         if not clen_s.isdigit():
             raise WarcFormatError(f"bad Content-Length {clen_s!r}")
         clen = int(clen_s)
@@ -118,7 +135,7 @@ def warc_parse(data: bytes) -> list[dict[str, object]]:
             raise WarcFormatError("truncated record payload")
         payload = data[body_start : body_start + clen]
         rec: dict[str, object] = {
-            "warc_type": fields.get("WARC-Type", ""),
+            "warc_type": _get_ci(fields, "WARC-Type", ""),
             "fields": fields,
             "fields_all": fields_all,  # every value of repeated fields, in order
             "payload": payload,

@@ -82,8 +82,8 @@ WINDOW = 50  # observed driver cut, constant across r1–r7
 #: changed on both engines), the WARC body decode's charset handling,
 #: the repeated-header parse, the key_col schema threading through the
 #: fingerprint/EXIF/WARC stages, and unigram_train's max_vocab kwarg
-#: (default None = certified path unchanged, but the collect shape
-#: moved into a shared DataFrame builder).
+#: (default None = certified path unchanged; the collapse now calls
+#: the shared ops.text.bpe_word_freqs with max_word_len).
 RECONFIRM: tuple[str, ...] = (
     "q_text_url_canon",     # r13: scheme-dependent port strip, new synth case
     "q_src_warc",           # r13: charset-aware body decode

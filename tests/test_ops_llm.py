@@ -3537,6 +3537,16 @@ def test_warc_repeated_headers_preserved_and_conflicts_raise():
         warc_parse(
             b"WARC/1.0\r\nContent-Length: 2\r\nContent-Length: 9\r\n\r\nok"
         )
+    with _pytest.raises(WarcFormatError):  # ...nor a casing coin flip (r13)
+        warc_parse(
+            b"WARC/1.0\r\nContent-Length: 2\r\ncontent-length: 9\r\n\r\nok"
+        )
+    # header names are case-insensitive: lowercase framing fields work
+    low = warc_parse(
+        b"WARC/1.0\r\nwarc-type: response\r\ncontent-length: 21\r\n\r\n"
+        b"HTTP/1.1 200 OK\r\n\r\nok"
+    )[0]
+    assert low["warc_type"] == "response" and low["http_status"] == 200
 
 
 def test_warc_extract_body_charset_and_replacement(spark):
@@ -3558,12 +3568,25 @@ def test_warc_extract_body_charset_and_replacement(spark):
         (0, archive("caf\xe9".encode("latin-1"), 'text/html; charset="ISO-8859-1"')),
         (1, archive(b"ok\xff\xfebad", "text/html; charset=utf-8")),
         (2, archive(b"plain", "text/html")),
+        # r13 review: real crawls use every casing and pad the '='
+        (3, archive("d\xe9j\xe0".encode("latin-1"),
+                    "text/html; Charset = iso-8859-1")),
     ]
+    # lowercase HEADER NAME too (rfc 9110 case-insensitivity)
+    lat = "caf\xe9".encode("latin-1")
+    lohead = (
+        f"HTTP/1.1 200 OK\r\ncontent-type: text/html; charset=latin-1\r\n"
+        f"Content-Length: {len(lat)}\r\n\r\n"
+    ).encode("ascii")
+    rows.append((4, warc_build([("response", {"WARC-Target-URI": "http://e/y"},
+                                 lohead + lat)])))
     d = spark.createDataFrame(rows, "doc_id long, content binary")
     got = {r.doc_id: r for r in MM.warc_extract_stage(d).collect()}
     assert got[0].body_html == "caf\xe9" and got[0].body_bytes == 4
     assert "�" in got[1].body_html and got[1].body_bytes == 7
     assert got[2].body_html == "plain"
+    assert got[3].body_html == "d\xe9j\xe0"
+    assert got[4].body_html == "caf\xe9"
     bad = spark.createDataFrame(
         [(9, archive(b"x", "text/html; charset=shift_jis"))],
         "doc_id long, content binary",

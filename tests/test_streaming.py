@@ -565,9 +565,11 @@ def test_streaming_warc_ingest_matches_batch_and_dedups(spark, tmp_path):
     from pipetree_spark.ops import mm as MM
     from pipetree_spark.ops import text as TX
 
-    # 9 archives, 3 texts repeated 3× -> cross-file duplicate bodies;
-    # make_warc_payload plants deterministic 404s by text digest
-    texts = [f"crawl body {i % 3} repeated tokens" for i in range(9)]
+    # 9 archives, 4 texts cycling -> cross-file duplicate bodies; group
+    # 3 first APPEARS in the second micro-batch, so admission provably
+    # spans batches; make_warc_payload plants deterministic 404s by
+    # text digest (group 2 is the 404 group for this template)
+    texts = [f"fetched document {i % 4} tokens" for i in range(9)]
     d = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
     payloads = {r.doc_id: bytes(r.content)
                 for r in MM.make_warc_payload(d).collect()}
@@ -587,7 +589,9 @@ def test_streaming_warc_ingest_matches_batch_and_dedups(spark, tmp_path):
     bkeyed = braw.select(
         F.regexp_extract("path", r"(\d+)\.warc$", 1).cast("long").alias("doc_id"),
         "content")
-    bex = MM.warc_extract_stage(bkeyed).where(F.col("http_status") == 200)
+    bex_all = MM.warc_extract_stage(bkeyed)
+    assert bex_all.where(F.col("http_status") != 200).count() > 0  # 404s real
+    bex = bex_all.where(F.col("http_status") == 200)
     w = Window.partitionBy(TX.text_hash("body_html")).orderBy("doc_id")
     expected = sorted(
         r.doc_id
@@ -595,22 +599,27 @@ def test_streaming_warc_ingest_matches_batch_and_dedups(spark, tmp_path):
         .where(F.col("rn") == 1).collect()
     )
     n200 = bex.count()
-    assert n200 > len(expected) > 0  # duplicates AND 404s really planted
+    assert n200 > len(expected) > 0  # duplicate bodies really planted
 
-    # streaming twin: 3 files per micro-batch -> 3 batches, shared stage
+    # streaming twin: 3 files per micro-batch (SOURCE-side option — on
+    # the sink it is silently ignored) -> multiple batches, shared stage
     ledger, out, ckpt = (str(tmp_path / x) for x in ("ledger", "out", "ckpt"))
-    sex = st.warc_stream_extract(spark, str(feed)).where(
-        F.col("http_status") == 200
-    ).select("doc_id", F.col("body_html").alias("text"))
+    sex = st.warc_stream_extract(
+        spark, str(feed), max_files_per_trigger=3
+    ).where(F.col("http_status") == 200).select(
+        "doc_id", F.col("body_html").alias("text")
+    )
     q = (
         sex.writeStream.foreachBatch(st.incremental_dedup_sink(ledger, out))
         .option("checkpointLocation", ckpt)
-        .option("maxFilesPerTrigger", 3)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert got == expected
-    # the ledger holds exactly one hash per admitted body
-    assert spark.read.parquet(ledger).count() == len(expected)
+    ledger_rows = spark.read.parquet(ledger).collect()
+    # one hash per admitted body, admitted across MULTIPLE micro-batches
+    # (the cross-batch ledger anti-join actually ran)
+    assert len(ledger_rows) == len(expected)
+    assert len({r.batch_id for r in ledger_rows}) > 1
