@@ -1819,6 +1819,34 @@ FROM probs{n_rounds}""")
     return "".join(parts)
 
 
+def unigram_probs(
+    df: DataFrame,
+    text_col: str = "text",
+    n_rounds: int = 2,
+    top_k: int = 48,
+    max_piece_len: int = 4,
+    max_word_len: int = 12,
+    max_vocab: int | None = None,
+    sep: str = BPE_SEP,
+) -> dict[str, float]:
+    """Train :func:`unigram_train` and collect the vocab-bound
+    (piece → prob) dict the encoder broadcasts — the unigram twin of
+    the ``bpe_word_freqs`` + ``bpe_train_merges`` driver-state step
+    (piece inventory is top_k + single chars, so the collect is
+    inventory-sized, never corpus-sized)."""
+    trained = unigram_train(
+        df,
+        text_col,
+        n_rounds=n_rounds,
+        top_k=top_k,
+        max_piece_len=max_piece_len,
+        max_word_len=max_word_len,
+        max_vocab=max_vocab,
+        sep=sep,
+    )
+    return {r["piece"]: r["prob"] for r in trained.collect()}
+
+
 def unigram_encode(
     df: DataFrame,
     probs: dict[str, float],

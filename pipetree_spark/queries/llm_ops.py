@@ -4716,9 +4716,7 @@ def q_text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     training corpus) and exists so capped-vocab information loss is
     an audited column, never silent."""
     d = load_table(spark, sf_dir, "documents")
-    trained = TX.unigram_train(d, "text", n_rounds=2)
-    probs = {r["piece"]: r["prob"] for r in trained.collect()}
-    return TX.unigram_encode(d, probs)
+    return TX.unigram_encode(d, TX.unigram_probs(d, "text", n_rounds=2))
 
 
 @declare(
