@@ -1755,21 +1755,29 @@ def unigram_train_sql(
     max_word_len: int = 12,
     table: str = "documents",
     text_col: str = "text",
+    max_vocab: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`unigram_train`, generated from the same
     constants so the engines cannot drift on round count or caps: the
     EM rounds unroll as a WITH RECURSIVE chain whose per-round
     recursive CTE enumerates every segmentation path (left-to-right
     score products, the same tie-break), QUALIFY-picks the best per
-    word, and re-estimates Laplace probabilities."""
+    word, and re-estimates Laplace probabilities. ``max_vocab``
+    mirrors the op's top-K (freq DESC, word ASC) driver-state cap."""
     s = "chr(31)"
+    cap = (
+        f" ORDER BY freq DESC, word ASC LIMIT {max_vocab}"
+        if max_vocab is not None
+        else ""
+    )
     parts = [f"""
 WITH RECURSIVE words AS MATERIALIZED (
-  SELECT word, COUNT(*) AS freq
-  FROM (SELECT unnest(string_split({text_col}, ' ')) AS word FROM {table}) t
-  WHERE length(word) > 0 AND length(word) <= {max_word_len}
-    AND NOT contains(word, {s})
-  GROUP BY word),
+  SELECT word, freq FROM (
+    SELECT word, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split({text_col}, ' ')) AS word FROM {table}) t
+    WHERE length(word) > 0 AND length(word) <= {max_word_len}
+      AND NOT contains(word, {s})
+    GROUP BY word){cap}),
 seed AS MATERIALIZED (
   SELECT substr(word, st + 1, ln) AS piece, SUM(freq) AS cnt
   FROM words
@@ -1931,13 +1939,17 @@ def unigram_encode_sql(
     table: str = "documents",
     text_col: str = "text",
     key_col: str = "doc_id",
+    max_vocab: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`unigram_train` + :func:`unigram_encode`
     in one statement (the bpe_apply_sql pattern): reuse the trainer's
     WITH chain up to probs{n_rounds}, run ONE more recursive
     segmentation round over the distinct corpus words under the final
     probabilities, and aggregate per-doc word/piece counts. OOV words
-    surface as the LEFT-JOIN null branch, mirroring the op's n_oov."""
+    surface as the LEFT-JOIN null branch, mirroring the op's n_oov
+    (under a ``max_vocab`` cap, corpus words whose characters only
+    occur in dropped vocab words have no path — the capped-information
+    loss the audit column exists for)."""
     s = "chr(31)"
     train = unigram_train_sql(
         n_rounds,
@@ -1946,6 +1958,7 @@ def unigram_encode_sql(
         max_word_len=max_word_len,
         table=table,
         text_col=text_col,
+        max_vocab=max_vocab,
     )
     with_chain = train[: train.rindex("\nSELECT piece,")]
     return with_chain + f""",

@@ -4720,6 +4720,30 @@ def q_text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "q_text_unigram_encode_capped",
+    oracle=TX.unigram_encode_sql(2, max_vocab=16),
+    tags=("text",),
+)
+def q_text_unigram_encode_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram ENCODE under a PRODUCTION vocab cap — puts the OOV
+    branch under the driver hash gate: training capped at
+    max_vocab=16 (top-K by freq DESC, word ASC, the bpe_word_freqs
+    rule) leaves characters that occur only in dropped words without
+    coverage, so thousands of corpus words have NO segmentation path;
+    they must surface as exact n_oov counts — never as silent zero
+    pieces — and the encoded words' piece counts must stay bit-equal
+    to the uncapped rule over the capped inventory. The oracle runs
+    the same capped words CTE through the trainer chain plus the
+    encode round; the LEFT-JOIN null branch IS the oracle's n_oov.
+    Scale shape identical to q_text_unigram_encode (the cap only
+    SHRINKS driver state)."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.unigram_encode(
+        d, TX.unigram_probs(d, "text", n_rounds=2, max_vocab=16)
+    )
+
+
+@declare(
     "q_text_bm25",
     oracle="""
 WITH toks AS (
