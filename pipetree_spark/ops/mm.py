@@ -72,6 +72,18 @@ MEDIA_META_SCHEMA = T.StructType(
     ]
 )
 
+
+def _keyed_schema(schema: T.StructType, key_col: str) -> T.StructType:
+    """Rename a canonical output schema's leading key field to the
+    caller's ``key_col``, so stages that accept a key column honor it
+    in the OUTPUT too instead of silently relabeling every key
+    'doc_id' (r12 ADVICE; r13 review extended it to ALL key_col
+    stages in this module)."""
+    return T.StructType(
+        [T.StructField(key_col, schema.fields[0].dataType), *schema.fields[1:]]
+    )
+
+
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -167,7 +179,7 @@ def extract_features(
             feats = [decoder(p, None) for p in pdf[content_col]]
             out = pd.DataFrame(
                 {
-                    "doc_id": pdf[key_col].astype("int64"),
+                    key_col: pdf[key_col].astype("int64"),
                     "byte_len": [len(p) if p is not None else 0 for p in pdf[content_col]],
                     "content_sha": [
                         hashlib.sha256(p).hexdigest() if p is not None else None
@@ -179,7 +191,7 @@ def extract_features(
             )
             yield out
 
-    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return df.mapInPandas(run, schema=_keyed_schema(FEATURE_SCHEMA, key_col))
 
 
 def stub_embedder(texts: "pd.Series", dim: int = 64) -> list[list[float]]:
@@ -339,7 +351,7 @@ def rgb_feature_stage(
                 stds.append(float(img.std()))
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[key_col].astype("int64"),
+                    key_col: pdf[key_col].astype("int64"),
                     "width": pdf["width"].astype("int32"),
                     "height": pdf["height"].astype("int32"),
                     "mean_r": means_r,
@@ -349,7 +361,7 @@ def rgb_feature_stage(
                 }
             )
 
-    return df.mapInPandas(run, schema=RGB_FEATURE_SCHEMA)
+    return df.mapInPandas(run, schema=_keyed_schema(RGB_FEATURE_SCHEMA, key_col))
 
 
 def rgb_resize_stage(
@@ -566,7 +578,7 @@ def resize_stage(
             ]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[key_col].astype("int64"),
+                    key_col: pdf[key_col].astype("int64"),
                     "content": resized,
                     "width": width,
                     "height": height,
@@ -574,7 +586,7 @@ def resize_stage(
                 }
             )
 
-    return df.mapInPandas(run, schema=RESIZE_SCHEMA)
+    return df.mapInPandas(run, schema=_keyed_schema(RESIZE_SCHEMA, key_col))
 
 
 RAW_PCM_MIME = "audio/x-raw-pcm16le"
@@ -916,7 +928,7 @@ def rgb_int_stats_stage(
                 sq.append(int((img * img).sum()))
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[key_col].astype("int64"),
+                    key_col: pdf[key_col].astype("int64"),
                     "n_px": pd.Series(n, dtype="int64"),
                     "sum_r": pd.Series(sr, dtype="int64"),
                     "sum_g": pd.Series(sg, dtype="int64"),
@@ -925,7 +937,7 @@ def rgb_int_stats_stage(
                 }
             )
 
-    return df.mapInPandas(run, schema=RGB_INT_STATS_SCHEMA)
+    return df.mapInPandas(run, schema=_keyed_schema(RGB_INT_STATS_SCHEMA, key_col))
 
 
 PCM_INT_STATS_SCHEMA = T.StructType(
@@ -959,7 +971,7 @@ def pcm_int_stats_stage(
                 pk.append(int(np.abs(x).max()))
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[key_col].astype("int64"),
+                    key_col: pdf[key_col].astype("int64"),
                     "n_samples": pd.Series(n, dtype="int64"),
                     "sum_s": pd.Series(ss, dtype="int64"),
                     "sum_sq": pd.Series(sq, dtype="int64"),
@@ -967,7 +979,7 @@ def pcm_int_stats_stage(
                 }
             )
 
-    return df.mapInPandas(run, schema=PCM_INT_STATS_SCHEMA)
+    return df.mapInPandas(run, schema=_keyed_schema(PCM_INT_STATS_SCHEMA, key_col))
 
 
 MJPEG_MIME = "video/x-msvideo"
@@ -1389,7 +1401,7 @@ def pcm_feature_stage(
                 zcrs.append(float(np.count_nonzero(signs[1:] != signs[:-1]) / (len(x) - 1)))
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[key_col].astype("int64"),
+                    key_col: pdf[key_col].astype("int64"),
                     "n_samples": pdf["n_samples"].astype("int32"),
                     "duration_sec": durs,
                     "rms": rmss,
@@ -1398,7 +1410,7 @@ def pcm_feature_stage(
                 }
             )
 
-    return df.mapInPandas(run, schema=PCM_FEATURE_SCHEMA)
+    return df.mapInPandas(run, schema=_keyed_schema(PCM_FEATURE_SCHEMA, key_col))
 
 
 GIF_MIME = "image/gif"
@@ -1616,7 +1628,7 @@ def rgb_int_stats_by_frame_stage(
                 sq.append(int((img * img).sum()))
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(keys, dtype="int64"),
+                    key_col: pd.Series(keys, dtype="int64"),
                     "frame_idx": pd.Series(fidx, dtype="int64"),
                     "n_px": pd.Series(n, dtype="int64"),
                     "sum_r": pd.Series(sr, dtype="int64"),
@@ -1626,20 +1638,10 @@ def rgb_int_stats_by_frame_stage(
                 }
             )
 
-    return df.mapInPandas(run, schema=RGB_FRAME_STATS_SCHEMA)
+    return df.mapInPandas(run, schema=_keyed_schema(RGB_FRAME_STATS_SCHEMA, key_col))
 
 
 # ----------------------------------------------- perceptual image near-dup
-
-def _keyed_schema(schema: T.StructType, key_col: str) -> T.StructType:
-    """Rename a canonical output schema's leading key field to the
-    caller's ``key_col``, so stages that accept a key column honor it
-    in the OUTPUT too instead of silently relabeling every key
-    'doc_id' (r12 ADVICE)."""
-    return T.StructType(
-        [T.StructField(key_col, schema.fields[0].dataType), *schema.fields[1:]]
-    )
-
 
 DHASH_BANDS_SCHEMA = T.StructType(
     [
@@ -2276,41 +2278,37 @@ def warc_extract_stage(
     one-response-per-capture layout; a multi-capture archive would
     emit one row per response with the same code).
 
-    Body decode honors the HTTP Content-Type charset (default UTF-8,
-    RFC aliases for latin-1/ascii handled; an UNKNOWN charset raises
-    WarcFormatError — the typed loud-fail, never a raw LookupError)
-    and replaces, not raises on, undecodable bytes — real crawl bodies
-    lie about their encoding constantly and one mojibake byte must not
-    kill a 100 TB ingest (r12 ADVICE). ``body_bytes`` stays the RAW
-    byte length, so the replacement policy never changes a certified
-    count.
+    Body decode honors the HTTP Content-Type charset — ANY codec the
+    Python registry knows (windows-1252, shift_jis, gb2312, ... — the
+    labels real crawls actually carry), resolved case-insensitively
+    with `charset = x` whitespace tolerated; a label the registry does
+    NOT know raises WarcFormatError (typed loud-fail, never a raw
+    LookupError) — and replaces, not raises on, undecodable bytes:
+    real crawl bodies lie about their encoding constantly and one
+    mojibake byte must not kill a 100 TB ingest (r12 ADVICE).
+    ``body_bytes`` stays the RAW byte length, so the replacement
+    policy never changes a certified count.
 
     Scale shape: narrow per-row map, no shuffle; the walk is
     framing-sized (headers + one memcpy per payload). Gzip-membered
     CommonCrawl files compose decompress_stage in front."""
-    from pipetree_spark.ops.warc import WarcFormatError, warc_parse
+    import codecs
+
+    from pipetree_spark.ops.warc import WarcFormatError, _get_ci, warc_parse
 
     def body_text(r: dict) -> str:
-        # header names are case-insensitive (rfc 9110) and real crawls
-        # use every casing; parameter whitespace (`charset = x`) too
-        ctype = next(
-            (v for k, v in r["http_headers"].items()
-             if k.lower() == "content-type"),
-            "",
-        )
+        # header names are case-insensitive (rfc 9110) — shared lookup
+        ctype = _get_ci(r["http_headers"], "Content-Type", "") or ""
         charset = "utf-8"
         for part in ctype.split(";")[1:]:
             name, _, val = part.partition("=")
             if name.strip().lower() == "charset":
                 charset = val.strip().strip('"').lower() or "utf-8"
-        aliases = {
-            "utf-8": "utf-8", "utf8": "utf-8",
-            "iso-8859-1": "latin-1", "latin-1": "latin-1", "latin1": "latin-1",
-            "us-ascii": "ascii", "ascii": "ascii",
-        }
-        if charset not in aliases:
+        try:
+            codec = codecs.lookup(charset).name
+        except LookupError:
             raise WarcFormatError(f"unsupported body charset {charset!r}")
-        return r["http_body"].decode(aliases[charset], errors="replace")
+        return r["http_body"].decode(codec, errors="replace")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = (key_col, "n_records", "http_status", "target_uri", "body_bytes", "body_html")
@@ -2491,14 +2489,14 @@ def classify_media_stage(
                 npx.append(n)
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(keys, dtype="int64"),
+                    key_col: pd.Series(keys, dtype="int64"),
                     "fmt": fmts,
                     "status": stats,
                     "n_px": pd.Series(npx, dtype="int64"),
                 }
             )
 
-    return df.mapInPandas(run, schema=MEDIA_CLASSIFY_SCHEMA)
+    return df.mapInPandas(run, schema=_keyed_schema(MEDIA_CLASSIFY_SCHEMA, key_col))
 
 
 def corrupt_media_variant_stage(

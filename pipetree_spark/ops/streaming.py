@@ -358,6 +358,8 @@ def warc_stream_extract(
     feed_dir: str,
     pattern: str = "*.warc",
     max_files_per_trigger: int | None = None,
+    codec: str | None = None,
+    key_from: str = "digits",
 ) -> DataFrame:
     """STREAMING twin of the batch crawl front-end (r12 verdict item 5
     — completes the "daily crawl" story): WARC archives arriving as
@@ -365,24 +367,38 @@ def warc_stream_extract(
     source into the SAME ops.mm.warc_extract_stage mapInPandas the
     certified batch path (q_src_warc / q_pipe_crawl_e2e) runs — one
     parser, two execution modes, so stream and batch can never drift
-    on framing or charset rules. The doc key derives from the file
-    name's trailing digits before the ``.warc``/``.warc.gz`` suffix (a
-    crawl's shard id); a file name with NO digit key fails loudly via a
-    distributed assert — a NULL key must never reach the dedup ledger
-    silently. Downstream composes unchanged: status filter,
-    html_extract, and the exactly-once :func:`incremental_dedup_sink`
-    for cross-day dedup.
+    on framing or charset rules.
+
+    Keys: ``key_from="digits"`` (default) reads the file name's
+    trailing digits before the ``.warc``/``.warc.gz`` suffix (a
+    crawl's shard id — convenient when shard numbering is globally
+    unique); a name with NO digit key fails loudly via a distributed
+    assert — a NULL key must never reach the dedup ledger silently.
+    For feeds where shard numbers RESTART (daily crawls: both
+    crawl-0101-001.warc and crawl-0102-001.warc are "1") use
+    ``key_from="path_hash"`` — xxhash64 of the full path, unique per
+    file by construction (r13 review). Downstream composes unchanged:
+    status filter, html_extract, and the exactly-once
+    :func:`incremental_dedup_sink` for cross-day dedup.
+
+    Gzip feeds: ``codec="gzip"`` (with ``pattern="*.warc.gz"``)
+    composes ops.mm.decompress_stage between the source and the
+    extract — the member-concatenated CommonCrawl layout decompresses
+    as one multi-member stream, exactly as in batch (without it the
+    parser would loud-fail on the gzip magic, so the gz mode is a
+    parameter, not a docstring aspiration).
 
     Scale shape: the file source lists incrementally
     (``max_files_per_trigger`` bounds a micro-batch — it is a SOURCE
     option and is exposed here because setting it on the sink is a
-    silent no-op), parse stays a zero-shuffle narrow map, and the
-    dedup sink's ledger anti-join is hash-sized — the same properties
-    the batch plan certifies, now with arrival-time incrementality.
-    Gzip-membered feeds: point ``pattern`` at ``*.warc.gz`` files and
-    compose ops.mm.decompress_stage in front of the extract, exactly
-    as in batch."""
-    from pipetree_spark.ops.mm import warc_extract_stage
+    silent no-op), decompression and parse stay zero-shuffle narrow
+    maps, and the dedup sink's ledger anti-join is hash-sized — the
+    same properties the batch plan certifies, now with arrival-time
+    incrementality."""
+    from pipetree_spark.ops.mm import decompress_stage, warc_extract_stage
+
+    if key_from not in ("digits", "path_hash"):
+        raise ValueError(f"warc_stream_extract: unknown key_from {key_from!r}")
 
     # binaryFile's schema is FIXED by the source, but the streaming
     # variant still demands it explicitly (no inference on streams)
@@ -396,14 +412,14 @@ def warc_stream_extract(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.load(feed_dir)
+    if key_from == "path_hash":
+        key = F.xxhash64("path")
+    else:
+        key = F.regexp_extract(
+            F.col("path"), r"(\d+)\.warc(?:\.gz)?$", 1
+        ).cast("long")
     keyed = (
-        raw.select(
-            F.regexp_extract(F.col("path"), r"(\d+)\.warc(?:\.gz)?$", 1)
-            .cast("long")
-            .alias("doc_id"),
-            "path",
-            "content",
-        )
+        raw.select(key.alias("doc_id"), "path", "content")
         # loud-fail, distributed (filter form — a bare assert_true
         # column gets pruned by Catalyst): a key-less file name must
         # never flow a NULL key into the dedup ledger
@@ -418,6 +434,8 @@ def warc_stream_extract(
         )
         .drop("path")
     )
+    if codec is not None:
+        keyed = decompress_stage(keyed, codec=codec).select("doc_id", "content")
     return warc_extract_stage(keyed)
 
 

@@ -1887,6 +1887,10 @@ def unigram_encode(
     never silent."""
     import pandas as pd
 
+    # prune to the two consumed columns BEFORE Arrow serialization —
+    # a crawl-derived frame's binary payload column must not ride
+    # through Python for a UDF that never reads it (bpe_encode's rule)
+    df = df.select(key_col, text_col)
     bc = df.sparkSession.sparkContext.broadcast(probs)
     schema = f"{key_col} long, n_words long, n_pieces long, n_oov long"
 

@@ -116,7 +116,13 @@ def warc_parse(data: bytes) -> list[dict[str, object]]:
         hdr_end = data.find((CRLF + CRLF).encode(), pos)
         if hdr_end < 0:
             raise WarcFormatError("unterminated record header")
-        head = data[pos:hdr_end].decode("ascii", errors="strict")
+        # latin-1 is TOTAL (every byte maps to one char, length
+        # preserved — framing offsets can't shift) so a stray
+        # non-ASCII header byte — routine in real crawls — can never
+        # raise an untyped UnicodeDecodeError; non-ASCII field VALUES
+        # mojibake reversibly instead of killing the ingest (r13
+        # review). Structural failures below stay typed WarcFormatError.
+        head = data[pos:hdr_end].decode("latin-1")
         lines = head.split(CRLF)
         if not lines[0].startswith("WARC/"):
             raise WarcFormatError(f"bad version line {lines[0]!r}")
@@ -151,7 +157,7 @@ def _parse_http(payload: bytes) -> dict[str, object]:
     sep = payload.find((CRLF + CRLF).encode())
     if sep < 0:
         raise WarcFormatError("response payload is not an HTTP message")
-    head = payload[:sep].decode("ascii", errors="strict")
+    head = payload[:sep].decode("latin-1")  # total — see warc_parse
     lines = head.split(CRLF)
     parts = lines[0].split(" ", 2)
     if len(parts) < 2 or not parts[0].startswith("HTTP/"):

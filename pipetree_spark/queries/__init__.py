@@ -86,14 +86,24 @@ WINDOW = 50  # observed driver cut, constant across r1–r7
 #: the shared ops.text.bpe_word_freqs with max_word_len).
 RECONFIRM: tuple[str, ...] = (
     "q_text_url_canon",     # r13: scheme-dependent port strip, new synth case
-    "q_src_warc",           # r13: charset-aware body decode
-    "q_src_warc_gz",        # r13: charset-aware body decode
-    "q_pipe_crawl_e2e",     # r13: charset-aware body decode
+    "q_src_warc",           # r13: charset-aware body decode + latin-1 headers
+    "q_src_warc_gz",        # r13: charset-aware body decode + latin-1 headers
+    "q_pipe_crawl_e2e",     # r13: charset-aware body decode + latin-1 headers
     "q_mm_exif_extract",    # r13: key_col-threaded output schema
     "q_mm_phash_dedup",     # r13: key_col-threaded output schema
     "q_mm_audiofp_dedup",   # r13: key_col-threaded output schema
     "q_mm_vidhash_dedup",   # r13: key_col-threaded output schema
     "q_text_unigram_train", # r13: max_vocab cap (default = exact path)
+    # r13 second review wave: the remaining key_col stages re-schema'd
+    # (_keyed_schema on all 13 stages) — every certified consumer below
+    "q_mm_png_roundtrip",
+    "q_mm_wav_roundtrip",
+    "q_mm_gif_roundtrip",
+    "q_mm_flac_roundtrip",
+    "q_mm_avi_framesample",
+    "q_mm_corrupt_triage",
+    "q_mm_resize",
+    "q_mm_audio_downsample",
 )
 
 

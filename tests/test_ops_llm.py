@@ -3587,8 +3587,14 @@ def test_warc_extract_body_charset_and_replacement(spark):
     assert got[2].body_html == "plain"
     assert got[3].body_html == "d\xe9j\xe0"
     assert got[4].body_html == "caf\xe9"
+    # any stdlib codec label works now (r13 review: windows-1252 et al.)
+    wide = spark.createDataFrame(
+        [(8, archive("€5".encode("windows-1252"), "text/html; charset=windows-1252"))],
+        "doc_id long, content binary",
+    )
+    assert MM.warc_extract_stage(wide).collect()[0].body_html == "€5"
     bad = spark.createDataFrame(
-        [(9, archive(b"x", "text/html; charset=shift_jis"))],
+        [(9, archive(b"x", "text/html; charset=x-no-such-codec"))],
         "doc_id long, content binary",
     )
     with pytest.raises(Exception) as ei:
@@ -3611,6 +3617,13 @@ def test_mm_stages_honor_key_col_in_output(spark):
     bands = MM.dhash_bands_stage(rgb, key_col="img_id")
     assert bands.columns == ["img_id", "band_0", "band_1", "band_2", "band_3"]
     assert bands.count() == 2
+    # r13 review: the remaining key_col stages honor it too
+    feats = MM.rgb_feature_stage(rgb, key_col="img_id")
+    assert feats.columns[0] == "img_id" and feats.count() == 2
+    stats = MM.rgb_int_stats_stage(rgb, key_col="img_id")
+    assert stats.columns[0] == "img_id" and stats.count() == 2
+    cls = MM.classify_media_stage(rgb, key_col="img_id")
+    assert cls.columns[0] == "img_id" and cls.count() == 2
 
 
 def test_cc_amortized_check_converges_off_cycle(spark):

@@ -623,3 +623,54 @@ def test_streaming_warc_ingest_matches_batch_and_dedups(spark, tmp_path):
     # (the cross-batch ledger anti-join actually ran)
     assert len(ledger_rows) == len(expected)
     assert len({r.batch_id for r in ledger_rows}) > 1
+
+
+def test_streaming_warc_gz_and_path_hash_keys(spark, tmp_path):
+    """r13 review: (a) gzip feeds stream through codec='gzip' — the
+    decompress stage composes INSIDE warc_stream_extract, matching the
+    batch decompress+extract result; (b) key_from='path_hash' yields
+    unique non-null keys even when shard digits collide."""
+    from pyspark.sql import functions as F
+
+    from pipetree_spark.ops import mm as MM
+
+    texts = [f"gz stream doc {i} tokens" for i in range(4)]
+    d = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    payloads = {r.doc_id: bytes(r.content)
+                for r in MM.make_warc_payload(d, gzip_members=True).collect()}
+    feed = tmp_path / "gzfeed"
+    feed.mkdir()
+    # two subdirs with COLLIDING shard digits (001 appears twice)
+    for sub, dids in (("day1", (0, 1)), ("day2", (2, 3))):
+        (feed / sub).mkdir()
+        for j, did in enumerate(dids):
+            (feed / sub / f"shard{j:03d}.warc.gz").write_bytes(payloads[did])
+
+    # batch oracle: binaryFile + decompress + extract over the same files
+    braw = (spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.warc.gz")
+            .option("recursiveFileLookup", "true").load(str(feed)))
+    bkeyed = braw.select(F.xxhash64("path").alias("doc_id"), "content")
+    bex = MM.warc_extract_stage(
+        MM.decompress_stage(bkeyed, codec="gzip").select("doc_id", "content")
+    )
+    expected = {tuple(r) for r in bex.collect()}
+    assert len(expected) == 4
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        st.warc_stream_extract(
+            spark, str(feed) + "/*", pattern="*.warc.gz",
+            codec="gzip", key_from="path_hash",
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert {tuple(r) for r in got.collect()} == expected
+    keys = [r.doc_id for r in got.select("doc_id").collect()]
+    assert len(set(keys)) == 4 and all(k is not None for k in keys)
