@@ -371,6 +371,12 @@ def _op_registry() -> dict[str, tuple[Callable, int]]:
         "bm25_scores": (TX.bm25_scores, 1),
         "bpe_train_scale": (TX.bpe_train_scale, 1),
         "unigram_train": (TX.unigram_train, 1),
+        # r13: corpus-scale ENCODE stages. Trained driver state (merge
+        # ranks / piece probs) is not JSON-able, so the JSON surface is
+        # the train+encode composition over the input corpus — the
+        # exact shape the certified queries run.
+        "bpe_encode_scale": (_bpe_encode_auto, 1),
+        "unigram_encode": (_unigram_encode_auto, 1),
         # r12 reference-split models: the JSON surface selects the
         # training split as key_col % model_mod == model_rem (a Column
         # predicate isn't JSON-able; the modular split is)
@@ -411,6 +417,54 @@ def _modsplit(fn: Callable) -> Callable:
                   key_col=key_col, **kw)
 
     return wrapped
+
+
+def _bpe_encode_auto(
+    df: DataFrame,
+    n_merges: int = 64,
+    max_vocab: int | None = None,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """JSON surface of the BPE scale pair: one (word, freq) collapse,
+    driver-side merge training, ONE broadcast-dict mapInPandas encode
+    — exactly q_text_bpe_encode_scale's shape with spec-able ints."""
+    from pipetree_spark.ops import text as TX
+
+    wf = TX.bpe_word_freqs(df, text_col, max_vocab=max_vocab)
+    merges = TX.bpe_train_merges(wf, n_merges)
+    return TX.bpe_encode(
+        df, [(l, r) for (_, l, r, _) in merges], text_col, key_col
+    )
+
+
+def _unigram_encode_auto(
+    df: DataFrame,
+    n_rounds: int = 2,
+    top_k: int = 48,
+    max_piece_len: int = 4,
+    max_word_len: int = 12,
+    max_vocab: int | None = None,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """JSON surface of the unigram pair: train (vocab-bound driver
+    state, optionally capped) + ONE broadcast-probs mapInPandas encode
+    — q_text_unigram_encode[_capped]'s certified shape."""
+    from pipetree_spark.ops import text as TX
+
+    probs = TX.unigram_probs(
+        df,
+        text_col,
+        n_rounds=n_rounds,
+        top_k=top_k,
+        max_piece_len=max_piece_len,
+        max_word_len=max_word_len,
+        max_vocab=max_vocab,
+    )
+    return TX.unigram_encode(
+        df, probs, text_col, key_col, max_piece_len, max_word_len
+    )
 
 
 def _op_fn(op: str, inputs: list[str], args: dict) -> StageFn:

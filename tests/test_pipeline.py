@@ -901,3 +901,34 @@ def test_r12_ops_are_json_declarable(spark, sf_small):
         for r in load_registry()["q_text_nb_classify"].fn(spark, sf_small).collect()
     }
     assert got2 == want2 and len(got2) > 0
+
+
+def test_crawl_pipeline_spec_end_to_end(spark, sf_small, tmp_path):
+    """r13: the crawl front-end as a SHIPPED JSON spec — WARC synth →
+    record walk → status gate → HTML extraction → exact dedup → the
+    r13 unigram encode, composed purely from registry ops + sql
+    stages; re-running hits the cache wholesale."""
+    import copy
+    import json
+    from pathlib import Path
+
+    spec = json.loads(
+        (Path(__file__).resolve().parent.parent / "examples/crawl_pipeline.json")
+        .read_text()
+    )
+    spec["stages"]["documents"]["sf_dir"] = sf_small
+    cache = ArtifactCache(str(tmp_path))
+
+    p1 = Pipeline.from_spec(copy.deepcopy(spec))
+    r1 = p1.run(spark, cache=cache)
+    row = r1["report"].collect()[0]
+    assert row.n_captures == 64
+    assert 0 < row.n_ok < 64                 # 404 captures really gated out
+    assert 0 < row.n_unique <= row.n_ok
+    assert row.n_pieces > 0 and row.n_oov == 0
+    assert p1.last_run_report["captures"] == "materialized"
+
+    p2 = Pipeline.from_spec(copy.deepcopy(spec))
+    p2.run(spark, cache=cache)
+    assert p2.last_run_report["captures"] == "hit"
+    assert p2.last_run_report["content"] == "hit"
