@@ -2023,52 +2023,78 @@ def bm25_scores(
     Every other operation is an int-derived IEEE double in a pinned
     order mirrored by the oracle.
 
-    Scale shape: one corpus pass for (doc, term, tf) + dl (the explode
-    collapses map-side), a broadcast 1-row (N, avgdl) frame, a
-    broadcast |terms|-row df frame — no shuffle wider than the token
-    explode. Returns (key, term, tf, dl, score)."""
+    Scale shape (r13 restructure — the q_search_rrf 10× stress showed
+    the original's THREE corpus explode passes dominating): ONE token
+    explode collapses map-side into a per-doc stats frame
+    (dl + a tf column per query term), eagerly localCheckpointed —
+    the same |docs|-row-state trade the ANN fit paths make, and the
+    natural "document statistics" intermediate a retrieval engine
+    materializes anyway. Corpus totals and per-term df derive from
+    the checkpointed frame in one tiny agg; per-term scoring re-reads
+    checkpoint state (never the corpus) and needs NO key join at all
+    — dl already sits beside tf. Returns (key, term, tf, dl, score),
+    one row per (doc, term) with tf > 0."""
     from pipetree_spark.exact import pin_zero
 
     toks = df.select(
         F.col(key_col), F.explode(tokens(text_col)).alias("word")
     ).where(F.length("word") > 0)
-    dl = toks.groupBy(key_col).agg(F.count("*").alias("dl"))
-    corpus = dl.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
-    ).select(
-        "n_docs",
-        (F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")).alias(
-            "avgdl"
-        ),
-    )
-    tset = [t for t in terms]
-    tf = (
-        toks.where(F.col("word").isin(tset))
-        .groupBy(key_col, F.col("word").alias("term"))
-        .agg(F.count("*").alias("tf"))
-    )
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = (
-        tf.join(dl, key_col)
-        .join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(corpus))
+    docstats = toks.groupBy(key_col).agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum((F.col("word") == t).cast("long")).alias(f"__tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).localCheckpoint(eager=True)
+    model = docstats.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
     )
     idf = F.log(
         F.lit(1.0)
         + ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
         / (F.col("df").cast("double") + F.lit(0.5))
     )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
     denom = F.col("tf").cast("double") + F.lit(k1) * (
-        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
+        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
     )
     num = F.col("tf").cast("double") * F.lit(k1 + 1.0)
-    return scored.select(
-        F.col(key_col),
-        "term",
-        F.col("tf").cast("long").alias("tf"),
-        F.col("dl").cast("long").alias("dl"),
-        pin_zero(F.round(idf * (num / denom), 4)).alias("score"),
-    )
+    parts = []
+    for i, t in enumerate(terms):
+        side = (
+            docstats.where(F.col(f"__tf_{i}") > 0)
+            .select(
+                F.col(key_col),
+                F.lit(t).alias("term"),
+                F.col(f"__tf_{i}").alias("tf"),
+                F.col("dl"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    model.select(
+                        "n_docs", "sum_dl", F.col(f"__df_{i}").alias("df")
+                    )
+                )
+            )
+        )
+        parts.append(
+            side.select(
+                F.col(key_col),
+                "term",
+                F.col("tf").cast("long").alias("tf"),
+                F.col("dl").cast("long").alias("dl"),
+                pin_zero(F.round(idf * (num / denom), 4)).alias("score"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def bigram_lm_scores(
@@ -2350,4 +2376,98 @@ def url_canonicalize(url: Column | str) -> Column:
         F.when(F.length(port) > 0, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
         p["path"],
         F.when(F.length(q) > 0, F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+
+
+def doc_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    chunk: int | None = None,
+) -> DataFrame:
+    """Explode documents into the units CCNet-style cross-document
+    dedup hashes: real lines when ``chunk`` is None (split on newline,
+    empty lines dropped — crawl text), or ALIGNED ``chunk``-word
+    windows when the corpus has no line structure (the synthetic
+    documents table is single-line; aligned chunks stand in for
+    paragraphs — unlike :func:`dup_span_islands`' SLIDING k-grams,
+    alignment makes each token belong to exactly one unit, so "strip
+    the duplicated units" is well-defined without interval merging).
+
+    Returns (key, line_no, line, n_words); a pure per-row narrow map
+    (split + transform + posexplode), no shuffle.
+    """
+    if chunk is None:
+        lines = F.filter(
+            F.split(F.col(text_col), "\n"), lambda x: F.length(F.trim(x)) > 0
+        )
+    else:
+        words = F.filter(
+            F.split(F.col(text_col), " "), lambda x: F.length(x) > 0
+        )
+        # integer chunk count ceil(n/chunk) via exact small-int double
+        # division (n ≤ 2^53 by construction: it is a document length)
+        n_chunks = F.floor(
+            (F.size(words) + F.lit(chunk - 1)) / F.lit(chunk)
+        ).cast("int")
+        lines = F.when(n_chunks > 0, F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(words, i * chunk + 1, chunk), " "
+            ),
+        )).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(key_col), F.posexplode(lines).alias("line_no", "line")
+    ).select(
+        key_col,
+        F.col("line_no").cast("long").alias("line_no"),
+        "line",
+        F.size(F.split(F.col("line"), " ")).cast("long").alias("n_words"),
+    )
+
+
+def line_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    chunk: int | None = None,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document line/paragraph-frequency dedup audit — the CCNet
+    boilerplate-strip criterion: a unit is boilerplate when it appears
+    in ≥ ``min_docs`` DISTINCT documents (nav bars, footers, licence
+    blurbs), regardless of how often it repeats inside one document —
+    the distinct-doc test is what separates this op from
+    :func:`dup_span_stats`' corpus-wide occurrence count. Emits
+    (key, n_lines, n_dup_lines, n_words, n_kept_words) — all int64,
+    zero-filled for documents with no units, so the oracle replay is
+    arithmetic-free and hash-exact.
+
+    Scale shape: one map-side-combinable aggregate over line hashes
+    (count DISTINCT keys per line — at CCNet scale you'd swap the
+    exact distinct for approx_count_distinct; exact here keeps the
+    oracle gate), one keyed join back (shuffle on the line value,
+    uniform — boilerplate lines are by definition high-frequency but
+    the per-line payload is one count), one per-doc aggregate. No
+    all-pairs anywhere."""
+    lines = doc_lines(df, text_col, key_col, chunk=chunk)
+    freq = lines.groupBy("line").agg(
+        F.count_distinct(F.col(key_col)).alias("__ndocs")
+    )
+    joined = lines.join(freq, "line")
+    dup = (F.col("__ndocs") >= min_docs).cast("long")
+    agg = joined.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(dup).cast("long").alias("n_dup_lines"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum(F.when(dup == 0, F.col("n_words")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_kept_words"),
+    )
+    return df.select(key_col).join(agg, key_col, "left").select(
+        key_col,
+        *[
+            F.coalesce(c, F.lit(0)).cast("long").alias(c)
+            for c in ("n_lines", "n_dup_lines", "n_words", "n_kept_words")
+        ],
     )

@@ -282,6 +282,7 @@ def _op_registry() -> dict[str, tuple[Callable, int]]:
     from pipetree_spark.ops import graph as GX
     from pipetree_spark.ops import mm as MM
     from pipetree_spark.ops import relational as RL
+    from pipetree_spark.ops import retrieval as RT
     from pipetree_spark.ops import sketch as SK
     from pipetree_spark.ops import text as TX
     from pipetree_spark.ops import vector as VX
@@ -401,6 +402,19 @@ def _op_registry() -> dict[str, tuple[Callable, int]]:
         "exif_extract": (MM.exif_extract_stage, 1),
         "classify_media": (MM.classify_media_stage, 1),
         "corrupt_media_variant": (MM.corrupt_media_variant_stage, 1),
+        # r13: cross-document line/paragraph-frequency dedup (CCNet
+        # boilerplate criterion) and hybrid-retrieval rank fusion.
+        # rrf_fuse's list-of-named-lists surface reduces to the 2-list
+        # case for JSON (inputs are (lexical, semantic) ranked frames,
+        # each carrying (key, rnk) — topn_ranked's output shape).
+        "doc_lines": (TX.doc_lines, 1),
+        "line_dedup_stats": (TX.line_dedup_stats, 1),
+        "topn_ranked": (RT.topn_ranked, 1),
+        "rrf_fuse2": (
+            lambda a, b, key_col="doc_id", name_a="r_a", name_b="r_b", **kw:
+                RT.rrf_fuse([(name_a, a), (name_b, b)], key_col, **kw),
+            2,
+        ),
     }
 
 

@@ -104,6 +104,10 @@ RECONFIRM: tuple[str, ...] = (
     "q_mm_corrupt_triage",
     "q_mm_resize",
     "q_mm_audio_downsample",
+    # r13 second wave: bm25_scores re-planned (one checkpointed
+    # docstats pass instead of three corpus explodes — SCALING r13;
+    # arithmetic unchanged, re-passed sf0.01 + vanilla locally)
+    "q_text_bm25",
 )
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from pipetree_spark.catalog import load_table
 from pipetree_spark.exact import dsum_sql, pin_zero
+from pipetree_spark.ops import retrieval as RT
 from pipetree_spark.ops import text as TX
 from pipetree_spark.ops import vector as VX
 from pipetree_spark.queries import declare
@@ -3969,10 +3970,12 @@ def q_src_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.warc_extract_stage(MM.make_warc_payload(d))
 
 
-@declare(
-    "q_text_url_canon",
-    oracle=r"""
-WITH d AS (SELECT doc_id, sha256('url:' || text) AS hx FROM documents),
+#: Deterministic MESSY-URL synthesizer shared by every URL-keyed
+#: certified query (canon / domain cap): mixed-case hosts, optional
+#: www., scheme-matching AND scheme-MISmatched default ports, utm_*
+#: tracking params — all driven by sha256(text) bytes so both engines
+#: build byte-identical urls. Produces CTE ``u(doc_id, url)``.
+_URL_SYNTH_CTES = r"""d AS (SELECT doc_id, sha256('url:' || text) AS hx FROM documents),
 b AS (
   SELECT doc_id, hx,
          CAST(concat('0x', substr(hx, 1, 2)) AS BIGINT) AS b0,
@@ -3997,7 +4000,54 @@ u AS (
          '/p/' || substr(hx, 9, 4) || '?' ||
          (CASE WHEN b6 % 2 = 1 THEN 'utm_source=feed&id=' || (b5 % 100)
                ELSE 'id=' || (b5 % 100) END) AS url
-  FROM b),
+  FROM b)"""
+
+#: lowercased, www.-stripped registered host from CTE ``u`` — the
+#: domain key crawl pipelines group on (twin of the Spark-side
+#: ``TX.url_parts`` + strip in the queries below).
+_URL_HOST_SQL = (
+    r"regexp_replace(lower(regexp_extract(regexp_extract(regexp_extract("
+    r"regexp_replace(url, '#.*$', ''), '^[A-Za-z]+://([^/?]+)', 1), "
+    r"'([^@]*)$', 1), '^(\[[^\]]+\]|[^:]+)', 1)), '^www\.', '')"
+)
+
+
+def _synth_messy_urls(d: DataFrame) -> DataFrame:
+    """Spark twin of :data:`_URL_SYNTH_CTES`: append a ``url`` column
+    built from sha256(text) bytes — byte-identical to the oracle's
+    CTE ``u``. Input columns pass through (callers project)."""
+    hx = F.sha2(F.concat(F.lit("url:"), F.col("text")), 256)
+    byte = lambda i: F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("long")  # noqa: E731
+    b0, b1, b2, b3, b4, b5, b6 = [byte(i) for i in range(7)]
+    hostbase = F.concat(F.lit("crawl"), (b2 % 10).cast("string"), F.lit(".test"))
+    url = F.concat(
+        F.when(b0 % 2 == 1, F.lit("https")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(b1 % 2 == 1, F.lit("www.")).otherwise(F.lit("")),
+        F.when(b3 % 2 == 1, F.upper(hostbase)).otherwise(hostbase),
+        F.when(
+            b4 % 4 == 2,
+            F.when(b0 % 2 == 1, F.lit(":443")).otherwise(F.lit(":80")),
+        )
+        .when(
+            b4 % 4 == 3,
+            F.when(b0 % 2 == 1, F.lit(":80")).otherwise(F.lit(":443")),
+        )
+        .otherwise(F.lit("")),
+        F.lit("/p/"),
+        F.substring(hx, 9, 4),
+        F.lit("?"),
+        F.when(
+            b6 % 2 == 1,
+            F.concat(F.lit("utm_source=feed&id="), (b5 % 100).cast("string")),
+        ).otherwise(F.concat(F.lit("id="), (b5 % 100).cast("string"))),
+    )
+    return d.select("*", url.alias("url"))
+
+
+@declare(
+    "q_text_url_canon",
+    oracle="WITH " + _URL_SYNTH_CTES + r""",
 nf AS (
   SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
 parts AS (
@@ -4048,33 +4098,7 @@ def q_text_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: pure per-row expressions — narrow map, no shuffle."""
     d = load_table(spark, sf_dir, "documents")
-    hx = F.sha2(F.concat(F.lit("url:"), F.col("text")), 256)
-    byte = lambda i: F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("long")  # noqa: E731
-    b0, b1, b2, b3, b4, b5, b6 = [byte(i) for i in range(7)]
-    hostbase = F.concat(F.lit("crawl"), (b2 % 10).cast("string"), F.lit(".test"))
-    url = F.concat(
-        F.when(b0 % 2 == 1, F.lit("https")).otherwise(F.lit("http")),
-        F.lit("://"),
-        F.when(b1 % 2 == 1, F.lit("www.")).otherwise(F.lit("")),
-        F.when(b3 % 2 == 1, F.upper(hostbase)).otherwise(hostbase),
-        F.when(
-            b4 % 4 == 2,
-            F.when(b0 % 2 == 1, F.lit(":443")).otherwise(F.lit(":80")),
-        )
-        .when(
-            b4 % 4 == 3,
-            F.when(b0 % 2 == 1, F.lit(":80")).otherwise(F.lit(":443")),
-        )
-        .otherwise(F.lit("")),
-        F.lit("/p/"),
-        F.substring(hx, 9, 4),
-        F.lit("?"),
-        F.when(
-            b6 % 2 == 1,
-            F.concat(F.lit("utm_source=feed&id="), (b5 % 100).cast("string")),
-        ).otherwise(F.concat(F.lit("id="), (b5 % 100).cast("string"))),
-    )
-    u = d.select("doc_id", url.alias("url"))
+    u = _synth_messy_urls(d)
     p = TX.url_parts("url")
     host = F.regexp_replace(F.lower(p["host"]), r"^www\.", "")
     return u.select(
@@ -4090,6 +4114,61 @@ def q_text_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("n_params"),
+    )
+
+
+@declare(
+    "q_text_domain_cap",
+    oracle="WITH " + _URL_SYNTH_CTES + r""",
+h AS (SELECT doc_id, """ + _URL_HOST_SQL + r""" AS host FROM u),
+r AS (
+  SELECT h.doc_id, h.host,
+         row_number() OVER (
+           PARTITION BY h.host
+           ORDER BY d2.n_chars DESC, h.doc_id ASC) AS rnk
+  FROM h JOIN documents d2 ON d2.doc_id = h.doc_id)
+SELECT doc_id, host, CAST(rnk AS BIGINT) AS rnk,
+       CAST(CASE WHEN rnk <= 30 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM r
+""",
+    tags=("text", "pipeline"),
+)
+def q_text_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document quota — the crawl-curation stage after URL
+    canonicalization: cap how many documents any one registered domain
+    contributes to the training mix (a handful of mega-domains
+    otherwise dominate a web corpus; every public curation recipe
+    applies some per-domain cap). Messy urls come from the shared
+    synthesizer (:func:`_synth_messy_urls`), the domain key is the
+    lowercased www.-stripped host (ops.text.url_parts), and the cap
+    keeps the 30 LONGEST documents per domain — row_number over
+    (n_chars DESC, doc_id ASC), a total order, so the kept set is
+    deterministic. Emits (doc_id, host, rnk, kept 0/1) for every doc:
+    dropped docs stay visible with kept=0, an audited signal.
+
+    Scale shape: narrow URL map + ONE shuffle on the domain key for
+    the window. Domain keys are Zipf-skewed at crawl scale; the
+    window still streams each partition (row_number needs no full
+    materialization), and a real deployment would pre-aggregate
+    per-domain counts to short-circuit domains under the cap —
+    documented rather than simulated here because the certified
+    semantics are the cap itself."""
+    d = load_table(spark, sf_dir, "documents")
+    u = _synth_messy_urls(d.select("doc_id", "text", "n_chars"))
+    p = TX.url_parts("url")
+    host = F.regexp_replace(F.lower(p["host"]), r"^www\.", "")
+    w = Window.partitionBy("host").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        u.select("doc_id", "n_chars", host.alias("host"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .select(
+            "doc_id",
+            "host",
+            "rnk",
+            (F.col("rnk") <= 30).cast("long").alias("kept"),
+        )
     )
 
 
@@ -4787,3 +4866,166 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms, so no summation-order hazard anywhere."""
     d = load_table(spark, sf_dir, "documents")
     return TX.bm25_scores(d, ["table", "spark", "query"], "text", "doc_id")
+
+
+@declare(
+    "q_dedup_lines",
+    oracle="""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> length(x) > 0) AS words
+  FROM documents),
+l AS (
+  SELECT doc_id,
+         array_to_string(list_slice(words, i*6 + 1, i*6 + 6), ' ') AS line
+  FROM w CROSS JOIN generate_series(0, 255) g(i)
+  WHERE i*6 < len(words)),
+ln AS (SELECT doc_id, line, len(string_split(line, ' ')) AS nw FROM l),
+f AS (SELECT line, COUNT(DISTINCT doc_id) AS ndocs FROM ln GROUP BY line),
+a AS (
+  SELECT ln.doc_id,
+         COUNT(*) AS n_lines,
+         SUM(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS n_dup_lines,
+         SUM(ln.nw) AS n_words,
+         SUM(CASE WHEN f.ndocs >= 2 THEN 0 ELSE ln.nw END) AS n_kept_words
+  FROM ln JOIN f USING (line) GROUP BY ln.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(a.n_dup_lines, 0) AS BIGINT) AS n_dup_lines,
+       CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(a.n_kept_words, 0) AS BIGINT) AS n_kept_words
+FROM documents d LEFT JOIN a USING (doc_id)
+""",
+    tags=("text", "dedup"),
+)
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document LINE-frequency dedup audit (ops.text.
+    line_dedup_stats) — the CCNet boilerplate-strip criterion, the
+    remaining dedup tier between whole-doc exact dedup and sliding
+    k-gram substring dedup: a unit (real lines on crawl text; ALIGNED
+    6-word chunks here, the single-line corpus's paragraph stand-in)
+    is boilerplate when it occurs in ≥2 DISTINCT documents — nav
+    bars, footers, licence blurbs repeat across a site's pages
+    without being inside any single duplicated span. Distinct-doc
+    counting is what q_dedup_substring's corpus-wide occurrence count
+    cannot express. All-int64 outputs, zero-filled for unit-less
+    docs; the oracle replays chunking, the distinct-doc counts, and
+    the strip accounting exactly.
+
+    Scale shape: one map-side-combinable aggregate on the line value,
+    one keyed join back, one per-doc aggregate — no all-pairs; at
+    CCNet scale the exact COUNT(DISTINCT doc) swaps for
+    approx_count_distinct without touching the plan shape."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.line_dedup_stats(d, "text", "doc_id", chunk=6, min_docs=2)
+
+
+@declare(
+    "q_search_rrf",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, word
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) t
+  WHERE length(word) > 0),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM dl),
+tf AS (SELECT doc_id, COUNT(*) AS tf FROM toks WHERE word = 'spark' GROUP BY doc_id),
+dfreq AS (SELECT COUNT(*) AS df FROM tf),
+lex AS (
+  SELECT tf.doc_id,
+         round(
+           ln(1.0 + (CAST(c.n_docs - dfreq.df AS DOUBLE) + 0.5)
+                    / (CAST(dfreq.df AS DOUBLE) + 0.5))
+           * ((CAST(tf.tf AS DOUBLE) * 2.2)
+              / (CAST(tf.tf AS DOUBLE)
+                 + 1.2 * (1.0 - 0.75
+                          + 0.75 * (CAST(dl.dl AS DOUBLE) / c.avgdl)))),
+           4) + 0.0 AS score
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN dfreq CROSS JOIN corpus c),
+lex_r AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS r_lex
+  FROM (SELECT * FROM lex ORDER BY score DESC, doc_id ASC LIMIT 100)),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sem AS (
+  SELECT c.vec_id AS doc_id,
+         ROUND(
+           list_sum(list_transform(generate_series(1, 64),
+                                   i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+           / (SQRT({_SQ_SUM.format(v='qv')}) * SQRT({_SQ_SUM.format(v='cv')})),
+           4) + 0.0 AS score
+  FROM (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id != 0) c
+  CROSS JOIN q),
+sem_r AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS r_sem
+  FROM (SELECT * FROM sem ORDER BY score DESC, doc_id ASC LIMIT 100)),
+fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.r_lex, s.r_sem,
+         COALESCE(1.0/(60 + l.r_lex), 0.0)
+           + COALESCE(1.0/(60 + s.r_sem), 0.0) AS rrf_score
+  FROM lex_r l FULL OUTER JOIN sem_r s ON l.doc_id = s.doc_id)
+SELECT doc_id, r_lex, r_sem, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS BIGINT) AS rnk
+FROM (SELECT * FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 20)
+""",
+    tags=("text", "vector", "retrieval"),
+)
+def q_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval by reciprocal-rank fusion (ops.retrieval) —
+    the standard combiner for lexical + semantic search over a
+    curated corpus: BM25 ranks documents for the term 'spark'
+    (ops.text.bm25_scores, single term so no cross-term float sum),
+    cosine-vs-query-vector ranks the embedding side (vec_id 0 is the
+    query; doc_id aligns with vec_id in the testdata), each list cuts
+    to top-100 by (score DESC, key ASC), and RRF fuses them:
+    score(d) = Σ 1/(60 + rank) folded in fixed list order — ranks are
+    scale-free, so no score normalization is needed, which is why RRF
+    is THE production hybrid-search combiner. Per-list ranks stay
+    NULLable in the output ("found by one side only" is a signal);
+    the fused score is a pinned two-term IEEE sum of exact
+    1/(60+int) doubles, bit-reproduced by the oracle with no rounding
+    step.
+
+    Scale shape: the corpus-sized work is inside the two scorers
+    (each already audited); both lists cut via TakeOrderedAndProject
+    (per-partition heaps, no global sort), and every row_number
+    window runs over a ≤100-row bounded frame (whitelisted in
+    tools/plan_audit.py, the q_sort_multi pattern). The fusion join
+    touches ≤200 rows no matter the corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    lex = TX.bm25_scores(d, ["spark"], "text", "doc_id").select("doc_id", "score")
+    lex_r = RT.topn_ranked(lex, "score", "doc_id", n=100)
+    qv = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__qv"),
+        VX.l2_norm(F.col("embedding")).alias("__qn"),
+    )
+    sem = (
+        e.where(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("embedding").alias("__cv"),
+            VX.l2_norm(F.col("embedding")).alias("__cn"),
+        )
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            pin_zero(
+                F.round(
+                    VX.safe_div(
+                        VX.dot(F.col("__qv"), F.col("__cv")),
+                        F.col("__qn") * F.col("__cn"),
+                    ),
+                    4,
+                )
+            ).alias("score"),
+        )
+    )
+    sem_r = RT.topn_ranked(sem, "score", "doc_id", n=100)
+    return RT.rrf_fuse(
+        [("r_lex", lex_r), ("r_sem", sem_r)], "doc_id", k0=60, topk=20
+    )

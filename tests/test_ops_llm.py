@@ -3680,3 +3680,86 @@ def test_bm25_monotonicity_and_hand_value(spark):
     assert rows[(0, "rare")].score > rows[(0, "common")].score  # rarity wins
     assert rows[(1, "common")].score > rows[(2, "common")].score  # tf wins
     assert rows[(1, "common")].tf == 4 and rows[(1, "common")].dl == 5
+
+
+def test_doc_lines_newline_and_chunk_modes(spark):
+    """doc_lines splits real newlines when chunk is None (empty lines
+    dropped) and falls back to ALIGNED word-chunks otherwise; the last
+    chunk may be short; an empty doc yields no rows."""
+    d = spark.createDataFrame(
+        [
+            (0, "nav bar\n\nbody text here\nfooter"),
+            (1, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r.doc_id, r.line_no, r.line, r.n_words)
+        for r in TX.doc_lines(d).collect()
+    )
+    assert rows == [
+        (0, 0, "nav bar", 2),
+        (0, 1, "body text here", 3),
+        (0, 2, "footer", 1),
+    ]
+    c = spark.createDataFrame(
+        [(0, "a b c d e f g"), (1, "")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r.doc_id, r.line_no, r.line, r.n_words)
+        for r in TX.doc_lines(c, chunk=3).collect()
+    )
+    assert rows == [(0, 0, "a b c", 3), (0, 1, "d e f", 3), (0, 2, "g", 1)]
+
+
+def test_line_dedup_stats_distinct_doc_criterion(spark):
+    """The CCNet criterion is DISTINCT docs, not occurrences: a line
+    repeated twice inside ONE doc is not boilerplate; a line shared by
+    two docs is. Zero-fill covers unit-less docs."""
+    d = spark.createDataFrame(
+        [
+            (0, "shared footer\nunique alpha\nshared footer"),
+            (1, "shared footer\nunique beta"),
+            (2, "only here"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r for r in TX.line_dedup_stats(d, chunk=None).collect()
+    }
+    # 'shared footer' is in docs 0 AND 1 -> boilerplate (even though it
+    # repeats within doc 0, that alone would NOT qualify it)
+    assert (out[0].n_lines, out[0].n_dup_lines) == (3, 2)
+    assert out[0].n_kept_words == 2  # only 'unique alpha'
+    assert (out[1].n_lines, out[1].n_dup_lines) == (2, 1)
+    assert (out[2].n_lines, out[2].n_dup_lines) == (1, 0)
+    assert (out[3].n_lines, out[3].n_dup_lines, out[3].n_words) == (0, 0, 0)
+
+
+def test_topn_ranked_total_order_and_cut(spark):
+    """Ties on score break by ascending key; the cut keeps exactly n."""
+    from pipetree_spark.ops import retrieval as RT
+
+    d = spark.createDataFrame(
+        [(10, 1.0), (11, 2.0), (12, 2.0), (13, 0.5)],
+        "k long, s double",
+    )
+    rows = [(r.k, r.rnk) for r in RT.topn_ranked(d, "s", "k", n=3).orderBy("rnk").collect()]
+    assert rows == [(11, 1), (12, 2), (10, 3)]
+
+
+def test_rrf_fuse_hand_values_and_null_ranks(spark):
+    """RRF on two 2-element lists with partial overlap: the fused
+    score is exactly 1/(60+r1)+1/(60+r2); keys on one list only keep a
+    NULL rank for the other side and contribute a single term."""
+    from pipetree_spark.ops import retrieval as RT
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "k long, rnk long")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "k long, rnk long")
+    out = {r.k: r for r in RT.rrf_fuse([("ra", a), ("rb", b)], "k").collect()}
+    assert out[2].rrf_score == 1.0 / 62 + 1.0 / 61
+    assert out[1].rrf_score == 1.0 / 61 and out[1].rb is None
+    assert out[3].rrf_score == 1.0 / 62 and out[3].ra is None
+    # doc 2 (on both lists) must out-rank the single-list docs
+    assert out[2].rnk == 1

@@ -932,3 +932,81 @@ def test_crawl_pipeline_spec_end_to_end(spark, sf_small, tmp_path):
     p2.run(spark, cache=cache)
     assert p2.last_run_report["captures"] == "hit"
     assert p2.last_run_report["content"] == "hit"
+
+
+def test_retrieval_fusion_and_line_dedup_spec(spark, sf_small, tmp_path):
+    """r13: the new curation ops compose as pure-JSON spec stages —
+    line-frequency boilerplate stats plus a two-list RRF fusion
+    (two single-term BM25 rankings stand in for lexical+semantic;
+    the fuse stage is list-agnostic)."""
+    spec = {
+        "stages": {
+            "documents": {"type": "source", "table": "documents", "sf_dir": sf_small},
+            "boiler": {
+                "type": "op", "op": "line_dedup_stats",
+                "inputs": ["documents"], "args": {"chunk": 6},
+            },
+            "lex_a": {
+                "type": "op", "op": "bm25_scores",
+                "inputs": ["documents"], "args": {"terms": ["spark"]},
+            },
+            "lex_b": {
+                "type": "op", "op": "bm25_scores",
+                "inputs": ["documents"], "args": {"terms": ["table"]},
+            },
+            "rank_a": {
+                "type": "op", "op": "topn_ranked", "inputs": ["lex_a"],
+                "args": {"score_col": "score", "key_col": "doc_id", "n": 50},
+            },
+            "rank_b": {
+                "type": "op", "op": "topn_ranked", "inputs": ["lex_b"],
+                "args": {"score_col": "score", "key_col": "doc_id", "n": 50},
+            },
+            "fused": {
+                "type": "op", "op": "rrf_fuse2", "inputs": ["rank_a", "rank_b"],
+                "args": {"key_col": "doc_id", "name_a": "r_spark",
+                         "name_b": "r_table", "topk": 10},
+            },
+        }
+    }
+    out = Pipeline.from_spec(spec).run(spark)
+    docs_n = out["documents"].count()
+    boiler = out["boiler"].collect()
+    assert len(boiler) == docs_n
+    assert all(0 <= r.n_kept_words <= r.n_words for r in boiler)
+    assert all(r.n_dup_lines <= r.n_lines for r in boiler)
+    fused = out["fused"].orderBy("rnk").collect()
+    assert [r.rnk for r in fused] == list(range(1, len(fused) + 1))
+    assert len(fused) == 10
+    scores = [r.rrf_score for r in fused]
+    assert scores == sorted(scores, reverse=True)
+    # every fused score decomposes into the definition
+    for r in fused:
+        want = (1.0 / (60 + r.r_spark) if r.r_spark is not None else 0.0) + (
+            1.0 / (60 + r.r_table) if r.r_table is not None else 0.0
+        )
+        assert r.rrf_score == want
+
+
+def test_hybrid_search_example_spec_runs_and_caches(spark, sf_small, tmp_path):
+    """The shipped hybrid-search JSON spec is loadable and cache-aware
+    (the materialized fusion stage hits on re-run)."""
+    import copy
+    import json
+    from pathlib import Path
+
+    spec = json.loads(
+        (Path(__file__).resolve().parent.parent / "examples/hybrid_search_pipeline.json")
+        .read_text()
+    )
+    spec["stages"]["documents"]["sf_dir"] = sf_small
+    cache = ArtifactCache(str(tmp_path))
+    p1 = Pipeline.from_spec(copy.deepcopy(spec))
+    out = p1.run(spark, cache=cache)
+    fused = out["fused"].orderBy("rnk").collect()
+    assert 0 < len(fused) <= 20
+    assert p1.last_run_report["fused"] == "materialized"
+    p2 = Pipeline.from_spec(copy.deepcopy(spec))
+    p2.run(spark, cache=cache)
+    assert p2.last_run_report["fused"] == "hit"
+    assert p2.last_run_report["boilerplate_report"] == "hit"
