@@ -70,6 +70,10 @@ BENCH_QUERIES: dict[str, str] = {
     # r12: the crawl front-end e2e (WARC walk → status filter → HTML
     # extraction) — the new nightly path, tracked from its first round
     "q_pipe_crawl_e2e": "q_pipe_crawl_e2e",
+    # r13 second wave: the CCNet line-frequency dedup tier and the
+    # hybrid BM25+cosine RRF search path, tracked from their first round
+    "q_dedup_lines": "q_dedup_lines",
+    "q_search_rrf": "q_search_rrf",
 }
 
 #: r12: the extended family gets the same 5 reps as the core (was 3) —

@@ -2422,7 +2422,12 @@ def doc_lines(
         key_col,
         F.col("line_no").cast("long").alias("line_no"),
         "line",
-        F.size(F.split(F.col("line"), " ")).cast("long").alias("n_words"),
+        # filter empties so runs of spaces inside a REAL line never
+        # count as words (chunk-mode lines are single-spaced by
+        # construction, so the certified values are unaffected)
+        F.size(
+            F.filter(F.split(F.col("line"), " "), lambda x: F.length(x) > 0)
+        ).cast("long").alias("n_words"),
     )
 
 
@@ -2470,4 +2475,53 @@ def line_dedup_stats(
             F.coalesce(c, F.lit(0)).cast("long").alias(c)
             for c in ("n_lines", "n_dup_lines", "n_words", "n_kept_words")
         ],
+    )
+
+
+def line_dedup_strip(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    chunk: int | None = None,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document line-frequency dedup REMOVAL — the action half
+    of :func:`line_dedup_stats` (the substring family's
+    stats/strip pairing, applied at the CCNet tier): every unit
+    appearing in ≥ ``min_docs`` distinct documents is cut from EVERY
+    document, and the text is rebuilt from the surviving units in
+    order (newline-joined in real-line mode, space-joined in aligned-
+    chunk mode). Returns (key, n_lines, n_kept_lines, clean_text)
+    with clean_text '' when everything was boilerplate (or the doc
+    had no units) — the all-boilerplate doc surfaces as an empty
+    survivor for the downstream length filter, never silently
+    disappears.
+
+    Scale shape: identical to the stats half plus one per-doc ordered
+    collect bounded by the document's own length (the dup_span_strip
+    bound)."""
+    sep = "\n" if chunk is None else " "
+    lines = doc_lines(df, text_col, key_col, chunk=chunk)
+    freq = lines.groupBy("line").agg(
+        F.count_distinct(F.col(key_col)).alias("__ndocs")
+    )
+    kept = lines.join(freq, "line").where(F.col("__ndocs") < min_docs)
+    agg = kept.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n_kept_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda x: x["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+    tot = lines.groupBy(key_col).agg(F.count("*").cast("long").alias("n_lines"))
+    return df.select(key_col).join(tot, key_col, "left").join(
+        agg, key_col, "left"
+    ).select(
+        key_col,
+        F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+        F.coalesce("n_kept_lines", F.lit(0)).cast("long").alias("n_kept_lines"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )

@@ -5029,3 +5029,114 @@ def q_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RT.rrf_fuse(
         [("r_lex", lex_r), ("r_sem", sem_r)], "doc_id", k0=60, topk=20
     )
+
+
+@declare(
+    "q_dedup_lines_rm",
+    oracle="""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> length(x) > 0) AS words
+  FROM documents),
+l AS (
+  SELECT doc_id, i AS line_no,
+         array_to_string(list_slice(words, i*6 + 1, i*6 + 6), ' ') AS line
+  FROM w CROSS JOIN generate_series(0, 255) g(i)
+  WHERE i*6 < len(words)),
+f AS (SELECT line, COUNT(DISTINCT doc_id) AS ndocs FROM l GROUP BY line),
+kept AS (
+  SELECT l.doc_id, l.line_no, l.line
+  FROM l JOIN f USING (line) WHERE f.ndocs < 2),
+a AS (
+  SELECT doc_id, COUNT(*) AS n_kept_lines,
+         string_agg(line, ' ' ORDER BY line_no) AS clean_text
+  FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM l GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(tot.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(a.n_kept_lines, 0) AS BIGINT) AS n_kept_lines,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN a USING (doc_id)
+""",
+    tags=("text", "dedup"),
+)
+def q_dedup_lines_rm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of q_dedup_lines (ops.text.line_dedup_strip) —
+    boilerplate units cut from every document, text rebuilt from the
+    surviving units in order. An all-boilerplate document surfaces as
+    an empty-clean_text survivor for the downstream length filter,
+    never silently disappears; a hash match certifies the per-doc
+    ordered reconstruction byte-for-byte alongside the counts.
+
+    Scale shape: the stats half's aggregates plus one per-doc ordered
+    collect bounded by the document's own length."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.line_dedup_strip(d, "text", "doc_id", chunk=6, min_docs=2)
+
+
+@declare(
+    "q_text_token_budget",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> length(x) > 0)) AS BIGINT) AS n_tokens,
+         md5('budget:' || doc_id) AS h
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM t)
+SELECT doc_id, source, n_tokens, cum_before,
+       CAST(CASE WHEN cum_before < 5000 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM c
+""",
+    tags=("text", "pipeline"),
+)
+def q_text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-budget sampling — the pretraining-mix primitive the
+    doc-count mixtures (q_corpus_mixture / q_text_temperature_mix)
+    cannot express: "take ~N TOKENS per source", greedy-filled in a
+    deterministic hash order (md5 over the key — a reshuffled but
+    bit-reproducible visit order, the q_text_shuffle_shard rule).
+    A doc is kept while the running token total BEFORE it is under
+    the 5,000-token budget, so every source overshoots by at most one
+    document — the standard greedy fill. All int64 (token counts,
+    exclusive running sums, 0/1 kept); dropped docs stay visible with
+    kept=0.
+
+    Scale shape: one narrow map (token count + hash) and ONE window
+    shuffle on the source key. Source cardinality is small and each
+    partition streams (running sum, no materialization); at a real
+    mix you'd cap per-source partitions by pre-bucketing the hash —
+    the window order makes that split associative."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda x: F.length(x) > 0)
+        ).cast("long").alias("n_tokens"),
+        F.md5(F.concat(F.lit("budget:"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long").alias("cum_before"),
+    )
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "cum_before",
+        (F.col("cum_before") < 5000).cast("long").alias("kept"),
+    )

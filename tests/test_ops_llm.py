@@ -3763,3 +3763,24 @@ def test_rrf_fuse_hand_values_and_null_ranks(spark):
     assert out[3].rrf_score == 1.0 / 62 and out[3].ra is None
     # doc 2 (on both lists) must out-rank the single-list docs
     assert out[2].rnk == 1
+
+
+def test_line_dedup_strip_rebuilds_in_order(spark):
+    """Removal rebuilds the text from surviving lines IN ORDER; an
+    all-boilerplate doc survives as an empty clean_text row."""
+    d = spark.createDataFrame(
+        [
+            (0, "shared footer\nunique alpha\nshared footer"),
+            (1, "unique beta\nshared footer"),
+            (2, "shared footer"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in TX.line_dedup_strip(d, chunk=None).collect()}
+    assert (out[0].n_lines, out[0].n_kept_lines, out[0].clean_text) == (
+        3, 1, "unique alpha"
+    )
+    assert out[1].clean_text == "unique beta"
+    assert (out[2].n_lines, out[2].n_kept_lines, out[2].clean_text) == (1, 0, "")
+    assert (out[3].n_lines, out[3].clean_text) == (0, "")

@@ -111,8 +111,10 @@ QUERIES = [
     "q_text_bpe_encode_scale",  # r12: one mapInPandas stage, zero pre-emit shuffles
     "q_text_unigram_encode",    # r13: one collapse (train) + one mapInPandas encode
     "q_dedup_lines",       # r13: line-hash agg + join back — CCNet boilerplate strip
+    "q_dedup_lines_rm",    # r13: the removal half — + per-doc ordered rebuild
     "q_text_domain_cap",   # r13: narrow URL map + one domain-key window shuffle
     "q_search_rrf",        # r13: corpus work in the scorers; fusion is ≤200 rows flat
+    "q_text_token_budget", # r13: narrow token-count map + one source-key window
     "q_agg_hll_sliding",   # r9: day-spine x 64-register merge — register-level work
     "q_graph_sssp",        # r9: weighted Bellman-Ford, k frontier shuffles
     "q_agg_gini",          # r9: per-group rank window + moment agg
