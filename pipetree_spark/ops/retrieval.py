@@ -82,7 +82,9 @@ def rrf_fuse(
     """Fuse named ranked lists by reciprocal-rank fusion.
 
     ``rankings`` is ``[(out_rank_name, df)]`` where each df carries
-    (key_col, "rnk") — e.g. the output of :func:`topn_ranked`. The
+    (key_col, rank_col) — e.g. the output of :func:`topn_ranked` with
+    the SAME ``rank_col`` (default "rnk"; the one name is both the
+    input rank read and the fused output rank). The
     lists full-outer-join on the key (a document may appear in any
     subset of lists), the fused score folds in LIST ORDER (fixed IEEE
     sum), and the result is the global top-``topk`` by
@@ -98,7 +100,7 @@ def rrf_fuse(
     fused: DataFrame | None = None
     names: list[str] = []
     for name, r in rankings:
-        side = r.select(F.col(key_col), F.col("rnk").alias(name))
+        side = r.select(F.col(key_col), F.col(rank_col).alias(name))
         names.append(name)
         fused = side if fused is None else fused.join(side, key_col, "full_outer")
     assert fused is not None, "rrf_fuse needs at least one ranking"

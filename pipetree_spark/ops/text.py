@@ -2036,16 +2036,26 @@ def bm25_scores(
     one row per (doc, term) with tf > 0."""
     from pipetree_spark.exact import pin_zero
 
+    # dedupe (order-preserving): a repeated term must not double its
+    # (doc, term) rows; empty list → empty frame, not an IndexError
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        return df.sparkSession.createDataFrame(
+            [], f"{key_col} long, term string, tf long, dl long, score double"
+        )
     toks = df.select(
         F.col(key_col), F.explode(tokens(text_col)).alias("word")
     ).where(F.length("word") > 0)
+    # lazy checkpoint (the bpe_train precedent): the plan is truncated
+    # at construction, but the corpus job only runs on the first real
+    # action — plan audits / cache-hit pipeline walks stay free
     docstats = toks.groupBy(key_col).agg(
         F.count("*").alias("dl"),
         *[
             F.sum((F.col("word") == t).cast("long")).alias(f"__tf_{i}")
             for i, t in enumerate(terms)
         ],
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     model = docstats.agg(
         F.count("*").alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
@@ -2505,21 +2515,32 @@ def line_dedup_strip(
     freq = lines.groupBy("line").agg(
         F.count_distinct(F.col(key_col)).alias("__ndocs")
     )
-    kept = lines.join(freq, "line").where(F.col("__ndocs") < min_docs)
-    agg = kept.groupBy(key_col).agg(
-        F.count("*").cast("long").alias("n_kept_lines"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
-                lambda x: x["line"],
-            ),
-            sep,
-        ).alias("clean_text"),
+    # ONE join probe + ONE per-doc aggregate: totals and the kept-only
+    # ordered rebuild come out of the same pass via conditional
+    # aggregation — collect_list drops the NULLs the when() leaves on
+    # boilerplate rows (the documented Spark semantics the r12 EWMA
+    # note warns about; here it is exactly what we want)
+    keep = F.col("__ndocs") < min_docs
+    agg = (
+        lines.join(freq, "line")
+        .groupBy(key_col)
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(keep.cast("long")).cast("long").alias("n_kept_lines"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct("line_no", "line"))
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+                sep,
+            ).alias("clean_text"),
+        )
     )
-    tot = lines.groupBy(key_col).agg(F.count("*").cast("long").alias("n_lines"))
-    return df.select(key_col).join(tot, key_col, "left").join(
-        agg, key_col, "left"
-    ).select(
+    return df.select(key_col).join(agg, key_col, "left").select(
         key_col,
         F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
         F.coalesce("n_kept_lines", F.lit(0)).cast("long").alias("n_kept_lines"),

@@ -4878,7 +4878,7 @@ WITH w AS (
 l AS (
   SELECT doc_id,
          array_to_string(list_slice(words, i*6 + 1, i*6 + 6), ' ') AS line
-  FROM w CROSS JOIN generate_series(0, 255) g(i)
+  FROM w CROSS JOIN generate_series(0, 1023) g(i)
   WHERE i*6 < len(words)),
 ln AS (SELECT doc_id, line, len(string_split(line, ' ')) AS nw FROM l),
 f AS (SELECT line, COUNT(DISTINCT doc_id) AS ndocs FROM ln GROUP BY line),
@@ -4910,7 +4910,9 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting is what q_dedup_substring's corpus-wide occurrence count
     cannot express. All-int64 outputs, zero-filled for unit-less
     docs; the oracle replays chunking, the distinct-doc counts, and
-    the strip accounting exactly.
+    the strip accounting exactly (oracle certification bound: 1024
+    chunks/doc — 6144 words, >60x the corpus and fuzz maxima; the
+    Spark op itself is unbounded via F.sequence).
 
     Scale shape: one map-side-combinable aggregate on the line value,
     one keyed join back, one per-doc aggregate — no all-pairs; at
@@ -5000,32 +5002,17 @@ def q_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     lex = TX.bm25_scores(d, ["spark"], "text", "doc_id").select("doc_id", "score")
     lex_r = RT.topn_ranked(lex, "score", "doc_id", n=100)
-    qv = e.where(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("__qv"),
-        VX.l2_norm(F.col("embedding")).alias("__qn"),
+    # semantic side through the ONE certified cosine path
+    # (ops.vector.knn_bruteforce — same expression tree as
+    # q_vec_cosine_knn; its query_key != corpus_key join IS the
+    # "corpus minus the query doc" filter, and its per-query
+    # partitioned rank equals the single-list total order here)
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
     )
-    sem = (
-        e.where(F.col("vec_id") != 0)
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            F.col("embedding").alias("__cv"),
-            VX.l2_norm(F.col("embedding")).alias("__cn"),
-        )
-        .crossJoin(F.broadcast(qv))
-        .select(
-            "doc_id",
-            pin_zero(
-                F.round(
-                    VX.safe_div(
-                        VX.dot(F.col("__qv"), F.col("__cv")),
-                        F.col("__qn") * F.col("__cn"),
-                    ),
-                    4,
-                )
-            ).alias("score"),
-        )
+    sem_r = VX.knn_bruteforce(q, e, k=100).select(
+        F.col("vec_id").alias("doc_id"), F.col("rnk").cast("long").alias("rnk")
     )
-    sem_r = RT.topn_ranked(sem, "score", "doc_id", n=100)
     return RT.rrf_fuse(
         [("r_lex", lex_r), ("r_sem", sem_r)], "doc_id", k0=60, topk=20
     )
@@ -5041,7 +5028,7 @@ WITH w AS (
 l AS (
   SELECT doc_id, i AS line_no,
          array_to_string(list_slice(words, i*6 + 1, i*6 + 6), ' ') AS line
-  FROM w CROSS JOIN generate_series(0, 255) g(i)
+  FROM w CROSS JOIN generate_series(0, 1023) g(i)
   WHERE i*6 < len(words)),
 f AS (SELECT line, COUNT(DISTINCT doc_id) AS ndocs FROM l GROUP BY line),
 kept AS (

@@ -3784,3 +3784,27 @@ def test_line_dedup_strip_rebuilds_in_order(spark):
     assert out[1].clean_text == "unique beta"
     assert (out[2].n_lines, out[2].n_kept_lines, out[2].clean_text) == (1, 0, "")
     assert (out[3].n_lines, out[3].clean_text) == (0, "")
+
+
+def test_bm25_empty_and_duplicate_terms(spark):
+    """Degenerate term lists: [] returns an empty frame with the
+    contract schema (not IndexError); duplicates collapse to one row
+    per distinct (doc, term)."""
+    d = spark.createDataFrame(
+        [(0, "a b a"), (1, "b c")], "doc_id long, text string"
+    )
+    empty = TX.bm25_scores(d, [])
+    assert empty.columns == ["doc_id", "term", "tf", "dl", "score"]
+    assert empty.count() == 0
+    rows = TX.bm25_scores(d, ["a", "a"]).collect()
+    assert [(r.doc_id, r.term, r.tf) for r in rows] == [(0, "a", 2)]
+
+
+def test_rrf_fuse_honors_rank_col(spark):
+    """rank_col names BOTH the input rank read and the fused output."""
+    from pipetree_spark.ops import retrieval as RT
+
+    a = spark.createDataFrame([(1, 1.0)], "k long, s double")
+    ra = RT.topn_ranked(a, "s", "k", n=5, rank_col="position")
+    out = RT.rrf_fuse([("r_a", ra)], "k", rank_col="position").collect()
+    assert out[0].position == 1 and out[0].r_a == 1
