@@ -46,6 +46,7 @@ __all__ = [
     "incremental_dedup_batch",
     "incremental_dedup_sink",
     "warc_stream_extract",
+    "running_line_flags",
 ]
 
 
@@ -634,4 +635,74 @@ def session_counts(
             F.col("session_window.end").cast("long").alias("session_end_sec"),
             "n_events",
         )
+    )
+
+
+def running_line_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    chunk: int | None = None,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Streaming twin of the batch line-frequency boilerplate criterion
+    (ops.text.line_dedup_stats): as documents arrive (the daily-crawl
+    feed), maintain per-line DISTINCT-document counts and latch the
+    boilerplate flag once a line has been seen in ≥ ``min_docs``
+    distinct documents.
+
+    State per line is BOUNDED at ``min_docs`` document keys: the flag
+    can only latch, never clear (more documents cannot make a line
+    less duplicated), so once the first ``min_docs`` distinct keys are
+    recorded nothing more is stored — fixed memory per line regardless
+    of corpus size, the property a naive per-(line, doc) dropDuplicates
+    state lacks. Streamed final flags are provably equal to the batch
+    criterion over the same documents (tests/test_streaming.py replays
+    multi-batch feeds against ops.text's distinct-doc counts).
+
+    Output mode update: one (line, n_docs, is_boilerplate) row per
+    touched line per micro-batch; n_docs saturates at ``min_docs``.
+    """
+    from pipetree_spark.ops.text import doc_lines
+
+    lines = doc_lines(docs, text_col, key_col, chunk=chunk).select(
+        F.col(key_col).cast("long").alias("__k"), "line"
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("line", T.StringType()),
+            T.StructField("n_docs", T.LongType()),
+            T.StructField("is_boilerplate", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("ids", T.ArrayType(T.LongType()))]
+    )
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        ids = list(state.get[0]) if state.exists else []
+        for pdf in batches:
+            for v in pdf["__k"]:
+                if len(ids) >= min_docs:
+                    break  # latched: distinct count can only stay >= min_docs
+                v = int(v)
+                if v not in ids:
+                    ids.append(v)
+        state.update((ids,))
+        yield pd.DataFrame(
+            {
+                "line": [key[0]],
+                "n_docs": [len(ids)],
+                "is_boilerplate": [1 if len(ids) >= min_docs else 0],
+            }
+        )
+
+    return lines.groupBy("line").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

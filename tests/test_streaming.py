@@ -15,6 +15,7 @@ import datetime as dt
 import pytest
 
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from pipetree_spark.catalog import load_table
@@ -674,3 +675,58 @@ def test_streaming_warc_gz_and_path_hash_keys(spark, tmp_path):
     assert {tuple(r) for r in got.collect()} == expected
     keys = [r.doc_id for r in got.select("doc_id").collect()]
     assert len(set(keys)) == 4 and all(k is not None for k in keys)
+
+
+def test_streaming_line_flags_match_batch_criterion(spark, tmp_path):
+    """running_line_flags: the latched streaming boilerplate flags over
+    a multi-micro-batch document feed must equal the BATCH
+    distinct-doc criterion (ops.text line frequencies ≥ min_docs),
+    including a line whose two occurrences arrive in DIFFERENT
+    batches; per-line state is bounded at min_docs keys."""
+    import pipetree_spark.ops.text as TX
+
+    feed = tmp_path / "docfeed"
+    feed.mkdir()
+    schema = "doc_id long, text string"
+    batch1 = [(0, "shared footer\nalpha body"), (1, "beta body\nsplit line")]
+    batch2 = [(2, "shared footer\ngamma body"), (3, "split line\ndelta body")]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        str(feed / "b1")
+    )
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+        str(feed / "b2")
+    )
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    sdf = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed / "*"))
+    )
+    out = st.run_to_memory(
+        st.running_line_flags(sdf, chunk=None, min_docs=2),
+        spark,
+        output_mode="update",
+    ).toPandas()
+
+    # final streamed flag per line = last update row
+    finals = {}
+    for line, grp in out.groupby("line"):
+        finals[line] = int(grp["is_boilerplate"].iloc[-1])
+
+    batch_docs = spark.createDataFrame(batch1 + batch2, schema)
+    lines = TX.doc_lines(batch_docs, chunk=None)
+    want = {
+        r.line: (1 if r.ndocs >= 2 else 0)
+        for r in lines.groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .collect()
+    }
+    assert finals == want
+    # the cross-batch duplicates really latched
+    assert finals["shared footer"] == 1 and finals["split line"] == 1
+    assert finals["alpha body"] == 0
