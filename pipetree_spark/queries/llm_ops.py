@@ -5127,3 +5127,99 @@ def q_text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_before",
         (F.col("cum_before") < 5000).cast("long").alias("kept"),
     )
+
+
+@declare(
+    "q_search_rrf3",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, word
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) t
+  WHERE length(word) > 0),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM dl),
+tf AS (SELECT doc_id, COUNT(*) AS tf FROM toks WHERE word = 'spark' GROUP BY doc_id),
+dfreq AS (SELECT COUNT(*) AS df FROM tf),
+lex AS (
+  SELECT tf.doc_id,
+         round(
+           ln(1.0 + (CAST(c.n_docs - dfreq.df AS DOUBLE) + 0.5)
+                    / (CAST(dfreq.df AS DOUBLE) + 0.5))
+           * ((CAST(tf.tf AS DOUBLE) * 2.2)
+              / (CAST(tf.tf AS DOUBLE)
+                 + 1.2 * (1.0 - 0.75
+                          + 0.75 * (CAST(dl.dl AS DOUBLE) / c.avgdl)))),
+           4) + 0.0 AS score
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN dfreq CROSS JOIN corpus c),
+lex_r AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS r_lex
+  FROM (SELECT * FROM lex ORDER BY score DESC, doc_id ASC LIMIT 100)),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sem AS (
+  SELECT c.vec_id AS doc_id,
+         ROUND(
+           list_sum(list_transform(generate_series(1, 64),
+                                   i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+           / (SQRT({_SQ_SUM.format(v='qv')}) * SQRT({_SQ_SUM.format(v='cv')})),
+           4) + 0.0 AS score
+  FROM (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id != 0) c
+  CROSS JOIN q),
+sem_r AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS r_sem
+  FROM (SELECT * FROM sem ORDER BY score DESC, doc_id ASC LIMIT 100)),
+pri_r AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS r_len
+  FROM (SELECT doc_id, n_chars FROM documents
+        ORDER BY n_chars DESC, doc_id ASC LIMIT 100)),
+fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id, p.doc_id) AS doc_id,
+         l.r_lex, s.r_sem, p.r_len,
+         (COALESCE(1.0/(60 + l.r_lex), 0.0)
+            + COALESCE(1.0/(60 + s.r_sem), 0.0))
+            + COALESCE(1.0/(60 + p.r_len), 0.0) AS rrf_score
+  FROM lex_r l
+  FULL OUTER JOIN sem_r s ON l.doc_id = s.doc_id
+  FULL OUTER JOIN pri_r p ON COALESCE(l.doc_id, s.doc_id) = p.doc_id)
+SELECT doc_id, r_lex, r_sem, r_len, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS BIGINT) AS rnk
+FROM (SELECT * FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 20)
+""",
+    tags=("text", "vector", "retrieval"),
+)
+def q_search_rrf3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-list RRF — certifies the n-ary fused fold beyond the
+    pairwise case: with three lists the IEEE addition ORDER is load-
+    bearing (((lex + sem) + prior) ≠ (lex + (sem + prior)) in general),
+    so a hash match proves :func:`pipetree_spark.ops.retrieval.
+    rrf_score`'s strictly-left fold and the oracle's explicit
+    paren chain compute the same bits. Third list: a document-length
+    prior (n_chars DESC — the quality-prior slot a production stack
+    fills with a model score); the outer-join chain's COALESCE key
+    threading across three lists is also under the gate.
+
+    Scale shape: identical to q_search_rrf plus one TakeOrdered over
+    a column scan (no token work for the prior list)."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    lex = TX.bm25_scores(d, ["spark"], "text", "doc_id").select("doc_id", "score")
+    lex_r = RT.topn_ranked(lex, "score", "doc_id", n=100)
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sem_r = VX.knn_bruteforce(q, e, k=100).select(
+        F.col("vec_id").alias("doc_id"), F.col("rnk").cast("long").alias("rnk")
+    )
+    pri = d.select("doc_id", F.col("n_chars").alias("score"))
+    pri_r = RT.topn_ranked(pri, "score", "doc_id", n=100)
+    return RT.rrf_fuse(
+        [("r_lex", lex_r), ("r_sem", sem_r), ("r_len", pri_r)],
+        "doc_id",
+        k0=60,
+        topk=20,
+    )

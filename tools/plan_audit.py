@@ -44,6 +44,7 @@ UNPARTITIONED_WINDOW_OK = {
     # fit time and never appears in a downstream plan.
     "q_agg_quantile_hist": "cumulative sum over the ≤256-bucket histogram (bounded by construction)",
     "q_search_rrf": "rank windows run over ≤100-row TakeOrdered list cuts and the ≤200-row fused frame (ops/retrieval.py topn_ranked/rrf_fuse — bounded by construction)",
+    "q_search_rrf3": "rank windows run over ≤100-row TakeOrdered list cuts and the ≤300-row fused frame (ops/retrieval.py topn_ranked/rrf_fuse — bounded by construction)",
     "q_agg_ks_hist": "CDF cumulative sum over the constant 256-row bucket spine (bounded by construction)",
 }
 

@@ -114,6 +114,7 @@ QUERIES = [
     "q_dedup_lines_rm",    # r13: the removal half — + per-doc ordered rebuild
     "q_text_domain_cap",   # r13: narrow URL map + one domain-key window shuffle
     "q_search_rrf",        # r13: corpus work in the scorers; fusion is ≤200 rows flat
+    "q_search_rrf3",       # r13: three-list fold — one extra TakeOrdered column scan
     "q_text_token_budget", # r13: narrow token-count map + one source-key window
     "q_agg_hll_sliding",   # r9: day-spine x 64-register merge — register-level work
     "q_graph_sssp",        # r9: weighted Bellman-Ford, k frontier shuffles
