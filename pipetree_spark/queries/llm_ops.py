@@ -5223,3 +5223,99 @@ def q_search_rrf3(spark: SparkSession, sf_dir: str) -> DataFrame:
         k0=60,
         topk=20,
     )
+
+
+def _robots_rules() -> list[tuple[str, str, str]]:
+    """Deterministic per-domain robots rules (host, rule, prefix),
+    shared by the Spark frame and the oracle's VALUES list so the two
+    engines cannot drift. Per domain K: two 4-char disallow prefixes
+    (~1/8 of its pages), one 5-char allow EXCEPTION under the first
+    disallow (longest-match override, ~1/256), and on crawl0.test an
+    exact-length allow/disallow TIE on '/p/f' (allow must win — the
+    REP tie rule)."""
+    rules: list[tuple[str, str, str]] = []
+    for k in range(10):
+        h = f"crawl{k}.test"
+        d0, d1 = format(k, "x"), format((k + 1) % 16, "x")
+        rules.append((h, "disallow", f"/p/{d0}"))
+        rules.append((h, "disallow", f"/p/{d1}"))
+        rules.append((h, "allow", f"/p/{d0}{d0}"))
+    rules.append(("crawl0.test", "allow", "/p/f"))
+    rules.append(("crawl0.test", "disallow", "/p/f"))
+    return rules
+
+
+def _robots_values_sql() -> str:
+    return ", ".join(
+        f"('{h}', '{r}', '{p}')" for h, r, p in _robots_rules()
+    )
+
+
+@declare(
+    "q_text_robots_filter",
+    oracle="WITH " + _URL_SYNTH_CTES + r""",
+rules(host, rule, prefix) AS (VALUES """ + _robots_values_sql() + r"""),
+h AS (
+  SELECT doc_id, """ + _URL_HOST_SQL + r""" AS host,
+         regexp_extract(regexp_replace(url, '#.*$', ''),
+                        '^[A-Za-z]+://[^/?]+(/[^?]*)', 1) AS path
+  FROM u),
+m AS (
+  SELECT h.doc_id, h.host, h.path, r.rule, r.prefix,
+         row_number() OVER (
+           PARTITION BY h.doc_id
+           ORDER BY length(r.prefix) DESC, r.rule ASC, r.prefix ASC) AS rn
+  FROM h JOIN rules r
+    ON r.host = h.host AND starts_with(h.path, r.prefix))
+SELECT h.doc_id, h.host, h.path,
+       m.prefix AS matched_prefix,
+       COALESCE(m.rule, 'allow') AS verdict
+FROM h LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (doc_id)
+""",
+    tags=("text", "pipeline"),
+)
+def q_text_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-exclusion URL filtering — the politeness gate a crawl
+    pipeline applies before fetching or keeping a page: per-domain
+    allow/disallow PREFIX rules with Robots-Exclusion-Protocol
+    matching semantics — the LONGEST matching prefix decides, and on
+    an exact length tie ALLOW wins (Google's REP rule; the synthetic
+    rule set plants both cases: a 5-char allow exception under a
+    4-char disallow, and an equal-length allow/disallow pair).
+    Unmatched URLs default to allow. Messy URLs come from the shared
+    synthesizer; the rules are ONE Python constant rendered into both
+    engines, so rule drift is impossible.
+
+    Scale shape: narrow URL map, one BROADCAST join against the
+    (tiny, per-domain) rule set, one per-URL-key window over the
+    handful of matching rules — no corpus-sized shuffle. A real
+    deployment swaps the literal rules for a fetched robots corpus
+    keyed the same way."""
+    d = load_table(spark, sf_dir, "documents")
+    u = _synth_messy_urls(d.select("doc_id", "text"))
+    p = TX.url_parts("url")
+    host = F.regexp_replace(F.lower(p["host"]), r"^www\.", "")
+    h = u.select("doc_id", host.alias("host"), p["path"].alias("path"))
+    rules = spark.createDataFrame(
+        _robots_rules(), "host string, rule string, prefix string"
+    )
+    r = h.join(
+        F.broadcast(rules.withColumnRenamed("host", "r_host")),
+        (F.col("r_host") == F.col("host"))
+        & F.col("path").startswith(F.col("prefix")),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.length("prefix").desc(), F.col("rule").asc(), F.col("prefix").asc()
+    )
+    best = (
+        r.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("prefix").alias("matched_prefix"), "rule")
+    )
+    return h.join(best, "doc_id", "left").select(
+        "doc_id",
+        "host",
+        "path",
+        "matched_prefix",
+        F.coalesce("rule", F.lit("allow")).alias("verdict"),
+    )
