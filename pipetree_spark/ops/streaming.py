@@ -665,8 +665,12 @@ def running_line_flags(
     """
     from pipetree_spark.ops.text import doc_lines
 
+    # hash the doc key (any type → long) rather than cast it: a string
+    # crawl id would cast to NULL and crash update() with an opaque
+    # PythonException; xxhash64 keeps distinct-count semantics for any
+    # key type (collision odds 2^-64 per pair)
     lines = doc_lines(docs, text_col, key_col, chunk=chunk).select(
-        F.col(key_col).cast("long").alias("__k"), "line"
+        F.xxhash64(key_col).alias("__k"), "line"
     )
     out_schema = T.StructType(
         [

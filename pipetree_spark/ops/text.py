@@ -29,6 +29,17 @@ def tokens(text: Column | str) -> Column:
     return F.split(c, " ")
 
 
+def word_count(text: Column | str) -> Column:
+    """Filtered whitespace word count — THE shared token-count
+    definition of the line-dedup / token-budget family: empty strings
+    from runs of spaces never count (contrast the raw
+    ``F.size(tokens(...))`` used where the corpus is known
+    single-spaced). Oracle twin:
+    ``len(list_filter(string_split(x, ' '), w -> length(w) > 0))``."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.filter(F.split(c, " "), lambda x: F.length(x) > 0))
+
+
 def normalized_text(text: Column | str) -> Column:
     """Canonical form for exact dedup: lowercase, trimmed, whitespace
     collapsed."""
@@ -2026,7 +2037,8 @@ def bm25_scores(
     Scale shape (r13 restructure — the q_search_rrf 10× stress showed
     the original's THREE corpus explode passes dominating): ONE token
     explode collapses map-side into a per-doc stats frame
-    (dl + a tf column per query term), eagerly localCheckpointed —
+    (dl + a tf column per query term), lazily localCheckpointed
+    (materialized once on the first action; plan audits stay free) —
     the same |docs|-row-state trade the ANN fit paths make, and the
     natural "document statistics" intermediate a retrieval engine
     materializes anyway. Corpus totals and per-term df derive from
@@ -2037,12 +2049,23 @@ def bm25_scores(
     from pipetree_spark.exact import pin_zero
 
     # dedupe (order-preserving): a repeated term must not double its
-    # (doc, term) rows; empty list → empty frame, not an IndexError
+    # (doc, term) rows; empty list → empty frame, not an IndexError —
+    # with the key field typed from the INPUT so the degenerate branch
+    # stays union/join-compatible with the scored one
     terms = list(dict.fromkeys(terms))
     if not terms:
-        return df.sparkSession.createDataFrame(
-            [], f"{key_col} long, term string, tf long, dl long, score double"
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField(key_col, df.schema[key_col].dataType),
+                T.StructField("term", T.StringType()),
+                T.StructField("tf", T.LongType()),
+                T.StructField("dl", T.LongType()),
+                T.StructField("score", T.DoubleType()),
+            ]
         )
+        return df.sparkSession.createDataFrame([], schema)
     toks = df.select(
         F.col(key_col), F.explode(tokens(text_col)).alias("word")
     ).where(F.length("word") > 0)
@@ -2435,9 +2458,7 @@ def doc_lines(
         # filter empties so runs of spaces inside a REAL line never
         # count as words (chunk-mode lines are single-spaced by
         # construction, so the certified values are unaffected)
-        F.size(
-            F.filter(F.split(F.col("line"), " "), lambda x: F.length(x) > 0)
-        ).cast("long").alias("n_words"),
+        word_count("line").cast("long").alias("n_words"),
     )
 
 

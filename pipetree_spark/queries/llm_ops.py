@@ -5104,9 +5104,7 @@ def q_text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select(
         "doc_id",
         "source",
-        F.size(
-            F.filter(F.split(F.col("text"), " "), lambda x: F.length(x) > 0)
-        ).cast("long").alias("n_tokens"),
+        TX.word_count("text").cast("long").alias("n_tokens"),
         F.md5(F.concat(F.lit("budget:"), F.col("doc_id").cast("string"))).alias("h"),
     )
     w = (

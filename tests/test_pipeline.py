@@ -1000,6 +1000,7 @@ def test_hybrid_search_example_spec_runs_and_caches(spark, sf_small, tmp_path):
         .read_text()
     )
     spec["stages"]["documents"]["sf_dir"] = sf_small
+    spec["stages"]["embeddings"]["sf_dir"] = sf_small
     cache = ArtifactCache(str(tmp_path))
     p1 = Pipeline.from_spec(copy.deepcopy(spec))
     out = p1.run(spark, cache=cache)

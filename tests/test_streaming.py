@@ -714,9 +714,11 @@ def test_streaming_line_flags_match_batch_criterion(spark, tmp_path):
     ).toPandas()
 
     # final streamed flag per line = last update row
+    # the flag is latch-monotone (0 then 1), so max() is the final
+    # state regardless of collected row order
     finals = {}
     for line, grp in out.groupby("line"):
-        finals[line] = int(grp["is_boilerplate"].iloc[-1])
+        finals[line] = int(grp["is_boilerplate"].max())
 
     batch_docs = spark.createDataFrame(batch1 + batch2, schema)
     lines = TX.doc_lines(batch_docs, chunk=None)
