@@ -2567,3 +2567,62 @@ def line_dedup_strip(
         F.coalesce("n_kept_lines", F.lit(0)).cast("long").alias("n_kept_lines"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+def nfc_stage(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode NFC normalization as ONE Arrow-batched mapInPandas
+    stage — the canonicalization step every text-curation pipeline
+    runs before hashing/dedup (the same logical string arrives from
+    the web in composed and decomposed forms; un-normalized, exact
+    dedup misses byte-different equal strings). Python's
+    ``unicodedata.normalize('NFC', ·)`` implements the same Unicode
+    canonical composition as DuckDB's native ``nfc_normalize``, so
+    the stage is hash-certifiable cross-engine (q_text_nfc), unusual
+    for a Python-UDF-tier op.
+
+    Emits (key, nfc, changed 0/1, n_chars_before, n_chars_after) —
+    char counts are code points on both engines. NULL text passes
+    through as NULL with changed=0.
+
+    Scale shape: a narrow per-row Arrow map, zero shuffles; at 100 TB
+    it pipelines inside the scan stage like the other mapInPandas
+    text stages."""
+    import pandas as pd
+    import unicodedata
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, df.schema[key_col].dataType),
+            T.StructField("nfc", T.StringType()),
+            T.StructField("changed", T.LongType()),
+            T.StructField("n_chars_before", T.LongType()),
+            T.StructField("n_chars_after", T.LongType()),
+        ]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            src = pdf[text_col]
+            nfc = src.map(
+                lambda s: unicodedata.normalize("NFC", s)
+                if s is not None
+                else None
+            )
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col],
+                    "nfc": nfc,
+                    "changed": [
+                        0 if a is None else int(a != b)
+                        for a, b in zip(src, nfc)
+                    ],
+                    "n_chars_before": src.str.len().astype("Int64"),
+                    "n_chars_after": nfc.str.len().astype("Int64"),
+                }
+            )
+
+    return df.select(key_col, text_col).mapInPandas(fn, out_schema)

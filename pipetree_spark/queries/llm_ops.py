@@ -5317,3 +5317,53 @@ def q_text_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "matched_prefix",
         F.coalesce("rule", F.lit("allow")).alias("verdict"),
     )
+
+
+@declare(
+    "q_text_nfc",
+    oracle=r"""
+WITH src AS (
+  SELECT doc_id,
+         substr(text, 1, 6) || 'e' || chr(769) ||
+         (CASE WHEN doc_id % 3 = 0 THEN 'A' || chr(778)
+               WHEN doc_id % 3 = 1 THEN chr(233)
+               ELSE 'o' END) ||
+         substr(text, 8, 6) AS s
+  FROM documents)
+SELECT doc_id,
+       nfc_normalize(s) AS nfc,
+       CAST(CASE WHEN s != nfc_normalize(s) THEN 1 ELSE 0 END AS BIGINT)
+         AS changed,
+       CAST(length(s) AS BIGINT) AS n_chars_before,
+       CAST(length(nfc_normalize(s)) AS BIGINT) AS n_chars_after
+FROM src
+""",
+    tags=("text", "pipeline", "udf"),
+)
+def q_text_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization under the driver hash
+    (ops.text.nfc_stage) — a Python-UDF-tier stage that is still
+    hash-certifiable because Python's unicodedata and DuckDB's
+    nfc_normalize implement the same Unicode canonical composition.
+    Messy input is synthesized identically on both engines: every doc
+    gets a DECOMPOSED 'e'+U+0301 (must compose to é, shrinking the
+    char count), a third get decomposed 'A'+U+030A (→ Å), a third a
+    precomposed é (already NFC — must pass through byte-identical with
+    changed=0 contributing), a third plain ASCII. Certifies the Arrow
+    round-trip preserves non-ASCII code points exactly and the
+    changed/char-count accounting on composed, decomposed, and ASCII
+    rows at once.
+
+    Scale shape: one narrow Arrow map over (key, text) — zero
+    shuffles; ~the scan cost."""
+    d = load_table(spark, sf_dir, "documents")
+    s = F.concat(
+        F.substring("text", 1, 6),
+        F.lit("e\u0301"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("A\u030a"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("\u00e9"))
+        .otherwise(F.lit("o")),
+        F.substring("text", 8, 6),
+    )
+    src = d.select("doc_id", s.alias("text"))
+    return TX.nfc_stage(src, "text", "doc_id")

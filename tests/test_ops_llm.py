@@ -3808,3 +3808,24 @@ def test_rrf_fuse_honors_rank_col(spark):
     ra = RT.topn_ranked(a, "s", "k", n=5, rank_col="position")
     out = RT.rrf_fuse([("r_a", ra)], "k", rank_col="position").collect()
     assert out[0].position == 1 and out[0].r_a == 1
+
+
+def test_nfc_stage_composes_decomposed_and_passes_ascii(spark):
+    """nfc_stage: decomposed sequences compose (char count shrinks,
+    changed=1), already-NFC text passes through unchanged, NULL stays
+    NULL with changed=0."""
+    d = spark.createDataFrame(
+        [
+            (0, "caf" + "é"),   # decomposed -> café (5 -> 4 chars)
+            (1, "café"),          # precomposed, already NFC
+            (2, "plain"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in TX.nfc_stage(d).collect()}
+    assert out[0].nfc == "caf\u00e9"
+    assert (out[0].changed, out[0].n_chars_before, out[0].n_chars_after) == (1, 5, 4)
+    assert (out[1].changed, out[1].nfc) == (0, "caf\u00e9")
+    assert (out[2].changed, out[2].nfc) == (0, "plain")
+    assert out[3].nfc is None and out[3].changed == 0
