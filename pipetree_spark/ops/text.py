@@ -2626,3 +2626,61 @@ def nfc_stage(
             )
 
     return df.select(key_col, text_col).mapInPandas(fn, out_schema)
+
+
+def compression_ratio_stage(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Compression-ratio quality signal — the classic repetitiveness
+    heuristic (Gopher / RefinedWeb lineage): highly repetitive or
+    boilerplate text compresses far below normal prose, and
+    high-entropy noise barely compresses, so the DEFLATE ratio is a
+    cheap two-sided quality feature. One Arrow mapInPandas map; zlib
+    at a FIXED level so the bytes are deterministic for a given zlib
+    build (pytest pins the planted orderings; no SQL oracle exists —
+    DuckDB has no compressor — so this op is pytest-tier by design,
+    like the streaming twins).
+
+    Emits (key, n_bytes_raw, n_bytes_gz, ratio_permille) — all int64
+    (compressed·1000 div raw, floor; 0 raw bytes → ratio 0 so empty
+    docs sort as maximally compressible, never divide-by-zero).
+
+    Scale shape: narrow per-row map, zero shuffles, pipelines in the
+    scan like the other mapInPandas text stages."""
+    import zlib
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, df.schema[key_col].dataType),
+            T.StructField("n_bytes_raw", T.LongType()),
+            T.StructField("n_bytes_gz", T.LongType()),
+            T.StructField("ratio_permille", T.LongType()),
+        ]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            raws, gzs, ratios = [], [], []
+            for s in pdf[text_col]:
+                b = (s or "").encode("utf-8")
+                gz = len(zlib.compress(b, level)) if b else 0
+                raws.append(len(b))
+                gzs.append(gz)
+                ratios.append(gz * 1000 // len(b) if b else 0)
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col],
+                    "n_bytes_raw": raws,
+                    "n_bytes_gz": gzs,
+                    "ratio_permille": ratios,
+                }
+            )
+
+    return df.select(key_col, text_col).mapInPandas(fn, out_schema)

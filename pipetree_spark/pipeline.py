@@ -411,6 +411,7 @@ def _op_registry() -> dict[str, tuple[Callable, int]]:
         "line_dedup_stats": (TX.line_dedup_stats, 1),
         "line_dedup_strip": (TX.line_dedup_strip, 1),
         "nfc_normalize": (TX.nfc_stage, 1),
+        "compression_ratio": (TX.compression_ratio_stage, 1),
         "topn_ranked": (RT.topn_ranked, 1),
         "rrf_fuse2": (
             lambda a, b, key_col="doc_id", name_a="r_a", name_b="r_b", **kw:

@@ -3829,3 +3829,30 @@ def test_nfc_stage_composes_decomposed_and_passes_ascii(spark):
     assert (out[1].changed, out[1].nfc) == (0, "caf\u00e9")
     assert (out[2].changed, out[2].nfc) == (0, "plain")
     assert out[3].nfc is None and out[3].changed == 0
+
+
+def test_compression_ratio_orders_repetitive_below_prose_below_noise(spark):
+    """The DEFLATE quality signal must order: repetitive boilerplate
+    << normal prose << high-entropy noise; empty/None rows emit zeros
+    and never divide-by-zero."""
+    import random
+
+    rng = random.Random(7)
+    noise = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(400))
+    prose = (
+        "the quick brown fox jumps over the lazy dog while spark "
+        "aggregates partitions and the window ranks every customer "
+        "order by revenue within each market segment carefully "
+    ) * 3
+    rep = "spam " * 120
+    d = spark.createDataFrame(
+        [(0, rep), (1, prose), (2, noise), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in TX.compression_ratio_stage(d).collect()}
+    assert out[0].ratio_permille < out[1].ratio_permille < out[2].ratio_permille
+    assert out[0].ratio_permille < 100          # 'spam '*120 collapses
+    assert out[2].ratio_permille > 600          # noise barely compresses
+    for k in (3, 4):
+        assert (out[k].n_bytes_raw, out[k].n_bytes_gz, out[k].ratio_permille) == (0, 0, 0)
+    assert out[1].n_bytes_raw == len(prose.encode())
