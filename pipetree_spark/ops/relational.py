@@ -255,3 +255,45 @@ def incremental_join_delta(
         .unionByName(a_old.join(b_delta, on))
         .unionByName(a_delta.join(b_delta, on))
     )
+
+
+def sized_repartition(
+    df: DataFrame,
+    tmp_dir: str,
+    target_bytes: int = 256 << 20,
+    sample_rows: int = 2000,
+    min_partitions: int = 1,
+) -> DataFrame:
+    """Repartition so a parquet sink lands files NEAR ``target_bytes``
+    each — the output-sizing step every production writer runs: too
+    many small files strangle the downstream scan's task scheduling
+    and the object store's listing; too few starve parallelism.
+
+    Bytes-per-row is measured, not guessed: a ``sample_rows`` head is
+    written as real parquet under ``tmp_dir`` (same codec/encoding as
+    the eventual sink — in-memory size estimates overshoot parquet by
+    whatever the encoder saves), scaled by an exact count, rounded up.
+    Cost: one tiny sample write + one count pass — both trivial next
+    to the sink itself. The result uses round-robin repartition(n)
+    (even sizes, no key skew); callers that need pruning or bucketing
+    should use the cache layer's partition_by/bucket_by sinks instead
+    — this op is for the "just give me ~256 MB shards" export."""
+    import math
+    import uuid
+    from pathlib import Path
+
+    n_rows = df.count()
+    if n_rows == 0:
+        return df.repartition(min_partitions)
+    sample_path = str(Path(tmp_dir) / f"__size_probe_{uuid.uuid4().hex}")
+    sample = df.limit(min(sample_rows, n_rows))
+    sample.write.mode("overwrite").parquet(sample_path)
+    sampled = max(sample.count(), 1)
+    probe_bytes = sum(
+        f.stat().st_size
+        for f in Path(sample_path).rglob("*.parquet")
+        if f.is_file()
+    )
+    bytes_per_row = max(probe_bytes / sampled, 1e-6)
+    n = max(min_partitions, math.ceil(n_rows * bytes_per_row / target_bytes))
+    return df.repartition(n)

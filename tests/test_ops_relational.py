@@ -372,3 +372,35 @@ def test_asof_join_tolerance_bounds_the_match_window(spark):
         for r in asof_join(left, right, ["k"], "t", "rt", "lk").collect()
     }
     assert bwd_all == {1: 10, 2: 11}
+
+
+def test_sized_repartition_hits_target_file_sizes(spark, tmp_path):
+    """sized_repartition: the measured-sample sizing must produce
+    multiple near-target files for a frame much larger than the
+    target, and a single partition for a tiny frame."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from pipetree_spark.ops.relational import sized_repartition
+
+    df = spark.range(20000).select(
+        "id", F.sha2(F.col("id").cast("string"), 256).alias("payload")
+    )
+    out = sized_repartition(
+        df, str(tmp_path), target_bytes=64 << 10, sample_rows=2000
+    )
+    n = out.rdd.getNumPartitions()
+    assert n > 1
+    dest = tmp_path / "sized_out"
+    out.write.parquet(str(dest))
+    files = [f for f in Path(dest).rglob("*.parquet") if f.is_file()]
+    assert len(files) == n
+    sizes = [f.stat().st_size for f in files]
+    # loose band: parquet metadata overhead + compression variance
+    assert all(8 << 10 < s < 5 * (64 << 10) for s in sizes), sizes
+
+    tiny = sized_repartition(
+        spark.range(5), str(tmp_path), target_bytes=64 << 10
+    )
+    assert tiny.rdd.getNumPartitions() == 1
