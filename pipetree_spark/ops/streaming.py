@@ -13,6 +13,7 @@ checkpoint dirs go on durable storage in production (config, not code).
 
 from __future__ import annotations
 
+import itertools
 import uuid
 from collections.abc import Iterator
 
@@ -660,6 +661,15 @@ def running_line_flags(
     criterion over the same documents (tests/test_streaming.py replays
     multi-batch feeds against ops.text's distinct-doc counts).
 
+    Grouping key is ``xxhash64(line)``, the batch halves' r14 re-plan
+    mirrored into the state store: the shuffle and every state-store
+    lookup compare an 8-byte long, not an arbitrarily long boilerplate
+    string (the line string rides in the row payload and is emitted
+    from the first arriving row). Once latched, update() early-returns
+    after peeking that one row — no per-row Python over the remaining
+    chunks and no redundant state.update() for exactly the
+    highest-volume groups (r13 ADVICE).
+
     Output mode update: one (line, n_docs, is_boilerplate) row per
     touched line per micro-batch; n_docs saturates at ``min_docs``.
     """
@@ -670,7 +680,9 @@ def running_line_flags(
     # PythonException; xxhash64 keeps distinct-count semantics for any
     # key type (collision odds 2^-64 per pair)
     lines = doc_lines(docs, text_col, key_col, chunk=chunk).select(
-        F.xxhash64(key_col).alias("__k"), "line"
+        F.xxhash64(key_col).alias("__k"),
+        F.xxhash64("line").alias("__line_h"),
+        "line",
     )
     out_schema = T.StructType(
         [
@@ -687,23 +699,27 @@ def running_line_flags(
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         ids = list(state.get[0]) if state.exists else []
-        for pdf in batches:
-            for v in pdf["__k"]:
-                if len(ids) >= min_docs:
-                    break  # latched: distinct count can only stay >= min_docs
-                v = int(v)
-                if v not in ids:
-                    ids.append(v)
-        state.update((ids,))
+        first = next(batches)  # ≥1 chunk: update() fires only on data
+        line = first["line"].iloc[0]
+        latched = len(ids) >= min_docs
+        if not latched:
+            for pdf in itertools.chain((first,), batches):
+                for v in pdf["__k"]:
+                    if len(ids) >= min_docs:
+                        break  # latched: count can only stay >= min_docs
+                    v = int(v)
+                    if v not in ids:
+                        ids.append(v)
+            state.update((ids,))
         yield pd.DataFrame(
             {
-                "line": [key[0]],
+                "line": [line],
                 "n_docs": [len(ids)],
                 "is_boilerplate": [1 if len(ids) >= min_docs else 0],
             }
         )
 
-    return lines.groupBy("line").applyInPandasWithState(
+    return lines.groupBy("__line_h").applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,
