@@ -263,37 +263,78 @@ def sized_repartition(
     target_bytes: int = 256 << 20,
     sample_rows: int = 2000,
     min_partitions: int = 1,
+    precomputed_rows: int | None = None,
+    seed: int = 7,
 ) -> DataFrame:
     """Repartition so a parquet sink lands files NEAR ``target_bytes``
     each — the output-sizing step every production writer runs: too
     many small files strangle the downstream scan's task scheduling
     and the object store's listing; too few starve parallelism.
 
-    Bytes-per-row is measured, not guessed: a ``sample_rows`` head is
+    Bytes-per-row is measured, not guessed: a seeded ``df.sample``
+    of ~``sample_rows`` rows (not a head-of-frame limit — on
+    size-sorted data a head systematically biases bytes/row) is
     written as real parquet under ``tmp_dir`` (same codec/encoding as
     the eventual sink — in-memory size estimates overshoot parquet by
-    whatever the encoder saves), scaled by an exact count, rounded up.
-    Cost: one tiny sample write + one count pass — both trivial next
-    to the sink itself. The result uses round-robin repartition(n)
-    (even sizes, no key skew); callers that need pruning or bucketing
-    should use the cache layer's partition_by/bucket_by sinks instead
-    — this op is for the "just give me ~256 MB shards" export."""
+    whatever the encoder saves), sized via the Hadoop FileSystem API
+    (works on HDFS/S3A/local alike — a driver-local directory walk
+    would silently find nothing on a remote filesystem), scaled by an
+    exact count, rounded up. The probe directory is deleted in a
+    finally block; finding ZERO probe bytes raises instead of
+    clamping (a silent clamp would land the frame as
+    ``min_partitions`` giant files — the exact failure this op
+    exists to prevent).
+
+    Cost: one count pass (skipped when the caller passes
+    ``precomputed_rows``), one ~``sample_rows``-row probe write, and
+    the caller's eventual sink — up to three evaluations of the
+    input DAG. For a long upstream pipeline, ``df.persist()`` before
+    calling (and unpersist after the sink) or pass
+    ``precomputed_rows`` from a count the caller already paid for.
+
+    The result uses round-robin repartition(n) (even sizes, no key
+    skew); callers that need pruning or bucketing should use the
+    cache layer's partition_by/bucket_by sinks instead — this op is
+    for the "just give me ~256 MB shards" export."""
     import math
     import uuid
-    from pathlib import Path
 
-    n_rows = df.count()
+    n_rows = df.count() if precomputed_rows is None else int(precomputed_rows)
     if n_rows == 0:
         return df.repartition(min_partitions)
-    sample_path = str(Path(tmp_dir) / f"__size_probe_{uuid.uuid4().hex}")
-    sample = df.limit(min(sample_rows, n_rows))
+    spark = df.sparkSession
+    sample_path = f"{tmp_dir.rstrip('/')}/__size_probe_{uuid.uuid4().hex}"
+    if n_rows <= sample_rows:
+        sample = df
+    else:
+        # seeded Bernoulli sample, slightly over-drawn so the probe is
+        # ~sample_rows in expectation without a second pruning pass
+        sample = df.sample(min(1.0, 1.1 * sample_rows / n_rows), seed=seed)
     sample.write.mode("overwrite").parquet(sample_path)
-    sampled = max(sample.count(), 1)
-    probe_bytes = sum(
-        f.stat().st_size
-        for f in Path(sample_path).rglob("*.parquet")
-        if f.is_file()
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(sample_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    try:
+        probe_bytes, sampled = 0, 0
+        files = fs.listFiles(jpath, True)
+        while files.hasNext():
+            f = files.next()
+            if f.getPath().getName().endswith(".parquet"):
+                probe_bytes += f.getLen()
+        if probe_bytes > 0:
+            # exact sampled count from the tiny probe's own footers —
+            # never re-runs the upstream DAG
+            sampled = spark.read.parquet(sample_path).count()
+        if probe_bytes <= 0 or sampled <= 0:
+            raise RuntimeError(
+                f"sized_repartition: size probe at {sample_path} produced "
+                f"{probe_bytes} parquet bytes / {sampled} rows — cannot "
+                "measure bytes-per-row (wrong filesystem? empty sample?); "
+                "refusing to guess an output partitioning"
+            )
+    finally:
+        fs.delete(jpath, True)
+    n = max(
+        min_partitions, math.ceil(n_rows * (probe_bytes / sampled) / target_bytes)
     )
-    bytes_per_row = max(probe_bytes / sampled, 1e-6)
-    n = max(min_partitions, math.ceil(n_rows * bytes_per_row / target_bytes))
     return df.repartition(n)

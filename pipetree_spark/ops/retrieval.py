@@ -59,12 +59,9 @@ def rrf_score(rank_cols: list[Column | str], k0: int = 60) -> Column:
     same chain matches bitwise. A NULL rank (key absent from that
     list) contributes exactly 0.0 — the standard RRF treatment of
     beyond-top-k documents."""
+    ranks = [F.col(c) if isinstance(c, str) else c for c in rank_cols]
     terms = [
-        F.coalesce(
-            F.lit(1.0) / (F.lit(k0) + F.col(c) if isinstance(c, str) else F.lit(k0) + c),
-            F.lit(0.0),
-        )
-        for c in rank_cols
+        F.coalesce(F.lit(1.0) / (F.lit(k0) + r), F.lit(0.0)) for r in ranks
     ]
     acc = terms[0]
     for t in terms[1:]:
@@ -97,6 +94,13 @@ def rrf_fuse(
     Scale: inputs are ≤n-row lists by construction, so the outer join
     and final window are constant-size regardless of corpus scale.
     """
+    reserved = {"rrf_score", rank_col, key_col}
+    clashes = [n for n, _ in rankings if n in reserved]
+    assert not clashes, (
+        f"rrf_fuse: output rank name(s) {clashes} collide with "
+        f"rank_col/key_col/'rrf_score' — the fused columns would "
+        "silently shadow them"
+    )
     fused: DataFrame | None = None
     names: list[str] = []
     for name, r in rankings:

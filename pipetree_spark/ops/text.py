@@ -2017,6 +2017,7 @@ def bm25_scores(
     key_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    state_sink: list | None = None,
 ) -> DataFrame:
     """Okapi BM25 relevance of each document for each query term — the
     text-retrieval scorer beside TF-IDF (r11 verdict item 8):
@@ -2045,7 +2046,20 @@ def bm25_scores(
     the checkpointed frame in one tiny agg; per-term scoring re-reads
     checkpoint state (never the corpus) and needs NO key join at all
     — dl already sits beside tf. Returns (key, term, tf, dl, score),
-    one row per (doc, term) with tf > 0."""
+    one row per (doc, term) with tf > 0.
+
+    Cache contract (r13 ADVICE): each call pins ONE |docs|-row
+    checkpoint RDD on the executors for the session's lifetime —
+    repeated calls (bench reps, multi-list RRF specs) accumulate one
+    per call. A caller that scores many term lists over the SAME
+    corpus should make one call with the union of terms, or pass
+    ``state_sink=[]`` and ``sink.pop().unpersist()`` after its
+    terminal action. Plan width is one agg column + one union branch
+    per term — fine at retrieval-query arity (≤ ~32 terms); beyond
+    that a (doc, word) join plan beats column fan-out, and this fn
+    warns."""
+    import warnings
+
     from pipetree_spark.exact import pin_zero
 
     # dedupe (order-preserving): a repeated term must not double its
@@ -2053,6 +2067,13 @@ def bm25_scores(
     # with the key field typed from the INPUT so the degenerate branch
     # stays union/join-compatible with the scored one
     terms = list(dict.fromkeys(terms))
+    if len(terms) > 32:
+        warnings.warn(
+            f"bm25_scores: {len(terms)} terms fan out {len(terms)} agg "
+            "columns + union branches; above ~32 terms a (doc, word) "
+            "join plan is the better shape",
+            stacklevel=2,
+        )
     if not terms:
         from pyspark.sql import types as T
 
@@ -2079,6 +2100,8 @@ def bm25_scores(
             for i, t in enumerate(terms)
         ],
     ).localCheckpoint(eager=False)
+    if state_sink is not None:
+        state_sink.append(docstats)
     model = docstats.agg(
         F.count("*").alias("n_docs"),
         F.sum("dl").alias("sum_dl"),

@@ -418,6 +418,10 @@ def _op_registry() -> dict[str, tuple[Callable, int]]:
                 RT.rrf_fuse([(name_a, a), (name_b, b)], key_col, **kw),
             2,
         ),
+        # r14: output-sizing export step (measured bytes/row probe);
+        # tmp_dir/target_bytes/sample_rows are spec-able scalars and
+        # enter the content key like every other kwarg
+        "sized_repartition": (RL.sized_repartition, 1),
     }
 
 

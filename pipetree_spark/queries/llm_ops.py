@@ -5324,7 +5324,8 @@ def q_text_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 WITH src AS (
   SELECT doc_id,
-         substr(text, 1, 6) || 'e' || chr(769) ||
+         substr(text, 1, 6) ||
+         (CASE WHEN doc_id % 3 = 1 THEN 'e' ELSE 'e' || chr(769) END) ||
          (CASE WHEN doc_id % 3 = 0 THEN 'A' || chr(778)
                WHEN doc_id % 3 = 1 THEN chr(233)
                ELSE 'o' END) ||
@@ -5345,12 +5346,13 @@ def q_text_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ops.text.nfc_stage) — a Python-UDF-tier stage that is still
     hash-certifiable because Python's unicodedata and DuckDB's
     nfc_normalize implement the same Unicode canonical composition.
-    Messy input is synthesized identically on both engines: every doc
-    gets a DECOMPOSED 'e'+U+0301 (must compose to é, shrinking the
-    char count), a third get decomposed 'A'+U+030A (→ Å), a third a
-    precomposed é (already NFC — must pass through byte-identical with
-    changed=0 contributing), a third plain ASCII. Certifies the Arrow
-    round-trip preserves non-ASCII code points exactly and the
+    Messy input is synthesized identically on both engines: two
+    thirds of docs get a DECOMPOSED 'e'+U+0301 (must compose to é,
+    shrinking the char count), of which half also get decomposed
+    'A'+U+030A (→ Å); the remaining third gets ONLY precomposed
+    é (already NFC — passes through byte-identical, so genuine
+    changed=0 rows sit under the hash, r13 ADVICE). Certifies the
+    Arrow round-trip preserves non-ASCII code points exactly and the
     changed/char-count accounting on composed, decomposed, and ASCII
     rows at once.
 
@@ -5359,7 +5361,9 @@ def q_text_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     s = F.concat(
         F.substring("text", 1, 6),
-        F.lit("e\u0301"),
+        F.when(F.col("doc_id") % 3 == 1, F.lit("e")).otherwise(
+            F.lit("e\u0301")
+        ),
         F.when(F.col("doc_id") % 3 == 0, F.lit("A\u030a"))
         .when(F.col("doc_id") % 3 == 1, F.lit("\u00e9"))
         .otherwise(F.lit("o")),

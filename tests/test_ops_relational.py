@@ -404,3 +404,37 @@ def test_sized_repartition_hits_target_file_sizes(spark, tmp_path):
         spark.range(5), str(tmp_path), target_bytes=64 << 10
     )
     assert tiny.rdd.getNumPartitions() == 1
+
+    # r14 hardening: the size-probe directory must be cleaned up
+    # (previously leaked one __size_probe_* dir per call)
+    assert not list(Path(tmp_path).glob("__size_probe_*"))
+
+
+def test_sized_repartition_precomputed_rows_and_registry(spark, tmp_path):
+    """r14: precomputed_rows skips the input count (a caller that
+    already paid for a count must not re-evaluate a long pipeline),
+    and the op is JSON-spec-declarable through the registry."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from pipetree_spark.ops.relational import sized_repartition
+    from pipetree_spark.pipeline import _op_registry
+
+    df = spark.range(20000).select(
+        "id", F.sha2(F.col("id").cast("string"), 256).alias("payload")
+    )
+    out = sized_repartition(
+        df,
+        str(tmp_path),
+        target_bytes=64 << 10,
+        sample_rows=2000,
+        precomputed_rows=20000,
+    )
+    assert out.rdd.getNumPartitions() > 1
+    assert not list(Path(tmp_path).glob("__size_probe_*"))
+
+    fn, arity = _op_registry()["sized_repartition"]
+    assert arity == 1
+    spec_out = fn(df, str(tmp_path), target_bytes=64 << 10)
+    assert spec_out.rdd.getNumPartitions() > 1
