@@ -84,30 +84,24 @@ WINDOW = 50  # observed driver cut, constant across r1–r7
 #: fingerprint/EXIF/WARC stages, and unigram_train's max_vocab kwarg
 #: (default None = certified path unchanged; the collapse now calls
 #: the shared ops.text.bpe_word_freqs with max_word_len).
+#: r14 note: all 18 r13 entries graded green in CORRECTNESS_r13, so
+#: they drop off per the standing rule. The r14 entries are the
+#: queries whose op code or oracle changed this round: the line-dedup
+#: join-back re-plan (xxhash64 keys + boilerplate-only filtered LEFT
+#: join — oracle text unchanged, values unchanged, plan changed), the
+#: q_text_nfc synth change (one residue class now omits the
+#: decomposed insert so changed=0 rows sit under the hash — VALUES
+#: changed on both engines), the rrf_score expression normalization
+#: (same arithmetic, rebuilt column tree), and bm25_scores' new
+#: state_sink/warn surface (default path unchanged). All re-passed
+#: sf0.001 + sf0.01 + vanilla parity locally this round.
 RECONFIRM: tuple[str, ...] = (
-    "q_text_url_canon",     # r13: scheme-dependent port strip, new synth case
-    "q_src_warc",           # r13: charset-aware body decode + latin-1 headers
-    "q_src_warc_gz",        # r13: charset-aware body decode + latin-1 headers
-    "q_pipe_crawl_e2e",     # r13: charset-aware body decode + latin-1 headers
-    "q_mm_exif_extract",    # r13: key_col-threaded output schema
-    "q_mm_phash_dedup",     # r13: key_col-threaded output schema
-    "q_mm_audiofp_dedup",   # r13: key_col-threaded output schema
-    "q_mm_vidhash_dedup",   # r13: key_col-threaded output schema
-    "q_text_unigram_train", # r13: max_vocab cap (default = exact path)
-    # r13 second review wave: the remaining key_col stages re-schema'd
-    # (_keyed_schema on all 13 stages) — every certified consumer below
-    "q_mm_png_roundtrip",
-    "q_mm_wav_roundtrip",
-    "q_mm_gif_roundtrip",
-    "q_mm_flac_roundtrip",
-    "q_mm_avi_framesample",
-    "q_mm_corrupt_triage",
-    "q_mm_resize",
-    "q_mm_audio_downsample",
-    # r13 second wave: bm25_scores re-planned (one checkpointed
-    # docstats pass instead of three corpus explodes — SCALING r13;
-    # arithmetic unchanged, re-passed sf0.01 + vanilla locally)
-    "q_text_bm25",
+    "q_dedup_lines",        # r14: hash-keyed, filtered-left join-back
+    "q_dedup_lines_rm",     # r14: hash-keyed, filtered-left join-back
+    "q_text_nfc",           # r14: changed=0 residue class (values changed)
+    "q_search_rrf",         # r14: rrf_score normalized rank columns
+    "q_search_rrf3",        # r14: rrf_score normalized rank columns
+    "q_text_bm25",          # r14: state_sink surface (default unchanged)
 )
 
 

@@ -5371,3 +5371,102 @@ def q_text_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = d.select("doc_id", s.alias("text"))
     return TX.nfc_stage(src, "text", "doc_id")
+
+
+#: Planted whitespace-free-script snippets for the CJK segmentation
+#: query — ONE constant rendered into BOTH engines (the shared
+#:  synthetic-input rule): Chinese hanzi, Japanese kanji+katakana,
+#: Korean hangul, Thai, and a pure-Latin control class.
+_CJK_SYNTH: tuple[str, ...] = (
+    "数据管道加速",          # zh: hanzi run
+    "高速処理エンジン",  # ja: kanji+katakana
+    "데이터엔진",                # ko: hangul run
+    "ภาษาไทย",    # th: thai run
+    "",                                              # Latin-only control
+)
+
+_CJK_CASE_SQL = (
+    "(CASE doc_id % 5 "
+    + " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_CJK_SYNTH) if s
+    )
+    + " ELSE '' END)"
+)
+
+
+@declare(
+    "q_text_cjk_segment",
+    oracle=f"""
+WITH src AS (
+  SELECT doc_id,
+         substr(text, 1, 12) || ' ' || {_CJK_CASE_SQL}
+           || ' ' || substr(text, 14, 10) AS s
+  FROM documents),
+seg AS (
+  SELECT doc_id, s,
+         list_filter(string_split({TX.segment_text_sql("s", "cjk_chars")}, ' '),
+                     x -> length(x) > 0) AS units
+  FROM src)
+SELECT doc_id,
+       CAST(len(list_filter(string_split(s, ' '), x -> length(x) > 0))
+            AS BIGINT) AS n_words_ws,
+       CAST(len(units) AS BIGINT) AS n_units,
+       CAST(GREATEST(len(units) - 1, 0) AS BIGINT) AS n_bigrams,
+       (CASE WHEN len(units) >= 5 THEN units[5] ELSE '' END) AS unit5
+FROM seg
+""",
+    tags=("text",),
+)
+def q_text_cjk_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-free-language (CJK/Thai) tokenization under the
+    driver hash (ops.text.segment_text — r13 verdict item 2, the
+    largest honest semantic gap): a mixed corpus is planted
+    identically on both engines (Latin from the documents table with
+    a hanzi / kanji+katakana / hangul / thai / empty insert by
+    doc_id%5), then counted through the SHARED tokenization pass with
+    ``segmenter="cjk_chars"`` — each whitespace-free-script codepoint
+    becomes its own unit (the standard public fallback absent a
+    dictionary; per-char units are what CCNet-tier dedup and
+    SentencePiece pre-tokenization use for CJK). Emitted side by
+    side: the NAIVE whitespace count (n_words_ws — what every text op
+    computed before this round: a whole CJK run = one "word"), the
+    segmented unit count (n_units), the segmented bigram count
+    (word_ngrams through the same segmenter), and the exact 5th unit
+    string — pinning the per-codepoint split and the Latin
+    pass-through byte-for-byte (the %5==4 control class must have
+    n_units == n_words_ws and identical units).
+
+    Scale shape: two narrow regex maps + the existing splitters —
+    zero shuffles, whole-stage codegen, ~scan cost; dictionary
+    segmentation (jieba/MeCab tier) is documented NOT covered."""
+    d = load_table(spark, sf_dir, "documents")
+    ins = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(_CJK_SYNTH[0]))
+        .when(F.col("doc_id") % 5 == 1, F.lit(_CJK_SYNTH[1]))
+        .when(F.col("doc_id") % 5 == 2, F.lit(_CJK_SYNTH[2]))
+        .when(F.col("doc_id") % 5 == 3, F.lit(_CJK_SYNTH[3]))
+        .otherwise(F.lit(""))
+    )
+    s = F.concat(
+        F.substring("text", 1, 12),
+        F.lit(" "),
+        ins,
+        F.lit(" "),
+        F.substring("text", 14, 10),
+    )
+    src = d.select("doc_id", s.alias("s"))
+    units = F.filter(
+        F.split(TX.segment_text(F.col("s"), "cjk_chars"), " "),
+        lambda x: F.length(x) > 0,
+    )
+    return src.select(
+        "doc_id",
+        TX.word_count(F.col("s")).cast("long").alias("n_words_ws"),
+        TX.word_count(F.col("s"), "cjk_chars").cast("long").alias("n_units"),
+        F.size(TX.word_ngrams(F.col("s"), 2, "cjk_chars"))
+        .cast("long")
+        .alias("n_bigrams"),
+        F.when(F.size(units) >= 5, F.element_at(units, 5))
+        .otherwise(F.lit(""))
+        .alias("unit5"),
+    )

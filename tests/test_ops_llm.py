@@ -3856,3 +3856,71 @@ def test_compression_ratio_orders_repetitive_below_prose_below_noise(spark):
     for k in (3, 4):
         assert (out[k].n_bytes_raw, out[k].n_bytes_gz, out[k].ratio_permille) == (0, 0, 0)
     assert out[1].n_bytes_raw == len(prose.encode())
+
+
+def test_segment_text_cjk_per_char_units(spark):
+    """cjk_chars: every Han/Kana/Hangul/Thai codepoint becomes its own
+    unit; Latin words and the whitespace default stay untouched."""
+    from pyspark.sql import functions as F
+
+    from pipetree_spark.ops.text import (
+        segment_text,
+        tokens,
+        word_count,
+        word_ngrams,
+        word_shingles,
+    )
+
+    rows = [
+        (1, "Spark引擎は速い engine"),   # latin+han+kana+latin
+        (2, "한국어 ไทย"),        # hangul + thai
+        (3, "plain latin words only"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            segment_text("t", "cjk_chars").alias("seg"),
+            word_count("t").alias("ws"),
+            word_count("t", "cjk_chars").alias("units"),
+            F.size(word_ngrams("t", 2, "cjk_chars")).alias("n2"),
+            word_shingles("t", 3, "cjk_chars").alias("sh"),
+        ).collect()
+    }
+    assert out[1].seg == "Spark 引 擎 は 速 い engine"
+    assert (out[1].ws, out[1].units) == (2, 7)
+    assert out[1].n2 == 6
+    assert out[2].seg == "한 국 어 ไ ท ย"
+    assert out[2].units == 6
+    # Latin-only control: segmentation is the identity
+    assert out[3].seg == "plain latin words only"
+    assert out[3].ws == out[3].units == 4
+    assert out[4].units == 0
+    # per-char trigram shingles exist for the CJK run
+    assert "引 擎 は" in out[1].sh
+
+    # unknown segmenter fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        segment_text("t", "jieba")
+    # default is byte-identical to the pre-r14 splitter
+    a = df.select(tokens("t").alias("w")).collect()
+    b = df.select(F.split("t", " ").alias("w")).collect()
+    assert a == b
+
+
+def test_bpe_word_freqs_cjk_segmenter_trains_per_char(spark):
+    """bpe_word_freqs(segmenter='cjk_chars'): a no-space CJK document
+    collapses to per-char vocabulary entries, not one giant word."""
+    from pipetree_spark.ops.text import bpe_word_freqs
+
+    df = spark.createDataFrame(
+        [("数据数据 ok",)], "text string"
+    )
+    naive = bpe_word_freqs(df)
+    seg = bpe_word_freqs(df, segmenter="cjk_chars")
+    assert "数据数据" in naive
+    assert seg == {"数": 2, "据": 2, "ok": 1}
