@@ -112,6 +112,7 @@ QUERIES = [
     "q_text_unigram_encode",    # r13: one collapse (train) + one mapInPandas encode
     "q_dedup_lines",       # r13: line-hash agg + join back — CCNet boilerplate strip
     "q_dedup_lines_rm",    # r13: the removal half — + per-doc ordered rebuild
+    "q_dedup_lines_nl",    # r14: real-newline mode (regex-planted corpus)
     "q_text_domain_cap",   # r13: narrow URL map + one domain-key window shuffle
     "q_search_rrf",        # r13: corpus work in the scorers; fusion is ≤200 rows flat
     "q_search_rrf3",       # r13: three-list fold — one extra TakeOrdered column scan
