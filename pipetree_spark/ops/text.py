@@ -62,7 +62,14 @@ def segment_text(text: Column | str, segmenter: str = "whitespace") -> Column:
     n-gram/shingle ops per-char Jaccard is the published CJK practice.
 
     ``segmenter="whitespace"`` is the identity (the default
-    everywhere — existing certified semantics are untouched)."""
+    everywhere — existing certified semantics are untouched).
+
+    Router note: a langid-based per-document router is deliberately
+    NOT needed — on text containing no listed-script codepoint the
+    cjk_chars pass differs from the identity only in collapsing
+    whitespace runs and trimming, so a multilingual pipeline can run
+    cjk_chars unconditionally; pick "whitespace" only when exact
+    whitespace preservation matters (e.g. offset-accounting ops)."""
     c = F.col(text) if isinstance(text, str) else text
     if segmenter == "whitespace":
         return c
@@ -200,6 +207,7 @@ def repetition_features(
     text_col: str = "text",
     key_col: str = "doc_id",
     ns: tuple[int, ...] = (2, 3),
+    segmenter: str = "whitespace",
 ) -> DataFrame:
     """Gopher-style repetition quality signals per document: for each
     n in ``ns``, the n-gram total/distinct counts, the duplicate
@@ -223,7 +231,8 @@ def repetition_features(
     out = None
     for n in ns:
         grams = df.select(
-            F.col(key_col), F.explode(word_ngrams(text_col, n)).alias("__g")
+            F.col(key_col),
+            F.explode(word_ngrams(text_col, n, segmenter)).alias("__g"),
         )
         per_gram = grams.groupBy(key_col, "__g").agg(F.count("*").alias("__c"))
         per_doc = per_gram.groupBy(key_col).agg(
@@ -255,10 +264,14 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / (F.size(F.array_distinct(a)) + F.size(F.array_distinct(b)) - inter)
 
 
-def fingerprint(text: Column | str, n: int = 3) -> Column:
+def fingerprint(
+    text: Column | str, n: int = 3, segmenter: str = "whitespace"
+) -> Column:
     """Document fingerprint: min md5 over word shingles (a 1-permutation
-    MinHash — deterministic and portable)."""
-    return F.array_min(F.transform(word_shingles(text, n), F.md5))
+    MinHash — deterministic and portable). ``segmenter="cjk_chars"``
+    shingles whitespace-free scripts per codepoint (see
+    :func:`segment_text`)."""
+    return F.array_min(F.transform(word_shingles(text, n, segmenter), F.md5))
 
 
 def token_count_bpe(text: Column | str) -> Column:
@@ -489,6 +502,7 @@ def minhash_signatures(
     key_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 16,
+    segmenter: str = "whitespace",
 ) -> DataFrame:
     """Portable k-permutation MinHash signatures: one 60-bit base hash
     per shingle (first 15 hex chars of md5 — the SimHash trick, Spark
@@ -516,7 +530,9 @@ def minhash_signatures(
     twice — numeric mins keep both partial and final aggregates
     HashAggregate and cut the r5-profiled banding path ~2× (and the
     shuffle carries 16 longs, not 16 hex strings)."""
-    tok = df.select(key_col, F.explode(word_shingles(text_col, n)).alias("__s")).select(
+    tok = df.select(
+        key_col, F.explode(word_shingles(text_col, n, segmenter)).alias("__s")
+    ).select(
         key_col,
         (F.conv(F.substring(F.md5(F.col("__s")), 1, 15), 16, 10).cast("long") % MINHASH_P).alias(
             "__b"

@@ -5611,3 +5611,66 @@ def q_dedup_lines_nl_rm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.line_dedup_strip(
         _nl_corpus(d), "text", "doc_id", chunk=None, min_docs=2
     )
+
+
+@declare(
+    "q_text_minhash_sig_cjk",
+    oracle=f"""
+WITH src AS (
+  SELECT doc_id,
+         substr(text, 1, 12) || ' ' || {_CJK_CASE_SQL}
+           || ' ' || substr(text, 14, 10) AS s
+  FROM documents),
+sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS s
+  FROM (SELECT doc_id,
+               string_split({TX.segment_text_sql("s", "cjk_chars")}, ' ') AS w
+        FROM src)
+)
+SELECT doc_id,
+       concat_ws(',', {', '.join(f'CAST({m} AS VARCHAR)' for m in _MH)}) AS sig
+FROM sh
+""",
+    tags=("text", "dedup"),
+)
+def q_text_minhash_sig_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The portable MinHash signature computed over PER-CHAR shingles
+    of a mixed CJK+Latin corpus (minhash_signatures with
+    segmenter="cjk_chars") — certifying that the r14 segmenter thread
+    reaches the near-dup production path with exact cross-engine
+    values: the whitespace splitter would hash each no-space CJK run
+    as ONE whole-text fallback shingle (two near-identical Chinese
+    documents share zero signature components — the silent failure
+    the r13 verdict flagged), while per-codepoint units give real
+    shingle overlap. Same planted corpus as q_text_cjk_segment; same
+    universal-hash coefficient literals as q_text_minhash_sig.
+
+    Scale shape: identical to q_text_minhash_sig (explode once,
+    numeric min aggregates, map-side combine) plus two narrow regex
+    maps — the segmenter adds zero shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    ins = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(_CJK_SYNTH[0]))
+        .when(F.col("doc_id") % 5 == 1, F.lit(_CJK_SYNTH[1]))
+        .when(F.col("doc_id") % 5 == 2, F.lit(_CJK_SYNTH[2]))
+        .when(F.col("doc_id") % 5 == 3, F.lit(_CJK_SYNTH[3]))
+        .otherwise(F.lit(""))
+    )
+    src = d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 12),
+            F.lit(" "),
+            ins,
+            F.lit(" "),
+            F.substring("text", 14, 10),
+        ).alias("text"),
+    )
+    return TX.minhash_signatures(
+        src, "text", "doc_id", 3, 16, segmenter="cjk_chars"
+    ).select(
+        "doc_id",
+        F.array_join(
+            F.transform("minhash", lambda c: c.cast("string")), ","
+        ).alias("sig"),
+    )

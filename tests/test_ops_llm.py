@@ -3924,3 +3924,44 @@ def test_bpe_word_freqs_cjk_segmenter_trains_per_char(spark):
     seg = bpe_word_freqs(df, segmenter="cjk_chars")
     assert "数据数据" in naive
     assert seg == {"数": 2, "据": 2, "ok": 1}
+
+
+def test_cjk_segmenter_threads_through_minhash_and_features(spark):
+    """The segmenter reaches the shingle-derived ops: per-char shingles
+    give a CJK near-dup pair a real MinHash overlap where whitespace
+    shingling sees two unrelated one-word docs."""
+    from pipetree_spark.ops.text import (
+        fingerprint,
+        minhash_signatures,
+        repetition_features,
+    )
+
+    rows = [
+        (1, "机器学习模型训练数据管道"),
+        (2, "机器学习模型训练数据引擎"),   # near-dup of 1 (2-char suffix change)
+        (3, "completely different latin text here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {
+        r.doc_id: tuple(r.minhash)
+        for r in minhash_signatures(df, segmenter="cjk_chars").collect()
+    }
+    overlap = sum(a == b for a, b in zip(sig[1], sig[2]))
+    assert overlap >= 8  # ~10/12 shingles shared -> most components agree
+    # whitespace mode: one giant word each -> whole-text fallback
+    # shingle, zero overlap
+    sig_ws = {
+        r.doc_id: tuple(r.minhash) for r in minhash_signatures(df).collect()
+    }
+    assert sum(a == b for a, b in zip(sig_ws[1], sig_ws[2])) == 0
+    # fingerprint: equal for docs sharing their min shingle only under
+    # per-char segmentation semantics (smoke: runs and differs from ws)
+    fp = df.select(fingerprint("text", 3, "cjk_chars").alias("f")).collect()
+    assert all(r.f is not None for r in fp)
+    # repetition features see per-char bigrams on a repetitive CJK doc
+    rep = repetition_features(
+        spark.createDataFrame([(9, "好好好好好好好好")], "doc_id long, text string"),
+        ns=(2,),
+        segmenter="cjk_chars",
+    ).collect()[0]
+    assert rep.n2_total == 7 and rep.n2_distinct == 1
