@@ -321,6 +321,92 @@ def lang_id_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_pred", best["lang"]).withColumn("lang_score", best["score"])
 
 
+#: Per-script character classes for :func:`script_profile`, spelled
+#: once per regex dialect (the segment_text pattern). "kana" merges
+#: Hiragana+Katakana — presence of either is the ja-vs-zh signal.
+_SCRIPT_CLASSES: tuple[tuple[str, str, str], ...] = (
+    ("han", r"\p{IsHan}", r"\p{Han}"),
+    ("kana", r"\p{IsHiragana}\p{IsKatakana}", r"\p{Hiragana}\p{Katakana}"),
+    ("hangul", r"\p{IsHangul}", r"\p{Hangul}"),
+    ("thai", r"\p{IsThai}", r"\p{Thai}"),
+    ("latin", "a-zA-Z", "a-zA-Z"),
+)
+
+
+def script_profile(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document SCRIPT composition — the language-ID signal that
+    works where the stopword profile (:func:`lang_id_scores`) cannot:
+    whitespace-free scripts have no splittable stopwords, but their
+    codepoint ranges are unambiguous. Emits per-script codepoint
+    counts (han / kana / hangul / thai / latin, plus the total) and a
+    deterministic routed label:
+
+        kana present        → 'ja'  (kana only occurs in Japanese;
+                                     han alone is ambiguous zh/ja)
+        han   > latin       → 'zh'
+        hangul > latin      → 'ko'
+        thai  > latin       → 'th'
+        else                → 'latin'
+
+    This is the router half of the r13 verdict's CJK item: route
+    'ja'/'zh'/'ko'/'th' docs through ``segmenter="cjk_chars"`` and
+    the rest through plain whitespace (though the cjk pass is safe to
+    run unconditionally — see :func:`segment_text`). Counts are
+    ``length(s) - length(regexp_replace(s, class, ''))`` — code-point
+    semantics in BOTH engines, one narrow regex map per class, zero
+    shuffles, whole-stage codegen."""
+    c = F.col(text_col)
+    counts = {
+        f"n_{name}": (
+            F.length(c) - F.length(F.regexp_replace(c, f"[{java}]", ""))
+        ).cast("long")
+        for name, java, _ in _SCRIPT_CLASSES
+    }
+    out = df.select(
+        key_col,
+        F.length(c).cast("long").alias("n_chars"),
+        *[v.alias(k) for k, v in counts.items()],
+    )
+    lang = (
+        F.when(F.col("n_kana") > 0, F.lit("ja"))
+        .when(F.col("n_han") > F.col("n_latin"), F.lit("zh"))
+        .when(F.col("n_hangul") > F.col("n_latin"), F.lit("ko"))
+        .when(F.col("n_thai") > F.col("n_latin"), F.lit("th"))
+        .otherwise(F.lit("latin"))
+    )
+    return out.withColumn("script_lang", lang)
+
+
+def script_profile_sql(
+    table_expr: str, text_col: str = "text", key_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`script_profile`, generated from the SAME
+    class constants (the segment_text_sql pattern)."""
+    cnt = {
+        name: (
+            f"CAST(length({text_col}) - length(regexp_replace("
+            f"{text_col}, '[{re2}]', '', 'g')) AS BIGINT)"
+        )
+        for name, _, re2 in _SCRIPT_CLASSES
+    }
+    cols = ",\n       ".join(f"{v} AS n_{k}" for k, v in cnt.items())
+    return f"""
+WITH p AS (
+  SELECT {key_col},
+       CAST(length({text_col}) AS BIGINT) AS n_chars,
+       {cols}
+  FROM {table_expr})
+SELECT *,
+       (CASE WHEN n_kana > 0 THEN 'ja'
+             WHEN n_han > n_latin THEN 'zh'
+             WHEN n_hangul > n_latin THEN 'ko'
+             WHEN n_thai > n_latin THEN 'th'
+             ELSE 'latin' END) AS script_lang
+FROM p"""
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
     """Exact dedup on normalized-text hash, keeping the smallest key:
     ``min_by(struct(row), key)`` grouped by the hash, then unpack the

@@ -5674,3 +5674,49 @@ def q_text_minhash_sig_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("minhash", lambda c: c.cast("string")), ","
         ).alias("sig"),
     )
+
+
+@declare(
+    "q_text_script_profile",
+    oracle=TX.script_profile_sql(
+        f"""(
+  SELECT doc_id,
+         substr(text, 1, 12) || ' ' || {_CJK_CASE_SQL}
+           || ' ' || substr(text, 14, 10) AS text
+  FROM documents)""",
+    ),
+    tags=("text",),
+)
+def q_text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document script-composition language ID
+    (ops.text.script_profile) — the router half of the r14 CJK work:
+    codepoint counts per script class (han/kana/hangul/thai/latin)
+    plus a deterministic routed label (kana→ja, han>latin→zh,
+    hangul>latin→ko, thai>latin→th, else latin) over the planted
+    mixed corpus. This is the language-ID signal the stopword profile
+    cannot produce on whitespace-free text, and its output decides
+    which documents take segmenter='cjk_chars'. Both engines count
+    code points via length-minus-stripped-length from the SAME class
+    constants; the oracle is generated, so class drift is impossible.
+
+    Scale shape: five narrow regex maps + one length — zero shuffles,
+    whole-stage codegen, ~scan cost."""
+    d = load_table(spark, sf_dir, "documents")
+    ins = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(_CJK_SYNTH[0]))
+        .when(F.col("doc_id") % 5 == 1, F.lit(_CJK_SYNTH[1]))
+        .when(F.col("doc_id") % 5 == 2, F.lit(_CJK_SYNTH[2]))
+        .when(F.col("doc_id") % 5 == 3, F.lit(_CJK_SYNTH[3]))
+        .otherwise(F.lit(""))
+    )
+    src = d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 12),
+            F.lit(" "),
+            ins,
+            F.lit(" "),
+            F.substring("text", 14, 10),
+        ).alias("text"),
+    )
+    return TX.script_profile(src, "text", "doc_id")

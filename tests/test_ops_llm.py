@@ -3965,3 +3965,26 @@ def test_cjk_segmenter_threads_through_minhash_and_features(spark):
         segmenter="cjk_chars",
     ).collect()[0]
     assert rep.n2_total == 7 and rep.n2_distinct == 1
+
+
+def test_script_profile_routes_languages(spark):
+    """script_profile: per-script codepoint counts and the routed
+    label on unambiguous single-script and mixed rows."""
+    from pipetree_spark.ops.text import script_profile
+
+    rows = [
+        (1, "机器学习训练数据"),          # pure hanzi -> zh
+        (2, "高速処理エンジンです"),  # kanji+kana -> ja (kana wins)
+        (3, "데이터 엔진 테스트"),            # hangul -> ko
+        (4, "ภาษาไทยทดสอบ"),  # thai -> th
+        (5, "plain english text"),
+        (6, "mixed 数据 with mostly english words here"),  # latin-dominant
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in script_profile(df).collect()}
+    assert out[1].script_lang == "zh" and out[1].n_han == 8
+    assert out[2].script_lang == "ja" and out[2].n_kana > 0
+    assert out[3].script_lang == "ko" and out[3].n_hangul > 0
+    assert out[4].script_lang == "th"
+    assert out[5].script_lang == "latin" and out[5].n_latin == 16
+    assert out[6].script_lang == "latin" and out[6].n_han == 2
