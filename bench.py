@@ -74,6 +74,10 @@ BENCH_QUERIES: dict[str, str] = {
     # hybrid BM25+cosine RRF search path, tracked from their first round
     "q_dedup_lines": "q_dedup_lines",
     "q_search_rrf": "q_search_rrf",
+    # r14: real-newline line dedup and the CJK per-char-shingle MinHash
+    # path — the two new hot paths, tracked from their first round
+    "q_dedup_lines_nl": "q_dedup_lines_nl",
+    "q_text_minhash_cjk": "q_text_minhash_sig_cjk",
 }
 
 #: r12: the extended family gets the same 5 reps as the core (was 3) —

@@ -14,13 +14,19 @@ from pyspark.sql import functions as F
 #: Heuristic per-language stopword profiles for the n-gram/stopword
 #: language-ID op. Tiny on purpose — a real deployment plugs in full
 #: profiles; the *operator* (broadcast map + overlap scoring) is what
-#: matters here.
+#: matters here. CJK profiles (r14) are SINGLE-CODEPOINT function
+#: words on purpose: under ``segmenter="cjk_chars"`` every token is
+#: one codepoint, so only one-char stopwords can ever match (the
+#: pre-r14 zh entry was romanized pinyin — it could never match real
+#: hanzi text AND its 'de'/'le' collided with French/Spanish tokens).
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "to", "in"),
     "de": ("der", "die", "und", "das", "ist"),
     "es": ("el", "la", "de", "que", "y"),
     "fr": ("le", "la", "et", "les", "des"),
-    "zh": ("de", "le", "shi", "wo", "ni"),
+    "zh": ("的", "了", "是", "我", "你"),
+    "ja": ("の", "に", "は", "を", "が"),
+    "ko": ("이", "가", "은", "는", "를"),
 }
 
 
@@ -281,8 +287,12 @@ def token_count_bpe(text: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)))
 
 
-def stopword_ratio(text: Column | str, stopwords: tuple[str, ...]) -> Column:
-    w = tokens(text)
+def stopword_ratio(
+    text: Column | str,
+    stopwords: tuple[str, ...],
+    segmenter: str = "whitespace",
+) -> Column:
+    w = tokens(text, segmenter)
     hits = F.filter(w, lambda t: t.isin(*stopwords))
     return F.size(hits) / F.size(w)
 
@@ -303,16 +313,23 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lang_id_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+def lang_id_scores(
+    df: DataFrame, text_col: str = "text", segmenter: str = "whitespace"
+) -> DataFrame:
     """Heuristic language ID: stopword-profile overlap score per language,
     argmax → predicted lang (ties broken by language code order).
     NOTE: this testdata's text is language-independent word salad, so
     predictions are exercised for plumbing, not accuracy (see module
-    tests)."""
+    tests). With ``segmenter="cjk_chars"`` the single-codepoint
+    zh/ja/ko profiles become matchable on real no-space CJK text
+    (each particle is its own token after per-char segmentation) —
+    the q_text_langid_cjk path; for script-level routing without
+    profiles see :func:`script_profile`."""
     scores = F.array(
         *[
             F.struct(
-                stopword_ratio(text_col, sw).alias("score"), F.lit(lang).alias("lang")
+                stopword_ratio(text_col, sw, segmenter).alias("score"),
+                F.lit(lang).alias("lang"),
             )
             for lang, sw in sorted(LANG_STOPWORDS.items())
         ]

@@ -102,6 +102,7 @@ RECONFIRM: tuple[str, ...] = (
     "q_search_rrf",         # r14: rrf_score normalized rank columns
     "q_search_rrf3",        # r14: rrf_score normalized rank columns
     "q_text_bm25",          # r14: state_sink surface (default unchanged)
+    "q_text_langid",        # r14: zh profile pinyin→hanzi (values changed)
 )
 
 

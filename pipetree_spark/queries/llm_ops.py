@@ -5720,3 +5720,84 @@ def q_text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return TX.script_profile(src, "text", "doc_id")
+
+
+#: Planted sentences for the CJK language-ID query — each contains
+#: its language's single-codepoint function words (的/是/我; の/は/が;
+#: 이/는/를) so the per-char stopword profiles have real hits.
+_LANGID_SYNTH: tuple[tuple[str, str], ...] = (
+    ("zh", "这是我的数据管道测试"),
+    ("ja", "これはデータの処理が速い"),
+    ("ko", "이것은데이터를처리한다"),
+    ("latin", ""),
+)
+
+
+def _langid_cjk_sql() -> str:
+    """Oracle for q_text_langid_cjk: the SAME profile dict and the
+    SAME planted sentences rendered into SQL, tokens via the shared
+    cjk segmentation twin (segment_text_sql)."""
+    profiles = ",\n  ".join(
+        "('{}', [{}])".format(lang, ", ".join(f"'{w}'" for w in sw))
+        for lang, sw in sorted(TX.LANG_STOPWORDS.items())
+    )
+    case = (
+        "(CASE doc_id % 4 "
+        + " ".join(
+            f"WHEN {i} THEN '{s}'"
+            for i, (_, s) in enumerate(_LANGID_SYNTH)
+            if s
+        )
+        + " ELSE '' END)"
+    )
+    seg = TX.segment_text_sql("s", "cjk_chars")
+    return f"""
+WITH profiles(cand, sw) AS (VALUES
+  {profiles}
+),
+src AS (
+  SELECT doc_id,
+         substr(text, 1, 12) || ' ' || {case} AS s
+  FROM documents),
+tok AS (SELECT doc_id, string_split({seg}, ' ') AS w FROM src),
+sc AS (
+  SELECT t.doc_id, p.cand,
+         CAST(len(list_filter(t.w, x -> list_contains(p.sw, x))) AS DOUBLE)
+           / len(t.w) AS score
+  FROM tok t CROSS JOIN profiles p
+)
+SELECT doc_id, cand AS lang_pred, score AS lang_score
+FROM sc
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) = 1
+"""
+
+
+@declare("q_text_langid_cjk", oracle=_langid_cjk_sql(), tags=("text",))
+def q_text_langid_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID on WHITESPACE-FREE text
+    (ops.text.lang_id_scores with segmenter="cjk_chars" and the r14
+    single-codepoint zh/ja/ko profiles): planted zh/ja/ko sentences
+    carry their languages' real function words (的/是/我, の/は/が,
+    이/는/를), per-char segmentation makes each particle its own
+    token, and the profile argmax must route each residue class to
+    its language — a genuine ACCURACY certification, unlike the
+    word-salad q_text_langid whose oracle certifies scoring/argmax
+    semantics only. The %4==3 Latin control class exercises the
+    all-zero-CJK tie-break. Profiles and sentences are each ONE
+    constant rendered into both engines.
+
+    Scale shape: the segmentation regex maps + one narrow
+    profile-overlap projection — zero shuffles, no broadcast even
+    (profiles fold into the expression tree as literals)."""
+    d = load_table(spark, sf_dir, "documents")
+    case = F.lit("")
+    for i, (_, s) in enumerate(_LANGID_SYNTH):
+        if s:
+            case = F.when(F.col("doc_id") % 4 == i, F.lit(s)).otherwise(case)
+    src = d.select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 12), F.lit(" "), case).alias("text"),
+    )
+    return TX.lang_id_scores(src, "text", segmenter="cjk_chars").select(
+        "doc_id", "lang_pred", "lang_score"
+    )

@@ -3988,3 +3988,23 @@ def test_script_profile_routes_languages(spark):
     assert out[4].script_lang == "th"
     assert out[5].script_lang == "latin" and out[5].n_latin == 16
     assert out[6].script_lang == "latin" and out[6].n_han == 2
+
+
+def test_langid_cjk_accuracy_on_real_sentences(spark):
+    """The r14 single-codepoint CJK profiles + per-char segmentation
+    route real zh/ja/ko sentences to their languages; Latin text still
+    routes through the word profiles."""
+    from pipetree_spark.ops.text import lang_id_scores
+
+    rows = [
+        (1, "这是我的数据管道测试"),
+        (2, "これはデータの処理が速い"),
+        (3, "이것은데이터를처리한다"),
+        (4, "the quick brown fox and the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.lang_pred
+        for r in lang_id_scores(df, segmenter="cjk_chars").collect()
+    }
+    assert out == {1: "zh", 2: "ja", 3: "ko", 4: "en"}
