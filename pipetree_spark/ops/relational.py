@@ -257,6 +257,25 @@ def incremental_join_delta(
     )
 
 
+def release_checkpoint(df: DataFrame) -> bool:
+    """Release the executor-pinned RDD behind a ``localCheckpoint``-ed
+    frame. ``Dataset.unpersist()`` is a SILENT NO-OP for checkpoint
+    state — it only consults the SQL CacheManager, while localCheckpoint
+    persists its RDD directly (probed r14: getPersistentRDDs stays at 1
+    after unpersist(), drops to 0 after this) — so long-lived sessions
+    that loop over checkpointing ops (bench reps, multi-list RRF specs
+    calling bm25_scores per list) need this to bound executor storage.
+    Reaches the pinned RDD through the analyzed ``LogicalRDD``; returns
+    True if one was found and unpersisted. The frame MUST NOT be reused
+    afterwards — its lineage was truncated at checkpoint time and
+    cannot be recomputed."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        return True
+    except Exception:
+        return False
+
+
 def sized_repartition(
     df: DataFrame,
     tmp_dir: str,
@@ -310,7 +329,14 @@ def sized_repartition(
         # seeded Bernoulli sample, slightly over-drawn so the probe is
         # ~sample_rows in expectation without a second pruning pass
         sample = df.sample(min(1.0, 1.1 * sample_rows / n_rows), seed=seed)
-    sample.write.mode("overwrite").parquet(sample_path)
+    # ONE probe file: sample() keeps the input partitioning, and a
+    # ~2000-row probe scattered over many partitions would measure
+    # per-file footer/dictionary overhead as bytes-per-row (5-10x high
+    # on wide inputs), overshooting n into exactly the small-files
+    # failure this op prevents (r14 self-review). repartition, not
+    # coalesce: coalesce(1) would collapse the parallel upstream scan
+    # into one task; repartition only shuffles the ~sample_rows rows.
+    sample.repartition(1).write.mode("overwrite").parquet(sample_path)
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(sample_path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())

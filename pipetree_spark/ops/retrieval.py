@@ -94,13 +94,19 @@ def rrf_fuse(
     Scale: inputs are ≤n-row lists by construction, so the outer join
     and final window are constant-size regardless of corpus scale.
     """
+    out_names = [n for n, _ in rankings]
     reserved = {"rrf_score", rank_col, key_col}
-    clashes = [n for n, _ in rankings if n in reserved]
-    assert not clashes, (
-        f"rrf_fuse: output rank name(s) {clashes} collide with "
-        f"rank_col/key_col/'rrf_score' — the fused columns would "
-        "silently shadow them"
-    )
+    clashes = [n for n in out_names if n in reserved]
+    dups = [n for n in set(out_names) if out_names.count(n) > 1]
+    if clashes or dups:
+        # explicit raise, not assert: must survive python -O, and a
+        # duplicate output name would otherwise surface later as an
+        # opaque AMBIGUOUS_REFERENCE from the fused select
+        raise ValueError(
+            f"rrf_fuse: output rank names must be unique and disjoint "
+            f"from rank_col/key_col/'rrf_score' (collisions: {clashes}, "
+            f"duplicates: {dups})"
+        )
     fused: DataFrame | None = None
     names: list[str] = []
     for name, r in rankings:

@@ -665,7 +665,11 @@ def running_line_flags(
     mirrored into the state store: the shuffle and every state-store
     lookup compare an 8-byte long, not an arbitrarily long boilerplate
     string (the line string rides in the row payload and is emitted
-    from the first arriving row). Once latched, update() early-returns
+    from the first arriving row). MIGRATION NOTE: this key change is
+    checkpoint-incompatible — a stream checkpointed under the pre-r14
+    (line: string) grouping fails state-schema validation on restart
+    and must start from a fresh checkpoint directory (replaying the
+    corpus rebuilds the flags; they only latch, so a replay is safe). Once latched, update() early-returns
     after peeking that one row — no per-row Python over the remaining
     chunks and no redundant state.update() for exactly the
     highest-volume groups (r13 ADVICE).

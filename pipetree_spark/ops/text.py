@@ -358,19 +358,28 @@ def script_profile(
     whitespace-free scripts have no splittable stopwords, but their
     codepoint ranges are unambiguous. Emits per-script codepoint
     counts (han / kana / hangul / thai / latin, plus the total) and a
-    deterministic routed label:
+    deterministic routed label — PROPORTION tests against the doc's
+    own length, not presence tests (r14 self-review: a presence rule
+    like ``han > latin`` labeled a 27-codepoint Cyrillic doc 'zh' off
+    one quoted hanzi, since unlisted scripts leave n_latin at 0):
 
-        kana present        → 'ja'  (kana only occurs in Japanese;
-                                     han alone is ambiguous zh/ja)
-        han   > latin       → 'zh'
-        hangul > latin      → 'ko'
-        thai  > latin       → 'th'
-        else                → 'latin'
+        10·kana   ≥ chars   → 'ja'  (kana only occurs in Japanese —
+                                     ≥10% kana separates ja from zh
+                                     even in kanji-heavy text)
+        4·han     ≥ chars   → 'zh'
+        4·hangul  ≥ chars   → 'ko'
+        4·thai    ≥ chars   → 'th'
+        4·latin   ≥ chars   → 'latin'
+        else                → 'other' (Cyrillic/Greek/Arabic/...
+                                       scripts this profile doesn't
+                                       list — never misrouted to a
+                                       CJK segmenter)
 
     This is the router half of the r13 verdict's CJK item: route
     'ja'/'zh'/'ko'/'th' docs through ``segmenter="cjk_chars"`` and
     the rest through plain whitespace (though the cjk pass is safe to
-    run unconditionally — see :func:`segment_text`). Counts are
+    run unconditionally — see :func:`segment_text`). All-integer
+    comparisons (exact in both engines); counts are
     ``length(s) - length(regexp_replace(s, class, ''))`` — code-point
     semantics in BOTH engines, one narrow regex map per class, zero
     shuffles, whole-stage codegen."""
@@ -386,12 +395,14 @@ def script_profile(
         F.length(c).cast("long").alias("n_chars"),
         *[v.alias(k) for k, v in counts.items()],
     )
+    n = F.col("n_chars")
     lang = (
-        F.when(F.col("n_kana") > 0, F.lit("ja"))
-        .when(F.col("n_han") > F.col("n_latin"), F.lit("zh"))
-        .when(F.col("n_hangul") > F.col("n_latin"), F.lit("ko"))
-        .when(F.col("n_thai") > F.col("n_latin"), F.lit("th"))
-        .otherwise(F.lit("latin"))
+        F.when((n > 0) & (F.col("n_kana") * 10 >= n), F.lit("ja"))
+        .when((n > 0) & (F.col("n_han") * 4 >= n), F.lit("zh"))
+        .when((n > 0) & (F.col("n_hangul") * 4 >= n), F.lit("ko"))
+        .when((n > 0) & (F.col("n_thai") * 4 >= n), F.lit("th"))
+        .when((n > 0) & (F.col("n_latin") * 4 >= n), F.lit("latin"))
+        .otherwise(F.lit("other"))
     )
     return out.withColumn("script_lang", lang)
 
@@ -416,11 +427,12 @@ WITH p AS (
        {cols}
   FROM {table_expr})
 SELECT *,
-       (CASE WHEN n_kana > 0 THEN 'ja'
-             WHEN n_han > n_latin THEN 'zh'
-             WHEN n_hangul > n_latin THEN 'ko'
-             WHEN n_thai > n_latin THEN 'th'
-             ELSE 'latin' END) AS script_lang
+       (CASE WHEN n_chars > 0 AND n_kana * 10 >= n_chars THEN 'ja'
+             WHEN n_chars > 0 AND n_han * 4 >= n_chars THEN 'zh'
+             WHEN n_chars > 0 AND n_hangul * 4 >= n_chars THEN 'ko'
+             WHEN n_chars > 0 AND n_thai * 4 >= n_chars THEN 'th'
+             WHEN n_chars > 0 AND n_latin * 4 >= n_chars THEN 'latin'
+             ELSE 'other' END) AS script_lang
 FROM p"""
 
 
@@ -2249,11 +2261,15 @@ def bm25_scores(
     repeated calls (bench reps, multi-list RRF specs) accumulate one
     per call. A caller that scores many term lists over the SAME
     corpus should make one call with the union of terms, or pass
-    ``state_sink=[]`` and ``sink.pop().unpersist()`` after its
-    terminal action. Plan width is one agg column + one union branch
-    per term — fine at retrieval-query arity (≤ ~32 terms); beyond
-    that a (doc, word) join plan beats column fan-out, and this fn
-    warns."""
+    ``state_sink=[]`` and release after its terminal action with
+    ``ops.relational.release_checkpoint(sink.pop())`` — NOT
+    ``.unpersist()``, which is a silent no-op for checkpoint state
+    (r14 self-review; release_checkpoint docstring has the probe).
+    The degenerate empty-terms frame is also appended (release is a
+    harmless no-op on it) so ``sink.pop()`` never IndexErrors. Plan
+    width is one agg column + one union branch per term — fine at
+    retrieval-query arity (≤ ~32 terms); beyond that a (doc, word)
+    join plan beats column fan-out, and this fn warns."""
     import warnings
 
     from pipetree_spark.exact import pin_zero
@@ -2282,7 +2298,10 @@ def bm25_scores(
                 T.StructField("score", T.DoubleType()),
             ]
         )
-        return df.sparkSession.createDataFrame([], schema)
+        empty = df.sparkSession.createDataFrame([], schema)
+        if state_sink is not None:
+            state_sink.append(empty)  # keep the pop-and-release contract
+        return empty
     toks = df.select(
         F.col(key_col), F.explode(tokens(text_col)).alias("word")
     ).where(F.length("word") > 0)

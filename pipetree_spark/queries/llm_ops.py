@@ -5394,6 +5394,28 @@ _CJK_CASE_SQL = (
 )
 
 
+def _cjk_corpus(d: DataFrame, out_col: str = "text") -> DataFrame:
+    """Spark half of the planted mixed CJK+Latin corpus — ONE builder
+    shared by q_text_cjk_segment / q_text_minhash_sig_cjk /
+    q_text_script_profile (the _nl_corpus pattern; r14 self-review —
+    three inline copies of this block could drift from the shared
+    _CJK_CASE_SQL oracle constant)."""
+    ins = F.lit("")
+    for i, s in enumerate(_CJK_SYNTH):
+        if s:
+            ins = F.when(F.col("doc_id") % 5 == i, F.lit(s)).otherwise(ins)
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 12),
+            F.lit(" "),
+            ins,
+            F.lit(" "),
+            F.substring("text", 14, 10),
+        ).alias(out_col),
+    )
+
+
 @declare(
     "q_text_cjk_segment",
     oracle=f"""
@@ -5440,21 +5462,7 @@ def q_text_cjk_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffles, whole-stage codegen, ~scan cost; dictionary
     segmentation (jieba/MeCab tier) is documented NOT covered."""
     d = load_table(spark, sf_dir, "documents")
-    ins = (
-        F.when(F.col("doc_id") % 5 == 0, F.lit(_CJK_SYNTH[0]))
-        .when(F.col("doc_id") % 5 == 1, F.lit(_CJK_SYNTH[1]))
-        .when(F.col("doc_id") % 5 == 2, F.lit(_CJK_SYNTH[2]))
-        .when(F.col("doc_id") % 5 == 3, F.lit(_CJK_SYNTH[3]))
-        .otherwise(F.lit(""))
-    )
-    s = F.concat(
-        F.substring("text", 1, 12),
-        F.lit(" "),
-        ins,
-        F.lit(" "),
-        F.substring("text", 14, 10),
-    )
-    src = d.select("doc_id", s.alias("s"))
+    src = _cjk_corpus(d, out_col="s")
     units = F.filter(
         F.split(TX.segment_text(F.col("s"), "cjk_chars"), " "),
         lambda x: F.length(x) > 0,
@@ -5648,24 +5656,7 @@ def q_text_minhash_sig_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to q_text_minhash_sig (explode once,
     numeric min aggregates, map-side combine) plus two narrow regex
     maps — the segmenter adds zero shuffles."""
-    d = load_table(spark, sf_dir, "documents")
-    ins = (
-        F.when(F.col("doc_id") % 5 == 0, F.lit(_CJK_SYNTH[0]))
-        .when(F.col("doc_id") % 5 == 1, F.lit(_CJK_SYNTH[1]))
-        .when(F.col("doc_id") % 5 == 2, F.lit(_CJK_SYNTH[2]))
-        .when(F.col("doc_id") % 5 == 3, F.lit(_CJK_SYNTH[3]))
-        .otherwise(F.lit(""))
-    )
-    src = d.select(
-        "doc_id",
-        F.concat(
-            F.substring("text", 1, 12),
-            F.lit(" "),
-            ins,
-            F.lit(" "),
-            F.substring("text", 14, 10),
-        ).alias("text"),
-    )
+    src = _cjk_corpus(load_table(spark, sf_dir, "documents"))
     return TX.minhash_signatures(
         src, "text", "doc_id", 3, 16, segmenter="cjk_chars"
     ).select(
@@ -5691,34 +5682,20 @@ def q_text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document script-composition language ID
     (ops.text.script_profile) — the router half of the r14 CJK work:
     codepoint counts per script class (han/kana/hangul/thai/latin)
-    plus a deterministic routed label (kana→ja, han>latin→zh,
-    hangul>latin→ko, thai>latin→th, else latin) over the planted
-    mixed corpus. This is the language-ID signal the stopword profile
-    cannot produce on whitespace-free text, and its output decides
-    which documents take segmenter='cjk_chars'. Both engines count
-    code points via length-minus-stripped-length from the SAME class
-    constants; the oracle is generated, so class drift is impossible.
+    plus a deterministic PROPORTION-routed label (≥10% kana→ja, then
+    ≥25% han/hangul/thai/latin in that order, else 'other' — integer
+    comparisons against the doc's own length, so unlisted scripts
+    like Cyrillic can never misroute off one stray hanzi) over the
+    planted mixed corpus. This is the language-ID signal the stopword
+    profile cannot produce on whitespace-free text, and its output
+    decides which documents take segmenter='cjk_chars'. Both engines
+    count code points via length-minus-stripped-length from the SAME
+    class constants; the oracle is generated, so class drift is
+    impossible.
 
     Scale shape: five narrow regex maps + one length — zero shuffles,
     whole-stage codegen, ~scan cost."""
-    d = load_table(spark, sf_dir, "documents")
-    ins = (
-        F.when(F.col("doc_id") % 5 == 0, F.lit(_CJK_SYNTH[0]))
-        .when(F.col("doc_id") % 5 == 1, F.lit(_CJK_SYNTH[1]))
-        .when(F.col("doc_id") % 5 == 2, F.lit(_CJK_SYNTH[2]))
-        .when(F.col("doc_id") % 5 == 3, F.lit(_CJK_SYNTH[3]))
-        .otherwise(F.lit(""))
-    )
-    src = d.select(
-        "doc_id",
-        F.concat(
-            F.substring("text", 1, 12),
-            F.lit(" "),
-            ins,
-            F.lit(" "),
-            F.substring("text", 14, 10),
-        ).alias("text"),
-    )
+    src = _cjk_corpus(load_table(spark, sf_dir, "documents"))
     return TX.script_profile(src, "text", "doc_id")
 
 

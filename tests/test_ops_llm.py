@@ -3974,11 +3974,15 @@ def test_script_profile_routes_languages(spark):
 
     rows = [
         (1, "机器学习训练数据"),          # pure hanzi -> zh
-        (2, "高速処理エンジンです"),  # kanji+kana -> ja (kana wins)
+        (2, "高速処理エンジンです"),  # kanji+kana -> ja (kana >= 10%)
         (3, "데이터 엔진 테스트"),            # hangul -> ko
         (4, "ภาษาไทยทดสอบ"),  # thai -> th
         (5, "plain english text"),
         (6, "mixed 数据 with mostly english words here"),  # latin-dominant
+        # r14 self-review: unlisted scripts must never misroute to a
+        # CJK segmenter off one stray hanzi (n_latin is 0 here)
+        (7, "Это тест производительности 中"),
+        (8, ""),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r for r in script_profile(df).collect()}
@@ -3988,6 +3992,8 @@ def test_script_profile_routes_languages(spark):
     assert out[4].script_lang == "th"
     assert out[5].script_lang == "latin" and out[5].n_latin == 16
     assert out[6].script_lang == "latin" and out[6].n_han == 2
+    assert out[7].script_lang == "other" and out[7].n_han == 1
+    assert out[8].script_lang == "other" and out[8].n_chars == 0
 
 
 def test_langid_cjk_accuracy_on_real_sentences(spark):
@@ -4008,3 +4014,40 @@ def test_langid_cjk_accuracy_on_real_sentences(spark):
         for r in lang_id_scores(df, segmenter="cjk_chars").collect()
     }
     assert out == {1: "zh", 2: "ja", 3: "ko", 4: "en"}
+
+
+def test_bm25_state_sink_and_release_checkpoint(spark):
+    """r14 self-review: Dataset.unpersist() is a silent no-op for
+    localCheckpoint state; release_checkpoint must actually drop the
+    pinned RDD, and the empty-terms path must keep the pop contract."""
+    from pipetree_spark.ops.relational import release_checkpoint
+    from pipetree_spark.ops.text import bm25_scores
+
+    df = spark.createDataFrame(
+        [(1, "spark engine"), (2, "spark table")], "doc_id long, text string"
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    sink = []
+    bm25_scores(df, ["spark"], state_sink=sink).collect()
+    assert len(sink) == 1
+    assert jsc.getPersistentRDDs().size() == before + 1
+    assert release_checkpoint(sink.pop())
+    assert jsc.getPersistentRDDs().size() == before
+    # empty-terms degenerate path still appends (pop never IndexErrors)
+    sink2 = []
+    bm25_scores(df, [], state_sink=sink2)
+    assert len(sink2) == 1
+    release_checkpoint(sink2.pop())  # harmless no-op
+
+
+def test_rrf_fuse_rejects_colliding_and_duplicate_names(spark):
+    import pytest as _pytest
+
+    from pipetree_spark.ops.retrieval import rrf_fuse
+
+    df = spark.createDataFrame([(1, 1)], "doc_id long, rnk long")
+    with _pytest.raises(ValueError, match="collisions"):
+        rrf_fuse([("rrf_score", df)], "doc_id")
+    with _pytest.raises(ValueError, match="duplicates"):
+        rrf_fuse([("r_a", df), ("r_a", df)], "doc_id")
