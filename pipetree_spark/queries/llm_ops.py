@@ -5778,3 +5778,44 @@ def q_text_langid_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.lang_id_scores(src, "text", segmenter="cjk_chars").select(
         "doc_id", "lang_pred", "lang_score"
     )
+
+
+def _cjk_seg_table_sql() -> str:
+    """The planted mixed corpus PRE-SEGMENTED in SQL — the integration
+    pattern for ops without a segmenter kwarg: segment once as a
+    stage, and every downstream whitespace splitter sees per-char
+    units."""
+    planted = f"substr(text, 1, 12) || ' ' || {_CJK_CASE_SQL} || ' ' || substr(text, 14, 10)"
+    return (
+        "(SELECT doc_id, "
+        + TX.segment_text_sql(f"({planted})", "cjk_chars")
+        + " AS text FROM documents)"
+    )
+
+
+@declare(
+    "q_text_bpe_train_cjk",
+    oracle=TX.bpe_train_sql(4, table=_cjk_seg_table_sql()),
+    tags=("text",),
+)
+def q_text_bpe_train_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training over a PRE-SEGMENTED mixed CJK+Latin corpus
+    — certifying the r14 segmenter → tokenizer-trainer integration
+    end-to-end: segment_text runs once as an upstream stage (the
+    pattern for composing the segmenter with ANY whitespace-splitting
+    op, no kwarg threading needed), the per-char CJK units enter the
+    (word, freq) vocab collapse as single-codepoint words, and the 4
+    certified merge rounds must then learn cross-codepoint merges
+    from CJK pair frequencies — on an unsegmented corpus each CJK run
+    would be ONE vocab word and the learned merges would differ. Same
+    unrolled-CTE oracle as q_text_bpe_train, table swapped for the
+    segmented plant; hash match certifies tokenization, pair counts,
+    tie-breaks, and greedy merge semantics over non-ASCII symbols.
+
+    Scale shape: identical to q_text_bpe_train (one corpus collapse +
+    |vocab|-row rounds) plus two narrow regex maps."""
+    d = load_table(spark, sf_dir, "documents")
+    src = _cjk_corpus(d).select(
+        "doc_id", TX.segment_text("text", "cjk_chars").alias("text")
+    )
+    return TX.bpe_train(src, "text", n_merges=4)
