@@ -103,6 +103,23 @@ def segment_text_sql(expr: str, segmenter: str = "whitespace") -> str:
     )
 
 
+def segment_text_stage(
+    df: DataFrame,
+    text_col: str = "text",
+    segmenter: str = "cjk_chars",
+    out_col: str | None = None,
+) -> DataFrame:
+    """DataFrame-level (and JSON-spec-able) form of
+    :func:`segment_text`: segment once as a pipeline stage, and every
+    downstream whitespace-splitting op — spec ops included — sees
+    per-char CJK units without needing a ``segmenter`` kwarg of its
+    own (the q_text_bpe_train_cjk composition pattern). Overwrites
+    ``text_col`` in place unless ``out_col`` is given."""
+    return df.withColumn(
+        out_col or text_col, segment_text(text_col, segmenter)
+    )
+
+
 def tokens(text: Column | str, segmenter: str = "whitespace") -> Column:
     return F.split(segment_text(text, segmenter), " ")
 

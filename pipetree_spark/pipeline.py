@@ -418,8 +418,11 @@ def _op_registry() -> dict[str, tuple[Callable, int]]:
                 RT.rrf_fuse([(name_a, a), (name_b, b)], key_col, **kw),
             2,
         ),
-        # r14: script-composition language ID / segmenter router
+        # r14: script-composition language ID / segmenter router, and
+        # the stage-level segmenter (segment once; every downstream
+        # whitespace-splitting op sees per-char CJK units)
         "script_profile": (TX.script_profile, 1),
+        "segment_text": (TX.segment_text_stage, 1),
         # r14: output-sizing export step (measured bytes/row probe);
         # tmp_dir/target_bytes/sample_rows are spec-able scalars and
         # enter the content key like every other kwarg

@@ -1011,3 +1011,30 @@ def test_hybrid_search_example_spec_runs_and_caches(spark, sf_small, tmp_path):
     p2.run(spark, cache=cache)
     assert p2.last_run_report["fused"] == "hit"
     assert p2.last_run_report["boilerplate_report"] == "hit"
+
+
+def test_cjk_curation_pipeline_example(spark, sf_small, tmp_path):
+    """examples/cjk_curation_pipeline.json: the r14 CJK surface
+    composed through the spec walker — plant a mixed-script corpus in
+    SQL, route it with the script_profile op, segment it with the
+    segment_text stage, and report per-script doc/unit counts. Each
+    residue class must route to its script and segmented unit counts
+    must exceed naive word counts on CJK rows."""
+    import json
+    from pathlib import Path
+
+    spec = json.loads(
+        (Path(__file__).resolve().parent.parent
+         / "examples/cjk_curation_pipeline.json").read_text()
+    )
+    spec["stages"]["documents"]["sf_dir"] = sf_small
+    cache = ArtifactCache(str(tmp_path))
+    r = Pipeline.from_spec(spec).run(spark, cache=cache)
+    rep = {row.script_lang: row for row in r["report"].collect()}
+    assert set(rep) == {"zh", "ja", "ko", "th", "latin"}
+    assert all(v.n_docs == 100 for v in rep.values())  # 500 docs, %5
+    # per-char segmentation: every CJK class averages more units per
+    # doc than the latin control (the inserts are 12-18 codepoints)
+    latin_avg = rep["latin"].sum_units / rep["latin"].n_docs
+    for lang in ("zh", "ja", "ko", "th"):
+        assert rep[lang].sum_units / rep[lang].n_docs > latin_avg + 8
