@@ -677,3 +677,82 @@ def q_pipe_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = Pipeline.from_spec(spec, sf_dir=sf_dir)
     return p.run(spark)["report"]
+
+
+#: The cjk_curation spec's planted inserts — ONE constant the oracle
+#: renders from; tests/test_pipeline.py pins the JSON spec's plant to
+#: these same literals so the two cannot drift.
+_CJK_PIPE_INSERTS: tuple[str, ...] = (
+    "机器学习模型训练数据管道加速",
+    "高速処理エンジンのデータです",
+    "대규모데이터엔진처리시스템",
+    "ระบบประมวลผลข้อมูล",
+)
+
+
+def _cjk_curation_report_sql() -> str:
+    """DuckDB twin of examples/cjk_curation_pipeline.json's report:
+    plant → script_profile route → cjk_chars segmentation → per-script
+    doc/unit counts. Route and segmentation twins are GENERATED from
+    the same class constants as the Spark ops (script_profile_sql /
+    segment_text_sql)."""
+    from pipetree_spark.ops.text import script_profile_sql, segment_text_sql
+
+    case = (
+        "(CASE doc_id % 5 "
+        + " ".join(
+            f"WHEN {i} THEN '{s}'" for i, s in enumerate(_CJK_PIPE_INSERTS)
+        )
+        + " ELSE '' END)"
+    )
+    planted = (
+        f"substr(text, 1, 6) || ' ' || {case} || ' ' || substr(text, 8, 6)"
+    )
+    route = script_profile_sql("planted")
+    seg = segment_text_sql("text", "cjk_chars")
+    return f"""
+WITH planted AS (
+  SELECT doc_id, {planted} AS text FROM documents),
+route AS ({route}),
+stats AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split({seg}, ' '),
+                              x -> length(x) > 0)) AS BIGINT) AS n_units
+  FROM planted)
+SELECT r.script_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(s.n_units) AS BIGINT) AS sum_units
+FROM route r JOIN stats s USING (doc_id)
+GROUP BY r.script_lang
+"""
+
+
+@declare(
+    "q_pipe_cjk_curation",
+    oracle=_cjk_curation_report_sql(),
+    tags=("pipeline", "text"),
+)
+def q_pipe_cjk_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r14 CJK surface composed END-TO-END through the
+    orchestration layer and certified as one unit (the q_pipe_curation
+    pattern): Pipeline.from_spec on the shipped
+    cjk_curation_pipeline.json — SQL plant of a mixed-script corpus →
+    script_profile router op → segment_text stage op → per-script
+    doc/unit report — with a DuckDB oracle that re-implements every
+    stage from the SAME generated twins (script_profile_sql /
+    segment_text_sql). A drift anywhere in the spec walker, the op
+    registry, the segmenter, or the router breaks the driver's hash.
+
+    Runs cache-less (pure lazy composition), like q_pipe_curation."""
+    import json
+    from importlib import resources
+
+    from pipetree_spark.pipeline import Pipeline
+
+    spec = json.loads(
+        resources.files("pipetree_spark")
+        .joinpath("specs/cjk_curation_pipeline.json")
+        .read_text()
+    )
+    p = Pipeline.from_spec(spec, sf_dir=sf_dir)
+    return p.run(spark)["report"]

@@ -490,7 +490,12 @@ def test_quality_gate_raises_on_planted_violations(spark):
 
 
 @pytest.mark.parametrize(
-    "spec_name", ["curation_pipeline.json", "validation_pipeline.json"]
+    "spec_name",
+    [
+        "curation_pipeline.json",
+        "validation_pipeline.json",
+        "cjk_curation_pipeline.json",
+    ],
 )
 def test_shipped_spec_copies_are_identical(spec_name):
     """q_pipe_curation / q_pipe_validate load their specs from PACKAGE
@@ -1038,3 +1043,23 @@ def test_cjk_curation_pipeline_example(spark, sf_small, tmp_path):
     latin_avg = rep["latin"].sum_units / rep["latin"].n_docs
     for lang in ("zh", "ja", "ko", "th"):
         assert rep[lang].sum_units / rep[lang].n_docs > latin_avg + 8
+
+
+def test_cjk_spec_plant_matches_oracle_constant():
+    """Drift guard: q_pipe_cjk_curation's oracle renders its plant from
+    _CJK_PIPE_INSERTS; the JSON spec's SQL plant must carry the same
+    literals in the same residue order."""
+    import json
+    from importlib import resources
+
+    from pipetree_spark.queries.pipelines import _CJK_PIPE_INSERTS
+
+    spec = json.loads(
+        resources.files("pipetree_spark")
+        .joinpath("specs/cjk_curation_pipeline.json")
+        .read_text()
+    )
+    q = spec["stages"]["planted"]["query"]
+    pos = [q.find(s) for s in _CJK_PIPE_INSERTS]
+    assert all(p >= 0 for p in pos), "spec plant is missing an insert"
+    assert pos == sorted(pos), "spec plant order diverged from the oracle"
