@@ -2672,6 +2672,7 @@ def doc_lines(
     text_col: str = "text",
     key_col: str = "doc_id",
     chunk: int | None = None,
+    unit: str = "line",
 ) -> DataFrame:
     """Explode documents into the units CCNet-style cross-document
     dedup hashes: real lines when ``chunk`` is None (split on newline,
@@ -2682,10 +2683,28 @@ def doc_lines(
     alignment makes each token belong to exactly one unit, so "strip
     the duplicated units" is well-defined without interval merging).
 
+    ``unit="sentence"`` (r14) splits on SENTENCE boundaries instead:
+    terminal punctuation (``.!?``) followed by whitespace, plus
+    newlines — the Gopher-tier unit for cross-document sentence dedup
+    ("repeated across ≥N docs" catches taglines and disclaimer
+    sentences that never align to lines). Implemented as one
+    boundary-marking regexp_replace then the newline split, so the
+    left-to-right semantics are identical in Java and RE2 (no
+    lookbehind — RE2 has none). Honest boundary: no abbreviation
+    handling ("Dr. Smith" splits) — that is the dictionary-segmenter
+    tier, same contract as segment_text.
+
     Returns (key, line_no, line, n_words); a pure per-row narrow map
     (split + transform + posexplode), no shuffle.
     """
-    if chunk is None:
+    if unit not in ("line", "sentence"):
+        raise ValueError(f"unknown unit {unit!r}; expected line|sentence")
+    if unit == "sentence":
+        marked = F.regexp_replace(F.col(text_col), r"([.!?])\s+", "$1\n")
+        lines = F.filter(
+            F.split(marked, "\n"), lambda x: F.length(F.trim(x)) > 0
+        )
+    elif chunk is None:
         lines = F.filter(
             F.split(F.col(text_col), "\n"), lambda x: F.length(F.trim(x)) > 0
         )
@@ -2723,6 +2742,7 @@ def line_dedup_stats(
     key_col: str = "doc_id",
     chunk: int | None = None,
     min_docs: int = 2,
+    unit: str = "line",
 ) -> DataFrame:
     """Cross-document line/paragraph-frequency dedup audit — the CCNet
     boilerplate-strip criterion: a unit is boilerplate when it appears
@@ -2748,8 +2768,12 @@ def line_dedup_stats(
     scale. At CCNet scale you'd also swap the exact distinct for
     approx_count_distinct; exact here keeps the oracle gate. One
     map-side-combinable aggregate, one broadcastable left join, one
-    per-doc aggregate. No all-pairs anywhere."""
-    lines = doc_lines(df, text_col, key_col, chunk=chunk).withColumn(
+    per-doc aggregate. No all-pairs anywhere.
+
+    ``unit="sentence"`` (r14) applies the same distinct-doc criterion
+    to SENTENCES (see doc_lines) — the Gopher-style repeated-sentence
+    filter."""
+    lines = doc_lines(df, text_col, key_col, chunk=chunk, unit=unit).withColumn(
         "__line_h", F.xxhash64("line")
     )
     freq = (
@@ -2782,6 +2806,7 @@ def line_dedup_strip(
     key_col: str = "doc_id",
     chunk: int | None = None,
     min_docs: int = 2,
+    unit: str = "line",
 ) -> DataFrame:
     """Cross-document line-frequency dedup REMOVAL — the action half
     of :func:`line_dedup_stats` (the substring family's
@@ -2799,9 +2824,11 @@ def line_dedup_strip(
     boilerplate-only (``__ndocs >= min_docs``-filtered) broadcastable
     build side, LEFT probe (r14 re-plan; see line_dedup_stats) — plus
     one per-doc ordered collect bounded by the document's own length
-    (the dup_span_strip bound)."""
-    sep = "\n" if chunk is None else " "
-    lines = doc_lines(df, text_col, key_col, chunk=chunk).withColumn(
+    (the dup_span_strip bound). ``unit="sentence"`` rebuilds the
+    surviving sentences space-joined (their terminal punctuation is
+    part of the unit, so a space restores readable text)."""
+    sep = " " if (unit == "sentence" or chunk is not None) else "\n"
+    lines = doc_lines(df, text_col, key_col, chunk=chunk, unit=unit).withColumn(
         "__line_h", F.xxhash64("line")
     )
     freq = (

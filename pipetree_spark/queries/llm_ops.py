@@ -5819,3 +5819,130 @@ def q_text_bpe_train_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", TX.segment_text("text", "cjk_chars").alias("text")
     )
     return TX.bpe_train(src, "text", n_merges=4)
+
+
+#: Planted boilerplate SENTENCES for the sentence-dedup pair — two
+#: shared-by-class multi-sentence headers + a bare-body control class
+#: (the _NL_HEADERS pattern at the sentence tier).
+_SENT_HEADERS: tuple[str, ...] = (
+    "visit our site now. subscribe to the newsletter.",
+    "all rights reserved. thanks for reading!",
+    "",
+)
+
+_SENT_SRC_SQL = f"""
+  SELECT doc_id,
+         (CASE doc_id % 3 WHEN 0 THEN '{_SENT_HEADERS[0]}'
+                          WHEN 1 THEN '{_SENT_HEADERS[1]}'
+                          ELSE '' END)
+         || ' ' || text AS s
+  FROM documents"""
+
+#: sentence boundary marking, shared by both oracle halves
+_SENT_UNITS_SQL = r"""
+  SELECT doc_id,
+         list_filter(string_split(
+             regexp_replace(s, '([.!?])\s+', '\1' || chr(10), 'g'), chr(10)),
+             x -> length(trim(x)) > 0) AS arr"""
+
+
+def _sent_corpus(d: DataFrame) -> DataFrame:
+    """Spark half of the planted sentence corpus (see _SENT_SRC_SQL)."""
+    hdr = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_SENT_HEADERS[0]))
+        .when(F.col("doc_id") % 3 == 1, F.lit(_SENT_HEADERS[1]))
+        .otherwise(F.lit(""))
+    )
+    return d.select(
+        "doc_id", F.concat(hdr, F.lit(" "), F.col("text")).alias("text")
+    )
+
+
+@declare(
+    "q_dedup_sentences",
+    oracle=f"""
+WITH src AS ({_SENT_SRC_SQL}),
+ls AS ({_SENT_UNITS_SQL} FROM src),
+ln AS (SELECT doc_id, unnest(arr) AS line FROM ls),
+n AS (
+  SELECT doc_id, line,
+         CAST(len(list_filter(string_split(line, ' '),
+                              x -> length(x) > 0)) AS BIGINT) AS nw
+  FROM ln),
+f AS (SELECT line, COUNT(DISTINCT doc_id) AS ndocs FROM n GROUP BY line),
+a AS (
+  SELECT n.doc_id,
+         COUNT(*) AS n_lines,
+         SUM(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS n_dup_lines,
+         SUM(n.nw) AS n_words,
+         SUM(CASE WHEN f.ndocs >= 2 THEN 0 ELSE n.nw END) AS n_kept_words
+  FROM n JOIN f USING (line) GROUP BY n.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(a.n_dup_lines, 0) AS BIGINT) AS n_dup_lines,
+       CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(a.n_kept_words, 0) AS BIGINT) AS n_kept_words
+FROM documents d LEFT JOIN a USING (doc_id)
+""",
+    tags=("text", "dedup"),
+)
+def q_dedup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document SENTENCE-frequency dedup audit — the Gopher-tier
+    repeated-sentence filter (line_dedup_stats with unit="sentence",
+    r14): taglines and disclaimer sentences repeat across documents
+    without ever aligning to lines or whole duplicated spans, so the
+    distinct-doc criterion is applied to sentence units (terminal
+    punctuation + whitespace boundaries, RE2-portable — no
+    lookbehind). Planted corpus: residue-class multi-sentence
+    boilerplate headers shared by ~170 docs each + the unique
+    word-salad body as each doc's kept sentence; the %3==2 class
+    exercises the body-only path. Honest boundary documented: no
+    abbreviation handling.
+
+    Scale shape: identical to q_dedup_lines — xxhash64 unit keys,
+    boilerplate-only filtered broadcast build side, LEFT probe."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.line_dedup_stats(
+        _sent_corpus(d), "text", "doc_id", min_docs=2, unit="sentence"
+    )
+
+
+@declare(
+    "q_dedup_sentences_rm",
+    oracle=f"""
+WITH src AS ({_SENT_SRC_SQL}),
+ls AS ({_SENT_UNITS_SQL} FROM src),
+l AS (
+  SELECT doc_id, i - 1 AS line_no, arr[i] AS line
+  FROM ls CROSS JOIN generate_series(1, 4096) g(i)
+  WHERE i <= len(arr)),
+f AS (SELECT line, COUNT(DISTINCT doc_id) AS ndocs FROM l GROUP BY line),
+kept AS (
+  SELECT l.doc_id, l.line_no, l.line
+  FROM l JOIN f USING (line) WHERE f.ndocs < 2),
+a AS (
+  SELECT doc_id, COUNT(*) AS n_kept_lines,
+         string_agg(line, ' ' ORDER BY line_no) AS clean_text
+  FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM l GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(tot.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(a.n_kept_lines, 0) AS BIGINT) AS n_kept_lines,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN a USING (doc_id)
+""",
+    tags=("text", "dedup"),
+)
+def q_dedup_sentences_rm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half at the sentence tier (line_dedup_strip with
+    unit="sentence"): boilerplate sentences cut from every document,
+    text rebuilt SPACE-joined from the surviving sentences in order
+    (terminal punctuation is part of each unit, so a space restores
+    readable text) — the hash certifies the rebuild byte-for-byte.
+    Oracle certification bound 4096 sentences/doc.
+
+    Scale shape: the stats half plus the per-doc ordered collect."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.line_dedup_strip(
+        _sent_corpus(d), "text", "doc_id", min_docs=2, unit="sentence"
+    )

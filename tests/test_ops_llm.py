@@ -4051,3 +4051,34 @@ def test_rrf_fuse_rejects_colliding_and_duplicate_names(spark):
         rrf_fuse([("rrf_score", df)], "doc_id")
     with _pytest.raises(ValueError, match="duplicates"):
         rrf_fuse([("r_a", df), ("r_a", df)], "doc_id")
+
+
+def test_doc_lines_sentence_unit(spark):
+    """unit='sentence': terminal-punct+space and newline boundaries,
+    punctuation kept with its sentence, unknown unit raises."""
+    import pytest as _pytest
+
+    from pipetree_spark.ops.text import doc_lines, line_dedup_strip
+
+    df = spark.createDataFrame(
+        [(1, "first one. second two!  third\nfourth? last")],
+        "doc_id long, text string",
+    )
+    rows = doc_lines(df, unit="sentence").orderBy("line_no").collect()
+    assert [r.line for r in rows] == [
+        "first one.", "second two!", "third", "fourth?", "last",
+    ]
+    assert [r.n_words for r in rows] == [2, 2, 1, 1, 1]
+    with _pytest.raises(ValueError, match="unknown unit"):
+        doc_lines(df, unit="paragraph")
+
+    # strip at the sentence tier rebuilds space-joined
+    two = spark.createDataFrame(
+        [(1, "shared tagline here. unique alpha."),
+         (2, "shared tagline here. unique beta.")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup_strip(two, unit="sentence").collect()}
+    assert out[1].clean_text == "unique alpha."
+    assert out[2].clean_text == "unique beta."
+    assert out[1].n_lines == 2 and out[1].n_kept_lines == 1

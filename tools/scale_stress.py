@@ -113,6 +113,7 @@ QUERIES = [
     "q_dedup_lines",       # r13: line-hash agg + join back — CCNet boilerplate strip
     "q_dedup_lines_rm",    # r13: the removal half — + per-doc ordered rebuild
     "q_dedup_lines_nl",    # r14: real-newline mode (regex-planted corpus)
+    "q_dedup_sentences",   # r14: sentence-unit distinct-doc criterion
     "q_text_domain_cap",   # r13: narrow URL map + one domain-key window shuffle
     "q_search_rrf",        # r13: corpus work in the scorers; fusion is ≤200 rows flat
     "q_search_rrf3",       # r13: three-list fold — one extra TakeOrdered column scan
