@@ -645,6 +645,7 @@ def running_line_flags(
     key_col: str = "doc_id",
     chunk: int | None = None,
     min_docs: int = 2,
+    unit: str = "line",
 ) -> DataFrame:
     """Streaming twin of the batch line-frequency boilerplate criterion
     (ops.text.line_dedup_stats): as documents arrive (the daily-crawl
@@ -683,7 +684,7 @@ def running_line_flags(
     # crawl id would cast to NULL and crash update() with an opaque
     # PythonException; xxhash64 keeps distinct-count semantics for any
     # key type (collision odds 2^-64 per pair)
-    lines = doc_lines(docs, text_col, key_col, chunk=chunk).select(
+    lines = doc_lines(docs, text_col, key_col, chunk=chunk, unit=unit).select(
         F.xxhash64(key_col).alias("__k"),
         F.xxhash64("line").alias("__line_h"),
         "line",

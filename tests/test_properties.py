@@ -1418,3 +1418,63 @@ def test_exif_roundtrip_property(make, orientation, num, den, big_endian):
     assert got["orientation"] == orientation
     assert (got["xres_num"], got["xres_den"]) == (num, den)
     assert got["endian"] == ("MM" if big_endian else "II")
+
+
+mixed_script_text = st.text(
+    alphabet=(
+        "abc XY12 .!?"                # latin + digits + punct + space
+        "数据引擎"  # han
+        "のエン"          # kana
+        "한국"                  # hangul
+        "ไทย"          # thai
+        "éДΩ"          # é / cyrillic / greek (unlisted)
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(**SETTINGS)
+@given(st.lists(mixed_script_text, min_size=1, max_size=8))
+def test_cjk_segmentation_properties_cross_engine(spark, texts):
+    """segment_text/cjk_chars on random mixed-script text: (1) Spark
+    and the generated DuckDB twin agree byte-for-byte, (2) the pass is
+    IDEMPOTENT (segmenting segmented text is a fixpoint — the property
+    that makes the stage safe to compose anywhere in a pipeline),
+    (3) unit counts across both engines agree with the router-side
+    word_count."""
+    import duckdb
+
+    from pipetree_spark.ops.text import (
+        segment_text,
+        segment_text_sql,
+        word_count,
+    )
+
+    pdf = pd.DataFrame({"i": range(len(texts)), "t": texts})
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        sdf.select(
+            "i",
+            segment_text("t", "cjk_chars").alias("seg"),
+            segment_text(segment_text("t", "cjk_chars"), "cjk_chars").alias(
+                "seg2"
+            ),
+            word_count("t", "cjk_chars").alias("n"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register("tbl", pdf)
+    seg_sql = segment_text_sql("t", "cjk_chars")
+    want = con.execute(
+        f"SELECT i, {seg_sql} AS seg, "
+        f"CAST(len(list_filter(string_split({seg_sql}, ' '), "
+        f"x -> length(x) > 0)) AS BIGINT) AS n "
+        f"FROM tbl ORDER BY i"
+    ).fetchall()
+    for g, w in zip(got, want):
+        assert g.seg == w[1], (g.seg, w[1])
+        assert g.seg2 == g.seg  # idempotent
+        assert g.n == w[2]

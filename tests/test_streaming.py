@@ -732,3 +732,53 @@ def test_streaming_line_flags_match_batch_criterion(spark, tmp_path):
     # the cross-batch duplicates really latched
     assert finals["shared footer"] == 1 and finals["split line"] == 1
     assert finals["alpha body"] == 0
+
+
+def test_streaming_sentence_flags_match_batch_criterion(spark, tmp_path):
+    """running_line_flags(unit='sentence'): the r14 sentence tier
+    streamed — a tagline whose two occurrences arrive in different
+    micro-batches latches; unique body sentences never do."""
+    import pipetree_spark.ops.text as TX
+
+    feed = tmp_path / "sentfeed"
+    feed.mkdir()
+    schema = "doc_id long, text string"
+    batch1 = [(0, "visit our site now. unique alpha body")]
+    batch2 = [(1, "visit our site now. unique beta body")]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        str(feed / "b1")
+    )
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+        str(feed / "b2")
+    )
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    sdf = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed / "*"))
+    )
+    out = st.run_to_memory(
+        st.running_line_flags(sdf, min_docs=2, unit="sentence"),
+        spark,
+        output_mode="update",
+    ).toPandas()
+    finals = {
+        line: int(grp["is_boilerplate"].max())
+        for line, grp in out.groupby("line")
+    }
+    batch_docs = spark.createDataFrame(batch1 + batch2, schema)
+    want = {
+        r.line: (1 if r.ndocs >= 2 else 0)
+        for r in TX.doc_lines(batch_docs, unit="sentence")
+        .groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .collect()
+    }
+    assert finals == want
+    assert finals["visit our site now."] == 1
+    assert finals["unique alpha body"] == 0
