@@ -453,6 +453,71 @@ SELECT *,
 FROM p"""
 
 
+def blocklist_stage(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Blocklist term filter — the word-list gate every public
+    curation recipe runs (C4's LDNOOBW list, spam/adult-term filters):
+    count case-insensitive WHOLE-WORD occurrences of any listed term
+    via ONE compiled regex alternation, entirely JVM-side.
+
+    Emits (key, n_hits int64, first_hit — '' when clean — and
+    flagged 0/1). The policy decision (drop vs downweight vs
+    threshold on hits/length) stays with the caller; this op only
+    measures. ``\\b`` word boundaries are ASCII-identical in Java and
+    RE2 (terms are caller-supplied word lists — regex metacharacters
+    are escaped, so a term can never inject pattern syntax).
+
+    Scale shape: one regex map over the scan — zero shuffles; the
+    alternation compiles once per task. For 10k+ term lists an
+    Aho-Corasick pandas_udf would beat the alternation; at the
+    dozens-to-hundreds of terms real blocklists carry, the single
+    regex is the fast path."""
+    import re as _re
+
+    if not terms:
+        raise ValueError("blocklist_stage: terms must be non-empty")
+    alt = "|".join(_re.escape(t.lower()) for t in terms)
+    pat = rf"\b({alt})\b"
+    lowered = F.lower(F.col(text_col))
+    hits = F.regexp_extract_all(lowered, F.lit(pat), F.lit(1))
+    return df.select(
+        key_col,
+        F.size(hits).cast("long").alias("n_hits"),
+        # try_element_at: ANSI element_at RAISES on an empty array
+        F.coalesce(F.try_element_at(hits, F.lit(1)), F.lit("")).alias(
+            "first_hit"
+        ),
+        (F.size(hits) > 0).cast("long").alias("flagged"),
+    )
+
+
+def blocklist_sql(
+    terms: tuple[str, ...],
+    table: str = "documents",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`blocklist_stage`, generated from the SAME
+    term tuple (the shared-constant rule)."""
+    import re as _re
+
+    alt = "|".join(_re.escape(t.lower()) for t in terms)
+    pat = rf"\b({alt})\b"
+    return f"""
+SELECT {key_col},
+       CAST(len(regexp_extract_all(lower({text_col}), '{pat}', 1)) AS BIGINT)
+         AS n_hits,
+       COALESCE(regexp_extract_all(lower({text_col}), '{pat}', 1)[1], '')
+         AS first_hit,
+       CAST(CASE WHEN len(regexp_extract_all(lower({text_col}), '{pat}', 1)) > 0
+            THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM {table}"""
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
     """Exact dedup on normalized-text hash, keeping the smallest key:
     ``min_by(struct(row), key)`` grouped by the hash, then unpack the

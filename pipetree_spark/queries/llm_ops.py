@@ -5946,3 +5946,58 @@ def q_dedup_sentences_rm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.line_dedup_strip(
         _sent_corpus(d), "text", "doc_id", min_docs=2, unit="sentence"
     )
+
+
+#: Blocklist terms for q_text_blocklist — ONE constant rendered into
+#: both engines; planted into residue classes so hits, multi-hits, and
+#: clean docs all sit under the hash.
+_BLOCKLIST_TERMS: tuple[str, ...] = ("casino", "jackpot", "free spins")
+
+_BLOCKLIST_PLANT_SQL = """(
+  SELECT doc_id,
+         (CASE doc_id % 4
+            WHEN 0 THEN 'WIN at the CASINO today ' || text
+            WHEN 1 THEN 'jackpot! free spins jackpot ' || text
+            WHEN 2 THEN 'casinos and jackpots discussed ' || text
+            ELSE text END) AS text
+  FROM documents)"""
+
+
+@declare(
+    "q_text_blocklist",
+    oracle=TX.blocklist_sql(_BLOCKLIST_TERMS, table=_BLOCKLIST_PLANT_SQL),
+    tags=("text",),
+)
+def q_text_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist term filter under the driver hash
+    (ops.text.blocklist_stage — the C4/LDNOOBW-style word-list gate):
+    case-insensitive whole-word counts of a shared term constant over
+    a planted corpus covering every semantics corner — uppercase hits
+    (%4==0: 'CASINO' matches), repeated + multi-word-term hits
+    (%4==1: two 'jackpot' + one 'free spins', and first_hit must be
+    the leftmost match), WORD-BOUNDARY non-hits (%4==2: 'casinos' and
+    'jackpots' must NOT match — the \\b semantics that separate a
+    word-list gate from a substring grep), and clean docs (%4==3:
+    n_hits=0, first_hit='', flagged=0). Terms are regex-escaped, so a
+    list entry can never inject pattern syntax.
+
+    Scale shape: ONE regex map over the scan, zero shuffles; the
+    policy (drop/downweight) composes downstream."""
+    d = load_table(spark, sf_dir, "documents")
+    plant = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("WIN at the CASINO today "), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("jackpot! free spins jackpot "), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("casinos and jackpots discussed "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+    )
+    src = d.select("doc_id", plant.alias("text"))
+    return TX.blocklist_stage(src, _BLOCKLIST_TERMS)

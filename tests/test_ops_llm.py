@@ -4082,3 +4082,34 @@ def test_doc_lines_sentence_unit(spark):
     assert out[1].clean_text == "unique alpha."
     assert out[2].clean_text == "unique beta."
     assert out[1].n_lines == 2 and out[1].n_kept_lines == 1
+
+
+def test_blocklist_stage_word_boundaries_and_escaping(spark):
+    """blocklist_stage: whole-word semantics, case-insensitivity,
+    leftmost first_hit, regex metacharacters in terms are literal, and
+    an empty list raises."""
+    import pytest as _pytest
+
+    from pipetree_spark.ops.text import blocklist_stage
+
+    rows = [
+        (1, "the CASINO opened"),
+        (2, "casinos are plural"),          # boundary: no hit
+        (3, "win free spins and a jackpot"),
+        (4, "clean document"),
+        (5, "price is 3.50 total"),          # term '3.50': dot is literal
+        (6, "price is 3x50 total"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in blocklist_stage(df, ("casino", "jackpot", "free spins")).collect()
+    }
+    assert (out[1].n_hits, out[1].first_hit, out[1].flagged) == (1, "casino", 1)
+    assert out[2].n_hits == 0 and out[2].first_hit == ""
+    assert out[3].n_hits == 2 and out[3].first_hit == "free spins"
+    assert out[4].flagged == 0
+    dot = {r.doc_id: r for r in blocklist_stage(df, ("3.50",)).collect()}
+    assert dot[5].n_hits == 1 and dot[6].n_hits == 0  # '.' stays literal
+    with _pytest.raises(ValueError, match="non-empty"):
+        blocklist_stage(df, ())
