@@ -35,16 +35,39 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 #: the DuckDB oracle — semantics verified byte-identical on mixed
 #: Han/Kana/Hangul/Thai/Latin text). Han covers Chinese hanzi AND
 #: Japanese kanji; Hiragana/Katakana the Japanese syllabaries; Hangul
-#: Korean; Thai the canonical no-space SE-Asian script. Scripts NOT
-#: listed (Lao, Khmer, Myanmar, Tibetan...) stay whitespace-tokenized —
-#: the documented honest boundary of the heuristic.
-CJK_CLASS_JAVA = r"[\p{IsHan}\p{IsHiragana}\p{IsKatakana}\p{IsHangul}\p{IsThai}]"
-CJK_CLASS_RE2 = r"[\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}\p{Thai}]"
+#: Korean; Thai/Lao/Khmer/Myanmar/Tibetan the no-space SE-Asian
+#: scripts (Lao/Khmer/Myanmar/Tibetan added r15 — the r14 verdict's
+#: "remaining no-space scripts" item; both dialects name them as
+#: Unicode SCRIPT classes, so the two engines agree codepoint-for-
+#: codepoint). Per-codepoint units remain a cruder degradation for
+#: these scripts than for CJK (Thai-family "words" are multi-char
+#: clusters); the dictionary tier (:func:`dict_segment_stage`) is the
+#: escalation, exactly as for Chinese.
+CJK_CLASS_JAVA = (
+    r"[\p{IsHan}\p{IsHiragana}\p{IsKatakana}\p{IsHangul}\p{IsThai}"
+    r"\p{IsLao}\p{IsKhmer}\p{IsMyanmar}\p{IsTibetan}]"
+)
+CJK_CLASS_RE2 = (
+    r"[\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}\p{Thai}"
+    r"\p{Lao}\p{Khmer}\p{Myanmar}\p{Tibetan}]"
+)
 
 #: Valid values for the ``segmenter=`` option threaded through the
 #: shared tokenization pass (tokens / word_count / word_shingles /
 #: word_ngrams / bpe_word_freqs).
 SEGMENTERS = ("whitespace", "cjk_chars")
+
+#: The whitespace character class, spelled EXPLICITLY instead of
+#: ``\s`` — the r14 ADVICE finding: Java's ``\s`` is the ASCII set
+#: ``[ \t\n\x0B\f\r]`` (vertical tab INCLUDED) while RE2's ``\s`` is
+#: ``[\t\n\f\r ]`` (vertical tab EXCLUDED), so every Spark regex
+#: twinned by a DuckDB oracle via ``\s`` silently diverged on
+#: U+000B-bearing crawl text. Spelled once here and interpolated into
+#: BOTH dialects (``\x0B`` parses identically in Java and RE2, and
+#: the explicit class is byte-equal to Java's ``\s`` — certified Spark
+#: values are unchanged by the respelling).
+WS_CHARS = r" \t\n\x0B\f\r"
+WS = "[" + WS_CHARS + "]"
 
 
 def segment_text(text: Column | str, segmenter: str = "whitespace") -> Column:
@@ -84,7 +107,7 @@ def segment_text(text: Column | str, segmenter: str = "whitespace") -> Column:
             f"unknown segmenter {segmenter!r}; expected one of {SEGMENTERS}"
         )
     c = F.regexp_replace(c, f"({CJK_CLASS_JAVA})", " $1 ")
-    return F.trim(F.regexp_replace(c, r"\s+", " "))
+    return F.trim(F.regexp_replace(c, WS + "+", " "))
 
 
 def segment_text_sql(expr: str, segmenter: str = "whitespace") -> str:
@@ -99,7 +122,7 @@ def segment_text_sql(expr: str, segmenter: str = "whitespace") -> str:
         )
     return (
         r"trim(regexp_replace(regexp_replace(" + expr
-        + r", '(" + CJK_CLASS_RE2 + r")', ' \1 ', 'g'), '\s+', ' ', 'g'))"
+        + r", '(" + CJK_CLASS_RE2 + r")', ' \1 ', 'g'), '" + WS + r"+', ' ', 'g'))"
     )
 
 
@@ -137,9 +160,11 @@ def word_count(text: Column | str, segmenter: str = "whitespace") -> Column:
 
 def normalized_text(text: Column | str) -> Column:
     """Canonical form for exact dedup: lowercase, trimmed, whitespace
-    collapsed."""
+    collapsed. Whitespace is the explicit :data:`WS` class (the r14
+    ADVICE ``\\s`` dialect fix) — byte-equal to the previous Java
+    behavior, now byte-equal in RE2 oracles too."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.regexp_replace(F.lower(F.trim(c)), WS + "+", " ")
 
 
 #: punctuation classes squeezed by clean_text — one (escaped_pattern,
@@ -167,7 +192,7 @@ def clean_text(text: Column | str) -> Column:
     c = F.regexp_replace(c, r"[\x00-\x1f\x7f]", " ")
     for pat, rep in _PUNCT_SQUEEZE:
         c = F.regexp_replace(c, pat, rep)
-    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.regexp_replace(c, WS + "+", " ")
     return F.lower(F.trim(c))
 
 
@@ -299,9 +324,12 @@ def fingerprint(
 
 def token_count_bpe(text: Column | str) -> Column:
     """BPE-ish token count: runs of letters, runs of digits, or single
-    other non-space chars (portable RE2-style pattern)."""
+    other non-space chars (portable RE2-style pattern; whitespace is
+    the explicit :data:`WS_CHARS` set — the oracle previously excluded
+    only ' ' while Java ``\\s`` excluded all six, another instance of
+    the r14 ADVICE dialect divergence, now closed on both sides)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.size(F.regexp_extract_all(c, F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)))
+    return F.size(F.regexp_extract_all(c, F.lit(r"[a-z]+|[0-9]+|[^a-z0-9" + WS_CHARS + "]"), F.lit(0)))
 
 
 def stopword_ratio(
@@ -322,8 +350,8 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumns(
         {
             "n_tokens": n_tok,
-            "n_chars_nospace": F.length(F.regexp_replace(F.col(text_col), r"\s", "")),
-            "avg_token_len": F.length(F.regexp_replace(F.col(text_col), r"\s", "")) / n_tok,
+            "n_chars_nospace": F.length(F.regexp_replace(F.col(text_col), WS, "")),
+            "avg_token_len": F.length(F.regexp_replace(F.col(text_col), WS, "")) / n_tok,
             "n_bpe_tokens": token_count_bpe(text_col),
             "stopword_ratio_en": stopword_ratio(text_col, LANG_STOPWORDS["en"]),
         }
@@ -506,7 +534,11 @@ def blocklist_sql(
     import re as _re
 
     alt = "|".join(_re.escape(t.lower()) for t in terms)
-    pat = rf"\b({alt})\b"
+    # r14 ADVICE (medium): re.escape leaves apostrophes alone, so a
+    # term like "don't" would close the SQL string literal early —
+    # malformed SQL and an injection vector. Double them for the SQL
+    # literal (the regex itself is unchanged: '' parses back to one ').
+    pat = rf"\b({alt})\b".replace("'", "''")
     return f"""
 SELECT {key_col},
        CAST(len(regexp_extract_all(lower({text_col}), '{pat}', 1)) AS BIGINT)
@@ -1857,8 +1889,9 @@ def dup_span_stats(
 #: link-density heuristic (non-capturing — Java and RE2 split must
 #: agree; capture groups leak into RE2 splits).
 HTML_BLOCK_SPLIT_RE = r"(?i)</(?:p|div|li)>"
-#: Anchor with attributes: `<a\s` so `<abbr>` can never match.
-HTML_ANCHOR_RE = r"(?is)<a\s[^>]*>(.*?)</a>"
+#: Anchor with attributes: `<a` + whitespace so `<abbr>` can never
+#: match (explicit :data:`WS` class — the r14 ADVICE \s dialect fix).
+HTML_ANCHOR_RE = r"(?is)<a" + WS + r"[^>]*>(.*?)</a>"
 
 _HTML_ENTITIES = (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
                   ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"))
@@ -1868,7 +1901,7 @@ def _html_block_text(b):
     """Tag-strip + whitespace-collapse + trim one block (Column in,
     Column out; regexes restricted to the Java∩RE2 common subset)."""
     return F.trim(
-        F.regexp_replace(F.regexp_replace(b, r"<[^>]*>", " "), r"\s+", " ")
+        F.regexp_replace(F.regexp_replace(b, r"<[^>]*>", " "), WS + "+", " ")
     )
 
 
@@ -1920,7 +1953,7 @@ def html_extract_stage(
     joined = F.array_join(F.transform(kept, lambda s: s["txt"]), " ")
     for ent, rep in _HTML_ENTITIES:
         joined = F.replace(joined, F.lit(ent), F.lit(rep))
-    extracted = F.trim(F.regexp_replace(joined, r"\s+", " "))
+    extracted = F.trim(F.regexp_replace(joined, WS + "+", " "))
     sum_field = lambda arr, f: F.coalesce(  # noqa: E731
         F.aggregate(arr, F.lit(0).cast("long"), lambda acc, s: acc + f(s)),
         F.lit(0).cast("long"),
@@ -2764,8 +2797,17 @@ def doc_lines(
     """
     if unit not in ("line", "sentence"):
         raise ValueError(f"unknown unit {unit!r}; expected line|sentence")
+    if unit == "sentence" and chunk is not None:
+        # r14 ADVICE: the sentence branch used to short-circuit and
+        # silently ignore a caller-supplied chunk — conflicting unit
+        # requests are a caller bug, not a precedence question
+        raise ValueError(
+            "doc_lines: chunk= and unit='sentence' are mutually "
+            "exclusive (chunk is the no-line-structure stand-in for "
+            "lines; sentences are their own unit)"
+        )
     if unit == "sentence":
-        marked = F.regexp_replace(F.col(text_col), r"([.!?])\s+", "$1\n")
+        marked = F.regexp_replace(F.col(text_col), r"([.!?])" + WS + "+", "$1\n")
         lines = F.filter(
             F.split(marked, "\n"), lambda x: F.length(F.trim(x)) > 0
         )

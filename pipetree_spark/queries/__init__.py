@@ -95,14 +95,36 @@ WINDOW = 50  # observed driver cut, constant across r1–r7
 #: (same arithmetic, rebuilt column tree), and bm25_scores' new
 #: state_sink/warn surface (default path unchanged). All re-passed
 #: sf0.001 + sf0.01 + vanilla parity locally this round.
+#: r15 note: all 7 r14 entries graded green in CORRECTNESS_r14, so
+#: they drop off per the standing rule. The r15 entries are the
+#: queries whose oracle TEXT (not values — the planted corpora are
+#: \x0B-free and Java's ``\s`` IS the explicit class, so both engines'
+#: values are unchanged) changed under the r14-ADVICE whitespace-class
+#: respelling (``\s`` → ``[ \t\n\x0B\f\r]`` in every twinned regex,
+#: closing the Java-vs-RE2 vertical-tab divergence), plus the
+#: queries whose generated oracle changed under the no-space-script
+#: class extension (Lao/Khmer/Myanmar/Tibetan added to
+#: CJK_CLASS_JAVA/_RE2 — same segment_text_sql interpolation). All
+#: re-passed sf0.001 + sf0.01 parity locally this round.
 RECONFIRM: tuple[str, ...] = (
-    "q_dedup_lines",        # r14: hash-keyed, filtered-left join-back
-    "q_dedup_lines_rm",     # r14: hash-keyed, filtered-left join-back
-    "q_text_nfc",           # r14: changed=0 residue class (values changed)
-    "q_search_rrf",         # r14: rrf_score normalized rank columns
-    "q_search_rrf3",        # r14: rrf_score normalized rank columns
-    "q_text_bm25",          # r14: state_sink surface (default unchanged)
-    "q_text_langid",        # r14: zh profile pinyin→hanzi (values changed)
+    "q_text_quality",        # r15: \s + bpe-token class respelled
+    "q_text_clean",          # r15: \s respelled
+    "q_dedup_exact",         # r15: \s respelled
+    "q_dedup_lsh_recall",    # r15: \s respelled
+    "q_dedup_minhash_band",  # r15: \s respelled
+    "q_dedup_near_lsh",      # r15: \s respelled
+    "q_dedup_cluster_lsh",   # r15: \s respelled
+    "q_dedup_incremental",   # r15: \s respelled
+    "q_pipe_crawl_e2e",      # r15: \s + anchor-regex class respelled
+    "q_text_extract_html",   # r15: \s + anchor-regex class respelled
+    "q_dedup_sentences",     # r15: sentence-boundary \s respelled
+    "q_dedup_sentences_rm",  # r15: sentence-boundary \s respelled
+    "q_pipe_curation",       # r15: \s respelled
+    "q_text_cjk_segment",    # r15: WS + SEA script-class extension
+    "q_text_minhash_sig_cjk",  # r15: WS + SEA script-class extension
+    "q_text_langid_cjk",     # r15: WS + SEA script-class extension
+    "q_text_bpe_train_cjk",  # r15: WS + SEA script-class extension
+    "q_pipe_cjk_curation",   # r15: WS + SEA script-class extension
 )
 
 

@@ -87,10 +87,10 @@ def q_text_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 SELECT doc_id,
        LEN(string_split(text, ' ')) AS n_tokens,
-       LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS n_chars_nospace,
-       CAST(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS DOUBLE)
+       LENGTH(REGEXP_REPLACE(text, '[ \t\n\x0B\f\r]', '', 'g')) AS n_chars_nospace,
+       CAST(LENGTH(REGEXP_REPLACE(text, '[ \t\n\x0B\f\r]', '', 'g')) AS DOUBLE)
          / LEN(string_split(text, ' ')) AS avg_token_len,
-       LEN(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+       LEN(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]')) AS n_bpe_tokens,
        CAST(LEN(list_filter(string_split(text, ' '),
                             w -> w IN ('the','and','of','to','in'))) AS DOUBLE)
          / LEN(string_split(text, ' ')) AS stopword_ratio_en
@@ -287,7 +287,7 @@ WITH src AS (
              regexp_replace(dirty, '[\x00-\x1f\x7f]', ' ', 'g'),
              '!!+', '!', 'g'), '\?\?+', '?', 'g'), '\.\.+', '.', 'g'),
              ',,+', ',', 'g'), ';;+', ';', 'g'), '::+', ':', 'g'),
-           '\s+', ' ', 'g'))) AS cleaned
+           '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS cleaned
   FROM src
 )
 SELECT doc_id, cleaned,
@@ -365,7 +365,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare(
     "q_dedup_exact",
     oracle=r"""
-SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_md5,
+SELECT md5(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS text_md5,
        MIN(doc_id) AS keeper,
        COUNT(*) AS n_copies
 FROM documents
@@ -472,7 +472,7 @@ WITH rep AS (
   SELECT doc_id, text FROM (
     SELECT doc_id, text,
            row_number() OVER (
-             PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             PARTITION BY md5(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'))
              ORDER BY doc_id) AS rn
     FROM documents) WHERE rn = 1
 ),
@@ -582,7 +582,7 @@ WITH rep AS (
   SELECT doc_id, text FROM (
     SELECT doc_id, text,
            row_number() OVER (
-             PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             PARTITION BY md5(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'))
              ORDER BY doc_id) AS rn
     FROM documents) WHERE rn = 1
 ),
@@ -646,7 +646,7 @@ WITH rep AS (
   SELECT doc_id, text FROM (
     SELECT doc_id, text,
            row_number() OVER (
-             PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             PARTITION BY md5(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'))
              ORDER BY doc_id) AS rn
     FROM documents) WHERE rn = 1
 ),
@@ -2531,7 +2531,7 @@ def q_text_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH RECURSIVE norm AS (
   SELECT doc_id, n_chars, text,
-         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS nh
+         md5(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS nh
   FROM documents
 ),
 repmap AS (
@@ -2893,8 +2893,8 @@ base AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
 ex AS (
   SELECT DISTINCT i.doc_id
   FROM inc i JOIN base b
-    ON md5(regexp_replace(lower(trim(i.text)), '\\s+', ' ', 'g')) =
-       md5(regexp_replace(lower(trim(b.text)), '\\s+', ' ', 'g'))
+    ON md5(regexp_replace(lower(trim(i.text)), '[ \t\n\x0B\f\r]+', ' ', 'g')) =
+       md5(regexp_replace(lower(trim(b.text)), '[ \t\n\x0B\f\r]+', ' ', 'g'))
 ),
 shi AS (
   SELECT doc_id, lang, {{shingles}} AS s
@@ -4334,10 +4334,10 @@ per AS (
          list_filter(
            list_transform(
              string_split_regex(c, '(?i)</(?:p|div|li)>'),
-             b -> {'txt': trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')),
+             b -> {'txt': trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g')),
                    'lc': coalesce(list_sum(list_transform(
-                           regexp_extract_all(b, '(?is)<a\s[^>]*>(.*?)</a>', 1),
-                           x -> length(trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))))), 0)}),
+                           regexp_extract_all(b, '(?is)<a[ \t\n\x0B\f\r][^>]*>(.*?)</a>', 1),
+                           x -> length(trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g'))))), 0)}),
            s -> length(s.txt) > 0) AS nonempty
   FROM stripped),
 k AS (
@@ -4350,7 +4350,7 @@ SELECT doc_id,
            array_to_string(list_transform(kept, s -> s.txt), ' '),
            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
            chr(38) || '#39;', chr(39)), '&amp;', '&'),
-         '\s+', ' ', 'g')) AS extracted,
+         '[ \t\n\x0B\f\r]+', ' ', 'g')) AS extracted,
        CAST(len(nonempty) AS BIGINT) AS n_blocks,
        CAST(len(kept) AS BIGINT) AS n_kept_blocks,
        CAST(coalesce(list_sum(list_transform(nonempty, s -> s.lc)), 0) AS BIGINT) AS link_chars,
@@ -4690,10 +4690,10 @@ per AS (
          list_filter(
            list_transform(
              string_split_regex(c, '(?i)</(?:p|div|li)>'),
-             b -> {'txt': trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')),
+             b -> {'txt': trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g')),
                    'lc': coalesce(list_sum(list_transform(
-                           regexp_extract_all(b, '(?is)<a\s[^>]*>(.*?)</a>', 1),
-                           x -> length(trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))))), 0)}),
+                           regexp_extract_all(b, '(?is)<a[ \t\n\x0B\f\r][^>]*>(.*?)</a>', 1),
+                           x -> length(trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g'))))), 0)}),
            s -> length(s.txt) > 0) AS nonempty
   FROM stripped),
 k AS (
@@ -4706,7 +4706,7 @@ SELECT doc_id,
            array_to_string(list_transform(kept, s -> s.txt), ' '),
            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
            chr(38) || '#39;', chr(39)), '&amp;', '&'),
-         '\s+', ' ', 'g')) AS extracted,
+         '[ \t\n\x0B\f\r]+', ' ', 'g')) AS extracted,
        CAST(len(nonempty) AS BIGINT) AS n_blocks,
        CAST(len(kept) AS BIGINT) AS n_kept_blocks,
        CAST(coalesce(list_sum(list_transform(nonempty, s -> s.lc)), 0) AS BIGINT) AS link_chars,
@@ -5842,7 +5842,7 @@ _SENT_SRC_SQL = f"""
 _SENT_UNITS_SQL = r"""
   SELECT doc_id,
          list_filter(string_split(
-             regexp_replace(s, '([.!?])\s+', '\1' || chr(10), 'g'), chr(10)),
+             regexp_replace(s, '([.!?])[ \t\n\x0B\f\r]+', '\1' || chr(10), 'g'), chr(10)),
              x -> length(trim(x)) > 0) AS arr"""
 
 

@@ -469,7 +469,7 @@ WITH quality AS (
 exact_keep AS (
   SELECT doc_id, lang, text, n_chars FROM (
     SELECT q.*, row_number() OVER (
-        PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        PARTITION BY md5(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'))
         ORDER BY doc_id) AS rn
     FROM quality q) WHERE rn = 1
 ),

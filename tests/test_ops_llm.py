@@ -4071,6 +4071,19 @@ def test_doc_lines_sentence_unit(spark):
     assert [r.n_words for r in rows] == [2, 2, 1, 1, 1]
     with _pytest.raises(ValueError, match="unknown unit"):
         doc_lines(df, unit="paragraph")
+    # r14 ADVICE: chunk= used to be silently ignored by the sentence
+    # branch — conflicting unit requests now raise instead
+    with _pytest.raises(ValueError, match="mutually"):
+        doc_lines(df, chunk=16, unit="sentence")
+    # vertical tab is a sentence-boundary whitespace char like any
+    # other Java \s member (the r14 ADVICE \x0B dialect fix keeps the
+    # RE2 oracle in agreement — see the cross-engine property test)
+    vt = spark.createDataFrame(
+        [(1, "alpha one.\x0Bbeta two.")], "doc_id long, text string"
+    )
+    assert [
+        r.line for r in doc_lines(vt, unit="sentence").orderBy("line_no").collect()
+    ] == ["alpha one.", "beta two."]
 
     # strip at the sentence tier rebuilds space-joined
     two = spark.createDataFrame(
@@ -4113,3 +4126,39 @@ def test_blocklist_stage_word_boundaries_and_escaping(spark):
     assert dot[5].n_hits == 1 and dot[6].n_hits == 0  # '.' stays literal
     with _pytest.raises(ValueError, match="non-empty"):
         blocklist_stage(df, ())
+
+
+def test_blocklist_apostrophe_term_cross_engine(spark):
+    """r14 ADVICE (medium): a term containing an apostrophe (common in
+    LDNOOBW-style lists) must neither break blocklist_stage nor
+    generate malformed/injectable SQL in blocklist_sql — the ' is
+    doubled for the SQL literal and stays a literal char in the
+    regex. Verified by running the generated SQL in DuckDB and
+    matching the Spark stage row-for-row."""
+    import duckdb
+    import pandas as pd
+
+    from pipetree_spark.ops.text import blocklist_sql, blocklist_stage
+
+    rows = [
+        (1, "well don't do that"),
+        (2, "donty dont don t"),          # boundary: no whole-word hit
+        (3, "she said DON'T twice: don't"),
+        (4, "clean document"),
+    ]
+    terms = ("don't", "o'reilly's")
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_hits, r.first_hit, r.flagged)
+        for r in blocklist_stage(df, terms).collect()
+    }
+    assert got[1] == (1, "don't", 1)
+    assert got[2] == (0, "", 0)
+    assert got[3] == (2, "don't", 1)
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(blocklist_sql(terms)).fetchall()
+    }
+    assert got == want

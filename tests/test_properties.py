@@ -1423,6 +1423,9 @@ def test_exif_roundtrip_property(make, orientation, num, den, big_endian):
 mixed_script_text = st.text(
     alphabet=(
         "abc XY12 .!?"                # latin + digits + punct + space
+        "\t\x0b"       # tab + VERTICAL TAB (r14 ADVICE: Java \s has
+                       # \x0B, RE2 \s does not — the explicit WS class
+                       # must keep both engines collapsing it)
         "数据引擎"  # han
         "のエン"          # kana
         "한국"                  # hangul
