@@ -391,6 +391,13 @@ _SCRIPT_CLASSES: tuple[tuple[str, str, str], ...] = (
     ("kana", r"\p{IsHiragana}\p{IsKatakana}", r"\p{Hiragana}\p{Katakana}"),
     ("hangul", r"\p{IsHangul}", r"\p{Hangul}"),
     ("thai", r"\p{IsThai}", r"\p{Thai}"),
+    # r15: the remaining no-space SE-Asian scripts, mirroring the
+    # CJK_CLASS extension — counted separately so the router can name
+    # the language (lo/km/my/bo), not just 'other'
+    ("lao", r"\p{IsLao}", r"\p{Lao}"),
+    ("khmer", r"\p{IsKhmer}", r"\p{Khmer}"),
+    ("myanmar", r"\p{IsMyanmar}", r"\p{Myanmar}"),
+    ("tibetan", r"\p{IsTibetan}", r"\p{Tibetan}"),
     ("latin", "a-zA-Z", "a-zA-Z"),
 )
 
@@ -414,6 +421,10 @@ def script_profile(
         4·han     ≥ chars   → 'zh'
         4·hangul  ≥ chars   → 'ko'
         4·thai    ≥ chars   → 'th'
+        4·lao     ≥ chars   → 'lo'   (r15: the SEA no-space scripts,
+        4·khmer   ≥ chars   → 'km'    counted separately so the
+        4·myanmar ≥ chars   → 'my'    router names the language —
+        4·tibetan ≥ chars   → 'bo'    mirrors the CJK_CLASS r15 ext.)
         4·latin   ≥ chars   → 'latin'
         else                → 'other' (Cyrillic/Greek/Arabic/...
                                        scripts this profile doesn't
@@ -446,6 +457,10 @@ def script_profile(
         .when((n > 0) & (F.col("n_han") * 4 >= n), F.lit("zh"))
         .when((n > 0) & (F.col("n_hangul") * 4 >= n), F.lit("ko"))
         .when((n > 0) & (F.col("n_thai") * 4 >= n), F.lit("th"))
+        .when((n > 0) & (F.col("n_lao") * 4 >= n), F.lit("lo"))
+        .when((n > 0) & (F.col("n_khmer") * 4 >= n), F.lit("km"))
+        .when((n > 0) & (F.col("n_myanmar") * 4 >= n), F.lit("my"))
+        .when((n > 0) & (F.col("n_tibetan") * 4 >= n), F.lit("bo"))
         .when((n > 0) & (F.col("n_latin") * 4 >= n), F.lit("latin"))
         .otherwise(F.lit("other"))
     )
@@ -476,6 +491,10 @@ SELECT *,
              WHEN n_chars > 0 AND n_han * 4 >= n_chars THEN 'zh'
              WHEN n_chars > 0 AND n_hangul * 4 >= n_chars THEN 'ko'
              WHEN n_chars > 0 AND n_thai * 4 >= n_chars THEN 'th'
+             WHEN n_chars > 0 AND n_lao * 4 >= n_chars THEN 'lo'
+             WHEN n_chars > 0 AND n_khmer * 4 >= n_chars THEN 'km'
+             WHEN n_chars > 0 AND n_myanmar * 4 >= n_chars THEN 'my'
+             WHEN n_chars > 0 AND n_tibetan * 4 >= n_chars THEN 'bo'
              WHEN n_chars > 0 AND n_latin * 4 >= n_chars THEN 'latin'
              ELSE 'other' END) AS script_lang
 FROM p"""

@@ -120,6 +120,7 @@ RECONFIRM: tuple[str, ...] = (
     "q_dedup_sentences",     # r15: sentence-boundary \s respelled
     "q_dedup_sentences_rm",  # r15: sentence-boundary \s respelled
     "q_pipe_curation",       # r15: \s respelled
+    "q_text_script_profile",  # r15: SEA script counts + routing labels
     "q_text_cjk_segment",    # r15: WS + SEA script-class extension
     "q_text_minhash_sig_cjk",  # r15: WS + SEA script-class extension
     "q_text_langid_cjk",     # r15: WS + SEA script-class extension

@@ -5382,11 +5382,18 @@ _CJK_SYNTH: tuple[str, ...] = (
     "高速処理エンジン",  # ja: kanji+katakana
     "데이터엔진",                # ko: hangul run
     "ภาษาไทย",    # th: thai run
+    # r15: the SEA no-space scripts added to CJK_CLASS — ≥14
+    # codepoints each so the 4·n_script ≥ n_chars routing rule fires
+    # against the ~24 Latin frame chars (script_profile certification)
+    "ພາສາລາວຂອງພວກເຮົາ",     # lo: lao run
+    "ភាសាខ្មែរនៅកម្ពុជា",       # km: khmer run (incl. coeng stacks)
+    "မြန်မာဘာသာစကား",       # my: myanmar run (incl. vowel signs)
+    "བོད་ཀྱི་སྐད་ཡིག",             # bo: tibetan run (incl. tsheg)
     "",                                              # Latin-only control
 )
 
 _CJK_CASE_SQL = (
-    "(CASE doc_id % 5 "
+    f"(CASE doc_id % {len(_CJK_SYNTH)} "
     + " ".join(
         f"WHEN {i} THEN '{s}'" for i, s in enumerate(_CJK_SYNTH) if s
     )
@@ -5403,7 +5410,9 @@ def _cjk_corpus(d: DataFrame, out_col: str = "text") -> DataFrame:
     ins = F.lit("")
     for i, s in enumerate(_CJK_SYNTH):
         if s:
-            ins = F.when(F.col("doc_id") % 5 == i, F.lit(s)).otherwise(ins)
+            ins = F.when(
+                F.col("doc_id") % len(_CJK_SYNTH) == i, F.lit(s)
+            ).otherwise(ins)
     return d.select(
         "doc_id",
         F.concat(
@@ -5444,8 +5453,9 @@ def q_text_cjk_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver hash (ops.text.segment_text — r13 verdict item 2, the
     largest honest semantic gap): a mixed corpus is planted
     identically on both engines (Latin from the documents table with
-    a hanzi / kanji+katakana / hangul / thai / empty insert by
-    doc_id%5), then counted through the SHARED tokenization pass with
+    a hanzi / kanji+katakana / hangul / thai / lao / khmer / myanmar /
+    tibetan / empty insert by doc_id%9 — the four SEA scripts joined
+    the class in r15), then counted through the SHARED tokenization pass with
     ``segmenter="cjk_chars"`` — each whitespace-free-script codepoint
     becomes its own unit (the standard public fallback absent a
     dictionary; per-char units are what CCNet-tier dedup and
@@ -5455,7 +5465,7 @@ def q_text_cjk_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     segmented unit count (n_units), the segmented bigram count
     (word_ngrams through the same segmenter), and the exact 5th unit
     string — pinning the per-codepoint split and the Latin
-    pass-through byte-for-byte (the %5==4 control class must have
+    pass-through byte-for-byte (the %9==8 control class must have
     n_units == n_words_ws and identical units).
 
     Scale shape: two narrow regex maps + the existing splitters —
@@ -5681,9 +5691,11 @@ def q_text_minhash_sig_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document script-composition language ID
     (ops.text.script_profile) — the router half of the r14 CJK work:
-    codepoint counts per script class (han/kana/hangul/thai/latin)
-    plus a deterministic PROPORTION-routed label (≥10% kana→ja, then
-    ≥25% han/hangul/thai/latin in that order, else 'other' — integer
+    codepoint counts per script class (han/kana/hangul/thai, the r15
+    SEA additions lao/khmer/myanmar/tibetan, and latin) plus a
+    deterministic PROPORTION-routed label (≥10% kana→ja, then
+    ≥25% han/hangul/thai/lao/khmer/myanmar/tibetan/latin → zh/ko/th/
+    lo/km/my/bo/latin in that order, else 'other' — integer
     comparisons against the doc's own length, so unlisted scripts
     like Cyrillic can never misroute off one stray hanzi) over the
     planted mixed corpus. This is the language-ID signal the stopword
@@ -5693,7 +5705,7 @@ def q_text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     class constants; the oracle is generated, so class drift is
     impossible.
 
-    Scale shape: five narrow regex maps + one length — zero shuffles,
+    Scale shape: nine narrow regex maps + one length — zero shuffles,
     whole-stage codegen, ~scan cost."""
     src = _cjk_corpus(load_table(spark, sf_dir, "documents"))
     return TX.script_profile(src, "text", "doc_id")

@@ -3983,6 +3983,11 @@ def test_script_profile_routes_languages(spark):
         # CJK segmenter off one stray hanzi (n_latin is 0 here)
         (7, "Это тест производительности 中"),
         (8, ""),
+        # r15: the SEA no-space scripts routed by name, not 'other'
+        (9, "ພາສາລາວຂອງພວກເຮົາ"),           # lao -> lo
+        (10, "ភាសាខ្មែរនៅកម្ពុជា"),             # khmer -> km
+        (11, "မြန်မာဘာသာစကား"),            # myanmar -> my
+        (12, "བོད་ཀྱི་སྐད་ཡིག"),                   # tibetan -> bo
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r for r in script_profile(df).collect()}
@@ -3994,6 +3999,10 @@ def test_script_profile_routes_languages(spark):
     assert out[6].script_lang == "latin" and out[6].n_han == 2
     assert out[7].script_lang == "other" and out[7].n_han == 1
     assert out[8].script_lang == "other" and out[8].n_chars == 0
+    assert out[9].script_lang == "lo" and out[9].n_lao == out[9].n_chars
+    assert out[10].script_lang == "km" and out[10].n_khmer == out[10].n_chars
+    assert out[11].script_lang == "my" and out[11].n_myanmar == out[11].n_chars
+    assert out[12].script_lang == "bo" and out[12].n_tibetan == out[12].n_chars
 
 
 def test_langid_cjk_accuracy_on_real_sentences(spark):

@@ -1430,6 +1430,10 @@ mixed_script_text = st.text(
         "のエン"          # kana
         "한국"                  # hangul
         "ไทย"          # thai
+        "ລາວ"          # lao (r15 class extension)
+        "ខ្មែ"            # khmer incl. coeng (r15)
+        "မြန်"           # myanmar incl. vowel/virama signs (r15)
+        "བོ་"             # tibetan incl. tsheg (r15)
         "éДΩ"          # é / cyrillic / greek (unlisted)
     ),
     min_size=0,
