@@ -143,6 +143,227 @@ def segment_text_stage(
     )
 
 
+#: No-space-script codepoint BLOCKS for the dictionary-tier segmenter's
+#: per-char fallback — a BLOCK-range table (not Unicode script
+#: properties) on purpose: the dict tier runs in Python (the lexicon is
+#: too large for a regex alternation at jieba/MeCab scale) and Python's
+#: stdlib ``re`` has no script properties, so the portable shared
+#: constant is an explicit range list rendered into BOTH the Python
+#: matcher and the RE2 oracle class. Documented boundary vs the script
+#: classes used by :func:`segment_text`: block edges differ from script
+#: membership on a handful of codepoints (e.g. U+0E3F THAI CURRENCY
+#: SYMBOL is script=Common but sits in the Thai block) — acceptable for
+#: a fallback whose only job is "emit unmatched no-space chars as their
+#: own units".
+NOSPACE_BLOCKS: tuple[tuple[int, int], ...] = (
+    (0x0E00, 0x0E7F),    # thai
+    (0x0E80, 0x0EFF),    # lao
+    (0x0F00, 0x0FFF),    # tibetan
+    (0x1000, 0x109F),    # myanmar
+    (0x1100, 0x11FF),    # hangul jamo
+    (0x1780, 0x17FF),    # khmer
+    (0x19E0, 0x19FF),    # khmer symbols
+    (0x3040, 0x309F),    # hiragana
+    (0x30A0, 0x30FF),    # katakana
+    (0x3130, 0x318F),    # hangul compatibility jamo
+    (0x31F0, 0x31FF),    # katakana phonetic extensions
+    (0x3400, 0x4DBF),    # han ext A
+    (0x4E00, 0x9FFF),    # han unified
+    (0xA960, 0xA97F),    # hangul jamo ext A
+    (0xA9E0, 0xA9FF),    # myanmar ext B
+    (0xAA60, 0xAA7F),    # myanmar ext A
+    (0xAC00, 0xD7A3),    # hangul syllables
+    (0xD7B0, 0xD7FF),    # hangul jamo ext B
+    (0xF900, 0xFAFF),    # han compatibility
+    (0x20000, 0x2FA1F),  # han ext B..compat supplement (SIP)
+    (0x30000, 0x323AF),  # han ext G/H (TIP)
+)
+
+
+def _nospace_class_re2() -> str:
+    """The RE2 character class rendered from :data:`NOSPACE_BLOCKS` —
+    one shared constant, so the Python matcher and the SQL oracle can
+    never disagree on the fallback class."""
+    return "[" + "".join(
+        rf"\x{{{a:04X}}}-\x{{{b:04X}}}" for a, b in NOSPACE_BLOCKS
+    ) + "]"
+
+
+def _is_nospace_cp(cp: int) -> bool:
+    for a, b in NOSPACE_BLOCKS:
+        if a <= cp <= b:
+            return True
+    return False
+
+
+def _dict_words(lexicon: tuple[str, ...]) -> list[str]:
+    """Canonical lexicon order shared by the Python matcher and the SQL
+    twin: length DESC then lexicographic ASC — with leftmost-first
+    alternation semantics (Java and RE2 both), length-desc ordering
+    makes the alternation equal greedy maximum matching. Validates the
+    contract: words are non-empty, whitespace-free, and free of the
+    \\x02/\\x03 guard chars the SQL twin uses."""
+    import re as _re
+
+    if not lexicon:
+        raise ValueError("dict segmenter: lexicon must be non-empty")
+    words = sorted(set(lexicon), key=lambda w: (-len(w), w))
+    for w in words:
+        if not w or _re.search(r"[\s\x02\x03]", w):
+            raise ValueError(
+                f"dict segmenter: invalid lexicon word {w!r} (must be "
+                "non-empty, whitespace-free, no \\x02/\\x03)"
+            )
+    return words
+
+
+def dict_segment_text(
+    s: str | None, by_len: dict[int, frozenset], lengths: tuple[int, ...]
+) -> str | None:
+    """Pure-Python greedy maximum-matching core (the public MM
+    algorithm every dictionary segmenter — jieba's fallback, classic
+    MMSEG — starts from): scan left to right; at each position take
+    the LONGEST lexicon word starting there, else a single no-space
+    -script codepoint as its own unit, else extend the current
+    whitespace-delimited run. Returns units joined by single spaces
+    (the :func:`segment_text` output convention; whitespace runs
+    collapse). ``by_len`` maps word length → frozenset of words;
+    ``lengths`` is sorted descending."""
+    if s is None:
+        return None
+    out: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        hit = None
+        for L in lengths:
+            if i + L <= n and s[i : i + L] in by_len[L]:
+                hit = L
+                break
+        if hit is not None:
+            if buf:
+                out.append("".join(buf))
+                buf = []
+            out.append(s[i : i + hit])
+            i += hit
+        else:
+            ch = s[i]
+            if ch in " \t\n\x0b\f\r":
+                if buf:
+                    out.append("".join(buf))
+                    buf = []
+            elif _is_nospace_cp(ord(ch)):
+                if buf:
+                    out.append("".join(buf))
+                    buf = []
+                out.append(ch)
+            else:
+                buf.append(ch)
+            i += 1
+    if buf:
+        out.append("".join(buf))
+    return " ".join(out)
+
+
+def dict_segment_stage(
+    df: DataFrame,
+    lexicon: tuple[str, ...],
+    text_col: str = "text",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Dictionary-tier (maximum-matching) CJK/SEA word segmentation —
+    the r14 verdict's #1 item, the escalation above
+    :func:`segment_text`'s per-codepoint fallback: token budgets, BPE
+    pre-tokenization quality, and langid precision on zh/ja all
+    improve when multi-char dictionary words survive as units (per
+    -char units inflate zh token counts ~2-3× — see the SCALING.md
+    r15 accuracy row).
+
+    Semantics: greedy longest-match left-to-right over a
+    caller-supplied lexicon (the public maximum-matching algorithm);
+    positions covered by no word fall back per-codepoint for
+    :data:`NOSPACE_BLOCKS` chars and whitespace-run splitting for the
+    rest, exactly like the per-char tier. Matching is substring-based
+    (no word-boundary anchoring) — the lexicon is meant to hold
+    no-space-script words, where boundaries don't exist.
+
+    Scale shape: ONE Arrow-batched pandas_udf map — zero shuffles,
+    parallel per input partition. The lexicon ships ONCE per executor
+    via ``SparkContext.broadcast`` (a jieba-scale dict is ~350k words
+    / ~5 MB — far beyond any regex alternation, trivial as a
+    broadcast); per-batch cost is O(chars · n_distinct_word_lengths)
+    with frozenset probes. This is deliberately a STAGE (like
+    :func:`segment_text_stage`), not a ``segmenter=`` Column option:
+    downstream whitespace splitters compose with it unchanged.
+
+    The DuckDB twin (:func:`dict_segment_sql`) reproduces greedy MM
+    with a guard-char regex construction from the SAME word order and
+    the SAME block table — certified byte-exact by
+    q_text_cjk_segment_dict and a cross-engine hypothesis property."""
+    from pyspark.sql.functions import pandas_udf
+
+    words = _dict_words(lexicon)
+    by_len: dict[int, frozenset] = {}
+    for w in words:
+        by_len.setdefault(len(w), set()).add(w)  # type: ignore[arg-type]
+    by_len = {k: frozenset(v) for k, v in by_len.items()}
+    lengths = tuple(sorted(by_len, reverse=True))
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast((by_len, lengths))
+
+    @pandas_udf("string")
+    def _seg(col):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        bl, ls = bc.value
+        return pd.Series(
+            [dict_segment_text(s, bl, ls) for s in col], dtype="object"
+        )
+
+    return df.withColumn(out_col or text_col, _seg(F.col(text_col)))
+
+
+def dict_segment_sql(expr: str, lexicon: tuple[str, ...]) -> str:
+    """DuckDB twin of :func:`dict_segment_stage` — greedy maximum
+    matching as pure RE2 passes, generated from the SAME canonical
+    word order (:func:`_dict_words`) and the SAME block table
+    (:data:`NOSPACE_BLOCKS`):
+
+    1. one leftmost, length-desc alternation pass wraps every matched
+       word in \\x02…\\x03 guards (leftmost-first alternation with
+       length-desc ordering ≡ greedy MM — both consume left to right
+       and take the longest word at each feasible position);
+    2. the per-char pass splits every no-space-block codepoint —
+       including those inside guards;
+    3. whitespace collapses;
+    4. ``maxlen+1`` bounded passes delete one intra-guard space per
+       region per pass (a k-codepoint word has k+1 spaces after step
+       2-3), re-fusing each guarded word;
+    5. guards drop, whitespace collapses, trim.
+
+    Bounded and deterministic: the nesting depth is maxlen+1 — fine
+    for certification lexicons; the SCALE path is the Python stage,
+    this twin exists to put MM under the driver's hash."""
+    import re as _re
+
+    words = _dict_words(lexicon)
+    alt = "|".join(_re.escape(w) for w in words).replace("'", "''")
+    maxlen = max(len(w) for w in words)
+    t = (
+        f"regexp_replace({expr}, '({alt})', "
+        r"' ' || chr(2) || '\1' || chr(3) || ' ', 'g')"
+    )
+    t = rf"regexp_replace({t}, '({_nospace_class_re2()})', ' \1 ', 'g')"
+    t = f"regexp_replace({t}, '{WS}+', ' ', 'g')"
+    for _ in range(maxlen + 1):
+        t = (
+            f"regexp_replace({t}, chr(2) || '([^' || chr(3) || ' ]*) ', "
+            r"chr(2) || '\1', 'g')"
+        )
+    t = f"regexp_replace({t}, chr(2) || '|' || chr(3), '', 'g')"
+    return f"trim(regexp_replace({t}, '{WS}+', ' ', 'g'))"
+
+
 def tokens(text: Column | str, segmenter: str = "whitespace") -> Column:
     return F.split(segment_text(text, segmenter), " ")
 

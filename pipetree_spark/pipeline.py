@@ -423,6 +423,14 @@ def _op_registry() -> dict[str, tuple[Callable, int]]:
         # whitespace-splitting op sees per-char CJK units)
         "script_profile": (TX.script_profile, 1),
         "segment_text": (TX.segment_text_stage, 1),
+        # r15: dictionary-tier maximum-matching segmenter (broadcast
+        # caller-supplied lexicon; list from JSON → tuple for the key)
+        "dict_segment": (
+            lambda df, lexicon, **kw: TX.dict_segment_stage(
+                df, tuple(lexicon), **kw
+            ),
+            1,
+        ),
         # r14: word-list gate (terms tuple is spec-able and keyed)
         "blocklist": (lambda df, terms, **kw: TX.blocklist_stage(df, tuple(terms), **kw), 1),
         # r14: output-sizing export step (measured bytes/row probe);

@@ -4137,6 +4137,87 @@ def test_blocklist_stage_word_boundaries_and_escaping(spark):
         blocklist_stage(df, ())
 
 
+def test_dict_segment_mm_semantics(spark):
+    """dict_segment_stage: greedy LEFTMOST-LONGEST maximum matching —
+    longest word wins at a position, an earlier match beats a longer
+    later overlap, real spaces are respected (no cross-space merging),
+    unmatched no-space chars fall back per-codepoint, Latin/unlisted
+    scripts stay whitespace runs, and the pass is idempotent."""
+    import pytest as _pytest
+
+    from pipetree_spark.ops.text import dict_segment_stage
+
+    rows = [
+        (1, "数据"),                 # longest-at-position: 数据 beats 数
+        (2, "数据管道"),         # leftmost beats the 据管 overlap
+        (3, "数 据"),               # real space: never merged
+        (4, "abc数据def"),       # latin adjacency
+        (5, "Это 数据库"),      # unlisted script run + partial fallback
+        (6, "  a\t数  "),           # whitespace collapse + trim
+        (7, ""),
+    ]
+    lex = ("数据", "数", "据管")
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.text
+        for r in dict_segment_stage(df, lex).collect()
+    }
+    assert out[1] == "数据"
+    assert out[2] == "数据 管 道"
+    assert out[3] == "数 据"
+    assert out[4] == "abc 数据 def"
+    assert out[5] == "Это 数据 库"
+    assert out[6] == "a 数"
+    assert out[7] == ""
+    # idempotent: segmenting segmented text is a fixpoint
+    seg2 = {
+        r.doc_id: r.text
+        for r in dict_segment_stage(
+            dict_segment_stage(df, lex), lex
+        ).collect()
+    }
+    assert seg2 == out
+    with _pytest.raises(ValueError, match="non-empty"):
+        dict_segment_stage(df, ())
+    with _pytest.raises(ValueError, match="invalid lexicon word"):
+        dict_segment_stage(df, ("数 据",))
+    with _pytest.raises(ValueError, match="invalid lexicon word"):
+        dict_segment_stage(df, ("a\x02b",))
+
+
+def test_dict_segment_cross_engine(spark):
+    """The Python MM core and the generated guard-regex DuckDB twin
+    agree byte-for-byte on the MM edge cases (the q_text_cjk_segment_
+    dict oracle construction, exercised off the planted corpus)."""
+    import duckdb
+    import pandas as pd
+
+    from pipetree_spark.ops.text import dict_segment_sql, dict_segment_stage
+
+    rows = [
+        (1, "数据管道加速"),
+        (2, "高速処理エンジン"),
+        (3, "데이터엔진 테스트"),
+        (4, "ภาษาไทย and ພາສາລາວ"),
+        (5, "数 据 vs 数据 vs x数据y"),
+        (6, "​mixed\twhitespace\x0bhere 数"),
+        (7, ""),
+    ]
+    lex = ("数据", "管道", "高速", "エンジン", "데이터", "엔진", "ภาษา", "ไทย", "ພາສາ")
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.text for r in dict_segment_stage(df, lex).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {dict_segment_sql('text', lex)} FROM t"
+        ).fetchall()
+    )
+    assert got == want
+
+
 def test_blocklist_apostrophe_term_cross_engine(spark):
     """r14 ADVICE (medium): a term containing an apostrophe (common in
     LDNOOBW-style lists) must neither break blocklist_stage nor

@@ -1441,6 +1441,43 @@ mixed_script_text = st.text(
 )
 
 
+#: Overlap-heavy lexicon for the dict-MM property: words share
+#: prefixes/suffixes with each other and with the alphabet's char
+#: inventory, so random text constantly exercises the longest-match
+#: and leftmost-beats-overlap rules in both engines.
+_MM_LEX = (
+    "数据", "数据引", "据引", "引擎", "のエ", "エン", "한국", "ไทย",
+    "ລາ",   # lao prefix of the alphabet's run
+    "ab",   # latin word: substring-matching inside latin runs
+    ".!",   # regex metachars: escaping must hold in BOTH dialects
+)
+
+
+@settings(**SETTINGS)
+@given(st.lists(mixed_script_text, min_size=1, max_size=8))
+def test_dict_mm_segmentation_cross_engine(spark, texts):
+    """dict_segment_stage (Python greedy MM) and the generated
+    guard-regex DuckDB twin agree byte-for-byte on random mixed-script
+    text, and the pass is idempotent."""
+    import duckdb
+
+    from pipetree_spark.ops.text import dict_segment_sql, dict_segment_stage
+
+    pdf = pd.DataFrame({"i": range(len(texts)), "t": texts})
+    sdf = spark.createDataFrame(pdf)
+    one = dict_segment_stage(sdf, _MM_LEX, "t", out_col="seg")
+    two = dict_segment_stage(one, _MM_LEX, "seg", out_col="seg2")
+    got = two.orderBy("i").collect()
+    con = duckdb.connect()
+    con.register("tbl", pdf)
+    want = con.execute(
+        f"SELECT i, {dict_segment_sql('t', _MM_LEX)} AS seg FROM tbl ORDER BY i"
+    ).fetchall()
+    for g, w in zip(got, want):
+        assert g.seg == w[1], (g.t, g.seg, w[1])
+        assert g.seg2 == g.seg  # idempotent
+
+
 @settings(**SETTINGS)
 @given(st.lists(mixed_script_text, min_size=1, max_size=8))
 def test_cjk_segmentation_properties_cross_engine(spark, texts):
