@@ -1308,6 +1308,7 @@ def chunk_documents(
     key_col: str = "doc_id",
     size: int = 64,
     stride: int = 48,
+    segmenter: str = "whitespace",
 ) -> DataFrame:
     """Sliding-window document chunking for embedding/RAG pipelines:
     split each document into overlapping token windows of ``size``
@@ -1319,6 +1320,14 @@ def chunk_documents(
     Chunk count is ``1 + max(0, ceil((n_tokens - size) / stride))`` —
     exact integer math (``(n - size + stride - 1) div stride``), so
     chunk boundaries are bit-reproducible in any engine.
+
+    ``segmenter="cjk_chars"`` (r15) routes tokenization through the
+    shared :func:`segment_text` pass first, so chunk windows count
+    per-codepoint units on whitespace-free scripts instead of
+    treating a whole CJK run as one "token" (chunk_text is then the
+    segmented form — single-spaced units, the same convention every
+    segmenter consumer uses). The dictionary tier composes upstream:
+    ``dict_segment_stage`` then chunk with the default segmenter.
 
     Scale shape: narrow per-row expressions only (split → sequence →
     posexplode → slice) — NO shuffle; chunking parallelizes per input
@@ -1336,13 +1345,22 @@ def chunk_documents(
             f"chunk_documents requires stride <= size (got stride={stride} > size={size}); "
             "a stride larger than the window would skip tokens"
         )
-    toks = tokens(text_col)
+    # r15 (r14 verdict item 7): segmenter= threads the shared
+    # tokenization pass straight into RAG chunking, removing the
+    # upstream-segment_text_stage composition footgun for CJK corpora.
+    # The default path is byte-identical to the pre-r15 op (the
+    # whitespace segmenter is the identity).
+    toks = tokens(text_col, segmenter)
     n = F.size(toks)
-    # positive-operand integer div only (floor/truncate agree) — the
-    # same expression is exact in every engine
+    # ceil((n - size)/stride) via exact small-int double division —
+    # positive operands and n ≤ 2^53 (it is a document token count),
+    # so floor(a/b) ≡ a div b in every engine (the doc_lines rule)
     n_chunks = (
         F.when(n <= size, F.lit(1))
-        .otherwise(F.lit(1) + F.expr(f"(size(split({text_col}, ' ')) - {size} + {stride - 1}) div {stride}"))
+        .otherwise(
+            F.lit(1)
+            + F.floor((n - F.lit(size) + F.lit(stride - 1)) / F.lit(stride))
+        )
         .cast("int")
     )
     st = df.select(

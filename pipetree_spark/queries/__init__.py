@@ -125,7 +125,8 @@ RECONFIRM: tuple[str, ...] = (
     "q_text_minhash_sig_cjk",  # r15: WS + SEA script-class extension
     "q_text_langid_cjk",     # r15: WS + SEA script-class extension
     "q_text_bpe_train_cjk",  # r15: WS + SEA script-class extension
-    "q_pipe_cjk_curation",   # r15: WS + SEA script-class extension
+    "q_pipe_cjk_curation",   # r15: WS + SEA ext + spec chunk stage
+    "q_text_chunk",          # r15: n_chunks expr rebuilt for segmenter=
 )
 
 

@@ -692,10 +692,11 @@ _CJK_PIPE_INSERTS: tuple[str, ...] = (
 
 def _cjk_curation_report_sql() -> str:
     """DuckDB twin of examples/cjk_curation_pipeline.json's report:
-    plant → script_profile route → cjk_chars segmentation → per-script
-    doc/unit counts. Route and segmentation twins are GENERATED from
-    the same class constants as the Spark ops (script_profile_sql /
-    segment_text_sql)."""
+    plant → script_profile route → cjk_chars segmentation →
+    CJK-aware chunking (chunk_documents segmenter= kwarg, r15) →
+    per-script doc/unit/chunk counts. Route and segmentation twins
+    are GENERATED from the same class constants as the Spark ops
+    (script_profile_sql / segment_text_sql)."""
     from pipetree_spark.ops.text import script_profile_sql, segment_text_sql
 
     case = (
@@ -718,11 +719,19 @@ stats AS (
   SELECT doc_id,
          CAST(len(list_filter(string_split({seg}, ' '),
                               x -> length(x) > 0)) AS BIGINT) AS n_units
-  FROM planted)
+  FROM planted),
+-- chunk_documents(size=8, stride=6, segmenter='cjk_chars'): the r15
+-- segmenter kwarg — chunk count over the UNFILTERED segmented token
+-- count (1 + ceil((n-8)/6) past one window), the op's exact formula
+chunks AS (
+  SELECT doc_id,
+         CASE WHEN n <= 8 THEN 1 ELSE 1 + (n - 8 + 5) // 6 END AS n_chunks
+  FROM (SELECT doc_id, len(string_split({seg}, ' ')) AS n FROM planted))
 SELECT r.script_lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(s.n_units) AS BIGINT) AS sum_units
-FROM route r JOIN stats s USING (doc_id)
+       CAST(SUM(s.n_units) AS BIGINT) AS sum_units,
+       CAST(SUM(c.n_chunks) AS BIGINT) AS sum_chunks
+FROM route r JOIN stats s USING (doc_id) JOIN chunks c USING (doc_id)
 GROUP BY r.script_lang
 """
 

@@ -1181,6 +1181,34 @@ def test_chunk_documents_boundaries(spark):
     assert c4[1].chunk_text.split(" ")[0] == "t8"  # position 9 → token t8
 
 
+def test_chunk_documents_cjk_segmenter(spark):
+    """r15 (r14 verdict item 7): segmenter='cjk_chars' on
+    chunk_documents counts per-codepoint units on whitespace-free
+    text — a 12-hanzi doc is 12 units (3 windows at size=5/stride=4),
+    not one giant 'token'; chunk_text carries the segmented form; the
+    default path is byte-identical to whitespace chunking."""
+    docs = spark.createDataFrame(
+        [(1, "数据管道加速引擎高速处理模型"),   # 14 hanzi, no spaces
+         (2, "plain latin words only here")],
+        "doc_id long, text string",
+    )
+    # whitespace default: the hanzi run is ONE token → one chunk
+    ws = TX.chunk_documents(docs, size=5, stride=4).collect()
+    assert len([r for r in ws if r.doc_id == 1]) == 1
+    seg = TX.chunk_documents(
+        docs, size=5, stride=4, segmenter="cjk_chars"
+    ).collect()
+    c1 = sorted((r for r in seg if r.doc_id == 1), key=lambda r: r.chunk_id)
+    # 14 units: windows at 1, 5, 9, 13 → sizes 5, 5, 5, 2
+    assert [r.chunk_start for r in c1] == [1, 5, 9, 13]
+    assert [r.chunk_n_tokens for r in c1] == [5, 5, 5, 2]
+    assert c1[0].chunk_text == "数 据 管 道 加"
+    # latin rows chunk identically under either segmenter
+    lat_ws = [r for r in ws if r.doc_id == 2]
+    lat_seg = [r for r in seg if r.doc_id == 2]
+    assert [tuple(r) for r in lat_ws] == [tuple(r) for r in lat_seg]
+
+
 def test_shuffle_shards_is_a_permutation_and_deterministic(spark):
     """Every row lands in exactly one (shard, pos) slot; pos is
     contiguous 1..count within each shard; reruns produce the identical

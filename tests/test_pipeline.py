@@ -1043,6 +1043,11 @@ def test_cjk_curation_pipeline_example(spark, sf_small, tmp_path):
     latin_avg = rep["latin"].sum_units / rep["latin"].n_docs
     for lang in ("zh", "ja", "ko", "th"):
         assert rep[lang].sum_units / rep[lang].n_docs > latin_avg + 8
+    # r15: chunk_documents(segmenter='cjk_chars') inside the spec —
+    # CJK rows split into multiple 8-unit windows, latin rows fit one
+    latin_chunk_avg = rep["latin"].sum_chunks / rep["latin"].n_docs
+    for lang in ("zh", "ja", "ko", "th"):
+        assert rep[lang].sum_chunks / rep[lang].n_docs > latin_chunk_avg
 
 
 def test_cjk_spec_plant_matches_oracle_constant():
