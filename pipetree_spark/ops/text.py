@@ -3023,6 +3023,205 @@ def url_canonicalize(url: Column | str) -> Column:
     )
 
 
+def url_synth_ctes(table: str = "documents") -> str:
+    """DuckDB CTE chain planting deterministic MESSY urls from
+    sha256(text) bytes — the shared URL synthesizer of the crawl
+    family (q_text_url_canon / domain_cap / robots), moved here from
+    queries.llm_ops in r15 so spec-able stage ops and their oracles
+    draw from ONE module. ``table`` parametrizes the source relation
+    (the full-pipeline oracle plants urls over its own planted CTE).
+    Byte-identical to the pre-r15 ``_URL_SYNTH_CTES`` literal for the
+    default table."""
+    return r"""d AS (SELECT doc_id, sha256('url:' || text) AS hx FROM """ + table + r"""),
+b AS (
+  SELECT doc_id, hx,
+         CAST(concat('0x', substr(hx, 1, 2)) AS BIGINT) AS b0,
+         CAST(concat('0x', substr(hx, 3, 2)) AS BIGINT) AS b1,
+         CAST(concat('0x', substr(hx, 5, 2)) AS BIGINT) AS b2,
+         CAST(concat('0x', substr(hx, 7, 2)) AS BIGINT) AS b3,
+         CAST(concat('0x', substr(hx, 9, 2)) AS BIGINT) AS b4,
+         CAST(concat('0x', substr(hx, 11, 2)) AS BIGINT) AS b5,
+         CAST(concat('0x', substr(hx, 13, 2)) AS BIGINT) AS b6
+  FROM d),
+u AS (
+  SELECT doc_id,
+         (CASE WHEN b0 % 2 = 1 THEN 'https' ELSE 'http' END) || '://' ||
+         (CASE WHEN b1 % 2 = 1 THEN 'www.' ELSE '' END) ||
+         (CASE WHEN b3 % 2 = 1 THEN upper('crawl' || (b2 % 10) || '.test')
+               ELSE 'crawl' || (b2 % 10) || '.test' END) ||
+         (CASE WHEN b4 % 4 = 2
+               THEN (CASE WHEN b0 % 2 = 1 THEN ':443' ELSE ':80' END)
+               WHEN b4 % 4 = 3
+               THEN (CASE WHEN b0 % 2 = 1 THEN ':80' ELSE ':443' END)
+               ELSE '' END) ||
+         '/p/' || substr(hx, 9, 4) || '?' ||
+         (CASE WHEN b6 % 2 = 1 THEN 'utm_source=feed&id=' || (b5 % 100)
+               ELSE 'id=' || (b5 % 100) END) AS url
+  FROM b)"""
+
+
+#: lowercased, www.-stripped registered host from CTE ``u`` — the
+#: domain key crawl pipelines group on (twin of the Spark-side
+#: ``url_parts`` + strip in :func:`url_host_stage`).
+URL_HOST_SQL = (
+    r"regexp_replace(lower(regexp_extract(regexp_extract(regexp_extract("
+    r"regexp_replace(url, '#.*$', ''), '^[A-Za-z]+://([^/?]+)', 1), "
+    r"'([^@]*)$', 1), '^(\[[^\]]+\]|[^:]+)', 1)), '^www\.', '')"
+)
+
+
+def synth_messy_urls(d: DataFrame) -> DataFrame:
+    """Spark twin of :func:`url_synth_ctes`: append a ``url`` column
+    built from sha256(text) bytes — byte-identical to the oracle's
+    CTE ``u``. Input columns pass through (callers project). A spec
+    -able corpus synthesizer, like ops.mm's make_*_payload family."""
+    hx = F.sha2(F.concat(F.lit("url:"), F.col("text")), 256)
+    byte = lambda i: F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("long")  # noqa: E731
+    b0, b1, b2, b3, b4, b5, b6 = [byte(i) for i in range(7)]
+    hostbase = F.concat(F.lit("crawl"), (b2 % 10).cast("string"), F.lit(".test"))
+    url = F.concat(
+        F.when(b0 % 2 == 1, F.lit("https")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(b1 % 2 == 1, F.lit("www.")).otherwise(F.lit("")),
+        F.when(b3 % 2 == 1, F.upper(hostbase)).otherwise(hostbase),
+        F.when(
+            b4 % 4 == 2,
+            F.when(b0 % 2 == 1, F.lit(":443")).otherwise(F.lit(":80")),
+        )
+        .when(
+            b4 % 4 == 3,
+            F.when(b0 % 2 == 1, F.lit(":80")).otherwise(F.lit(":443")),
+        )
+        .otherwise(F.lit("")),
+        F.lit("/p/"),
+        F.substring(hx, 9, 4),
+        F.lit("?"),
+        F.when(
+            b6 % 2 == 1,
+            F.concat(F.lit("utm_source=feed&id="), (b5 % 100).cast("string")),
+        ).otherwise(F.concat(F.lit("id="), (b5 % 100).cast("string"))),
+    )
+    return d.select("*", url.alias("url"))
+
+
+def url_host_stage(
+    df: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Attach the registered-domain key (lowercased, www.-stripped
+    host) and the path from ``url_col`` — the projection every
+    URL-keyed stage (domain cap, robots gate) groups or joins on.
+    Narrow per-row regex map (ops.text.url_parts), no shuffle."""
+    p = url_parts(url_col)
+    host = F.regexp_replace(F.lower(p["host"]), r"^www\.", "")
+    return df.select("*", host.alias(host_col), p["path"].alias(path_col))
+
+
+def robots_gate_stage(
+    df: DataFrame,
+    rules,
+    host_col: str = "host",
+    path_col: str = "path",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Robots-exclusion gate as a spec-able stage (extracted r15 from
+    q_text_robots_filter, which now delegates): per-domain
+    allow/disallow PREFIX rules with Robots-Exclusion-Protocol
+    matching — the LONGEST matching prefix decides; on an exact
+    length tie ALLOW wins (the 'allow' < 'disallow' ordering encodes
+    Google's REP rule); unmatched URLs default to allow. ``rules`` is
+    a sequence of (host, rule, prefix) triples — JSON-spec-able, so
+    the rule set enters the content key.
+
+    Appends (matched_prefix, verdict) to the input columns.
+
+    Scale shape: one BROADCAST join against the (tiny) rule set, one
+    per-URL-key window over the handful of matching rules — no
+    corpus-sized shuffle."""
+    rules_df = df.sparkSession.createDataFrame(
+        [tuple(r) for r in rules], "r_host string, rule string, prefix string"
+    )
+    r = df.join(
+        F.broadcast(rules_df),
+        (F.col("r_host") == F.col(host_col))
+        & F.col(path_col).startswith(F.col("prefix")),
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.length("prefix").desc(), F.col("rule").asc(), F.col("prefix").asc()
+    )
+    best = (
+        r.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(key_col, F.col("prefix").alias("matched_prefix"), "rule")
+    )
+    return df.join(best, key_col, "left").select(
+        *[df[c] for c in df.columns],
+        "matched_prefix",
+        F.coalesce("rule", F.lit("allow")).alias("verdict"),
+    )
+
+
+def domain_cap_stage(
+    df: DataFrame,
+    cap: int = 30,
+    host_col: str = "host",
+    key_col: str = "doc_id",
+    order_col: str = "n_chars",
+) -> DataFrame:
+    """Per-domain document quota as a spec-able stage (extracted r15
+    from q_text_domain_cap, which now delegates): keep the ``cap``
+    best documents per domain under the total order (order_col DESC,
+    key ASC) — deterministic kept set; dropped docs stay visible with
+    kept=0. Appends (rnk, kept).
+
+    Scale shape: ONE shuffle on the domain key for the row_number
+    window; Zipf-skewed hosts stream per partition."""
+    w = Window.partitionBy(host_col).orderBy(
+        F.col(order_col).desc(), F.col(key_col).asc()
+    )
+    st = df.withColumn("rnk", F.row_number().over(w).cast("long"))
+    return st.withColumn("kept", (F.col("rnk") <= cap).cast("long"))
+
+
+def token_budget_stage(
+    df: DataFrame,
+    budget: int = 5000,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "budget",
+) -> DataFrame:
+    """Per-source TOKEN-budget greedy fill as a spec-able stage
+    (extracted r15 from q_text_token_budget, which now delegates):
+    docs visit in deterministic md5(seed:key) order; a doc is kept
+    while the running token total BEFORE it is under ``budget``, so
+    every source overshoots by at most one document. Appends
+    (n_tokens, cum_before, kept); dropped docs stay visible.
+
+    Scale shape: one narrow map + ONE window shuffle on the source
+    key."""
+    t = df.withColumn(
+        "n_tokens", word_count(text_col).cast("long")
+    ).withColumn(
+        "__h",
+        F.md5(F.concat(F.lit(seed + ":"), F.col(key_col).cast("string"))),
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy("__h", key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "cum_before",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"),
+    )
+    return c.withColumn(
+        "kept", (F.col("cum_before") < budget).cast("long")
+    ).drop("__h")
+
+
 def doc_lines(
     df: DataFrame,
     text_col: str = "text",

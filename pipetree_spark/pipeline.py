@@ -431,6 +431,15 @@ def _op_registry() -> dict[str, tuple[Callable, int]]:
             ),
             1,
         ),
+        # r15: the crawl-curation gates as spec-able stages (the
+        # q_pipe_curation_full composition): URL synth + host key,
+        # robots REP gate (rules triples are JSON-able and keyed),
+        # per-domain quota, per-source token budget
+        "synth_messy_urls": (TX.synth_messy_urls, 1),
+        "url_host": (TX.url_host_stage, 1),
+        "robots_gate": (TX.robots_gate_stage, 1),
+        "domain_cap": (TX.domain_cap_stage, 1),
+        "token_budget": (TX.token_budget_stage, 1),
         # r14: word-list gate (terms tuple is spec-able and keyed)
         "blocklist": (lambda df, terms, **kw: TX.blocklist_stage(df, tuple(terms), **kw), 1),
         # r14: output-sizing export step (measured bytes/row probe);

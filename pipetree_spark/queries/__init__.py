@@ -127,6 +127,9 @@ RECONFIRM: tuple[str, ...] = (
     "q_text_bpe_train_cjk",  # r15: WS + SEA script-class extension
     "q_pipe_cjk_curation",   # r15: WS + SEA ext + spec chunk stage
     "q_text_chunk",          # r15: n_chunks expr rebuilt for segmenter=
+    "q_text_robots_filter",  # r15: delegates to robots_gate_stage
+    "q_text_domain_cap",     # r15: delegates to domain_cap_stage
+    "q_text_token_budget",   # r15: delegates to token_budget_stage
 )
 
 

@@ -3975,74 +3975,18 @@ def q_src_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: www., scheme-matching AND scheme-MISmatched default ports, utm_*
 #: tracking params — all driven by sha256(text) bytes so both engines
 #: build byte-identical urls. Produces CTE ``u(doc_id, url)``.
-_URL_SYNTH_CTES = r"""d AS (SELECT doc_id, sha256('url:' || text) AS hx FROM documents),
-b AS (
-  SELECT doc_id, hx,
-         CAST(concat('0x', substr(hx, 1, 2)) AS BIGINT) AS b0,
-         CAST(concat('0x', substr(hx, 3, 2)) AS BIGINT) AS b1,
-         CAST(concat('0x', substr(hx, 5, 2)) AS BIGINT) AS b2,
-         CAST(concat('0x', substr(hx, 7, 2)) AS BIGINT) AS b3,
-         CAST(concat('0x', substr(hx, 9, 2)) AS BIGINT) AS b4,
-         CAST(concat('0x', substr(hx, 11, 2)) AS BIGINT) AS b5,
-         CAST(concat('0x', substr(hx, 13, 2)) AS BIGINT) AS b6
-  FROM d),
-u AS (
-  SELECT doc_id,
-         (CASE WHEN b0 % 2 = 1 THEN 'https' ELSE 'http' END) || '://' ||
-         (CASE WHEN b1 % 2 = 1 THEN 'www.' ELSE '' END) ||
-         (CASE WHEN b3 % 2 = 1 THEN upper('crawl' || (b2 % 10) || '.test')
-               ELSE 'crawl' || (b2 % 10) || '.test' END) ||
-         (CASE WHEN b4 % 4 = 2
-               THEN (CASE WHEN b0 % 2 = 1 THEN ':443' ELSE ':80' END)
-               WHEN b4 % 4 = 3
-               THEN (CASE WHEN b0 % 2 = 1 THEN ':80' ELSE ':443' END)
-               ELSE '' END) ||
-         '/p/' || substr(hx, 9, 4) || '?' ||
-         (CASE WHEN b6 % 2 = 1 THEN 'utm_source=feed&id=' || (b5 % 100)
-               ELSE 'id=' || (b5 % 100) END) AS url
-  FROM b)"""
+#: r15: the URL synthesizer moved to ops.text (url_synth_ctes /
+#: synth_messy_urls) so spec-able stage ops and oracles share it;
+#: these aliases keep the certified oracle text byte-identical.
+_URL_SYNTH_CTES = TX.url_synth_ctes()
 
 #: lowercased, www.-stripped registered host from CTE ``u`` — the
 #: domain key crawl pipelines group on (twin of the Spark-side
 #: ``TX.url_parts`` + strip in the queries below).
-_URL_HOST_SQL = (
-    r"regexp_replace(lower(regexp_extract(regexp_extract(regexp_extract("
-    r"regexp_replace(url, '#.*$', ''), '^[A-Za-z]+://([^/?]+)', 1), "
-    r"'([^@]*)$', 1), '^(\[[^\]]+\]|[^:]+)', 1)), '^www\.', '')"
-)
+_URL_HOST_SQL = TX.URL_HOST_SQL
 
 
-def _synth_messy_urls(d: DataFrame) -> DataFrame:
-    """Spark twin of :data:`_URL_SYNTH_CTES`: append a ``url`` column
-    built from sha256(text) bytes — byte-identical to the oracle's
-    CTE ``u``. Input columns pass through (callers project)."""
-    hx = F.sha2(F.concat(F.lit("url:"), F.col("text")), 256)
-    byte = lambda i: F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("long")  # noqa: E731
-    b0, b1, b2, b3, b4, b5, b6 = [byte(i) for i in range(7)]
-    hostbase = F.concat(F.lit("crawl"), (b2 % 10).cast("string"), F.lit(".test"))
-    url = F.concat(
-        F.when(b0 % 2 == 1, F.lit("https")).otherwise(F.lit("http")),
-        F.lit("://"),
-        F.when(b1 % 2 == 1, F.lit("www.")).otherwise(F.lit("")),
-        F.when(b3 % 2 == 1, F.upper(hostbase)).otherwise(hostbase),
-        F.when(
-            b4 % 4 == 2,
-            F.when(b0 % 2 == 1, F.lit(":443")).otherwise(F.lit(":80")),
-        )
-        .when(
-            b4 % 4 == 3,
-            F.when(b0 % 2 == 1, F.lit(":80")).otherwise(F.lit(":443")),
-        )
-        .otherwise(F.lit("")),
-        F.lit("/p/"),
-        F.substring(hx, 9, 4),
-        F.lit("?"),
-        F.when(
-            b6 % 2 == 1,
-            F.concat(F.lit("utm_source=feed&id="), (b5 % 100).cast("string")),
-        ).otherwise(F.concat(F.lit("id="), (b5 % 100).cast("string"))),
-    )
-    return d.select("*", url.alias("url"))
+_synth_messy_urls = TX.synth_messy_urls
 
 
 @declare(
@@ -4155,20 +4099,9 @@ def q_text_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics are the cap itself."""
     d = load_table(spark, sf_dir, "documents")
     u = _synth_messy_urls(d.select("doc_id", "text", "n_chars"))
-    p = TX.url_parts("url")
-    host = F.regexp_replace(F.lower(p["host"]), r"^www\.", "")
-    w = Window.partitionBy("host").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id").asc()
-    )
-    return (
-        u.select("doc_id", "n_chars", host.alias("host"))
-        .withColumn("rnk", F.row_number().over(w).cast("long"))
-        .select(
-            "doc_id",
-            "host",
-            "rnk",
-            (F.col("rnk") <= 30).cast("long").alias("kept"),
-        )
+    h = TX.url_host_stage(u).select("doc_id", "n_chars", "host")
+    return TX.domain_cap_stage(h, cap=30).select(
+        "doc_id", "host", "rnk", "kept"
     )
 
 
@@ -5101,30 +5034,10 @@ def q_text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix you'd cap per-source partitions by pre-bucketing the hash —
     the window order makes that split associative."""
     d = load_table(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id",
-        "source",
-        TX.word_count("text").cast("long").alias("n_tokens"),
-        F.md5(F.concat(F.lit("budget:"), F.col("doc_id").cast("string"))).alias("h"),
+    t = TX.token_budget_stage(
+        d.select("doc_id", "source", "text"), budget=5000, seed="budget"
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    c = t.select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long").alias("cum_before"),
-    )
-    return c.select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        "cum_before",
-        (F.col("cum_before") < 5000).cast("long").alias("kept"),
-    )
+    return t.select("doc_id", "source", "n_tokens", "cum_before", "kept")
 
 
 @declare(
@@ -5291,31 +5204,9 @@ def q_text_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed the same way."""
     d = load_table(spark, sf_dir, "documents")
     u = _synth_messy_urls(d.select("doc_id", "text"))
-    p = TX.url_parts("url")
-    host = F.regexp_replace(F.lower(p["host"]), r"^www\.", "")
-    h = u.select("doc_id", host.alias("host"), p["path"].alias("path"))
-    rules = spark.createDataFrame(
-        _robots_rules(), "host string, rule string, prefix string"
-    )
-    r = h.join(
-        F.broadcast(rules.withColumnRenamed("host", "r_host")),
-        (F.col("r_host") == F.col("host"))
-        & F.col("path").startswith(F.col("prefix")),
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.length("prefix").desc(), F.col("rule").asc(), F.col("prefix").asc()
-    )
-    best = (
-        r.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("doc_id", F.col("prefix").alias("matched_prefix"), "rule")
-    )
-    return h.join(best, "doc_id", "left").select(
-        "doc_id",
-        "host",
-        "path",
-        "matched_prefix",
-        F.coalesce("rule", F.lit("allow")).alias("verdict"),
+    h = TX.url_host_stage(u).select("doc_id", "host", "path")
+    return TX.robots_gate_stage(h, _robots_rules()).select(
+        "doc_id", "host", "path", "matched_prefix", "verdict"
     )
 
 
