@@ -721,6 +721,21 @@ SELECT *,
 FROM p"""
 
 
+def blocklist_pattern(terms: tuple[str, ...]) -> str:
+    """The shared whole-word alternation regex of the blocklist gate —
+    ONE constructor for :func:`blocklist_stage`, :func:`blocklist_sql`
+    and composed oracles (q_pipe_curation_full), so the escaping rules
+    can never drift. Regex metacharacters in terms are escaped; the
+    result is a RAW regex (SQL-literal quote doubling is the SQL
+    emitters' job)."""
+    import re as _re
+
+    if not terms:
+        raise ValueError("blocklist: terms must be non-empty")
+    alt = "|".join(_re.escape(t.lower()) for t in terms)
+    return rf"\b({alt})\b"
+
+
 def blocklist_stage(
     df: DataFrame,
     terms: tuple[str, ...],
@@ -744,12 +759,7 @@ def blocklist_stage(
     Aho-Corasick pandas_udf would beat the alternation; at the
     dozens-to-hundreds of terms real blocklists carry, the single
     regex is the fast path."""
-    import re as _re
-
-    if not terms:
-        raise ValueError("blocklist_stage: terms must be non-empty")
-    alt = "|".join(_re.escape(t.lower()) for t in terms)
-    pat = rf"\b({alt})\b"
+    pat = blocklist_pattern(terms)
     lowered = F.lower(F.col(text_col))
     hits = F.regexp_extract_all(lowered, F.lit(pat), F.lit(1))
     return df.select(
@@ -771,14 +781,11 @@ def blocklist_sql(
 ) -> str:
     """DuckDB twin of :func:`blocklist_stage`, generated from the SAME
     term tuple (the shared-constant rule)."""
-    import re as _re
-
-    alt = "|".join(_re.escape(t.lower()) for t in terms)
     # r14 ADVICE (medium): re.escape leaves apostrophes alone, so a
     # term like "don't" would close the SQL string literal early —
     # malformed SQL and an injection vector. Double them for the SQL
     # literal (the regex itself is unchanged: '' parses back to one ').
-    pat = rf"\b({alt})\b".replace("'", "''")
+    pat = blocklist_pattern(terms).replace("'", "''")
     return f"""
 SELECT {key_col},
        CAST(len(regexp_extract_all(lower({text_col}), '{pat}', 1)) AS BIGINT)

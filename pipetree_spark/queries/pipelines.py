@@ -765,3 +765,249 @@ def q_pipe_cjk_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = Pipeline.from_spec(spec, sf_dir=sf_dir)
     return p.run(spark)["report"]
+
+
+#: q_pipe_curation_full shared plant constants — rendered into the
+#: static spec JSON by tools-time generation and into the oracle here;
+#: test_curation_full_spec_matches_constants guards the spec file
+#: against drift. The body regex deliberately uses [^ ] (no \S): the
+#: character class is IDENTICAL in Spark-SQL literals (no backslash
+#: escape processing), Java and RE2 — one spelling, three engines.
+_FULL_BODY_RE = "([^ ]+ [^ ]+ [^ ]+ [^ ]+ [^ ]+) "
+_FULL_BLTERMS: tuple[str, ...] = ("casino", "jackpot", "free spins")
+_FULL_BLTAIL = " casino jackpot night"
+
+
+def _curation_full_report_sql() -> str:
+    """DuckDB twin of examples/curation_full_pipeline.json — the FULL
+    modern curation recipe (the C4/CCNet/Gopher composite, r14 verdict
+    item 3) replayed stage by stage: plant (multi-line bodies +
+    residue-class boilerplate headers + a blocklist tail) → messy-URL
+    synth → host key → robots REP gate → blocklist gate → script
+    route → NFC → cross-doc line-dedup strip → quality gate → exact
+    dedup → near-dup LSH → repetition gate → domain cap → token
+    budget → one-row funnel report. Every fragment is the certified
+    per-stage oracle: url_synth_ctes/URL_HOST_SQL, the robots
+    VALUES+window, blocklist_pattern, script_profile_sql, DuckDB's
+    native nfc_normalize, the q_dedup_lines_nl_rm line replay (4096
+    lines/doc certification bound), the q_pipe_curation LSH fragment
+    (_SHINGLES_SQL/_MH/_MH_BANDS8), the q_text_repetition bigram
+    shape (8192-token bound), and the domain-cap/token-budget
+    windows."""
+    from pipetree_spark.ops.text import (
+        URL_HOST_SQL,
+        blocklist_pattern,
+        script_profile_sql,
+        url_synth_ctes,
+    )
+    from pipetree_spark.queries.llm_ops import (
+        _MH,
+        _MH_BANDS8,
+        _NL_HEADERS,
+        _SHINGLES_SQL,
+        _robots_values_sql,
+    )
+
+    bands_case = " ".join(f"WHEN {j} THEN {b}" for j, b in enumerate(_MH_BANDS8))
+    bl_pat = blocklist_pattern(_FULL_BLTERMS).replace("'", "''")
+    return f"""
+WITH planted AS MATERIALIZED (
+  SELECT doc_id, lang, source, n_chars,
+         (CASE doc_id % 3 WHEN 0 THEN '{_NL_HEADERS[0]}'
+                          WHEN 1 THEN '{_NL_HEADERS[1]}' ELSE '' END)
+         || chr(10)
+         || regexp_replace(text, '{_FULL_BODY_RE}', '\\1' || chr(10), 'g')
+         || (CASE WHEN doc_id % 7 = 3 THEN '{_FULL_BLTAIL}' ELSE '' END)
+           AS text
+  FROM documents),
+{url_synth_ctes("planted")},
+h AS (
+  SELECT u.doc_id, {URL_HOST_SQL} AS host,
+         regexp_extract(regexp_replace(url, '#.*$', ''),
+                        '^[A-Za-z]+://[^/?]+(/[^?]*)', 1) AS path
+  FROM u),
+rules(host, rule, prefix) AS (VALUES {_robots_values_sql()}),
+m AS (
+  SELECT h.doc_id, r.rule,
+         row_number() OVER (
+           PARTITION BY h.doc_id
+           ORDER BY length(r.prefix) DESC, r.rule ASC, r.prefix ASC) AS rn
+  FROM h JOIN rules r ON r.host = h.host AND starts_with(h.path, r.prefix)),
+allowed AS MATERIALIZED (
+  SELECT p.doc_id, p.lang, p.source, p.n_chars, h.host, p.text
+  FROM planted p JOIN h USING (doc_id)
+  LEFT JOIN (SELECT doc_id, rule FROM m WHERE rn = 1) mm USING (doc_id)
+  WHERE COALESCE(mm.rule, 'allow') = 'allow'),
+clean_docs AS MATERIALIZED (
+  SELECT * FROM allowed
+  WHERE len(regexp_extract_all(lower(text), '{bl_pat}', 1)) = 0),
+routed AS MATERIALIZED (
+  SELECT c.* FROM clean_docs c
+  JOIN ({script_profile_sql("clean_docs")}) r USING (doc_id)
+  WHERE r.script_lang = 'latin'),
+nfc_docs AS MATERIALIZED (
+  SELECT doc_id, lang, source, n_chars, host, nfc_normalize(text) AS text
+  FROM routed),
+ls AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)),
+                     x -> length(trim(x)) > 0) AS arr
+  FROM nfc_docs),
+l AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS line_no, arr[i] AS line
+  FROM ls CROSS JOIN generate_series(1, 4096) g(i)
+  WHERE i <= len(arr)),
+lf AS (SELECT line, COUNT(DISTINCT doc_id) AS ndocs FROM l GROUP BY line),
+keptl AS (
+  SELECT l.doc_id, l.line_no, l.line
+  FROM l JOIN lf USING (line) WHERE lf.ndocs < 2),
+stripagg AS (
+  SELECT doc_id, COUNT(*) AS n_kept_lines,
+         string_agg(line, chr(10) ORDER BY line_no) AS clean_text
+  FROM keptl GROUP BY doc_id),
+ltot AS (SELECT doc_id, COUNT(*) AS n_lines FROM l GROUP BY doc_id),
+stripped AS MATERIALIZED (
+  SELECT d.doc_id, d.lang, d.source, d.n_chars, d.host,
+         COALESCE(a.clean_text, '') AS text,
+         COALESCE(ltot.n_lines, 0) AS n_lines,
+         COALESCE(a.n_kept_lines, 0) AS n_kept_lines
+  FROM nfc_docs d LEFT JOIN ltot USING (doc_id)
+  LEFT JOIN stripagg a USING (doc_id)),
+gated AS MATERIALIZED (
+  SELECT doc_id, lang, source, n_chars, host, text FROM stripped
+  WHERE len(string_split(text, ' ')) >= 10),
+exact_keep AS MATERIALIZED (
+  SELECT doc_id, lang, source, n_chars, host, text FROM (
+    SELECT g.*, row_number() OVER (
+        PARTITION BY md5(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'))
+        ORDER BY doc_id) AS rn
+    FROM gated g) WHERE rn = 1),
+sh AS MATERIALIZED (
+  SELECT doc_id, {_SHINGLES_SQL} AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM exact_keep)),
+sig AS (SELECT doc_id, [{', '.join(_MH)}] AS m FROM sh),
+bands AS MATERIALIZED (
+  SELECT doc_id, j, CASE j {bands_case} END AS bk
+  FROM sig CROSS JOIN generate_series(0, 7) AS g(j)
+  QUALIFY count(*) OVER (PARTITION BY j, bk) <= 1024),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.j = b.j AND a.bk = b.bk AND a.doc_id < b.doc_id),
+dropped AS (
+  SELECT DISTINCT c.id_b
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5),
+near_keep AS MATERIALIZED (
+  SELECT e.* FROM exact_keep e LEFT JOIN dropped d ON e.doc_id = d.id_b
+  WHERE d.id_b IS NULL),
+big AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM near_keep)
+  CROSS JOIN generate_series(1, 8192) gs(i)
+  WHERE i + 1 <= len(w)),
+rep2 AS (
+  SELECT doc_id, SUM(c) AS tot, MAX(c) AS topc
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM big GROUP BY doc_id, g)
+  GROUP BY doc_id),
+rep_gated AS MATERIALIZED (
+  SELECT k.* FROM near_keep k JOIN rep2 r USING (doc_id)
+  WHERE CAST(r.topc AS DOUBLE) / r.tot <= 0.2),
+capped AS (
+  SELECT doc_id, lang, source, n_chars, host, text,
+         row_number() OVER (
+           PARTITION BY host ORDER BY n_chars DESC, doc_id ASC) AS rnk
+  FROM rep_gated),
+cap_keep AS MATERIALIZED (
+  SELECT doc_id, lang, source, n_chars, host, text FROM capped WHERE rnk <= 30),
+bt AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> length(x) > 0)) AS BIGINT) AS n_tokens,
+         md5('fullmix:' || CAST(doc_id AS VARCHAR)) AS hh
+  FROM cap_keep),
+bud AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY hh, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM bt),
+final AS MATERIALIZED (SELECT * FROM bud WHERE cum_before < 5000)
+SELECT (SELECT COUNT(*) FROM documents) AS n_in,
+       (SELECT COUNT(*) FROM allowed) AS n_robots_ok,
+       (SELECT COUNT(*) FROM clean_docs) AS n_blocklist_ok,
+       (SELECT COUNT(*) FROM routed) AS n_routed,
+       CAST((SELECT SUM(n_lines - n_kept_lines) FROM stripped) AS BIGINT)
+         AS n_boiler_lines,
+       (SELECT COUNT(*) FROM gated) AS n_quality_ok,
+       (SELECT COUNT(*) FROM exact_keep) AS n_exact_keep,
+       (SELECT COUNT(*) FROM near_keep) AS n_near_keep,
+       (SELECT COUNT(*) FROM rep_gated) AS n_rep_ok,
+       (SELECT COUNT(*) FROM cap_keep) AS n_cap_keep,
+       (SELECT COUNT(*) FROM final) AS n_final,
+       CAST((SELECT SUM(n_tokens) FROM final) AS BIGINT) AS sum_tokens_final
+"""
+
+
+@declare(
+    "q_pipe_curation_full",
+    oracle=_curation_full_report_sql(),
+    tags=("pipeline", "text", "dedup"),
+)
+def q_pipe_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL modern curation recipe — the C4/CCNet/Gopher composite
+    (r14 verdict item 3) — composed END-TO-END through ONE
+    Pipeline.from_spec spec and certified as one unit: plant a
+    crawl-shaped corpus (multi-line bodies, residue-class boilerplate
+    headers, a blocklist-term tail class) → messy-URL synth → host
+    key → robots REP gate → blocklist gate → script route → NFC →
+    cross-document line-dedup strip (real-newline mode, min_docs=2) →
+    quality gate (≥10 tokens) → exact dedup → near-dup LSH (band →
+    exact-verify ≥0.5) → repetition gate (top-bigram share ≤0.2) →
+    per-domain cap (30) → per-source token budget (5000, greedy
+    md5-order fill) → a one-row funnel report counting survivors at
+    every gate plus boilerplate lines cut and final kept tokens.
+
+    Stage-order note vs the naive reading of the recipe: the quality
+    gate and exact dedup run AFTER the line strip — stripping can
+    empty a doc (all-boilerplate) or make two docs byte-equal (equal
+    bodies under different residue headers), so dedup/gating on the
+    CLEANED text is the semantically right order (C4 dedups after
+    cleaning for the same reason); empty survivors would otherwise
+    poison the minhash stage as a giant exact-dup class.
+
+    The DuckDB oracle re-implements all 14 stages from the certified
+    per-stage fragments — a drift anywhere in the spec walker, the op
+    registry, or ANY composed op breaks the driver's hash.
+
+    Scale shape: the funnel is monotone-shrinking; every gate is a
+    narrow map or a broadcast join except the documented shuffles
+    (line-hash group/probe, exact-dedup hash agg, LSH banding,
+    per-host and per-source windows). Unlike the shallow
+    q_pipe_curation, this 24-stage DAG runs WITH the artifact cache
+    (shared tmp dir, content-keyed — the q_pipe_bucketed skip-if-
+    cached pattern): the report's 11 funnel subqueries read each
+    materialized stage once instead of re-deriving the whole lazy DAG
+    eleven times (measured: the cache-less form exceeds 9 min at
+    sf0.001; cached, seconds). ``sf_dir`` is injected into the source
+    stage spec so it enters every content key — different SFs never
+    collide in the shared cache."""
+    import json
+    import tempfile
+    from importlib import resources
+
+    from pipetree_spark.cache import ArtifactCache
+
+    spec = json.loads(
+        resources.files("pipetree_spark")
+        .joinpath("specs/curation_full_pipeline.json")
+        .read_text()
+    )
+    spec["stages"]["documents"]["sf_dir"] = sf_dir
+    cache = ArtifactCache(
+        f"{tempfile.gettempdir()}/pipetree_spark_curation_full_artifacts"
+    )
+    p = Pipeline.from_spec(spec, sf_dir=sf_dir)
+    return p.run(spark, cache=cache)["report"]

@@ -1068,3 +1068,74 @@ def test_cjk_spec_plant_matches_oracle_constant():
     pos = [q.find(s) for s in _CJK_PIPE_INSERTS]
     assert all(p >= 0 for p in pos), "spec plant is missing an insert"
     assert pos == sorted(pos), "spec plant order diverged from the oracle"
+
+
+def test_curation_full_spec_matches_constants():
+    """Drift guard for q_pipe_curation_full: the static spec JSON must
+    carry the SAME planted headers, body regex, blocklist tail/terms
+    and robots rules the oracle renders from the Python constants —
+    and the examples/ copy must equal the packaged copy."""
+    import json
+    from importlib import resources
+    from pathlib import Path
+
+    from pipetree_spark.queries.llm_ops import _NL_HEADERS, _robots_rules
+    from pipetree_spark.queries.pipelines import (
+        _FULL_BLTAIL,
+        _FULL_BLTERMS,
+        _FULL_BODY_RE,
+    )
+
+    packaged = (
+        resources.files("pipetree_spark")
+        .joinpath("specs/curation_full_pipeline.json")
+        .read_text()
+    )
+    example = (
+        Path(__file__).resolve().parent.parent
+        / "examples/curation_full_pipeline.json"
+    ).read_text()
+    assert packaged == example
+    spec = json.loads(packaged)
+    plant = spec["stages"]["planted"]["query"]
+    for h in _NL_HEADERS:
+        assert h in plant or h == ""
+    assert _FULL_BODY_RE in plant
+    assert _FULL_BLTAIL in plant
+    assert spec["stages"]["bl"]["args"]["terms"] == list(_FULL_BLTERMS)
+    assert spec["stages"]["robots"]["args"]["rules"] == [
+        list(r) for r in _robots_rules()
+    ]
+
+
+def test_curation_full_pipeline_example(spark, sf_small, tmp_path):
+    """examples/curation_full_pipeline.json: the C4/CCNet/Gopher
+    composite through the spec walker — funnel counts are monotone
+    through the gate chain, boilerplate lines are found and cut,
+    blocklisted docs are dropped, and a SECOND run serves every
+    materialized stage from the content-keyed cache."""
+    import json
+    from pathlib import Path
+
+    spec = json.loads(
+        (Path(__file__).resolve().parent.parent
+         / "examples/curation_full_pipeline.json").read_text()
+    )
+    spec["stages"]["documents"]["sf_dir"] = sf_small
+    cache = ArtifactCache(str(tmp_path))
+    p = Pipeline.from_spec(spec, sf_dir=sf_small)
+    row = p.run(spark, cache=cache)["report"].collect()[0]
+    assert row.n_in >= row.n_robots_ok >= row.n_blocklist_ok >= row.n_routed
+    assert row.n_quality_ok >= row.n_exact_keep >= row.n_near_keep
+    assert row.n_near_keep >= row.n_rep_ok >= row.n_cap_keep >= row.n_final
+    # each planted gate class actually fires at sf0.001
+    assert row.n_robots_ok < row.n_in          # some disallowed paths
+    assert row.n_blocklist_ok < row.n_robots_ok  # the %7==3 tail class
+    assert row.n_boiler_lines > 0              # shared headers were cut
+    assert row.n_final > 0 and row.sum_tokens_final > 0
+    # skip-if-cached: a second walk hits every materialized stage
+    p2 = Pipeline.from_spec(spec, sf_dir=sf_small)
+    row2 = p2.run(spark, cache=cache)["report"].collect()[0]
+    assert tuple(row2) == tuple(row)
+    hits = [k for k, v in p2.last_run_report.items() if v == "hit"]
+    assert "near_keep" in hits and "budget" in hits and "planted" in hits
