@@ -127,7 +127,12 @@ def main() -> None:
     # never drains, measure anyway but flag the run prominently so the
     # JSON itself says "contended" — a reader should trust per-query
     # deltas only, not totals.
-    max_wait = float(os.environ.get("BENCH_MAX_WAIT_SEC", "300"))
+    # r15 (r14 verdict item 6): the official driver record landed
+    # contended two rounds running with the old 300 s budget (r14: 5-min
+    # loadavg 3.27 at start — a recently-busy host needs longer than
+    # 5 min for the 5-min average itself to decay below the gate). The
+    # default wait now covers three full 5-min-average decay windows.
+    max_wait = float(os.environ.get("BENCH_MAX_WAIT_SEC", "900"))
     load_gate = float(os.environ.get("BENCH_LOADAVG_GATE", "1.0"))
     # r10 lesson: the 1-min gate passed at 0.92 while the 5-min load was
     # still 5.9 (machine just drained) and the core numbers read +10%

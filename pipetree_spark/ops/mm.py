@@ -148,7 +148,7 @@ def real_decoder(payload: bytes, meta: dict[str, Any] | None = None) -> dict[str
     MJPEG-AVI video decode for real through the pure-Python codecs
     (ops/{png,jpeg,gif,wav,flac,avi}.py — r10). MP3 and non-MJPEG video
     codecs remain this one honest NotImplementedError until a
-    deployment brings a codec lib (re-probed r14: PIL/cv2/soundfile/
+    deployment brings a codec lib (re-probed r15: PIL/cv2/soundfile/
     librosa/av/imageio/pydub/mutagen all still absent)."""
     try:
         from PIL import Image  # noqa: F401
