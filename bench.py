@@ -78,6 +78,12 @@ BENCH_QUERIES: dict[str, str] = {
     # path — the two new hot paths, tracked from their first round
     "q_dedup_lines_nl": "q_dedup_lines_nl",
     "q_text_minhash_cjk": "q_text_minhash_sig_cjk",
+    # r15: the dictionary-tier MM segmenter (broadcast-lexicon
+    # pandas_udf) and the full curation composite (cached spec walk —
+    # the warm-up rep pays any cold materialization, so the tracked
+    # number is the skip-if-cached read path, its production shape)
+    "q_text_cjk_segment_dict": "q_text_cjk_segment_dict",
+    "q_pipe_curation_full": "q_pipe_curation_full",
 }
 
 #: r12: the extended family gets the same 5 reps as the core (was 3) —

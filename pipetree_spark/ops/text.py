@@ -3229,12 +3229,38 @@ def token_budget_stage(
     ).drop("__h")
 
 
+def sentence_abbrev_pattern(abbrevs: tuple[str, ...]) -> str:
+    """Shared protect-pass regex for abbreviation-aware sentence
+    splitting (r15 — closes the r14 sentence tier's documented
+    '"Dr. Smith" splits' boundary): match each listed abbreviation at
+    a word boundary with its FINAL dot split off, e.g.
+    ``\\b(Dr|Mr|e\\.g)\\.`` — the dot is replaced by a \\x01 sentinel
+    so the boundary-marking pass cannot fire on it, then restored.
+    ONE constructor for the Spark op and SQL twins (the
+    blocklist_pattern rule). Abbreviations must end with '.', be
+    whitespace-free, and longer than just the dot."""
+    import re as _re
+
+    if not abbrevs:
+        raise ValueError("sentence_abbrev_pattern: abbrevs must be non-empty")
+    parts = []
+    for a in abbrevs:
+        if len(a) < 2 or not a.endswith(".") or _re.search(r"[\s\x01]", a):
+            raise ValueError(
+                f"invalid abbreviation {a!r} (must end with '.', contain "
+                "no whitespace/\\x01, and be at least 2 chars)"
+            )
+        parts.append(_re.escape(a[:-1]))
+    return r"\b(" + "|".join(parts) + r")\."
+
+
 def doc_lines(
     df: DataFrame,
     text_col: str = "text",
     key_col: str = "doc_id",
     chunk: int | None = None,
     unit: str = "line",
+    abbrevs: tuple[str, ...] = (),
 ) -> DataFrame:
     """Explode documents into the units CCNet-style cross-document
     dedup hashes: real lines when ``chunk`` is None (split on newline,
@@ -3252,9 +3278,16 @@ def doc_lines(
     sentences that never align to lines). Implemented as one
     boundary-marking regexp_replace then the newline split, so the
     left-to-right semantics are identical in Java and RE2 (no
-    lookbehind — RE2 has none). Honest boundary: no abbreviation
-    handling ("Dr. Smith" splits) — that is the dictionary-segmenter
-    tier, same contract as segment_text.
+    lookbehind — RE2 has none).
+
+    ``abbrevs`` (r15, sentence mode only): a caller-supplied
+    abbreviation list ("Dr.", "e.g.", …) whose trailing dots must NOT
+    end sentences. RE2-portable protect/mark/restore: one alternation
+    pass swaps each listed abbreviation's final dot for a \\x01
+    sentinel (:func:`sentence_abbrev_pattern`), the boundary pass
+    runs, the sentinel restores to '.'. Remaining honest boundary: a
+    GENUINE sentence end right after a listed abbreviation ("met the
+    Dr.") cannot split — the standard abbreviation-list trade-off.
 
     Returns (key, line_no, line, n_words); a pure per-row narrow map
     (split + transform + posexplode), no shuffle.
@@ -3270,8 +3303,17 @@ def doc_lines(
             "exclusive (chunk is the no-line-structure stand-in for "
             "lines; sentences are their own unit)"
         )
+    if abbrevs and unit != "sentence":
+        raise ValueError("doc_lines: abbrevs= applies only to unit='sentence'")
     if unit == "sentence":
-        marked = F.regexp_replace(F.col(text_col), r"([.!?])" + WS + "+", "$1\n")
+        c = F.col(text_col)
+        if abbrevs:
+            c = F.regexp_replace(
+                c, sentence_abbrev_pattern(abbrevs), "$1\x01"
+            )
+        marked = F.regexp_replace(c, r"([.!?])" + WS + "+", "$1\n")
+        if abbrevs:
+            marked = F.replace(marked, F.lit("\x01"), F.lit("."))
         lines = F.filter(
             F.split(marked, "\n"), lambda x: F.length(F.trim(x)) > 0
         )
@@ -3313,6 +3355,7 @@ def line_dedup_stats(
     key_col: str = "doc_id",
     chunk: int | None = None,
     min_docs: int = 2,
+    abbrevs: tuple[str, ...] = (),
     unit: str = "line",
 ) -> DataFrame:
     """Cross-document line/paragraph-frequency dedup audit — the CCNet
@@ -3344,9 +3387,9 @@ def line_dedup_stats(
     ``unit="sentence"`` (r14) applies the same distinct-doc criterion
     to SENTENCES (see doc_lines) — the Gopher-style repeated-sentence
     filter."""
-    lines = doc_lines(df, text_col, key_col, chunk=chunk, unit=unit).withColumn(
-        "__line_h", F.xxhash64("line")
-    )
+    lines = doc_lines(
+        df, text_col, key_col, chunk=chunk, unit=unit, abbrevs=abbrevs
+    ).withColumn("__line_h", F.xxhash64("line"))
     freq = (
         lines.groupBy("__line_h")
         .agg(F.count_distinct(F.col(key_col)).alias("__ndocs"))
@@ -3378,6 +3421,7 @@ def line_dedup_strip(
     chunk: int | None = None,
     min_docs: int = 2,
     unit: str = "line",
+    abbrevs: tuple[str, ...] = (),
 ) -> DataFrame:
     """Cross-document line-frequency dedup REMOVAL — the action half
     of :func:`line_dedup_stats` (the substring family's
@@ -3399,9 +3443,9 @@ def line_dedup_strip(
     surviving sentences space-joined (their terminal punctuation is
     part of the unit, so a space restores readable text)."""
     sep = " " if (unit == "sentence" or chunk is not None) else "\n"
-    lines = doc_lines(df, text_col, key_col, chunk=chunk, unit=unit).withColumn(
-        "__line_h", F.xxhash64("line")
-    )
+    lines = doc_lines(
+        df, text_col, key_col, chunk=chunk, unit=unit, abbrevs=abbrevs
+    ).withColumn("__line_h", F.xxhash64("line"))
     freq = (
         lines.groupBy("__line_h")
         .agg(F.count_distinct(F.col(key_col)).alias("__ndocs"))

@@ -5917,6 +5917,115 @@ def q_dedup_sentences_rm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Abbreviation list + planted headers for the abbreviation-aware
+#: sentence tier (r15) — ONE constant pair rendered into both engines.
+#: Headers carry protected dots (Dr./Mr./e.g.) mid-sentence so the
+#: naive splitter over-splits them while the abbrev-aware splitter
+#: keeps each sentence whole; the %3==2 class is the no-abbrev control.
+_ABBR_LIST: tuple[str, ...] = ("Dr.", "Mr.", "e.g.", "vs.", "etc.")
+_ABBR_HEADERS: tuple[str, ...] = (
+    "Dr. Smith approves this message. contact Mr. Jones today.",
+    "terms apply to all plans. see e.g. section four vs. section five.",
+    "",
+)
+
+
+def _abbr_corpus(d: DataFrame) -> DataFrame:
+    """Spark half of the planted abbreviation corpus (twin of the SQL
+    CASE in q_dedup_sentences_abbr's oracle)."""
+    hdr = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_ABBR_HEADERS[0]))
+        .when(F.col("doc_id") % 3 == 1, F.lit(_ABBR_HEADERS[1]))
+        .otherwise(F.lit(""))
+    )
+    return d.select(
+        "doc_id", F.concat(hdr, F.lit(" "), F.col("text")).alias("text")
+    )
+
+
+def _abbr_oracle() -> str:
+    pat = TX.sentence_abbrev_pattern(_ABBR_LIST).replace("'", "''")
+    mark = r"regexp_replace({x}, '([.!?])[ \t\n\x0B\f\r]+', '\1' || chr(10), 'g')"
+    aware = (
+        "replace("
+        + mark.format(x=rf"regexp_replace(s, '{pat}', '\1' || chr(1), 'g')")
+        + ", chr(1), '.')"
+    )
+    naive = mark.format(x="s")
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+         (CASE doc_id % 3 WHEN 0 THEN '{_ABBR_HEADERS[0]}'
+                          WHEN 1 THEN '{_ABBR_HEADERS[1]}'
+                          ELSE '' END)
+         || ' ' || text AS s
+  FROM documents),
+u AS (
+  SELECT doc_id,
+         list_filter(string_split({aware}, chr(10)),
+                     x -> length(trim(x)) > 0) AS arr,
+         list_filter(string_split({naive}, chr(10)),
+                     x -> length(trim(x)) > 0) AS arr_naive
+  FROM src)
+SELECT doc_id,
+       CAST(len(arr) AS BIGINT) AS n_units,
+       CAST(len(arr_naive) AS BIGINT) AS n_units_naive,
+       (CASE WHEN len(arr) >= 1 THEN arr[1] ELSE '' END) AS unit1
+FROM u
+"""
+
+
+@declare("q_dedup_sentences_abbr", oracle=_abbr_oracle(), tags=("text", "dedup"))
+def q_dedup_sentences_abbr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABBREVIATION-aware sentence segmentation under the driver hash
+    (doc_lines unit='sentence' with abbrevs= — r15, closing the r14
+    sentence tier's documented '"Dr. Smith" splits' boundary): a
+    planted corpus carries mid-sentence protected dots (Dr./Mr./e.g./
+    vs.), and the query emits the abbrev-aware unit count beside the
+    NAIVE count (what the r14 splitter produced — over-split by
+    exactly the number of protected dots) plus the first unit STRING,
+    pinning the protect/mark/restore construction byte-for-byte
+    (e.g. 'Dr. Smith approves this message.' must survive as ONE
+    sentence with its abbreviation dot restored).
+
+    RE2-portable, no lookbehind: one alternation pass swaps each
+    listed abbreviation's final dot for a \\x01 sentinel
+    (sentence_abbrev_pattern — the shared-constructor rule), the
+    boundary pass runs, a plain replace restores the dot. Honest
+    boundary: a genuine sentence end right after a listed
+    abbreviation cannot split — the standard abbreviation-list trade.
+
+    Scale shape: three narrow per-row string passes on top of the
+    sentence split — zero shuffles, whole-stage codegen except the
+    final split/filter HOFs."""
+    d = load_table(spark, sf_dir, "documents")
+    src = _abbr_corpus(d)
+    aware = TX.doc_lines(
+        src, "text", "doc_id", unit="sentence", abbrevs=_ABBR_LIST
+    )
+    naive = TX.doc_lines(src, "text", "doc_id", unit="sentence")
+    a = aware.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_units"),
+        F.min_by("line", "line_no").alias("unit1"),
+    )
+    n = naive.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_units_naive")
+    )
+    return (
+        d.select("doc_id")
+        .join(a, "doc_id", "left")
+        .join(n, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_units", F.lit(0)).cast("long").alias("n_units"),
+            F.coalesce("n_units_naive", F.lit(0))
+            .cast("long")
+            .alias("n_units_naive"),
+            F.coalesce("unit1", F.lit("")).alias("unit1"),
+        )
+    )
+
+
 #: Blocklist terms for q_text_blocklist — ONE constant rendered into
 #: both engines; planted into residue classes so hits, multi-hits, and
 #: clean docs all sit under the hash.

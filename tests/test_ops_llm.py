@@ -4112,6 +4112,28 @@ def test_doc_lines_sentence_unit(spark):
     # branch — conflicting unit requests now raise instead
     with _pytest.raises(ValueError, match="mutually"):
         doc_lines(df, chunk=16, unit="sentence")
+    # r15: abbreviation-aware splitting — protected dots never end a
+    # sentence, the sentinel restores to '.', naive mode unchanged
+    ab = spark.createDataFrame(
+        [(1, "Dr. Smith met Mr. Jones. they spoke. see e.g. the notes")],
+        "doc_id long, text string",
+    )
+    abbrevs = ("Dr.", "Mr.", "e.g.")
+    got = [
+        r.line
+        for r in doc_lines(ab, unit="sentence", abbrevs=abbrevs)
+        .orderBy("line_no")
+        .collect()
+    ]
+    assert got == [
+        "Dr. Smith met Mr. Jones.", "they spoke.", "see e.g. the notes",
+    ]
+    with _pytest.raises(ValueError, match="sentence"):
+        doc_lines(ab, abbrevs=abbrevs)  # line mode rejects abbrevs
+    with _pytest.raises(ValueError, match="invalid abbreviation"):
+        doc_lines(ab, unit="sentence", abbrevs=("nodot",))
+    with _pytest.raises(ValueError, match="invalid abbreviation"):
+        doc_lines(ab, unit="sentence", abbrevs=("two words.",))
     # vertical tab is a sentence-boundary whitespace char like any
     # other Java \s member (the r14 ADVICE \x0B dialect fix keeps the
     # RE2 oracle in agreement — see the cross-engine property test)

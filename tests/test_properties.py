@@ -1450,6 +1450,9 @@ _MM_LEX = (
     "ລາ",   # lao prefix of the alphabet's run
     "ab",   # latin word: substring-matching inside latin runs
     ".!",   # regex metachars: escaping must hold in BOTH dialects
+    "b数",  # MIXED latin+cjk word: the guard re-fusion pass must
+            # re-join across an interleaved non-CJK char (worst-case
+            # k+1 intra-guard spaces — the maxlen+1 bound's edge)
 )
 
 

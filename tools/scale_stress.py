@@ -129,6 +129,7 @@ QUERIES = [
     "q_text_blocklist",        # r14: one regex map, zero shuffles — must be ~flat
     "q_text_cjk_segment_dict",  # r15: broadcast-lexicon MM pandas_udf — must be ~flat
     "q_pipe_curation_full",     # r15: the 24-stage C4/CCNet/Gopher composite (cached walk)
+    "q_dedup_sentences_abbr",   # r15: 3-pass abbrev protect/mark/restore — must be ~flat
     "q_agg_hll_sliding",   # r9: day-spine x 64-register merge — register-level work
     "q_graph_sssp",        # r9: weighted Bellman-Ford, k frontier shuffles
     "q_agg_gini",          # r9: per-group rank window + moment agg
