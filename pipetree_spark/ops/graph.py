@@ -171,9 +171,21 @@ def pagerank_exact(
     the CC trick above) plus a broadcast one-row dangling total; ranks
     localCheckpoint per round to cut lineage. O(iters) rounds, no
     driver-side data beyond the node count. Returns (node, rank).
+
+    r15 round-body re-plan (guide §2.3/§2.4): the dangling mass used to
+    be a per-round ``dangling ⋈ ranks`` join and the new-rank join used
+    the unpartitioned ``nodes`` frame — two |nodes|-sized exchanges per
+    round that carry no information the rank frame doesn't already
+    hold. Now a ``__dang`` FLAG rides the rank frame (computed once
+    from the degree table), so the dangling total is a filter+sum over
+    the already-materialized checkpoint, and the new-rank join keys on
+    the rank frame itself — its checkpoint preserves the previous
+    round's hashpartitioning(node), and inflow arrives partitioned by
+    dst ≡ node, so from round 2 on the join is exchange-free. Same
+    integer arithmetic, bit-identical ranks.
     """
     # checkpoint the deduped edge list FIRST: nodes, degrees, the
-    # partitioned edge frame, and the dangling set all derive from it,
+    # partitioned edge frame, and the dangling flag all derive from it,
     # and without the cut each would re-run the caller's (possibly
     # fact-join-sized) edge derivation from scratch
     e = (
@@ -194,23 +206,39 @@ def pagerank_exact(
     # degree rides the edge checkpoint; partition by src so each round's
     # rank join exchanges only the (|nodes|-sized) rank side
     ed = e.join(deg, "src").repartition("src").localCheckpoint(eager=True)
-    dangling = nodes.join(
-        deg.select(F.col("src").alias("node")), "node", "left_anti"
-    ).localCheckpoint(eager=True)
 
     teleport = (15 * scale) // (100 * n_total)
-    ranks = nodes.withColumn("rank", F.lit(scale // n_total).cast("long"))
+    # rank frame carries (node, rank, __dang): a node is dangling iff it
+    # has no out-degree — the flag is immutable, so it is computed ONCE
+    # and rides the per-round checkpoint instead of being re-derived by
+    # a per-round anti-join + join (guide §2.4).
+    # checkpointed once (replacing the old dangling-set checkpoint):
+    # every round consumes the rank frame three times (edge join,
+    # dangling sum, new-rank join) and round 1 would otherwise replay
+    # the degree join per consumer
+    ranks = (
+        nodes.join(deg.select(F.col("src").alias("node"), "deg"), "node", "left")
+        .select(
+            "node",
+            F.lit(scale // n_total).cast("long").alias("rank"),
+            F.col("deg").isNull().alias("__dang"),
+        )
+        .localCheckpoint(eager=True)
+    )
     for _ in range(iters):
+        # project to the two columns the edge join needs — __dang must
+        # not ride the |edges|-sized contribution rows (guide §2.3)
         contrib = ed.join(
-            ranks.withColumnRenamed("node", "src"), "src"
+            ranks.select(F.col("node").alias("src"), "rank"), "src"
         ).select("dst", F.expr("rank div deg").alias("__c"))
         inflow = contrib.groupBy("dst").agg(F.sum("__c").alias("__inflow"))
         dang_total = (
-            dangling.join(ranks, "node")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("__dang"))
+            ranks.filter("__dang")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("__dang_tot"))
         )
         ranks = (
-            nodes.join(inflow.withColumnRenamed("dst", "node"), "node", "left")
+            ranks.select("node", "__dang")
+            .join(inflow.withColumnRenamed("dst", "node"), "node", "left")
             .crossJoin(F.broadcast(dang_total))
             .select(
                 "node",
@@ -218,13 +246,14 @@ def pagerank_exact(
                     F.lit(teleport)
                     + F.expr(
                         f"(85 * (coalesce(__inflow, CAST(0 AS BIGINT))"
-                        f" + (__dang div {n_total}))) div 100"
+                        f" + (__dang_tot div {n_total}))) div 100"
                     )
                 ).cast("long").alias("rank"),
+                "__dang",
             )
             .localCheckpoint(eager=True)
         )
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

@@ -80,16 +80,33 @@ def main() -> None:
     spark.stop()
     time.sleep(1)
 
-    # parse the event log
-    log_files = sorted(Path(LOG_DIR).glob(f"{app_id}*"))
+    # parse the event log — Spark 4 writes a rolling V2 directory
+    # (eventlog_v2_<appId>/events_*_<appId>[.zstd]); older layouts are a
+    # flat <appId> file. Handle both; .zstd segments go through the
+    # system `zstd` binary.
+    candidates = list(Path(LOG_DIR).glob(f"*{app_id}*"))
+    log_files: list[Path] = []
+    for c in candidates:
+        if c.is_dir():
+            log_files.extend(sorted(c.glob(f"events_*")))
+        else:
+            log_files.append(c)
     events = []
     for lf in log_files:
-        with open(lf) as f:
-            for line in f:
-                try:
-                    events.append(json.loads(line))
-                except json.JSONDecodeError:
-                    pass
+        if lf.suffix == ".zstd":
+            import subprocess
+
+            raw = subprocess.run(
+                ["zstd", "-dc", str(lf)], capture_output=True, check=True
+            ).stdout.decode("utf-8", "replace")
+            lines = raw.splitlines()
+        else:
+            lines = open(lf).read().splitlines()
+        for line in lines:
+            try:
+                events.append(json.loads(line))
+            except json.JSONDecodeError:
+                pass
 
     # job id -> description; stage id -> job id
     job_desc: dict[int, str] = {}
