@@ -24,7 +24,7 @@ orchestrator has no graph surface — north-star extension.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -48,17 +48,19 @@ def connected_components(
     still changing (component diameter > max_iter): silently returning
     half-propagated labels would split one real component into several.
 
-    Convergence checking is AMORTIZED (r12, closing the r11-verdict
-    note on the per-round driver sync): the changed-labels count — a
-    driver-blocking job, i.e. a full-cluster barrier at scale — runs
-    only every ``check_every`` rounds and always on the final round, so
-    the last check doubles as the FIXPOINT ASSERTION (the round-r
-    comparison ``component < __own`` measures exactly whether one more
-    round would change anything, independent of what earlier rounds
-    did). A graph converging in d rounds costs at most
-    ``check_every - 1`` extra cheap propagation rounds and
-    ``ceil(d / check_every)`` syncs instead of d. ``check_every=1``
-    reproduces the old per-round behavior.
+    Convergence checking is FREE (r15, guide §1.2/§7.3): the
+    changed-labels count rides the round's checkpoint materialization
+    as a ``DataFrame.observe`` metric (one CollectMetrics node in the
+    already-running job), so it costs zero extra jobs and zero extra
+    passes — the r12 amortization (``check_every``) existed to dodge a
+    separate count job per round; with the count folded into the round
+    itself, checking EVERY round is strictly cheaper than running even
+    one unneeded extra round (each round is a full |edges|+|nodes|
+    shuffle; the metric is a per-task counter). ``check_every`` is
+    kept for API compatibility and ignored. The round-r comparison
+    ``component < __own`` measures exactly whether one more round
+    would change anything, so the final check doubles as the FIXPOINT
+    ASSERTION, as before.
 
     Per-round cost (r6 rewrite — was the slowest op in the suite at
     11.6 s sf0.1): ONE shuffle job per round. The old label rides the
@@ -77,66 +79,91 @@ def connected_components(
     rounds), fatal for chain-shaped components (A≈B≈C≈… boilerplate
     drift), which would exhaust ``max_iter`` at diameter > 25. From
     round ``jump_after`` on, each round additionally contracts
-    ``label ← label[label]`` (one self-join on the round's checkpoint,
-    i.e. a second job), doubling the distance a label travels per
-    round — O(log diameter) rounds overall. Cheap graphs never pay
-    (they converge before the escalation kicks in); a converged
-    labeling is a fixed point of the jump, so the convergence contract
-    is unchanged. ``jump_after=None`` disables escalation.
+    ``label ← label[label]`` — since r15 fused into the SAME round
+    plan and checkpoint (the aggregate subtree appears on both sides
+    of the self-join; AQE's ReusedExchange materializes it once), so
+    jump rounds cost one materialization, not two. Doubling the
+    distance a label travels per round gives O(log diameter) rounds
+    overall. Cheap graphs never pay (they converge before the
+    escalation kicks in); a converged labeling is a fixed point of the
+    jump, so the convergence contract is unchanged. ``jump_after=None``
+    disables escalation.
+
+    r15 round-0 fusion (guide §2.4): with identity initial labels the
+    first round's neighbor join is the edge list itself (label(v) = v),
+    so round 0 is ONE groupBy over the pre-partitioned edge frame —
+    ``component = least(u, min(v))`` — instead of distinct + join +
+    union + groupBy (two exchanges and the init frame gone). The sym
+    build itself also drops an exchange: dedup runs as
+    ``dropDuplicates`` ON TOP of the hash(v) repartition (equal (u,v)
+    rows share a v, so hashpartitioning(v) already satisfies the
+    aggregation's clustered distribution — no second exchange).
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    ).distinct()
+    )
     # partition by v ONCE: localCheckpoint preserves partitioning, so
-    # every round's join on v reuses it (labels side alone shuffles)
-    sym = sym.repartition("v").localCheckpoint(eager=True)
+    # every round's join on v reuses it (labels side alone shuffles).
+    # dropDuplicates AFTER the repartition: hashpartitioning(v)
+    # satisfies ClusteredDistribution(u, v), so the dedup aggregation
+    # adds no exchange of its own (plan: 1 exchange, was 2).
+    sym = sym.repartition("v").dropDuplicates(["u", "v"]).localCheckpoint(eager=True)
 
-    labels = sym.select("u").distinct().withColumn("component", F.col("u"))
-    own_type = labels.schema["component"].dataType
+    own_type = sym.schema["u"].dataType
 
+    labels = None
     converged = False
     for it in range(max_iter):
         # candidate label for u: min over (own label, neighbors' labels).
         # Own rows carry their label in __own, neighbor rows carry null
         # (min ignores nulls; each u has exactly one own row) — so the
         # new label AND the pre-round label surface from ONE aggregation.
-        nbr_labels = (
-            sym.join(labels.withColumnRenamed("u", "v"), on="v")
-            .select("u", "component")
-            .withColumn("__own", F.lit(None).cast(own_type))
-        )
-        new_labels = (
-            labels.withColumn("__own", F.col("component"))
-            .unionByName(nbr_labels)
-            .groupBy("u")
-            .agg(F.min("component").alias("component"), F.min("__own").alias("__own"))
-            .localCheckpoint(eager=True)
-        )
+        if it == 0:
+            # fused round 0: labels are the identity, so neighbor label
+            # min is just min(v) per u — one groupBy over sym, no join,
+            # no init frame
+            new_labels = sym.groupBy("u").agg(F.min("v").alias("__nbr")).select(
+                "u",
+                F.least(F.col("u"), F.col("__nbr")).alias("component"),
+                F.col("u").alias("__own"),
+            )
+        else:
+            nbr_labels = (
+                sym.join(labels.withColumnRenamed("u", "v"), on="v")
+                .select("u", "component")
+                .withColumn("__own", F.lit(None).cast(own_type))
+            )
+            new_labels = (
+                labels.withColumn("__own", F.col("component"))
+                .unionByName(nbr_labels)
+                .groupBy("u")
+                .agg(F.min("component").alias("component"), F.min("__own").alias("__own"))
+            )
         if jump_after is not None and it >= jump_after:
-            # pointer jump: label ← label[label]. The lookup side reads
-            # the checkpoint just materialized (no recompute); every
+            # pointer jump: label ← label[label], fused into this
+            # round's plan — the aggregate feeds both join sides, AQE
+            # materializes its exchange once (ReusedExchange). Every
             # component value is itself a labeled node, so the inner
             # join is total. Labels only decrease, so __own comparisons
             # below remain valid.
             lk = new_labels.select(
                 F.col("u").alias("__cu"), F.col("component").alias("__cc")
             )
-            new_labels = (
-                new_labels.join(lk, new_labels["component"] == lk["__cu"])
-                .select("u", F.col("__cc").alias("component"), "__own")
-                .localCheckpoint(eager=True)
-            )
+            new_labels = new_labels.join(
+                lk, new_labels["component"] == lk["__cu"]
+            ).select("u", F.col("__cc").alias("component"), "__own")
+        # the changed-labels count rides the checkpoint job as an
+        # observe metric — zero extra jobs; a label changed iff the new
+        # min beat the old one. On the final round this IS the fixpoint
+        # assertion. (sum over an empty frame observes NULL → 0.)
+        obs = Observation()
+        new_labels = new_labels.observe(
+            obs, F.sum((F.col("component") < F.col("__own")).cast("int")).alias("changed")
+        ).localCheckpoint(eager=True)
         labels = new_labels.drop("__own")
-        if (it + 1) % check_every == 0 or it == max_iter - 1:
-            # runs against the materialized checkpoint — no recompute,
-            # no join: a label changed iff the new min beat the old one.
-            # On the final round this IS the fixpoint assertion.
-            changed = (
-                new_labels.filter(F.col("component") < F.col("__own")).limit(1).count()
-            )
-            if changed == 0:
-                converged = True
-                break
+        if not obs.get["changed"]:
+            converged = True
+            break
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in max_iter={max_iter} rounds "
