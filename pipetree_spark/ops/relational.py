@@ -257,6 +257,60 @@ def incremental_join_delta(
     )
 
 
+def fan_out(df: DataFrame, multiple: int = 1) -> DataFrame:
+    """Scale-adaptive parallelism floor for CPU-dense map pipelines
+    (r15, guide §2.5/§2.6): when the frame's INPUT is too small to fill
+    the cluster (fewer estimated scan splits than cores), round-robin
+    repartition to ``defaultParallelism × multiple`` so per-row-heavy
+    work (shingling, MinHash, regex segmentation, codec decode) runs on
+    every core instead of serializing into the scan's straggler task.
+    When the input already yields >= that many splits — every real
+    100 TB table — this is a NO-OP and no exchange is added, so the op
+    never re-shuffles a big corpus just to "add parallelism".
+
+    The gate reads leaf-file sizes via ``df.inputFiles()`` + the Hadoop
+    FS API (driver-side metadata, no job, works on HDFS/S3A/local) and
+    estimates splits with the scan's own ``maxPartitionBytes`` rule; it
+    deliberately does NOT call ``df.rdd.getNumPartitions()``, which
+    under AQE can materialize upstream query stages. Frames with no
+    file leaves (planted in-memory constants) are left alone.
+
+    Safe by construction for this engine's certified queries: the
+    driver hash is order-insensitive, and the only partition-dependent
+    expression in the package (exact.py two-level sums) is associative
+    over partitions. Filters and column pruning push through the
+    repartition node, so a downstream ``doc_id < 10`` still reaches
+    the parquet scan's PushedFilters.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism * multiple
+    try:
+        files = [f for f in df.inputFiles() if f]
+    except Exception:
+        return df
+    if not files or len(files) >= target:
+        return df
+    try:
+        max_split = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes").rstrip("b")
+        )
+    except Exception:
+        max_split = 128 << 20
+    try:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        est_splits = 0
+        for f in files:
+            jpath = jvm.org.apache.hadoop.fs.Path(f)
+            size = jpath.getFileSystem(hconf).getFileStatus(jpath).getLen()
+            est_splits += max(1, -(-size // max_split))
+            if est_splits >= target:
+                return df
+    except Exception:
+        return df
+    return df.repartition(target)
+
+
 def release_checkpoint(df: DataFrame) -> bool:
     """Release the executor-pinned RDD behind a ``localCheckpoint``-ed
     frame. ``Dataset.unpersist()`` is a SILENT NO-OP for checkpoint

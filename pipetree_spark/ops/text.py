@@ -869,6 +869,12 @@ def near_dup_pairs(
     """
     if threshold <= 0:
         raise ValueError("near_dup_pairs requires threshold > 0")
+    from pipetree_spark.ops.relational import fan_out
+
+    # r15 (guide §2.5): shingling fuses into the scan stage; floor the
+    # input's parallelism so small corpora don't serialize the CPU-dense
+    # shingle pass into one task (no-op on any real-scale input).
+    df = fan_out(df)
     sh = df.select(
         *block_cols, F.col(key_col), word_shingles(text_col, n).alias("__sh")
     ).withColumn("__sz", F.size("__sh"))
@@ -1005,7 +1011,17 @@ def minhash_signatures(
     min has no mutable agg buffer), sorting every exploded shingle row
     twice — numeric mins keep both partial and final aggregates
     HashAggregate and cut the r5-profiled banding path ~2× (and the
-    shuffle carries 16 longs, not 16 hex strings)."""
+    shuffle carries 16 longs, not 16 hex strings).
+
+    r15 (guide §2.5): the shingle+md5 pipeline is the CPU-dense part
+    and fuses into the SCAN stage — on a small input that stage is a
+    single task while every other core idles, so the input takes the
+    scale-adaptive :func:`~pipetree_spark.ops.relational.fan_out`
+    parallelism floor first (a no-op whenever the scan already yields
+    >= defaultParallelism splits, i.e. on any real corpus)."""
+    from pipetree_spark.ops.relational import fan_out
+
+    df = fan_out(df)
     tok = df.select(
         key_col, F.explode(word_shingles(text_col, n, segmenter)).alias("__s")
     ).select(
@@ -3386,7 +3402,21 @@ def line_dedup_stats(
 
     ``unit="sentence"`` (r14) applies the same distinct-doc criterion
     to SENTENCES (see doc_lines) — the Gopher-style repeated-sentence
-    filter."""
+    filter.
+
+    r15 (guide §2.5): doc_lines' split/regex explode fuses into the
+    scan and is evaluated on BOTH branches (freq build + probe); in
+    the CPU-dense unit modes (aligned word chunks, sentence regex) the
+    input takes the scale-adaptive fan_out parallelism floor so a
+    small corpus doesn't run that CPU twice on one core. Real-newline
+    and sentence modes are cheap single split/replace passes — there
+    the repartition costs more than the CPU it spreads (in-session
+    A/B best-of-3: nl 0.99→1.71 s and sentence 0.75→1.47 s WITH the
+    floor, chunk 2.03→1.62 s with it), so only chunk mode fans out."""
+    if chunk is not None:
+        from pipetree_spark.ops.relational import fan_out
+
+        df = fan_out(df)
     lines = doc_lines(
         df, text_col, key_col, chunk=chunk, unit=unit, abbrevs=abbrevs
     ).withColumn("__line_h", F.xxhash64("line"))
@@ -3442,6 +3472,11 @@ def line_dedup_strip(
     (the dup_span_strip bound). ``unit="sentence"`` rebuilds the
     surviving sentences space-joined (their terminal punctuation is
     part of the unit, so a space restores readable text)."""
+    if chunk is not None:
+        # r15: same mode-gated CPU-parallelism floor as the stats half
+        from pipetree_spark.ops.relational import fan_out
+
+        df = fan_out(df)
     sep = " " if (unit == "sentence" or chunk is not None) else "\n"
     lines = doc_lines(
         df, text_col, key_col, chunk=chunk, unit=unit, abbrevs=abbrevs

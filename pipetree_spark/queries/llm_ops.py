@@ -1278,14 +1278,24 @@ def q_text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     the training side streams through map-side broadcast probes —
     no shuffle on the corpus at all.
     """
+    from pipetree_spark.ops.relational import fan_out
+
     d = load_table(spark, sf_dir, "documents")
+    # r15 (guide §2.5): only the TRAIN branch is CPU-dense (it shingles
+    # the whole corpus) — the eval branch's doc_id < 10 pushes to the
+    # scan and shingles a handful of rows, so fanning it out would add
+    # an exchange for nothing.
     sh = d.select("doc_id", TX.word_shingles("text", 3).alias("s"))
     eval_grams = (
         sh.filter(F.col("doc_id") < 10)
         .select(F.explode("s").alias("g"))
         .distinct()
     )
-    train = sh.filter(F.col("doc_id") >= 10).withColumn("sz", F.size("s"))
+    train = (
+        fan_out(d.filter(F.col("doc_id") >= 10))
+        .select("doc_id", TX.word_shingles("text", 3).alias("s"))
+        .withColumn("sz", F.size("s"))
+    )
     train_tok = train.select("doc_id", "sz", F.explode("s").alias("g"))
     hits = (
         train_tok.join(F.broadcast(eval_grams), "g")
@@ -1331,6 +1341,7 @@ def q_text_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizing rule for the regime that needs it.
     """
     from pipetree_spark.ops import bloom as BL
+    from pipetree_spark.ops.relational import fan_out
 
     d = load_table(spark, sf_dir, "documents")
     sh = d.select("doc_id", TX.word_shingles("text", 3).alias("s"))
@@ -1340,7 +1351,13 @@ def q_text_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     bitmap = BL.bloom_build(eval_grams, "g")
-    train = sh.filter(F.col("doc_id") >= 10).withColumn("sz", F.size("s"))
+    # r15 (guide §2.5): fan_out the CPU-dense train branch only — the
+    # eval branch's doc_id < 10 pushes to the scan (see q_text_decontam)
+    train = (
+        fan_out(d.filter(F.col("doc_id") >= 10))
+        .select("doc_id", TX.word_shingles("text", 3).alias("s"))
+        .withColumn("sz", F.size("s"))
+    )
     train_tok = train.select("doc_id", "sz", F.explode("s").alias("g"))
     cand = BL.bloom_prefilter(train_tok, "g", bitmap)
     hits = (

@@ -31,6 +31,14 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # r15 note (guide §2.5, measured and REJECTED): lowering
+    # coalescePartitions.minPartitionSize to 64k to parallelize CPU-
+    # dense post-shuffle stages read 10-20% SLOWER on the dedup bench
+    # (alternating in-session A/B, 3 cycles: near_lsh 2.32→2.54 s,
+    # minhash_band 1.66→2.08 s, lines_nl 1.74→1.81 s best-of-3) — the
+    # extra task/block overhead outweighs the parallelism on ~MB
+    # shuffles. The scan-side fan_out floor (ops/relational.py) is the
+    # lever that works; the stock 1m floor stays.
     # Arrow for any pandas interchange (UDF tiers, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }

@@ -438,3 +438,39 @@ def test_sized_repartition_precomputed_rows_and_registry(spark, tmp_path):
     assert arity == 1
     spec_out = fn(df, str(tmp_path), target_bytes=64 << 10)
     assert spec_out.rdd.getNumPartitions() > 1
+
+
+def test_fan_out_floors_small_scans_and_noops_elsewhere(spark, tmp_path):
+    """r15 fan_out: a one-file scan below defaultParallelism splits gets
+    round-robin repartitioned to the parallelism floor with identical
+    rows; frames with no file leaves (in-memory) are left alone; a scan
+    already yielding >= target splits is returned unchanged (same plan
+    object, no added exchange)."""
+    from pipetree_spark.ops.relational import fan_out
+
+    p = str(tmp_path / "small")
+    spark.range(500).select(
+        "id", F.sha2(F.col("id").cast("string"), 256).alias("t")
+    ).coalesce(1).write.parquet(p)
+    small = spark.read.parquet(p)
+    assert small.rdd.getNumPartitions() == 1
+    spread = fan_out(small)
+    target = spark.sparkContext.defaultParallelism
+    assert spread.rdd.getNumPartitions() == target
+    # identical multiset of rows
+    assert sorted(r["id"] for r in spread.collect()) == list(range(500))
+
+    # in-memory frame: no file leaves -> untouched
+    mem = spark.createDataFrame([(1,), (2,)], "x long")
+    assert fan_out(mem) is mem
+
+    # many-file scan at/above the floor -> untouched (no-op at scale)
+    p2 = str(tmp_path / "manyfiles")
+    spark.range(target * 20).repartition(target).write.parquet(p2)
+    many = spark.read.parquet(p2)
+    assert fan_out(many) is many
+
+    # pushdown survives the floor: a filter below fan_out still reaches
+    # the parquet scan (PushedFilters), so eval-style branches stay cheap
+    plan = fan_out(small).filter(F.col("id") < 5)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "LessThan(id,5)" in plan
