@@ -361,7 +361,14 @@ def kmeans_portable_fit(
     pattern. Assignments are a pure function of (vector, centroids),
     so injecting a full fit's own centroid frame reproduces its
     assignment bit-exactly (pinned by pytest).
+
+    r15 (guide §2.5): the quantize + per-row integer-distance argmin
+    HOFs are CPU-dense and fuse into the scan; the input takes the
+    scale-adaptive fan_out parallelism floor (no-op on real corpora).
     """
+    from pipetree_spark.ops.relational import fan_out
+
+    df = fan_out(df)
     q = df.select(
         key_col,
         F.transform(
@@ -1382,6 +1389,13 @@ def pq_fit_portable(
     if d_sub * m != dim:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     from pyspark.sql import Window
+
+    from pipetree_spark.ops.relational import fan_out
+
+    # r15 (guide §2.5): same scan-parallelism floor as
+    # kmeans_portable_fit — the subspace-split + per-row code argmin
+    # HOFs otherwise serialize into a small corpus's single scan task.
+    df = fan_out(df)
 
     qv = (
         F.col(quantized_col)
