@@ -25,6 +25,38 @@ from pyspark.sql import DataFrame, SparkSession
 
 _FORMAT_VERSION = "1"
 
+#: per-(process, namespace) private artifact roots — see process_cache_root
+_process_cache_roots: dict[str, str] = {}
+
+
+def process_cache_root(namespace: str) -> str:
+    """Per-PROCESS private artifact root for the declared cache-walk
+    queries (r15): ``mkdtemp`` once per (process, namespace), removed at
+    interpreter exit.
+
+    The previous fixed ``/tmp/pipetree_spark_<ns>_artifacts`` paths let
+    artifacts persist ACROSS bench/oracle invocations, so a fresh run's
+    warm-up could skip even the cold walk — timing a read of last run's
+    outputs instead of ever computing from the parquet inputs. A
+    per-process root keeps the certified skip-if-cached semantics (the
+    warm-up rep pays the cold materialization, later reps in the same
+    process hit), guarantees every invocation computes from the inputs,
+    and closes the predictable-name /tmp squat the same way
+    q_pipe_timetravel's scratch root does (unpredictable name, 0700).
+    """
+    root = _process_cache_roots.get(namespace)
+    import os as _os
+
+    if root is None or not _os.path.isdir(root):
+        import atexit
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix=f"pipetree_{namespace}_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _process_cache_roots[namespace] = root
+    return root
+
 
 def content_key(spec: dict, upstream_keys: list[str]) -> str:
     """sha256(definition ⊕ dependencies): canonical-JSON the stage spec

@@ -179,11 +179,10 @@ def q_pipe_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     skip-if-cached semantics applied to physical layout. Results are
     identical to the plain join (the oracle is the unbucketed SQL).
     """
-    import tempfile
 
-    from pipetree_spark.cache import ArtifactCache, content_key
+    from pipetree_spark.cache import ArtifactCache, content_key, process_cache_root
 
-    cache = ArtifactCache(f"{tempfile.gettempdir()}/pipetree_spark_bucketed_artifacts")
+    cache = ArtifactCache(process_cache_root("bucketed_artifacts"))
     key = content_key({"op": "bucketed_src", "sf_dir": sf_dir}, [])
 
     def bucketed(stage: str, table: str, cols: list[str], bucket_col: str) -> DataFrame:
@@ -297,11 +296,10 @@ def q_pipe_cagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     so rollup-of-rollup equals the direct day aggregate bit-for-bit
     (the oracle is the direct form).
     """
-    import tempfile
 
-    from pipetree_spark.cache import ArtifactCache, content_key
+    from pipetree_spark.cache import ArtifactCache, content_key, process_cache_root
 
-    cache = ArtifactCache(f"{tempfile.gettempdir()}/pipetree_spark_cagg_artifacts")
+    cache = ArtifactCache(process_cache_root("cagg_artifacts"))
     key = content_key({"op": "hourly_rollup", "sf_dir": sf_dir, "grain": "hour"}, [])
     if cache.has(spark, "events_hourly", key):
         hourly = cache.load(spark, "events_hourly", key)
@@ -987,7 +985,7 @@ def q_pipe_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     (line-hash group/probe, exact-dedup hash agg, LSH banding,
     per-host and per-source windows). Unlike the shallow
     q_pipe_curation, this 24-stage DAG runs WITH the artifact cache
-    (shared tmp dir, content-keyed — the q_pipe_bucketed skip-if-
+    (per-process private dir, content-keyed — the q_pipe_bucketed skip-if-
     cached pattern): the report's 11 funnel subqueries read each
     materialized stage once instead of re-deriving the whole lazy DAG
     eleven times (measured: the cache-less form exceeds 9 min at
@@ -995,10 +993,9 @@ def q_pipe_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage spec so it enters every content key — different SFs never
     collide in the shared cache."""
     import json
-    import tempfile
     from importlib import resources
 
-    from pipetree_spark.cache import ArtifactCache
+    from pipetree_spark.cache import ArtifactCache, process_cache_root
 
     spec = json.loads(
         resources.files("pipetree_spark")
@@ -1006,8 +1003,6 @@ def q_pipe_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .read_text()
     )
     spec["stages"]["documents"]["sf_dir"] = sf_dir
-    cache = ArtifactCache(
-        f"{tempfile.gettempdir()}/pipetree_spark_curation_full_artifacts"
-    )
+    cache = ArtifactCache(process_cache_root("curation_full_artifacts"))
     p = Pipeline.from_spec(spec, sf_dir=sf_dir)
     return p.run(spark, cache=cache)["report"]
