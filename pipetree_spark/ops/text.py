@@ -1180,7 +1180,14 @@ def near_dup_pairs_lsh(
     stage re-joins the (tiny) candidate set to the shingle arrays by
     doc key — two hash joins sized by candidates, not corpus — and the
     Jaccard is exact-integer set math (`array_intersect` sizes),
-    IEEE-identical across engines."""
+    IEEE-identical across engines.
+
+    r15 (guide §2.5): the verify stage shingles the corpus on BOTH
+    join branches, so the input takes the fan_out parallelism floor
+    once here (no-op on real corpora; see minhash_signatures)."""
+    from pipetree_spark.ops.relational import fan_out
+
+    df = fan_out(df)
     sh = df.select(F.col(key_col), word_shingles(text_col, n).alias("__sh"))
     cand = minhash_band_pairs(
         df, text_col, key_col, n, num_hashes, bands,
