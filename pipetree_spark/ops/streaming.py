@@ -334,14 +334,28 @@ def incremental_dedup_batch(
             firsts["__nh"] == F.col("__seen"),
             "left_anti",
         )
-    # two actions over the same deterministic frame: data first (into
-    # this batch's own partition, overwrite = replay-idempotent), ledger
-    # last (the commit point — see docstring crash analysis)
-    admitted = firsts.count()
-    firsts.drop("__nh").write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
-    firsts.select(
-        F.col("__nh").alias("nh"), F.lit(batch_id).cast("long").alias("batch_id")
-    ).write.mode("append").parquet(ledger_dir)
+    # three actions consume this deterministic frame (count, data
+    # write, ledger write); r15 (guide §5): a lazy localCheckpoint
+    # computes the window-dedup + ledger anti-join ONCE — the count
+    # materializes it, both writes read the stored blocks — instead of
+    # three full evaluations per micro-batch. The write ORDER is
+    # unchanged (data first into the batch's own partition, ledger
+    # last as the commit point — see the crash analysis above), and
+    # the pinned blocks are released before returning so a long-lived
+    # stream's executor storage stays bounded.
+    from pipetree_spark.ops.relational import release_checkpoint
+
+    firsts = firsts.localCheckpoint(eager=False)
+    try:
+        admitted = firsts.count()
+        firsts.drop("__nh").write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+        firsts.select(
+            F.col("__nh").alias("nh"), F.lit(batch_id).cast("long").alias("batch_id")
+        ).write.mode("append").parquet(ledger_dir)
+    finally:
+        release_checkpoint(firsts)
     return admitted
 
 

@@ -328,6 +328,7 @@ def kmeans_portable_fit(
     iters: int = 2,
     scale: int = 1 << 20,
     centroids: DataFrame | None = None,
+    dim: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic, engine-portable Lloyd k-means: returns
     ``(assignment, centroids)`` after ``iters`` iterations — the
@@ -361,6 +362,15 @@ def kmeans_portable_fit(
     pattern. Assignments are a pure function of (vector, centroids),
     so injecting a full fit's own centroid frame reproduces its
     assignment bit-exactly (pinned by pytest).
+
+    ``dim=`` (r15, guide §2.3) opts the centroid recompute into the
+    wide-sum formulation — ``dim`` map-side long sums + a count per
+    cluster instead of a dim×-row posexplode, one fewer exchange per
+    iteration, bit-identical centroids. CONTRACT: every vector must be
+    exactly ``dim`` long with no NULLs (a short/NULL vector silently
+    contributes NULL component sums here, where the explode path drops
+    its rows) — the PQ compositions already require this, generic
+    callers without a fixed-dim guarantee must leave it None.
 
     r15 (guide §2.5): the quantize + per-row integer-distance argmin
     HOFs are CPU-dense and fuse into the scan; the input takes the
@@ -444,6 +454,36 @@ def kmeans_portable_fit(
 
     a = assign(cents)
     for _ in range(iters - 1):
+        if dim is not None:
+            # r15 (guide §2.3): with a known dimensionality the
+            # centroid recompute is ``dim`` map-side-combinable long
+            # sums + one count, grouped by cluster — no 64×-row
+            # posexplode inflation, and ONE tiny exchange (k rows)
+            # instead of the explode path's two (hash(cluster, dim)
+            # does not satisfy the follow-up hash(cluster) agg). Each
+            # component is the SAME expression — floor(double(sum) /
+            # count) — over the same exact long sums, so the centroid
+            # frame is bit-identical to the fallback's (parity +
+            # pytest pinned).
+            sums = [
+                F.sum(F.element_at("__qv", i + 1)).alias(f"__s{i}")
+                for i in range(dim)
+            ]
+            cv = F.array(
+                *[
+                    F.floor(F.col(f"__s{i}").cast("double") / F.col("__n")).cast("long")
+                    for i in range(dim)
+                ]
+            )
+            cents = (
+                a.groupBy("cluster")
+                .agg(F.count(F.lit(1)).alias("__n"), *sums)
+                .select(F.col("cluster").alias("cid"), cv.alias("cv"))
+                .agg(F.collect_list(F.struct("cid", "cv")).alias("__cs"))
+                .localCheckpoint(eager=False)
+            )
+            a = assign(cents)
+            continue
         comp = (
             a.select("cluster", F.posexplode("__qv").alias("__i", "__x"))
             .groupBy("cluster", "__i")
@@ -1475,19 +1515,28 @@ def pq_fit_portable(
     )
     a = assign(cb)
     for _ in range(iters - 1):
-        comp = (
-            a.select("sub", "code", F.posexplode("__qsv").alias("__i", "__x"))
-            .groupBy("sub", "code", "__i")
-            .agg(F.floor(F.sum("__x").cast("double") / F.count("*")).cast("long").alias("__cd"))
+        # r15 (guide §2.3): the codebook recompute is d_sub map-side-
+        # combinable long sums + one count per (sub, code) — no
+        # d_sub×-row posexplode inflation and one fewer exchange per
+        # iteration (hash(sub, code, dim) never satisfied the follow-up
+        # hash(sub, code) agg). Component math is the identical
+        # floor(double(sum)/count) over the same exact long sums, so
+        # the codebook is bit-identical (subvectors are exactly d_sub
+        # long by construction — the slice in _pq_subvectors).
+        sums = [
+            F.sum(F.element_at("__qsv", i + 1)).alias(f"__s{i}")
+            for i in range(d_sub)
+        ]
+        cv = F.array(
+            *[
+                F.floor(F.col(f"__s{i}").cast("double") / F.col("__n")).cast("long")
+                for i in range(d_sub)
+            ]
         )
         cb = (
-            comp.groupBy("sub", "code")
-            .agg(F.array_sort(F.collect_list(F.struct("__i", "__cd"))).alias("__s"))
-            .select(
-                F.col("sub"),
-                F.col("code").alias("cid"),
-                F.transform("__s", lambda t: t["__cd"]).alias("cv"),
-            )
+            a.groupBy("sub", "code")
+            .agg(F.count(F.lit(1)).alias("__n"), *sums)
+            .select(F.col("sub"), F.col("code").alias("cid"), cv.alias("cv"))
             .agg(F.collect_list(F.struct("sub", "cid", "cv")).alias("__cb"))
             .localCheckpoint(eager=False)
         )
@@ -1613,7 +1662,7 @@ def pq_ivf_ann_portable(
     """
     assign_df, cents = kmeans_portable_fit(
         corpus, vec_col, corpus_key, k=n_clusters, iters=iters, scale=scale,
-        centroids=centroids,
+        centroids=centroids, dim=dim,
     )
     codes, cb = pq_fit_portable(
         corpus, vec_col, corpus_key, m=m, n_codes=n_codes, dim=dim, scale=scale,
@@ -1690,7 +1739,7 @@ def ivfpq_residual_ann_portable(
     """
     assign_df, cents = kmeans_portable_fit(
         corpus, vec_col, corpus_key, k=n_clusters, iters=iters, scale=scale,
-        centroids=centroids,
+        centroids=centroids, dim=dim,
     )
     cell_cv = lambda: F.element_at(  # noqa: E731 — centroid of row's cluster
         F.filter("__cs", lambda c: c["cid"] == F.col("cluster")), 1
