@@ -195,7 +195,8 @@ def pagerank_exact(
 
     Scale: per iteration ONE shuffle of |edges| contributions on dst
     (the rank side joins src via the pre-partitioned edge checkpoint —
-    the CC trick above) plus a broadcast one-row dangling total; ranks
+    the CC trick above); the dangling total rides the round checkpoint
+    as an observe metric and re-enters as a driver literal; ranks
     localCheckpoint per round to cut lineage. O(iters) rounds, no
     driver-side data beyond the node count. Returns (node, rank).
 
@@ -240,9 +241,19 @@ def pagerank_exact(
     # and rides the per-round checkpoint instead of being re-derived by
     # a per-round anti-join + join (guide §2.4).
     # checkpointed once (replacing the old dangling-set checkpoint):
-    # every round consumes the rank frame three times (edge join,
-    # dangling sum, new-rank join) and round 1 would otherwise replay
-    # the degree join per consumer
+    # every round consumes the rank frame twice (edge join, new-rank
+    # join) and round 1 would otherwise replay the degree join per
+    # consumer.
+    # r15 (guide §1.4/§2.4, the CC observe pattern): the dangling TOTAL
+    # rides each checkpoint materialization as a DataFrame.observe
+    # metric instead of being a per-round agg job + BroadcastExchange +
+    # BNLJ — the next round needs only the scalar, and it is exact
+    # BIGINT arithmetic, so it enters the round as a driver literal
+    # bit-identically (dang_tot // n_total in Python == BIGINT div for
+    # the non-negative values here; sum over an empty filter observes
+    # NULL → 0).
+    _dang_sum = F.sum(F.when(F.col("__dang"), F.col("rank"))).alias("__dang_tot")
+    obs = Observation()
     ranks = (
         nodes.join(deg.select(F.col("src").alias("node"), "deg"), "node", "left")
         .select(
@@ -250,34 +261,33 @@ def pagerank_exact(
             F.lit(scale // n_total).cast("long").alias("rank"),
             F.col("deg").isNull().alias("__dang"),
         )
+        .observe(obs, _dang_sum)
         .localCheckpoint(eager=True)
     )
     for _ in range(iters):
+        dang_share = (obs.get["__dang_tot"] or 0) // n_total
         # project to the two columns the edge join needs — __dang must
         # not ride the |edges|-sized contribution rows (guide §2.3)
         contrib = ed.join(
             ranks.select(F.col("node").alias("src"), "rank"), "src"
         ).select("dst", F.expr("rank div deg").alias("__c"))
         inflow = contrib.groupBy("dst").agg(F.sum("__c").alias("__inflow"))
-        dang_total = (
-            ranks.filter("__dang")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("__dang_tot"))
-        )
+        obs = Observation()
         ranks = (
             ranks.select("node", "__dang")
             .join(inflow.withColumnRenamed("dst", "node"), "node", "left")
-            .crossJoin(F.broadcast(dang_total))
             .select(
                 "node",
                 (
                     F.lit(teleport)
                     + F.expr(
                         f"(85 * (coalesce(__inflow, CAST(0 AS BIGINT))"
-                        f" + (__dang_tot div {n_total}))) div 100"
+                        f" + {dang_share})) div 100"
                     )
                 ).cast("long").alias("rank"),
                 "__dang",
             )
+            .observe(obs, _dang_sum)
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", "rank")
