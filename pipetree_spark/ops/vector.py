@@ -948,6 +948,12 @@ def semantic_dedup(
         F.lit(1).alias("is_kept"),
     )
     nz = eb.filter(ok)
+    # r15 note: a lazy localCheckpoint on this collapse (the
+    # semantic_dedup_ann move — it is consumed by both the pair/CC
+    # build and the rep_comp join) was measured SLOWER here in two
+    # alternating A/B cycles (1.82-2.14 s vs 1.55-1.80 s at sf0.1):
+    # the blocked variant's collapse is cheap enough that block-store
+    # round-tripping costs more than the second evaluation saves.
     grp = nz.groupBy("block", "embedding").agg(F.min("vec_id").alias("rep_id"))
     reps = grp.select("rep_id", "block", "embedding")
     # Arrow pair twin (bit-identical to cos_pairs_blocked — pinned by
@@ -1041,7 +1047,17 @@ def semantic_dedup_ann(
         F.lit(1).alias("is_kept"),
     )
     nz = e.filter(ok)
-    grp = nz.groupBy("embedding").agg(F.min("vec_id").alias("rep_id"))
+    # r15 (guide §5/§2.4): the exact-vector collapse is a full-width
+    # shuffle of the embeddings and is consumed by TWO job chains — the
+    # membership/pair/CC build (which materializes inside CC's round-0
+    # job) and the final rep_comp join — so without a lineage cut it
+    # evaluates twice per query. Lazy checkpoint: CC's first job
+    # materializes it, the final join reads the stored blocks.
+    grp = (
+        nz.groupBy("embedding")
+        .agg(F.min("vec_id").alias("rep_id"))
+        .localCheckpoint(eager=False)
+    )
     if n_clusters == "auto" or n_probe == "auto":
         import math
 
@@ -1668,6 +1684,23 @@ def pq_ivf_ann_portable(
         corpus, vec_col, corpus_key, m=m, n_codes=n_codes, dim=dim, scale=scale,
         codebook=codebook,
     )
+    if centroids is None and codebook is None:
+        # r15 (guide §2.6): the coarse-quantizer fit and the PQ fit are
+        # INDEPENDENT job chains over the same corpus, but their lazy
+        # checkpoints materialize sequentially when the final action
+        # walks the plan. Forcing both 1-row model frames from a
+        # 2-thread pool overlaps the two Lloyd passes (each fit's tail
+        # back-fills the other's idle cores); results are unchanged —
+        # the same deterministic frames materialize, the downstream
+        # plan reads their stored blocks. Skipped when model state is
+        # injected: an injected frame may not be checkpointed, so an
+        # extra action would recompute its caller-side lineage for
+        # nothing.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [pool.submit(cents.count), pool.submit(cb.count)]:
+                f.result()
     cand_codes = codes.join(assign_df.select(corpus_key, "cluster"), corpus_key)
 
     # quantize once, slice the SAME __qv into subvectors: HOFs evaluate
