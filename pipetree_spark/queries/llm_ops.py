@@ -1270,13 +1270,25 @@ def q_text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training docs whose shingles
     overlap an eval set (here: doc_id < 10 plays the benchmark).
 
-    The eval shingle set is tiny at any scale → broadcast inner join on
+    The eval shingle set is tiny at any scale → broadcast LEFT join on
     the exploded training shingles (an inverted-index probe, not a
-    containment scan); per-doc distinct-overlap counts and a
-    contamination ratio (integer/integer — exact) drive the ≥3-shingle
-    flag, the standard n-gram-collision decontamination rule. At 100 TB
-    the training side streams through map-side broadcast probes —
-    no shuffle on the corpus at all.
+    containment scan); per-doc overlap counts and a contamination
+    ratio (integer/integer — exact) drive the ≥3-shingle flag, the
+    standard n-gram-collision decontamination rule.
+
+    r15 single-pass re-plan (guide §2.3): the old shape consumed the
+    shingled train frame on TWO join branches (exploded probe for the
+    hit counts, a second full shingle pass just for per-doc sizes) —
+    Catalyst cannot share scans across branches, so the CPU-dense
+    shingle build ran twice per run. Now ONE exploded pass feeds one
+    aggregate: the eval probe is a broadcast LEFT join (keeps
+    zero-overlap docs — every doc has ≥1 shingle by word_shingles'
+    short-text fallback, so groupBy(doc_id) covers the full corpus),
+    ``sz`` rides the rows, and because word_shingles emits DISTINCT
+    grams per doc, COUNT(DISTINCT hit grams) ≡ SUM(hit flag) — a pure
+    map-side-combinable sum, so the only corpus shuffle is |docs|
+    partially-aggregated rows. At 100 TB: one scan, map-side broadcast
+    probes, one narrow exchange (plan: 2 corpus scans → 1).
     """
     from pipetree_spark.ops.relational import fan_out
 
@@ -1297,19 +1309,21 @@ def q_text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sz", F.size("s"))
     )
     train_tok = train.select("doc_id", "sz", F.explode("s").alias("g"))
-    hits = (
-        train_tok.join(F.broadcast(eval_grams), "g")
-        .groupBy("doc_id")
-        .agg(F.count_distinct("g").alias("n_shared"))
-    )
-    return (
-        train.join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
-            (F.coalesce("n_shared", F.lit(0)).cast("double") / F.col("sz")).alias("contamination"),
-            (F.coalesce("n_shared", F.lit(0)) >= 3).cast("int").alias("flagged"),
+    per_doc = (
+        train_tok.join(
+            F.broadcast(eval_grams.withColumn("__hit", F.lit(1))), "g", "left"
         )
+        .groupBy("doc_id")
+        .agg(
+            F.max("sz").alias("sz"),
+            F.sum(F.when(F.col("__hit") == 1, 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shared",
+        (F.col("n_shared").cast("double") / F.col("sz")).alias("contamination"),
+        (F.col("n_shared") >= 3).cast("int").alias("flagged"),
     )
 
 
@@ -1358,21 +1372,29 @@ def q_text_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", TX.word_shingles("text", 3).alias("s"))
         .withColumn("sz", F.size("s"))
     )
+    # r15 single-pass re-plan (guide §2.3, see q_text_decontam): one
+    # exploded pass, one map-side-combinable aggregate. The Bloom
+    # prefilter becomes the GUARD of the hit flag — a gram counts only
+    # if it passes the bitmap probe AND the exact broadcast verify
+    # (identical answer: the filter-then-verify and guard formulations
+    # agree because a Bloom filter has no false negatives) — so the
+    # bitmap build, the map-side xxhash64 probes and the exact verify
+    # are all still exercised under the driver's hash.
     train_tok = train.select("doc_id", "sz", F.explode("s").alias("g"))
-    cand = BL.bloom_prefilter(train_tok, "g", bitmap)
-    hits = (
-        cand.join(F.broadcast(eval_grams), "g")  # exact verify on survivors
+    verified = F.when(
+        BL.bloom_might_contain("g", "bloom_bits") & (F.col("__hit") == 1), 1
+    ).otherwise(0)
+    per_doc = (
+        train_tok.crossJoin(F.broadcast(bitmap))
+        .join(F.broadcast(eval_grams.withColumn("__hit", F.lit(1))), "g", "left")
         .groupBy("doc_id")
-        .agg(F.count_distinct("g").alias("n_shared"))
+        .agg(F.max("sz").alias("sz"), F.sum(verified).alias("n_shared"))
     )
-    return (
-        train.join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
-            (F.coalesce("n_shared", F.lit(0)).cast("double") / F.col("sz")).alias("contamination"),
-            (F.coalesce("n_shared", F.lit(0)) >= 3).cast("int").alias("flagged"),
-        )
+    return per_doc.select(
+        "doc_id",
+        "n_shared",
+        (F.col("n_shared").cast("double") / F.col("sz")).alias("contamination"),
+        (F.col("n_shared") >= 3).cast("int").alias("flagged"),
     )
 
 
