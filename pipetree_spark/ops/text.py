@@ -1188,6 +1188,13 @@ def near_dup_pairs_lsh(
     from pipetree_spark.ops.relational import fan_out
 
     df = fan_out(df)
+    # r15 note: a lazy localCheckpoint on this frame (the two verify
+    # branches join on DIFFERENT keys, so Catalyst cannot share their
+    # scans and the shingle build runs once per branch) was measured a
+    # wash-to-slower in an alternating A/B at sf0.1 (cluster_lsh
+    # 4.77/6.08 vs 4.75/5.26 best/median; near_lsh 2.27 vs 2.10):
+    # round-tripping the fat shingle arrays through the block store
+    # costs more than one extra fused scan+split pass.
     sh = df.select(F.col(key_col), word_shingles(text_col, n).alias("__sh"))
     cand = minhash_band_pairs(
         df, text_col, key_col, n, num_hashes, bands,
