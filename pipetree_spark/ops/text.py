@@ -1184,22 +1184,47 @@ def near_dup_pairs_lsh(
 
     r15 (guide §2.5): the verify stage shingles the corpus on BOTH
     join branches, so the input takes the fan_out parallelism floor
-    once here (no-op on real corpora; see minhash_signatures)."""
+    once here (no-op on real corpora; see minhash_signatures).
+
+    r15 opt-wave-2 (guide §3.2/§8): the verify stage only ever READS
+    shingles for docs that appear in a candidate pair, yet it used to
+    rebuild them for the whole corpus on both branches. The candidate
+    frame (id pairs only — bytes bounded by banding collisions, the
+    op's own linearity contract) is lazily checkpointed so the banding
+    pipeline runs ONCE, its distinct doc ids broadcast semi-join-filter
+    the input, and only candidate docs are ever re-shingled: verify CPU
+    drops from 2×|corpus| to 2×|candidates| with a byte-identical pair
+    set (the dropped docs could never reach the output — both join keys
+    come from cand). In the regime where candidate ids outgrow a
+    broadcast (~10⁸+ colliding docs) drop the hint and let AQE pick the
+    semi-join side; the filter is still never worse than re-shingling
+    the corpus twice."""
     from pipetree_spark.ops.relational import fan_out
 
     df = fan_out(df)
-    # r15 note: a lazy localCheckpoint on this frame (the two verify
-    # branches join on DIFFERENT keys, so Catalyst cannot share their
-    # scans and the shingle build runs once per branch) was measured a
-    # wash-to-slower in an alternating A/B at sf0.1 (cluster_lsh
-    # 4.77/6.08 vs 4.75/5.26 best/median; near_lsh 2.27 vs 2.10):
+    cand = (
+        minhash_band_pairs(
+            df, text_col, key_col, n, num_hashes, bands,
+            collapse_exact=True, max_bucket=max_bucket,
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    ids = (
+        cand.select(F.col("id_a").alias(key_col))
+        .union(cand.select(F.col("id_b").alias(key_col)))
+        .distinct()
+    )
+    # r15 note: a lazy localCheckpoint on the SHINGLE frame instead (the
+    # two verify branches join on DIFFERENT keys, so Catalyst cannot
+    # share their scans) was measured a wash-to-slower in an alternating
+    # A/B at sf0.1 (cluster_lsh 4.77/6.08 vs 4.75/5.26 best/median):
     # round-tripping the fat shingle arrays through the block store
-    # costs more than one extra fused scan+split pass.
-    sh = df.select(F.col(key_col), word_shingles(text_col, n).alias("__sh"))
-    cand = minhash_band_pairs(
-        df, text_col, key_col, n, num_hashes, bands,
-        collapse_exact=True, max_bucket=max_bucket,
-    ).select("id_a", "id_b")
+    # costs more than recomputing them — hence the id-prefilter shape
+    # above, which shrinks the recompute itself.
+    sh = df.join(F.broadcast(ids), key_col, "left_semi").select(
+        F.col(key_col), word_shingles(text_col, n).alias("__sh")
+    )
     a = sh.select(F.col(key_col).alias("id_a"), F.col("__sh").alias("__sa"))
     b = sh.select(F.col(key_col).alias("id_b"), F.col("__sh").alias("__sb"))
     inter = F.size(F.array_intersect("__sa", "__sb"))

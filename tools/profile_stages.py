@@ -44,6 +44,9 @@ def get_profiling_spark():
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", f"file://{LOG_DIR}")
+        # the system zstd binary this tool shelled out to is not
+        # guaranteed present; plain-text segments parse everywhere
+        .config("spark.eventLog.compress", "false")
     )
     for k, v in ENGINE_CONFS.items():
         b = b.config(k, v)
