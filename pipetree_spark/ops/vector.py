@@ -306,6 +306,61 @@ def lsh_bucket_ann(
     )
 
 
+def _centroid_frame(spark, rows) -> DataFrame:
+    """1-row LOCAL ``__cs`` centroid frame from driver-collected
+    ``(cid, cv)`` rows — the r15 opt-wave-2 model-state transport for
+    :func:`kmeans_portable_fit` (guide §2.4/§5). The values are
+    computed ENTIRELY by Spark aggregates; Python only ferries exact
+    longs (NULLs preserved), so the frame is bit-identical to the old
+    ``collect_list`` + ``localCheckpoint`` formulation it replaces —
+    minus the checkpoint job, the block-store round trip and the
+    corpus-lineage broadcast build every consumer used to pay. Every
+    consumer expression (array_min argmin, (d, cid) struct sort,
+    filter-by-cid) is order-insensitive; rows are sorted by cid only
+    so the frame itself is deterministic."""
+    data = sorted(
+        (
+            (
+                int(r["cid"]),
+                None
+                if r["cv"] is None
+                else [None if x is None else int(x) for x in r["cv"]],
+            )
+            for r in rows
+        ),
+        key=lambda t: t[0],
+    )
+    return spark.createDataFrame(
+        [([{"cid": c, "cv": v} for c, v in data],)],
+        schema="__cs array<struct<cid:bigint,cv:array<bigint>>>",
+    )
+
+
+def _codebook_frame(spark, rows) -> DataFrame:
+    """1-row LOCAL ``__cb`` codebook frame from driver-collected
+    ``(sub, cid, cv)`` rows — :func:`_centroid_frame`'s twin for
+    :func:`pq_fit_portable` (same exact-transport contract; consumers
+    filter by unique (sub, cid), so row order is free and pinned to
+    (sub, cid) for determinism)."""
+    data = sorted(
+        (
+            (
+                int(r["sub"]),
+                int(r["cid"]),
+                None
+                if r["cv"] is None
+                else [None if x is None else int(x) for x in r["cv"]],
+            )
+            for r in rows
+        ),
+        key=lambda t: (t[0], t[1]),
+    )
+    return spark.createDataFrame(
+        [([{"sub": s, "cid": c, "cv": v} for s, c, v in data],)],
+        schema="__cb array<struct<sub:int,cid:bigint,cv:array<bigint>>>",
+    )
+
+
 def kmeans_portable(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -385,7 +440,6 @@ def kmeans_portable_fit(
             vec_col, lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long")
         ).alias("__qv"),
     )
-    from pyspark.sql import Window
 
     def assign(centroid_row: DataFrame) -> DataFrame:
         enc = F.array_min(
@@ -430,26 +484,31 @@ def kmeans_portable_fit(
         )
         return a_inj, centroids
 
-    init = (
-        q.orderBy(key_col)
-        .limit(k)
-        .withColumn("cid", F.row_number().over(Window.orderBy(key_col)) - 1)
-        .select(F.col("cid").cast("long").alias("cid"), F.col("__qv").alias("cv"))
-    )
-    # Every centroid frame is localCheckpoint-ed: it is ONE row, but its
-    # lineage is a corpus-sized aggregate (and, across iterations, the
-    # whole prior Lloyd history). Downstream compositions
-    # (pq_ivf_ann_portable & co.) branch on the returned frame several
-    # times — without the checkpoint each branch replays the full fit
-    # (r9 verdict: 52 exchanges / 38 BNLJ in the ivfpq_res plan, mostly
-    # init-frame replay; 3 / 7 after). eager=False: the logical plan
-    # truncates immediately (that is what shrinks downstream plans) but
-    # materialization folds into the first real action instead of
-    # blocking here — measured ~8% faster end-to-end than eager=True at
-    # sf0.1, identical at scale where the win is not replaying
-    # corpus-sized aggregates per branch.
-    cents = init.agg(F.collect_list(F.struct("cid", "cv")).alias("__cs")).localCheckpoint(
-        eager=False
+    # Model-state transport (r15 opt-wave-2, guide §2.4/§5): each k-row
+    # centroid state is COLLECTED and re-enters as a LOCAL 1-row frame
+    # (:func:`_centroid_frame`) instead of the r9→r15 ``collect_list``
+    # + ``localCheckpoint(eager=False)`` formulation. The values are
+    # unchanged (same Spark aggregates; Python only ferries exact
+    # longs), downstream plans still see a leaf — but the leaf is now
+    # driver-local data: no checkpoint-materialization job and no
+    # block-store round trip per iteration, and every downstream
+    # broadcast of the model builds from local rows instead of
+    # re-collecting a checkpointed RDD (one fewer job per consumer
+    # branch). Cost: the fit becomes EAGER at construction — exactly
+    # the jobs the first action used to trigger, just earlier; the
+    # driver-side bytes are the same k×dim longs the old broadcast
+    # already collected to the driver.
+    spark = df.sparkSession
+    # init = the k smallest keys' vectors, cid = key rank: ONE
+    # TakeOrdered job; the rank assignment (row_number over
+    # Window.orderBy(key) in the pre-r15 shape) happens on the k
+    # collected rows — identical cids, one fewer window pass.
+    # (collect() of the TakeOrdered plan yields rows already in key
+    # order — Spark's own sort semantics, no Python re-sort)
+    init_rows = q.orderBy(key_col).limit(k).select("__qv").collect()
+    cents = _centroid_frame(
+        spark,
+        [{"cid": i, "cv": r["__qv"]} for i, r in enumerate(init_rows)],
     )
 
     a = assign(cents)
@@ -475,12 +534,12 @@ def kmeans_portable_fit(
                     for i in range(dim)
                 ]
             )
-            cents = (
+            cents = _centroid_frame(
+                spark,
                 a.groupBy("cluster")
                 .agg(F.count(F.lit(1)).alias("__n"), *sums)
                 .select(F.col("cluster").alias("cid"), cv.alias("cv"))
-                .agg(F.collect_list(F.struct("cid", "cv")).alias("__cs"))
-                .localCheckpoint(eager=False)
+                .collect(),
             )
             a = assign(cents)
             continue
@@ -491,15 +550,15 @@ def kmeans_portable_fit(
                 F.floor(F.sum("__x").cast("double") / F.count("*")).cast("long").alias("__cd")
             )
         )
-        cents = (
+        cents = _centroid_frame(
+            spark,
             comp.groupBy("cluster")
             .agg(F.array_sort(F.collect_list(F.struct("__i", "__cd"))).alias("__s"))
             .select(
                 F.col("cluster").alias("cid"),
                 F.transform("__s", lambda t: t["__cd"]).alias("cv"),
             )
-            .agg(F.collect_list(F.struct("cid", "cv")).alias("__cs"))
-            .localCheckpoint(eager=False)
+            .collect(),
         )
         a = assign(cents)
     return a, cents
@@ -1518,16 +1577,18 @@ def pq_fit_portable(
         .withColumn("cid", (F.row_number().over(Window.orderBy(key_col)) - 1).cast("long"))
         .select(key_col, "cid")
     )
-    # Same checkpoint discipline as kmeans_portable_fit (lazy truncation,
-    # see the comment there): the 1-row codebook's lineage is a
-    # corpus-sized aggregate per iteration, and ADC consumers
-    # broadcast-join it in branches separate from the codes frame —
-    # checkpointing makes every later use a leaf read.
-    cb = (
+    # Same model-state transport as kmeans_portable_fit (see the
+    # comment there): each m·n_codes-row codebook state is collected
+    # and re-enters as a LOCAL 1-row frame — same values, no checkpoint
+    # job, no block-store round trip, and ADC consumers that
+    # broadcast-join it in branches separate from the codes frame
+    # build those broadcasts from local rows.
+    spark = df.sparkSession
+    cb = _codebook_frame(
+        spark,
         sv.join(F.broadcast(ranked), key_col)
-        .select(F.struct(F.col("sub"), F.col("cid"), F.col("__qsv").alias("cv")).alias("e"))
-        .agg(F.collect_list("e").alias("__cb"))
-        .localCheckpoint(eager=False)
+        .select("sub", "cid", F.col("__qsv").alias("cv"))
+        .collect(),
     )
     a = assign(cb)
     for _ in range(iters - 1):
@@ -1549,12 +1610,12 @@ def pq_fit_portable(
                 for i in range(d_sub)
             ]
         )
-        cb = (
+        cb = _codebook_frame(
+            spark,
             a.groupBy("sub", "code")
             .agg(F.count(F.lit(1)).alias("__n"), *sums)
             .select(F.col("sub"), F.col("code").alias("cid"), cv.alias("cv"))
-            .agg(F.collect_list(F.struct("sub", "cid", "cv")).alias("__cb"))
-            .localCheckpoint(eager=False)
+            .collect(),
         )
         a = assign(cb)
     return to_codes(a), cb
@@ -1676,31 +1737,38 @@ def pq_ivf_ann_portable(
     exact kNN) holds for ANY injected model, since model quality only
     steers which candidates are scanned first.
     """
-    assign_df, cents = kmeans_portable_fit(
-        corpus, vec_col, corpus_key, k=n_clusters, iters=iters, scale=scale,
-        centroids=centroids, dim=dim,
-    )
-    codes, cb = pq_fit_portable(
-        corpus, vec_col, corpus_key, m=m, n_codes=n_codes, dim=dim, scale=scale,
-        codebook=codebook,
-    )
     if centroids is None and codebook is None:
         # r15 (guide §2.6): the coarse-quantizer fit and the PQ fit are
-        # INDEPENDENT job chains over the same corpus, but their lazy
-        # checkpoints materialize sequentially when the final action
-        # walks the plan. Forcing both 1-row model frames from a
-        # 2-thread pool overlaps the two Lloyd passes (each fit's tail
-        # back-fills the other's idle cores); results are unchanged —
-        # the same deterministic frames materialize, the downstream
-        # plan reads their stored blocks. Skipped when model state is
-        # injected: an injected frame may not be checkpointed, so an
-        # extra action would recompute its caller-side lineage for
-        # nothing.
+        # INDEPENDENT job chains over the same corpus; since the fits
+        # run their model-state collects eagerly (see
+        # kmeans_portable_fit), running the two fit FUNCTIONS from a
+        # 2-thread pool overlaps the two Lloyd passes — each fit's
+        # straggler tail back-fills the other's idle cores. Results
+        # are unchanged (two independent deterministic computations).
+        # Sequential when model state is injected: an injected-state
+        # "fit" is one lazy narrow map, nothing to overlap.
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=2) as pool:
-            for f in [pool.submit(cents.count), pool.submit(cb.count)]:
-                f.result()
+            fk = pool.submit(
+                kmeans_portable_fit, corpus, vec_col, corpus_key,
+                k=n_clusters, iters=iters, scale=scale, dim=dim,
+            )
+            fp = pool.submit(
+                pq_fit_portable, corpus, vec_col, corpus_key,
+                m=m, n_codes=n_codes, dim=dim, scale=scale,
+            )
+            assign_df, cents = fk.result()
+            codes, cb = fp.result()
+    else:
+        assign_df, cents = kmeans_portable_fit(
+            corpus, vec_col, corpus_key, k=n_clusters, iters=iters, scale=scale,
+            centroids=centroids, dim=dim,
+        )
+        codes, cb = pq_fit_portable(
+            corpus, vec_col, corpus_key, m=m, n_codes=n_codes, dim=dim, scale=scale,
+            codebook=codebook,
+        )
     cand_codes = codes.join(assign_df.select(corpus_key, "cluster"), corpus_key)
 
     # quantize once, slice the SAME __qv into subvectors: HOFs evaluate
