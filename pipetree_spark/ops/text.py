@@ -1022,21 +1022,32 @@ def minhash_signatures(
     from pipetree_spark.ops.relational import fan_out
 
     df = fan_out(df)
+    # r15 opt-wave-2 (guide §1.2 step 2, driver-side): the per-component
+    # expression loops here used to issue ~130 py4j round trips per
+    # construction (each F.lit/F.col/operator is its own RPC; this
+    # sandbox's cross-process RPC costs ~0.2-1 ms) — batched into one
+    # parsed SQL string per component / per array, the SAME expressions
+    # Catalyst saw before (integer-literal promotion INT×BIGINT→BIGINT
+    # is identical in the parser and in Column ops; parity-pinned).
     tok = df.select(
         key_col, F.explode(word_shingles(text_col, n, segmenter)).alias("__s")
     ).select(
         key_col,
-        (F.conv(F.substring(F.md5(F.col("__s")), 1, 15), 16, 10).cast("long") % MINHASH_P).alias(
-            "__b"
+        F.expr(
+            f"cast(conv(substring(md5(__s), 1, 15), 16, 10) as bigint)"
+            f" % {MINHASH_P} AS __b"
         ),
     )
     aggs = [
-        F.min((F.lit(a) * F.col("__b") + F.lit(b)) % MINHASH_P).alias(f"__h{i}")
+        F.expr(f"min(({a} * __b + {b}) % {MINHASH_P}) AS __h{i}")
         for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
     sig = tok.groupBy(key_col).agg(*aggs)
     return sig.select(
-        key_col, F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("minhash")
+        key_col,
+        F.expr(
+            "array(" + ",".join(f"__h{i}" for i in range(num_hashes)) + ") AS minhash"
+        ),
     )
 
 
@@ -1097,20 +1108,20 @@ def minhash_band_pairs(
     )
     # '|' separator is load-bearing: signature components are
     # variable-length integers now, and unseparated digit concat would
-    # alias (12,3) with (1,23)
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.element_at("__m", j * rows + r + 1).cast("string")
-                        for r in range(rows)
-                    ],
-                )
+    # alias (12,3) with (1,23). One parsed expr string for the whole
+    # band-key array (was ~60 py4j round trips — see minhash_signatures).
+    band_keys = F.expr(
+        "array("
+        + ",".join(
+            "md5(concat_ws('|', "
+            + ", ".join(
+                f"cast(element_at(__m, {j * rows + r + 1}) as string)"
+                for r in range(rows)
             )
+            + "))"
             for j in range(bands)
-        ]
+        )
+        + ")"
     )
     banded = sig.select(
         F.col(key_col), "__m", F.posexplode(band_keys).alias("__band", "__bk")

@@ -524,21 +524,27 @@ def kmeans_portable_fit(
             # count) — over the same exact long sums, so the centroid
             # frame is bit-identical to the fallback's (parity +
             # pytest pinned).
+            # one parsed expr string per component sum and ONE for the
+            # recomposed array (was ~700 py4j round trips per iteration
+            # at dim=64 — guide §1.2 step 2 applied to the driver; the
+            # SQL is the identical expression tree, parity-pinned)
             sums = [
-                F.sum(F.element_at("__qv", i + 1)).alias(f"__s{i}")
+                F.expr(f"sum(element_at(__qv, {i + 1})) AS __s{i}")
                 for i in range(dim)
             ]
-            cv = F.array(
-                *[
-                    F.floor(F.col(f"__s{i}").cast("double") / F.col("__n")).cast("long")
+            cv = F.expr(
+                "array("
+                + ",".join(
+                    f"cast(floor(cast(__s{i} as double) / __n) as bigint)"
                     for i in range(dim)
-                ]
+                )
+                + ") AS cv"
             )
             cents = _centroid_frame(
                 spark,
                 a.groupBy("cluster")
                 .agg(F.count(F.lit(1)).alias("__n"), *sums)
-                .select(F.col("cluster").alias("cid"), cv.alias("cv"))
+                .select(F.col("cluster").alias("cid"), cv)
                 .collect(),
             )
             a = assign(cents)
@@ -1600,21 +1606,25 @@ def pq_fit_portable(
         # floor(double(sum)/count) over the same exact long sums, so
         # the codebook is bit-identical (subvectors are exactly d_sub
         # long by construction — the slice in _pq_subvectors).
+        # batched expr strings, same rationale and same expression tree
+        # as the kmeans recompute above (guide §1.2 step 2)
         sums = [
-            F.sum(F.element_at("__qsv", i + 1)).alias(f"__s{i}")
+            F.expr(f"sum(element_at(__qsv, {i + 1})) AS __s{i}")
             for i in range(d_sub)
         ]
-        cv = F.array(
-            *[
-                F.floor(F.col(f"__s{i}").cast("double") / F.col("__n")).cast("long")
+        cv = F.expr(
+            "array("
+            + ",".join(
+                f"cast(floor(cast(__s{i} as double) / __n) as bigint)"
                 for i in range(d_sub)
-            ]
+            )
+            + ") AS cv"
         )
         cb = _codebook_frame(
             spark,
             a.groupBy("sub", "code")
             .agg(F.count(F.lit(1)).alias("__n"), *sums)
-            .select(F.col("sub"), F.col("code").alias("cid"), cv.alias("cv"))
+            .select(F.col("sub"), F.col("code").alias("cid"), cv)
             .collect(),
         )
         a = assign(cb)
