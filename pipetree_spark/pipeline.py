@@ -138,8 +138,17 @@ class Pipeline:
     ) -> dict[str, DataFrame]:
         """Topological walk with skip-if-cached semantics.
 
-        Returns every stage's DataFrame. ``report`` of hits/misses from
-        the last run is on ``self.last_run_report``.
+        Returns every visited stage's DataFrame. ``report`` of
+        hits/misses from the last run is on ``self.last_run_report``.
+
+        r15 opt-wave-2 (guide §1.2): content keys derive from specs
+        alone, so cache hits are resolvable BEFORE any stage fn runs —
+        and when ``targets`` are given, a flow-through stage whose
+        every consumer is a cache hit is ``skipped`` outright instead
+        of building (and, for eager ops, executing) a DataFrame nobody
+        reads. Without ``targets`` every stage is wanted and the walk
+        is unchanged, so the certified hit/miss report semantics are
+        untouched for the full-walk callers.
         """
         results: dict[str, DataFrame] = {}
         keys: dict[str, str] = {}
@@ -155,15 +164,36 @@ class Pipeline:
             if name not in needed:
                 continue
             stage = self.stages[name]
-            key = content_key(stage.spec, [keys[i] for i in stage.inputs])
-            keys[name] = key
-            cacheable = not stage.spec.get("__uncacheable", False)
-            if (
-                cache is not None
-                and stage.materialize
-                and cacheable
-                and cache.has(spark, name, key)
-            ):
+            keys[name] = content_key(stage.spec, [keys[i] for i in stage.inputs])
+        hits = {
+            name
+            for name in needed
+            if cache is not None
+            and self.stages[name].materialize
+            and not self.stages[name].spec.get("__uncacheable", False)
+            and cache.has(spark, name, keys[name])
+        }
+        # frames actually consumed: targets, plus the inputs of every
+        # stage that must RUN (traversal stops at hits — a loaded
+        # artifact needs none of its inputs)
+        live: set[str] = set()
+        stack = list(wanted)
+        while stack:
+            n = stack.pop()
+            if n in live:
+                continue
+            live.add(n)
+            if n not in hits:
+                stack.extend(self.stages[n].inputs)
+        for name in self._order:
+            if name not in needed:
+                continue
+            if name not in live:
+                report[name] = "skipped"
+                continue
+            stage = self.stages[name]
+            key = keys[name]
+            if name in hits:
                 results[name] = cache.load(spark, name, key)
                 report[name] = "hit"
                 continue

@@ -1005,4 +1005,7 @@ def q_pipe_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec["stages"]["documents"]["sf_dir"] = sf_dir
     cache = ArtifactCache(process_cache_root("curation_full_artifacts"))
     p = Pipeline.from_spec(spec, sf_dir=sf_dir)
-    return p.run(spark, cache=cache)["report"]
+    # targets=["report"]: with a hot artifact cache the walker then
+    # skips the flow-through stages whose consumers are all hits
+    # (r15 opt-wave-2) — the report frame is identical either way
+    return p.run(spark, cache=cache, targets=["report"])["report"]
