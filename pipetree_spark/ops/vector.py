@@ -330,9 +330,14 @@ def _centroid_frame(spark, rows) -> DataFrame:
         ),
         key=lambda t: t[0],
     )
+    # ONE slice: the default parallelize fans 1 row into
+    # defaultParallelism empty partitions, so every broadcast build of
+    # the model frame would dispatch a core-count of no-op tasks
+    rdd = spark.sparkContext.parallelize(
+        [([{"cid": c, "cv": v} for c, v in data],)], 1
+    )
     return spark.createDataFrame(
-        [([{"cid": c, "cv": v} for c, v in data],)],
-        schema="__cs array<struct<cid:bigint,cv:array<bigint>>>",
+        rdd, schema="__cs array<struct<cid:bigint,cv:array<bigint>>>"
     )
 
 
@@ -355,9 +360,12 @@ def _codebook_frame(spark, rows) -> DataFrame:
         ),
         key=lambda t: (t[0], t[1]),
     )
+    # one slice — see _centroid_frame
+    rdd = spark.sparkContext.parallelize(
+        [([{"sub": s, "cid": c, "cv": v} for s, c, v in data],)], 1
+    )
     return spark.createDataFrame(
-        [([{"sub": s, "cid": c, "cv": v} for s, c, v in data],)],
-        schema="__cb array<struct<sub:int,cid:bigint,cv:array<bigint>>>",
+        rdd, schema="__cb array<struct<sub:int,cid:bigint,cv:array<bigint>>>"
     )
 
 
