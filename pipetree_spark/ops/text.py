@@ -1994,7 +1994,7 @@ def bpe_train_scale(
     rows = [(r, l, rh, l + rh, c) for (r, l, rh, c) in merges]
     return df.sparkSession.createDataFrame(
         rows, "rank long, lhs string, rhs string, merged string, pair_count long"
-    )
+    ).coalesce(1)
 
 
 def _bpe_encode_word(word: str, ranks: dict[tuple[str, str], tuple[int, ...]]) -> int:
@@ -2410,7 +2410,7 @@ def unigram_train(
     out = [(p, used.get(p, 0), probs[p]) for p in sorted(sel)]
     return df.sparkSession.createDataFrame(
         out, "piece string, n_used long, prob double"
-    )
+    ).coalesce(1)
 
 
 def unigram_train_sql(
@@ -3215,7 +3215,7 @@ def robots_gate_stage(
     corpus-sized shuffle."""
     rules_df = df.sparkSession.createDataFrame(
         [tuple(r) for r in rules], "r_host string, rule string, prefix string"
-    )
+    ).coalesce(1)
     r = df.join(
         F.broadcast(rules_df),
         (F.col("r_host") == F.col(host_col))

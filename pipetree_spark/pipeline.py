@@ -296,7 +296,7 @@ def _source_fn(table: str, sf_dir: str) -> StageFn:
 
 def _values_fn(columns: list[str], rows: list[list]) -> StageFn:
     def fn(spark: SparkSession, _inputs: dict[str, DataFrame]) -> DataFrame:
-        return spark.createDataFrame([tuple(r) for r in rows], schema=list(columns))
+        return spark.createDataFrame([tuple(r) for r in rows], schema=list(columns)).coalesce(1)
 
     return fn
 

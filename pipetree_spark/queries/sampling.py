@@ -118,7 +118,7 @@ def q_sample_strat_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     rates = spark.createDataFrame(
         list(MIXTURE_PERMILLE.items()), "lang string, permille int"
-    )
+    ).coalesce(1)
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
         % 1000
