@@ -2751,9 +2751,17 @@ def bm25_scores(
     toks = df.select(
         F.col(key_col), F.explode(tokens(text_col)).alias("word")
     ).where(F.length("word") > 0)
-    # lazy checkpoint (the bpe_train precedent): the plan is truncated
-    # at construction, but the corpus job only runs on the first real
-    # action — plan audits / cache-hit pipeline walks stay free
+    # lazy checkpoint (the bpe_train precedent): ONE stats pass feeds
+    # both the per-doc tf frame and the corpus model aggregate (Catalyst
+    # cannot share scans across self-join branches). r15 correction to
+    # the earlier claim here: under AQE, localCheckpoint(eager=False)
+    # still MATERIALIZES every upstream query stage at call time
+    # (taking .rdd finalizes the adaptive plan) — only the final stage
+    # defers — so construction is NOT free; the checkpoint's value is
+    # single evaluation, not laziness. (A CacheManager .cache() would
+    # be lazy but canonicalized plan matching could serve one bench
+    # rep's result to the next — cross-run result reuse — so it is
+    # banned here.)
     docstats = toks.groupBy(key_col).agg(
         F.count("*").alias("dl"),
         *[

@@ -39,6 +39,14 @@ ENGINE_CONFS: dict[str, str] = {
     # extra task/block overhead outweighs the parallelism on ~MB
     # shuffles. The scan-side fan_out floor (ops/relational.py) is the
     # lever that works; the stock 1m floor stays.
+    # r15 opt-wave-2 (guide §9, measured and REJECTED):
+    # coalescePartitions.parallelismFirst=false (size-based coalescing,
+    # the guide-§9 posture) cut task counts on tiny post-shuffle stages
+    # but serialized the CPU-dense ones — alternating in-session A/B:
+    # cluster_lsh 12.4→9.0 s but q_dedup_near 1.26→2.18 s, q_dedup_cc
+    # 2.10→3.03 s, pagerank 3.06→3.71 s best-of-3 — net negative on the
+    # bench set for the same reason as the minPartitionSize experiment
+    # above. The stock parallelism-first default stays.
     # Arrow for any pandas interchange (UDF tiers, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
