@@ -58,7 +58,12 @@ def main(argv: list[str] | None = None) -> int:
         "reference's incremental-recompute UX; use --no-cache to disable)",
     )
     run.add_argument("--no-cache", action="store_true", help="disable the artifact cache")
-    run.add_argument("--targets", nargs="*", default=None, help="only these stages (+ upstreams)")
+    run.add_argument(
+        "--targets", nargs="*", default=None,
+        help="only these stages (+ upstreams); targeted runs never "
+        "re-materialize evicted upstream artifacts whose consumers are "
+        "all cache hits — run targetless to backfill a partial cache",
+    )
     run.add_argument("--show", type=int, default=0, metavar="N", help="print N rows per target")
 
     args = parser.parse_args(argv)

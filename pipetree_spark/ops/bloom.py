@@ -56,22 +56,35 @@ def bloom_build(
     col: str,
     num_bits: int = DEFAULT_NUM_BITS,
     num_hashes: int = DEFAULT_NUM_HASHES,
+    chunk_words: int = 4096,
 ) -> DataFrame:
     """Aggregate ``df[col]`` into a one-row Bloom bitmap DataFrame
     (column ``bloom_bits: array<bigint>``, length ``num_bits/64``).
 
-    Plan: explode each key into its k probe positions (narrow), one
-    shuffle on the 64-bit word index for the ``bit_or`` partial
-    aggregation (map-side combined, ≤ ``num_bits/64`` groups), then a
-    single-row densify via one Arrow batch (numpy scatter — O(n_words);
-    the map-literal formulation this replaced was O(n_words²), fine at
-    16 KiB but a hang at the 8 MiB bitmaps the non-broadcastable-member
-    regime needs). Cost scales with the SMALL side; the output is a
-    bounded artifact safe to broadcast (16 KiB at the defaults, 128 MiB
-    at the 2^30-bit ceiling you'd size for ~10⁸ members at 1% eps).
-    """
-    import pandas as pd
+    Plan (r16, guide §2.3/§4.1): explode each key into its k probe
+    positions (narrow), one shuffle on the 64-bit word index for the
+    ``bit_or`` partial aggregation (map-side combined, ≤ ``num_bits/64``
+    groups), then a JVM-only densify — a global aggregate (always emits
+    exactly ONE row, even over an empty member set, so the old (0, 0)
+    seed-row union is gone) whose ``map_from_entries`` lookup table is
+    walked by one ``transform(sequence(...))``. No Python worker, no
+    Arrow boundary, no grouped-map shuffle in the critical path of what
+    is almost always a broadcast build (the r15 applyInPandas densify
+    put a Python stage + a single-group exchange there, and the
+    seed-row union's partitioning measurably destabilized the decontam
+    bench — W5 rejection).
 
+    Large-bitmap regime (the ≥10⁷-member escalation): cost scales with
+    the SMALL side and the final task is bounded by the BITMAP size,
+    never the member count. Above ``chunk_words`` words the densify
+    runs two-level (tree-reduce): per-chunk partial arrays built in a
+    parallel ``__w div chunk_words`` aggregation, then one final
+    flatten of ≤ ``n_words/chunk_words`` chunk rows — so the single
+    final task concatenates pre-built arrays instead of scattering
+    every word itself. The output is a bounded artifact safe to
+    broadcast (16 KiB at the defaults, 128 MiB at the 2^30-bit ceiling
+    you'd size for ~10⁸ members at 1% eps).
+    """
     if num_bits % 64:
         raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
     n_words = num_bits // 64
@@ -84,20 +97,54 @@ def bloom_build(
         (F.col("__bit") / 64).cast("int").alias("__w"),
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__bit % 64 AS INT))").alias("__m"),
     )
-    # a (0, 0) seed row ORs away harmlessly but guarantees the build
-    # emits exactly one row even over an empty member set
-    seed = df.sparkSession.createDataFrame([(0, 0)], "__w int, __m long")
-    sparse = words.unionByName(seed).groupBy("__w").agg(F.bit_or("__m").alias("__bits"))
-
-    def densify(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        arr = np.zeros(n_words, dtype=np.int64)
-        arr[pdf["__w"].to_numpy()] = pdf["__bits"].to_numpy()
-        return pd.DataFrame({"bloom_bits": [arr.tolist()]})
-
-    return sparse.groupBy(F.lit(1).alias("__g")).applyInPandas(
-        densify, "bloom_bits array<bigint>"
+    sparse = words.groupBy("__w").agg(F.bit_or("__m").alias("__bits"))
+    zero = "CAST(0 AS BIGINT)"
+    if n_words <= chunk_words:
+        # single-level: one global agg → one map build → one walk.
+        # The map is materialized as its own projection first: HOF
+        # lambdas evaluate interpreted (no CSE), so an inline
+        # map_from_entries would rebuild the map once PER ELEMENT.
+        kv = sparse.agg(
+            F.map_from_entries(F.collect_list(F.struct("__w", "__bits"))).alias("__kv")
+        )
+        return kv.select(
+            F.expr(
+                f"transform(sequence(0, {n_words - 1}),"
+                f" i -> coalesce(__kv[i], {zero})) AS bloom_bits"
+            )
+        )
+    if n_words % chunk_words:
+        raise ValueError(
+            f"num_bits/64 = {n_words} must be a multiple of chunk_words={chunk_words}"
+        )
+    n_chunks = n_words // chunk_words
+    # level 1 (parallel): per-chunk dense arrays, keyed by chunk id
+    chunks = (
+        sparse.groupBy(F.expr(f"__w div {chunk_words}").cast("int").alias("__g"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.expr(f"__w % {chunk_words}"), F.col("__bits")))
+            ).alias("__kv")
+        )
+        .select(
+            "__g",
+            F.expr(
+                f"transform(sequence(0, {chunk_words - 1}),"
+                f" i -> coalesce(__kv[i], {zero})) AS __arr"
+            ),
+        )
+    )
+    # level 2: one global agg over ≤ n_chunks pre-built rows; missing
+    # chunks (no set bits in their range) zero-fill via array_repeat
+    gk = chunks.agg(
+        F.map_from_entries(F.collect_list(F.struct("__g", "__arr"))).alias("__gk")
+    )
+    return gk.select(
+        F.expr(
+            f"flatten(transform(sequence(0, {n_chunks - 1}),"
+            f" g -> coalesce(__gk[g], array_repeat({zero}, {chunk_words}))))"
+            " AS bloom_bits"
+        )
     )
 
 

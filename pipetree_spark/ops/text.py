@@ -1159,6 +1159,17 @@ def minhash_band_pairs(
     return pairs
 
 
+#: Candidate-pair count above which near_dup_pairs_lsh stops FORCING a
+#: broadcast of the candidate-id set and lets the planner choose the
+#: semi-join strategy (AQE can still broadcast from runtime sizes). At
+#: 2²⁰ pairs the distinct-id relation is ≤ 2²¹ keys — tens of MB as a
+#: hash relation, safely under any sane broadcast budget; a near-dup-
+#: heavy 100 TB corpus can push candidate ids far past driver memory,
+#: which is why the hint must be count-gated rather than unconditional
+#: (r15 ADVICE, medium).
+_CAND_BROADCAST_MAX_PAIRS = 1 << 20
+
+
 def near_dup_pairs_lsh(
     df: DataFrame,
     text_col: str = "text",
@@ -1168,6 +1179,7 @@ def near_dup_pairs_lsh(
     num_hashes: int = 16,
     bands: int = 8,
     max_bucket: int | None = 1024,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """THE production near-dup path at 100 TB, end-to-end: MinHash-LSH
     banding generates candidate pairs (linear — |docs|×bands shuffle
@@ -1201,31 +1213,53 @@ def near_dup_pairs_lsh(
     shingles for docs that appear in a candidate pair, yet it used to
     rebuild them for the whole corpus on both branches. The candidate
     frame (id pairs only — bytes bounded by banding collisions, the
-    op's own linearity contract) is lazily checkpointed so the banding
-    pipeline runs ONCE, its distinct doc ids broadcast semi-join-filter
-    the input, and only candidate docs are ever re-shingled: verify CPU
+    op's own linearity contract) is checkpointed so the banding
+    pipeline runs ONCE, and its distinct doc ids semi-join-filter the
+    input so only candidate docs are ever re-shingled: verify CPU
     drops from 2×|corpus| to 2×|candidates| with a byte-identical pair
     set (the dropped docs could never reach the output — both join keys
-    come from cand). In the regime where candidate ids outgrow a
-    broadcast (~10⁸+ colliding docs) drop the hint and let AQE pick the
-    semi-join side; the filter is still never worse than re-shingling
-    the corpus twice."""
+    come from cand).
+
+    r16 (r15 ADVICE, medium): the broadcast of the candidate-id set is
+    HINTED only when the observed candidate count (a free observe
+    metric on the checkpoint materialization) is ≤
+    ``_CAND_BROADCAST_MAX_PAIRS``; a near-dup-heavy corpus whose
+    candidate ids outgrow driver memory falls through to an unhinted
+    semi join and AQE picks the strategy from runtime sizes. The
+    checkpoint is eager — under AQE ``eager=False`` materialized every
+    upstream stage at construction anyway (the ``.rdd`` plan
+    finalization, r15 wave-2 finding 2), so eagerness costs nothing
+    and the observe metric makes the count free. NOTE: construction of
+    this frame therefore runs the banding jobs at CALL time; compose
+    lazily only behind the pipeline walker's hit-aware skip.
+
+    ``collapse_exact=False`` is for callers that have ALREADY
+    exact-collapsed their input (e.g. q_dedup_cluster_lsh, which needs
+    the rep map itself and would otherwise pay the normalize+md5
+    corpus pass twice); default behavior is unchanged."""
+    from pyspark.sql import Observation
+
     from pipetree_spark.ops.relational import fan_out
 
     df = fan_out(df)
+    obs = Observation()
     cand = (
         minhash_band_pairs(
             df, text_col, key_col, n, num_hashes, bands,
-            collapse_exact=True, max_bucket=max_bucket,
+            collapse_exact=collapse_exact, max_bucket=max_bucket,
         )
         .select("id_a", "id_b")
-        .localCheckpoint(eager=False)
+        .observe(obs, F.count(F.lit(1)).alias("n_cand"))
+        .localCheckpoint(eager=True)
     )
+    n_cand = obs.get["n_cand"]
     ids = (
         cand.select(F.col("id_a").alias(key_col))
         .union(cand.select(F.col("id_b").alias(key_col)))
         .distinct()
     )
+    if n_cand <= _CAND_BROADCAST_MAX_PAIRS:
+        ids = F.broadcast(ids)
     # r15 note: a lazy localCheckpoint on the SHINGLE frame instead (the
     # two verify branches join on DIFFERENT keys, so Catalyst cannot
     # share their scans) was measured a wash-to-slower in an alternating
@@ -1233,7 +1267,7 @@ def near_dup_pairs_lsh(
     # round-tripping the fat shingle arrays through the block store
     # costs more than recomputing them — hence the id-prefilter shape
     # above, which shrinks the recompute itself.
-    sh = df.join(F.broadcast(ids), key_col, "left_semi").select(
+    sh = df.join(ids, key_col, "left_semi").select(
         F.col(key_col), word_shingles(text_col, n).alias("__sh")
     )
     a = sh.select(F.col(key_col).alias("id_a"), F.col("__sh").alias("__sa"))

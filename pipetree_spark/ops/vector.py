@@ -511,9 +511,16 @@ def kmeans_portable_fit(
     # TakeOrdered job; the rank assignment (row_number over
     # Window.orderBy(key) in the pre-r15 shape) happens on the k
     # collected rows — identical cids, one fewer window pass.
-    # (collect() of the TakeOrdered plan yields rows already in key
-    # order — Spark's own sort semantics, no Python re-sort)
-    init_rows = q.orderBy(key_col).limit(k).select("__qv").collect()
+    # r16 (r15 ADVICE, low): collect the KEY alongside and re-sort the
+    # k rows driver-side — the previous select("__qv")-only collect
+    # relied on TakeOrderedAndProjectExec preserving sort order after
+    # the sort column is projected away, an implicit planner contract
+    # a future planner change could silently break. Keys here are the
+    # engine's integer ids, so the Python sort is the same total order.
+    init_rows = sorted(
+        q.orderBy(key_col).limit(k).select(key_col, "__qv").collect(),
+        key=lambda r: r[0],
+    )
     cents = _centroid_frame(
         spark,
         [{"cid": i, "cv": r["__qv"]} for i, r in enumerate(init_rows)],

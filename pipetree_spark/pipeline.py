@@ -149,6 +149,13 @@ class Pipeline:
         reads. Without ``targets`` every stage is wanted and the walk
         is unchanged, so the certified hit/miss report semantics are
         untouched for the full-walk callers.
+
+        NO-BACKFILL under targets (r15 ADVICE, by design): a targeted
+        walk (including CLI ``--targets``) never re-materializes a
+        cache-miss stage whose consumers are all hits — it reports
+        ``skipped``, not ``hit``, and a partially-evicted cache is NOT
+        repopulated. Run targetless to rebuild evicted intermediate
+        artifacts.
         """
         results: dict[str, DataFrame] = {}
         keys: dict[str, str] = {}

@@ -2645,19 +2645,53 @@ def q_dedup_cluster_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     production path consumes pairs here instead of materializing them);
     member re-attach = normalized-hash groupBy + equi-join (both sides
     hash-partitioned, no broadcast needed); keeper = one window per
-    component. Component id = global min doc_id (exact_dedup keeps the
+    component. Component id = global min doc_id (the collapse keeps the
     min key per text, so min over reps = min over members) — the same
-    canonical-label contract as q_dedup_keep_best/q_dedup_semantic."""
+    canonical-label contract as q_dedup_keep_best/q_dedup_semantic.
+
+    r16 single-collapse re-plan (guide §2.3/§8; r15 verdict item 4):
+    the old shape ran the normalize+md5 corpus pass THREE times — once
+    inside the banding path's exact collapse and once per side of the
+    member re-attach (groupBy + join both re-derive ``__nh`` from the
+    raw scan; Catalyst cannot share the pass across branches). Now the
+    SLIM rep map (doc_id, n_chars, rep_id — never the text) is computed
+    once by a window over one md5 pass and checkpointed; the banding
+    path receives the rep docs by an id semi-join against the raw scan
+    (``collapse_exact=False`` — identical rep rows: min doc_id per
+    normalized hash), and the re-attach reads the same checkpointed
+    map. One md5 pass, and the exact collapse's full-text shuffle is
+    replaced by an id semi-join (broadcast-hinted only while the
+    observed rep count is small — same gate rule as the LSH verify
+    prefilter)."""
+    from pyspark.sql import Observation
+
     from pipetree_spark.ops.graph import connected_components
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = TX.near_dup_pairs_lsh(d, threshold=0.5, num_hashes=16, bands=8).select(
-        "id_a", "id_b"
+    obs = Observation()
+    m = (
+        d.select("doc_id", "n_chars", TX.text_hash("text").alias("__nh"))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.min("doc_id").over(Window.partitionBy("__nh")).alias("rep_id"),
+        )
+        .observe(
+            obs,
+            F.sum((F.col("doc_id") == F.col("rep_id")).cast("int")).alias("n_reps"),
+        )
+        .localCheckpoint(eager=True)
     )
+    rep_ids = m.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id")
+    if (obs.get["n_reps"] or 0) <= (1 << 21):
+        # ≤ 2M rep ids — tens of MB as a hash relation; beyond that the
+        # hint would gamble driver memory on a corpus-proportional set
+        rep_ids = F.broadcast(rep_ids)
+    pairs = TX.near_dup_pairs_lsh(
+        d.join(rep_ids, "doc_id", "left_semi"),
+        threshold=0.5, num_hashes=16, bands=8, collapse_exact=False,
+    ).select("id_a", "id_b")
     cc = connected_components(pairs, src="id_a", dst="id_b")
-    docs = d.select("doc_id", "n_chars", TX.text_hash("text").alias("__nh"))
-    reps = docs.groupBy("__nh").agg(F.min("doc_id").alias("rep_id"))
-    m = docs.join(reps, "__nh")
     lab = m.join(cc, m["rep_id"] == cc["node"], "left").select(
         "doc_id", "n_chars", F.coalesce("component", "rep_id").alias("component")
     )

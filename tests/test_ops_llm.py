@@ -2215,6 +2215,32 @@ def test_bloom_build_shapes_and_validation(spark):
     assert 1 <= nset <= 30
 
 
+def test_bloom_build_chunked_densify_matches_single_level(spark):
+    """r16: the two-level (tree-reduce) densify for large bitmaps must
+    produce the bit-identical bitmap the single-level path builds, and
+    neither path may put a Python stage in the plan (the r15
+    applyInPandas densify is gone)."""
+    from pipetree_spark.ops import bloom as BL
+
+    members = spark.range(0, 500).select(F.col("id").cast("string").alias("g"))
+    one_level = BL.bloom_build(members, "g", num_bits=1024, num_hashes=3)
+    two_level = BL.bloom_build(
+        members, "g", num_bits=1024, num_hashes=3, chunk_words=4
+    )
+    a = one_level.collect()[0].bloom_bits
+    b = two_level.collect()[0].bloom_bits
+    assert a == b and len(a) == 16
+    for frame in (one_level, two_level):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Arrow" not in plan
+    # chunked path still emits exactly one all-zero row on empty input
+    empty = spark.range(0).select(F.col("id").cast("string").alias("g"))
+    rows = BL.bloom_build(empty, "g", num_bits=1024, num_hashes=3, chunk_words=4).collect()
+    assert len(rows) == 1 and all(x == 0 for x in rows[0].bloom_bits)
+    with pytest.raises(ValueError, match="multiple of chunk_words"):
+        BL.bloom_build(members, "g", num_bits=1024, num_hashes=3, chunk_words=5)
+
+
 def test_pagerank_exact_matches_float_reference_and_handles_dangling(spark):
     """ops/graph.pagerank_exact semantics on a hand graph: scaled-integer
     ranks must track a float PageRank (same teleport/dangling model) to

@@ -53,6 +53,50 @@ def get_profiling_spark():
     return b.getOrCreate()
 
 
+class _RpcCounter:
+    """Counts py4j gateway round trips (r16, r15 verdict item 8): every
+    send_command on the client-server connection is one cross-process
+    RPC — the construction tax this sandbox pays at ~0.2-1.2 ms each.
+    Patch is process-wide and additive-only (no behavior change)."""
+
+    def __init__(self) -> None:
+        self.n = 0
+        self._origs: list[tuple[type, object]] = []
+
+    def install(self) -> None:
+        import py4j.clientserver as cs
+        import py4j.java_gateway as jg
+
+        counter = self
+
+        for klass in (cs.ClientServerConnection, jg.GatewayConnection):
+            orig = klass.send_command
+
+            def wrapped(slf, *a, _orig=orig, **kw):
+                counter.n += 1
+                return _orig(slf, *a, **kw)
+
+            self._origs.append((klass, orig))
+            klass.send_command = wrapped
+
+
+def _phase_ms(df) -> dict[str, float]:
+    """Catalyst phase wall (ms) from the QueryExecutionTracker — splits
+    the driver gap into parse/analyze/optimize/plan vs everything else
+    (Python-side construction RPCs, action dispatch)."""
+    try:
+        phases = df._jdf.queryExecution().tracker().phases()
+        it = phases.iterator()
+        out = {}
+        while it.hasNext():
+            kv = it.next()
+            ph = kv._2()
+            out[str(kv._1())] = ph.endTimeMs() - ph.startTimeMs()
+        return out
+    except Exception:
+        return {}
+
+
 def main() -> None:
     args = sys.argv[1:]
     if not args:
@@ -67,6 +111,8 @@ def main() -> None:
     spark = get_profiling_spark()
     app_id = spark.sparkContext.applicationId
     sc = spark.sparkContext
+    rpc = _RpcCounter()
+    rpc.install()
 
     spans: dict[str, tuple[float, float]] = {}
     for metric, qname in metrics.items():
@@ -74,11 +120,21 @@ def main() -> None:
         fn(spark, SF_DIR).collect()  # warm-up
         sc.setJobDescription(f"PROFILE:{metric}")
         t0 = time.time()
-        fn(spark, SF_DIR).collect()
+        r0 = rpc.n
+        df = fn(spark, SF_DIR)
+        t_built = time.time()
+        r_built = rpc.n
+        df.collect()
         t1 = time.time()
         sc.setJobDescription(None)
+        ph = _phase_ms(df)
         spans[metric] = (t0 * 1000, t1 * 1000)
-        print(f"# {metric}: {t1 - t0:.3f}s wall")
+        print(
+            f"# {metric}: {t1 - t0:.3f}s wall | construction "
+            f"{t_built - t0:.3f}s / {r_built - r0} RPCs | action "
+            f"{t1 - t_built:.3f}s / {rpc.n - r_built} RPCs | catalyst(ms) "
+            + ",".join(f"{k}={v}" for k, v in sorted(ph.items()))
+        )
     sc._jsc.sc().listenerBus().waitUntilEmpty()
     spark.stop()
     time.sleep(1)
