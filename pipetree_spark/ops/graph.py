@@ -109,7 +109,7 @@ def connected_components(
     # adds no exchange of its own (plan: 1 exchange, was 2).
     sym = sym.repartition("v").dropDuplicates(["u", "v"]).localCheckpoint(eager=True)
 
-    own_type = sym.schema["u"].dataType
+    own_sql = sym.schema["u"].dataType.simpleString()
 
     labels = None
     converged = False
@@ -118,26 +118,32 @@ def connected_components(
         # Own rows carry their label in __own, neighbor rows carry null
         # (min ignores nulls; each u has exactly one own row) — so the
         # new label AND the pre-round label surface from ONE aggregation.
+        # r16 (guide §1.2 step 2, the W3 pattern): each round body is
+        # built from parsed selectExpr/expr strings — the Column-op
+        # formulation issued ~120 py4j RPCs per round (~940 per deep-CC
+        # construction); the parsed trees are identical (parity + the
+        # CC property tests pin the labels).
         if it == 0:
             # fused round 0: labels are the identity, so neighbor label
             # min is just min(v) per u — one groupBy over sym, no join,
             # no init frame
-            new_labels = sym.groupBy("u").agg(F.min("v").alias("__nbr")).select(
-                "u",
-                F.least(F.col("u"), F.col("__nbr")).alias("component"),
-                F.col("u").alias("__own"),
+            new_labels = (
+                sym.groupBy("u")
+                .agg(F.expr("min(v) AS __nbr"))
+                .selectExpr("u", "least(u, __nbr) AS component", "u AS __own")
             )
         else:
-            nbr_labels = (
-                sym.join(labels.withColumnRenamed("u", "v"), on="v")
-                .select("u", "component")
-                .withColumn("__own", F.lit(None).cast(own_type))
-            )
+            nbr_labels = sym.join(
+                labels.withColumnRenamed("u", "v"), on="v"
+            ).selectExpr("u", "component", f"CAST(NULL AS {own_sql}) AS __own")
             new_labels = (
-                labels.withColumn("__own", F.col("component"))
+                labels.selectExpr("u", "component", "component AS __own")
                 .unionByName(nbr_labels)
                 .groupBy("u")
-                .agg(F.min("component").alias("component"), F.min("__own").alias("__own"))
+                .agg(
+                    F.expr("min(component) AS component"),
+                    F.expr("min(__own) AS __own"),
+                )
             )
         if jump_after is not None and it >= jump_after:
             # pointer jump: label ← label[label], fused into this
@@ -146,19 +152,17 @@ def connected_components(
             # component value is itself a labeled node, so the inner
             # join is total. Labels only decrease, so __own comparisons
             # below remain valid.
-            lk = new_labels.select(
-                F.col("u").alias("__cu"), F.col("component").alias("__cc")
+            lk = new_labels.selectExpr("u AS __cu", "component AS __cc")
+            new_labels = new_labels.join(lk, F.expr("component = __cu")).selectExpr(
+                "u", "__cc AS component", "__own"
             )
-            new_labels = new_labels.join(
-                lk, new_labels["component"] == lk["__cu"]
-            ).select("u", F.col("__cc").alias("component"), "__own")
         # the changed-labels count rides the checkpoint job as an
         # observe metric — zero extra jobs; a label changed iff the new
         # min beat the old one. On the final round this IS the fixpoint
         # assertion. (sum over an empty frame observes NULL → 0.)
         obs = Observation()
         new_labels = new_labels.observe(
-            obs, F.sum((F.col("component") < F.col("__own")).cast("int")).alias("changed")
+            obs, F.expr("sum(cast((component < __own) as int)) AS changed")
         ).localCheckpoint(eager=True)
         labels = new_labels.drop("__own")
         if not obs.get["changed"]:

@@ -24,6 +24,26 @@ from pyspark.sql import functions as F
 from pipetree_spark.ops.relational import topk_per_group
 
 
+#: Shared SQL fragments for the portable-quantizer hot paths (r16,
+#: guide §1.2 step 2): one parsed string replaces a lambda-built HOF
+#: tree of ~30-150 py4j round trips. Each parses to the IDENTICAL
+#: expression tree the Column formulation built (typing notes at the
+#: use sites); every consumer family is parity- and pytest-pinned.
+#: exact-integer squared distance between the quantized vector and a
+#: lambda-bound centroid struct ``c`` (fields cv, cid)
+_SQDIST_SQL = (
+    "aggregate(zip_with({vec}, c.cv, (x, y) -> (x - y) * (x - y)),"
+    " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+#: floor(x · scale) quantization of a float vector to exact longs —
+#: CAST({scale} AS DOUBLE) constant-folds to the same double literal
+#: F.lit(float(scale)) shipped (scale ≪ 2⁵³)
+_QUANTIZE_SQL = (
+    "transform({col}, x -> cast(floor(cast(x as double)"
+    " * CAST({scale} AS DOUBLE)) as bigint))"
+)
+
+
 def _d(x: Column) -> Column:
     return x.cast("double")
 
@@ -442,28 +462,27 @@ def kmeans_portable_fit(
     from pipetree_spark.ops.relational import fan_out
 
     df = fan_out(df)
+    # r16 (guide §1.2 step 2, the W3 pattern): the quantize transform,
+    # the argmin encode and the injected-state struct sort are each ONE
+    # parsed expr string — the lambda-built HOF trees issued ~150 py4j
+    # RPCs per assign() call (~0.2-1.2 ms each on this host). The SQL
+    # parses to the identical expression tree (integer-literal typing
+    # INT×BIGINT→BIGINT matches Column ops; CAST(int AS DOUBLE) folds
+    # to the same double literal), so assignments stay bit-identical —
+    # parity + the injection-reproducibility pytest pin it.
     q = df.select(
         key_col,
-        F.transform(
-            vec_col, lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long")
-        ).alias("__qv"),
+        F.expr(_QUANTIZE_SQL.format(col=vec_col, scale=scale)).alias("__qv"),
     )
+    sqd = _SQDIST_SQL.format(vec="__qv")
 
     def assign(centroid_row: DataFrame) -> DataFrame:
-        enc = F.array_min(
-            F.transform(
-                "__cs",
-                lambda c: F.aggregate(
-                    F.zip_with("__qv", c["cv"], lambda x, y: (x - y) * (x - y)),
-                    F.lit(0).cast("long"),
-                    lambda acc, v: acc + v,
-                )
-                * F.lit(k).cast("long")
-                + c["cid"],
-            )
+        enc = F.expr(
+            f"array_min(transform(__cs, c -> {sqd}"
+            f" * CAST({k} AS BIGINT) + c.cid)) % {k}"
         )
         return q.crossJoin(F.broadcast(centroid_row)).select(
-            key_col, "__qv", (enc % k).alias("cluster")
+            key_col, "__qv", enc.alias("cluster")
         )
 
     if centroids is not None:
@@ -471,22 +490,10 @@ def kmeans_portable_fit(
         # an injected frame's size is the CALLER's k, so argmin via the
         # (dist, cid) struct sort instead — identical assignment + tie
         # break with no dependence on this function's k parameter
-        best = F.element_at(
-            F.array_sort(
-                F.transform(
-                    "__cs",
-                    lambda c: F.struct(
-                        F.aggregate(
-                            F.zip_with("__qv", c["cv"], lambda x, y: (x - y) * (x - y)),
-                            F.lit(0).cast("long"),
-                            lambda acc, v: acc + v,
-                        ).alias("d"),
-                        c["cid"].alias("cid"),
-                    ),
-                )
-            ),
-            1,
-        )["cid"]
+        best = F.expr(
+            f"element_at(array_sort(transform(__cs,"
+            f" c -> named_struct('d', {sqd}, 'cid', c.cid))), 1).cid"
+        )
         a_inj = q.crossJoin(F.broadcast(centroids)).select(
             key_col, "__qv", best.alias("cluster")
         )
@@ -539,26 +546,26 @@ def kmeans_portable_fit(
             # count) — over the same exact long sums, so the centroid
             # frame is bit-identical to the fallback's (parity +
             # pytest pinned).
-            # one parsed expr string per component sum and ONE for the
-            # recomposed array (was ~700 py4j round trips per iteration
-            # at dim=64 — guide §1.2 step 2 applied to the driver; the
-            # SQL is the identical expression tree, parity-pinned)
-            sums = [
-                F.expr(f"sum(element_at(__qv, {i + 1})) AS __s{i}")
-                for i in range(dim)
-            ]
-            cv = F.expr(
+            # ONE parsed expr for all dim component sums (an array of
+            # aggregates — Catalyst extracts each sum into the agg node
+            # as before, map-side combine intact) and ONE transform for
+            # the recomposed centroid: r15's per-component strings still
+            # cost dim+1 RPCs per iteration (65 at dim=64); this is 2.
+            # Component math unchanged: floor(double(sum)/count) per
+            # element over the same exact long sums (parity-pinned).
+            sums = F.expr(
                 "array("
-                + ",".join(
-                    f"cast(floor(cast(__s{i} as double) / __n) as bigint)"
-                    for i in range(dim)
-                )
-                + ") AS cv"
+                + ",".join(f"sum(element_at(__qv, {i + 1}))" for i in range(dim))
+                + ") AS __sums"
+            )
+            cv = F.expr(
+                "transform(__sums,"
+                " s -> cast(floor(cast(s as double) / __n) as bigint)) AS cv"
             )
             cents = _centroid_frame(
                 spark,
                 a.groupBy("cluster")
-                .agg(F.count(F.lit(1)).alias("__n"), *sums)
+                .agg(F.count(F.lit(1)).alias("__n"), sums)
                 .select(F.col("cluster").alias("cid"), cv)
                 .collect(),
             )
@@ -733,9 +740,7 @@ def ivf_multiprobe_assign(
     q = renamed.select(
         key_col,
         *carry_cols,
-        F.transform(
-            vec_col, lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long")
-        ).alias("__qv"),
+        F.expr(_QUANTIZE_SQL.format(col=vec_col, scale=scale)).alias("__qv"),
     )
     return _probe_cells(q, centroids, n_probe, key_col, tuple(carry_cols))
 
@@ -1199,24 +1204,19 @@ def _probe_cells(
     struct sort. The ONE probe rule every portable ANN op shares (a
     change here moves ivf/pq/residual in lockstep, keeping their
     certified oracles in parity). ``qq`` must carry ``__qv``;
-    ``carry`` columns ride the explode."""
-    dist_cid = F.transform(
-        "__cs",
-        lambda cc: F.struct(
-            F.aggregate(
-                F.zip_with("__qv", cc["cv"], lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ).alias("d"),
-            cc["cid"].alias("cid"),
-        ),
-    )
+    ``carry`` columns ride the explode. One parsed expr (r16, the W3
+    pattern — was ~70 RPCs of lambda-built Column tree); named_struct
+    builds the same struct<d,cid> the F.struct formulation did, so the
+    (d, cid) array_sort tie-break is unchanged."""
+    sqd = _SQDIST_SQL.format(vec="__qv")
     return qq.crossJoin(F.broadcast(cents)).select(
         query_key,
         *carry,
-        F.explode(
-            F.transform(F.slice(F.array_sort(dist_cid), 1, n_probe), lambda s: s["cid"])
-        ).alias("cluster"),
+        F.expr(
+            f"explode(transform(slice(array_sort(transform(__cs,"
+            f" c -> named_struct('d', {sqd}, 'cid', c.cid))), 1, {n_probe}),"
+            f" s -> s.cid)) AS cluster"
+        ),
     )
 
 
@@ -1459,9 +1459,7 @@ def pca_power_portable(
 
 
 def _pq_quantize(vec_col: str, scale: int) -> Column:
-    return F.transform(
-        vec_col, lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long")
-    )
+    return F.expr(_QUANTIZE_SQL.format(col=vec_col, scale=scale))
 
 
 def _pq_subvectors(qv: Column, m: int, dim: int) -> Column:
@@ -1541,22 +1539,19 @@ def pq_fit_portable(
     sv = df.select(
         key_col, F.posexplode(_pq_subvectors(qv, m, dim)).alias("sub", "__qsv")
     )
+    # one parsed expr per assign (r16, the W3 pattern — see
+    # kmeans_portable_fit): in the filter lambda the bare ``sub``
+    # resolves to the OUTER row's subspace column, exactly the
+    # F.col("sub") the Column formulation bound
+    sqd = _SQDIST_SQL.format(vec="__qsv")
 
     def assign(cb_row: DataFrame) -> DataFrame:
-        enc = F.array_min(
-            F.transform(
-                F.filter("__cb", lambda e: e["sub"] == F.col("sub")),
-                lambda c: F.aggregate(
-                    F.zip_with("__qsv", c["cv"], lambda x, y: (x - y) * (x - y)),
-                    F.lit(0).cast("long"),
-                    lambda acc, v: acc + v,
-                )
-                * F.lit(n_codes).cast("long")
-                + c["cid"],
-            )
+        enc = F.expr(
+            f"array_min(transform(filter(__cb, e -> e.sub = sub),"
+            f" c -> {sqd} * CAST({n_codes} AS BIGINT) + c.cid)) % {n_codes}"
         )
         return sv.crossJoin(F.broadcast(cb_row)).select(
-            key_col, "sub", "__qsv", (enc % n_codes).alias("code")
+            key_col, "sub", "__qsv", enc.alias("code")
         )
 
     def to_codes(a_df: DataFrame) -> DataFrame:
@@ -1571,22 +1566,10 @@ def pq_fit_portable(
         # multiplier-free argmin (struct sort) — assign()'s encode is
         # only sound while every cid < n_codes, and an injected
         # codebook's size belongs to the CALLER (see kmeans_portable_fit)
-        best = F.element_at(
-            F.array_sort(
-                F.transform(
-                    F.filter("__cb", lambda e: e["sub"] == F.col("sub")),
-                    lambda c: F.struct(
-                        F.aggregate(
-                            F.zip_with("__qsv", c["cv"], lambda x, y: (x - y) * (x - y)),
-                            F.lit(0).cast("long"),
-                            lambda acc, v: acc + v,
-                        ).alias("d"),
-                        c["cid"].alias("cid"),
-                    ),
-                )
-            ),
-            1,
-        )["cid"]
+        best = F.expr(
+            f"element_at(array_sort(transform(filter(__cb, e -> e.sub = sub),"
+            f" c -> named_struct('d', {sqd}, 'cid', c.cid))), 1).cid"
+        )
         a_inj = sv.crossJoin(F.broadcast(codebook)).select(
             key_col, "sub", "__qsv", best.alias("code")
         )
@@ -1621,24 +1604,22 @@ def pq_fit_portable(
         # floor(double(sum)/count) over the same exact long sums, so
         # the codebook is bit-identical (subvectors are exactly d_sub
         # long by construction — the slice in _pq_subvectors).
-        # batched expr strings, same rationale and same expression tree
-        # as the kmeans recompute above (guide §1.2 step 2)
-        sums = [
-            F.expr(f"sum(element_at(__qsv, {i + 1})) AS __s{i}")
-            for i in range(d_sub)
-        ]
-        cv = F.expr(
+        # ONE array-of-sums aggregate + ONE transform, same rationale
+        # and same expression tree as the kmeans recompute above
+        # (guide §1.2 step 2; was d_sub+1 expr RPCs per iteration)
+        sums = F.expr(
             "array("
-            + ",".join(
-                f"cast(floor(cast(__s{i} as double) / __n) as bigint)"
-                for i in range(d_sub)
-            )
-            + ") AS cv"
+            + ",".join(f"sum(element_at(__qsv, {i + 1}))" for i in range(d_sub))
+            + ") AS __sums"
+        )
+        cv = F.expr(
+            "transform(__sums,"
+            " s -> cast(floor(cast(s as double) / __n) as bigint)) AS cv"
         )
         cb = _codebook_frame(
             spark,
             a.groupBy("sub", "code")
-            .agg(F.count(F.lit(1)).alias("__n"), *sums)
+            .agg(F.count(F.lit(1)).alias("__n"), sums)
             .select(F.col("sub"), F.col("code").alias("cid"), cv)
             .collect(),
         )
@@ -1694,26 +1675,16 @@ def pq_adc_topk_portable(
 def _pq_adc_dist(m: int) -> Column:
     """Σ_s ‖__qsubs[s] − __cb[s][codes[s]]‖² as exact integer math;
     expects columns ``__qsubs`` (query), ``codes`` (candidate) and
-    ``__cb`` (broadcast codebook row) in scope."""
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, s: acc
-        + F.aggregate(
-            F.zip_with(
-                F.element_at("__qsubs", s + 1),
-                F.element_at(
-                    F.filter(
-                        "__cb",
-                        lambda e: (e["sub"] == s) & (e["cid"] == F.element_at("codes", s + 1)),
-                    ),
-                    1,
-                )["cv"],
-                lambda x, y: (x - y) * (x - y),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc2, v: acc2 + v,
-        ),
+    ``__cb`` (broadcast codebook row) in scope. One parsed expr (r16,
+    the W3 pattern — the nested lambda tree issued ~40 RPCs per use);
+    identical expression tree after parsing."""
+    return F.expr(
+        f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT), (acc, s) -> acc"
+        " + aggregate(zip_with(element_at(__qsubs, s + 1),"
+        " element_at(filter(__cb, e -> e.sub = s"
+        " AND e.cid = element_at(codes, s + 1)), 1).cv,"
+        " (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc2, v) -> acc2 + v))"
     )
 
 

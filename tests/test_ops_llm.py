@@ -762,6 +762,7 @@ def test_mm_resize_stage_shapes_and_determinism(spark, sf_small):
     assert again == {k: bytes(r.content) for k, r in rows.items()}
 
 
+@pytest.mark.slow
 def test_pca_ml_twin_agrees_with_portable_direction(spark, sf_small):
     """Cross-twin property (r4 VERDICT item 6): the seeded pyspark.ml
     PCA (rows-only in the driver) must agree with the oracle-certified
@@ -1094,6 +1095,7 @@ def test_banding_flood_guard_in_gate(spark):
     assert pairs == {(10_001, 10_002)}
 
 
+@pytest.mark.slow
 def test_banding_mutated_flood_guard(spark):
     """The NEAR-identical flood case the exact-dup collapse can't touch
     (r6, VERDICT finding #1): 100k docs sharing a long boilerplate
@@ -2062,6 +2064,7 @@ def test_zero_norm_vectors_dont_crash_cosine_paths(spark):
     assert [v for u in flat for v in u].count(None) == 8  # zero vec -> NULLs
 
 
+@pytest.mark.slow
 def test_semantic_ann_centroid_injection_and_arrow_assign(spark):
     """r7 verdict #4/#5: (a) supplying a pre-trained centroid frame
     (ivf_train) must yield IDENTICAL components to the integrated
@@ -2112,6 +2115,7 @@ def test_semantic_ann_centroid_injection_and_arrow_assign(spark):
     assert all((r.vec_id == r.component) == bool(r.is_kept) for r in got_sample)
 
 
+@pytest.mark.slow
 def test_multiprobe_assign_arrow_bitexact_vs_expr(spark):
     """The Arrow assignment twin must produce the exact probe set of
     the HOF expression fold on random vectors — including the
@@ -2136,6 +2140,7 @@ def test_multiprobe_assign_arrow_bitexact_vs_expr(spark):
     }
 
 
+@pytest.mark.slow
 def test_nonfinite_vectors_are_singletons_in_both_pair_twins(spark):
     """r7-advice regression: NaN-norm vectors used to slip through the
     JVM pair stage's na > 0 filter (Spark: NaN > 0 is TRUE) while the
@@ -2520,6 +2525,7 @@ def test_codec_wild_file_tolerance_r11():
     assert len(got[0] if isinstance(got, tuple) else got) >= 1
 
 
+@pytest.mark.slow
 def test_bpe_train_matches_hand_computed_merges(spark, tmp_path):
     """ops.text.bpe_train on the textbook corpus (low x3, lower x2,
     newest x1): four hand-derived merges including BOTH tie-break
@@ -2626,6 +2632,7 @@ def test_bpe_train_matches_pure_python_reference(spark):
         assert got == expect, f"{docs}: {got} != {expect}"
 
 
+@pytest.mark.slow
 def test_phash_dedup_finds_planted_near_dups_and_nothing_else(spark):
     """r12 perceptual image near-dup: every planted perturbed variant
     (saturating +1 on every 64th byte, id = base + 100) must pair with
@@ -3656,6 +3663,7 @@ def test_warc_extract_body_charset_and_replacement(spark):
     assert "unsupported body charset" in str(ei.value)
 
 
+@pytest.mark.slow
 def test_mm_stages_honor_key_col_in_output(spark):
     """r12 ADVICE: stages that take key_col must emit THAT column, not
     a hardcoded doc_id."""
@@ -3680,6 +3688,7 @@ def test_mm_stages_honor_key_col_in_output(spark):
     assert cls.columns[0] == "img_id" and cls.count() == 2
 
 
+@pytest.mark.slow
 def test_cc_amortized_check_converges_off_cycle(spark):
     """r12: convergence checks run every check_every rounds (plus the
     final round as the fixpoint assertion) — a graph converging

@@ -3,6 +3,7 @@ expected outputs (SURVEY §5.3.2)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from pipetree_spark.ops.relational import asof_join, range_join, salted, topk_per_group
@@ -410,6 +411,7 @@ def test_sized_repartition_hits_target_file_sizes(spark, tmp_path):
     assert not list(Path(tmp_path).glob("__size_probe_*"))
 
 
+@pytest.mark.slow
 def test_sized_repartition_precomputed_rows_and_registry(spark, tmp_path):
     """r14: precomputed_rows skips the input count (a caller that
     already paid for a count must not re-evaluate a long pipeline),

@@ -1108,6 +1108,7 @@ def test_curation_full_spec_matches_constants():
     ]
 
 
+@pytest.mark.slow
 def test_curation_full_pipeline_example(spark, sf_small, tmp_path):
     """examples/curation_full_pipeline.json: the C4/CCNet/Gopher
     composite through the spec walker — funnel counts are monotone

@@ -1,0 +1,101 @@
+"""In-process alternating A/B for the r16 expression-batching wave.
+
+Loads the PRE-change ops modules from a git ref (default HEAD) as
+separate module objects and alternates old/new implementations rep by
+rep inside ONE Spark session — the only timing evidence this host's
+steal allows (SCALING.md r13-r15). Old functions close over their own
+module globals, so each rep runs a self-consistent implementation.
+
+Usage: python tools/ab_batch.py q_vec_ann_pq_ivf q_dedup_cc [--ref HEAD] [--cycles 4]
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+import types
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bench import BENCH_QUERIES  # noqa: E402
+from pipetree_spark.queries import load_registry  # noqa: E402
+from pipetree_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: module-global function names the batching wave touched; patching
+#: these on the LIVE modules routes compositions through the old code
+PATCH = {
+    "pipetree_spark.ops.vector": [
+        "kmeans_portable_fit", "pq_fit_portable", "_probe_cells",
+        "_pq_adc_dist", "_pq_quantize", "ivf_multiprobe_assign",
+    ],
+    "pipetree_spark.ops.graph": ["connected_components"],
+}
+
+
+def load_old(ref: str) -> dict[str, types.ModuleType]:
+    out = {}
+    for modname in PATCH:
+        relpath = modname.replace(".", "/") + ".py"
+        src = subprocess.run(
+            ["git", "show", f"{ref}:{relpath}"],
+            capture_output=True, check=True, cwd=Path(__file__).resolve().parent.parent,
+        ).stdout.decode()
+        mod = types.ModuleType(modname + "_OLD")
+        mod.__dict__["__name__"] = modname + "_OLD"
+        exec(compile(src, relpath + "@" + ref, "exec"), mod.__dict__)
+        out[modname] = mod
+    return out
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    ref = "HEAD"
+    cycles = 4
+    for i, a in enumerate(sys.argv):
+        if a == "--ref":
+            ref = sys.argv[i + 1]
+        if a == "--cycles":
+            cycles = int(sys.argv[i + 1])
+    import importlib
+
+    live = {m: importlib.import_module(m) for m in PATCH}
+    new_fns = {m: {n: getattr(live[m], n) for n in ns} for m, ns in PATCH.items()}
+    old_mods = load_old(ref)
+    old_fns = {m: {n: getattr(old_mods[m], n) for n in ns} for m, ns in PATCH.items()}
+
+    def apply(fns):
+        for m, ns in PATCH.items():
+            for n in ns:
+                setattr(live[m], n, fns[m][n])
+
+    registry = load_registry()
+    spark = get_spark("pipetree-spark-ab-batch")
+    results: dict[str, dict[str, list[float]]] = {}
+    for metric in args:
+        fn = registry[BENCH_QUERIES.get(metric, metric)].fn
+        fn(spark, SF_DIR).collect()  # warm-up (new impl)
+        times = {"old": [], "new": []}
+        for c in range(cycles):
+            for label, fns in (("old", old_fns), ("new", new_fns)):
+                apply(fns)
+                spark.sparkContext.setJobDescription(f"ab:{metric}:{label}:{c}")
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).collect()
+                times[label].append(round(time.perf_counter() - t0, 4))
+        apply(new_fns)
+        results[metric] = times
+        bo, bn = min(times["old"]), min(times["new"])
+        mo = sorted(times["old"])[len(times["old"]) // 2]
+        mn = sorted(times["new"])[len(times["new"]) // 2]
+        print(f"# {metric}: old best/med {bo:.3f}/{mo:.3f}  new best/med "
+              f"{bn:.3f}/{mn:.3f}  ratio(best) {bn / bo:.2f}  old={times['old']} new={times['new']}")
+    print({"loadavg": list(os.getloadavg()), "results": results})
+
+
+if __name__ == "__main__":
+    main()
