@@ -1159,15 +1159,33 @@ def minhash_band_pairs(
     return pairs
 
 
-#: Candidate-pair count above which near_dup_pairs_lsh stops FORCING a
-#: broadcast of the candidate-id set and lets the planner choose the
-#: semi-join strategy (AQE can still broadcast from runtime sizes). At
-#: 2²⁰ pairs the distinct-id relation is ≤ 2²¹ keys — tens of MB as a
-#: hash relation, safely under any sane broadcast budget; a near-dup-
-#: heavy 100 TB corpus can push candidate ids far past driver memory,
-#: which is why the hint must be count-gated rather than unconditional
-#: (r15 ADVICE, medium).
-_CAND_BROADCAST_MAX_PAIRS = 1 << 20
+#: Materialized candidate-pair bytes above which near_dup_pairs_lsh
+#: stops FORCING a broadcast of the candidate-id set and lets the
+#: planner choose the semi-join strategy (AQE can still broadcast from
+#: runtime sizes). The distinct-id relation is bounded by the pair
+#: frame it derives from; 64 MB of stored pairs keeps the hint safely
+#: inside any sane broadcast budget, while a near-dup-heavy 100 TB
+#: corpus can push candidate ids far past driver memory — which is why
+#: the hint must be size-gated rather than unconditional (r15 ADVICE,
+#: medium).
+_CAND_BROADCAST_MAX_BYTES = 64 << 20
+
+
+def _stored_bytes(df: DataFrame) -> int | None:
+    """Driver-side stored size (mem+disk bytes) of a localCheckpoint'd
+    frame — read from the block manager's RDD storage info, so the
+    gate costs ZERO jobs (an observe metric or a count() both measured
+    ~0.1 s of extra job + blocking per query at sf0.1). Returns None
+    when the backing RDD cannot be found (treat as too-big)."""
+    try:
+        jrdd = df._jdf.queryExecution().analyzed().rdd()
+        rid = jrdd.id()
+        for info in df.sparkSession._jsc.sc().getRDDStorageInfo():
+            if info.id() == rid:
+                return int(info.memSize()) + int(info.diskSize())
+    except Exception:
+        pass
+    return None
 
 
 def near_dup_pairs_lsh(
@@ -1221,44 +1239,40 @@ def near_dup_pairs_lsh(
     come from cand).
 
     r16 (r15 ADVICE, medium): the broadcast of the candidate-id set is
-    HINTED only when the observed candidate count (a free observe
-    metric on the checkpoint materialization) is ≤
-    ``_CAND_BROADCAST_MAX_PAIRS``; a near-dup-heavy corpus whose
+    HINTED only when the materialized pair frame's stored size (block-
+    manager storage info — zero extra jobs) is ≤
+    ``_CAND_BROADCAST_MAX_BYTES``; a near-dup-heavy corpus whose
     candidate ids outgrow driver memory falls through to an unhinted
     semi join and AQE picks the strategy from runtime sizes. The
     checkpoint is eager — under AQE ``eager=False`` materialized every
     upstream stage at construction anyway (the ``.rdd`` plan
-    finalization, r15 wave-2 finding 2), so eagerness costs nothing
-    and the observe metric makes the count free. NOTE: construction of
-    this frame therefore runs the banding jobs at CALL time; compose
-    lazily only behind the pipeline walker's hit-aware skip.
+    finalization, r15 wave-2 finding 2), so eagerness costs nothing.
+    NOTE: construction of this frame therefore runs the banding jobs
+    at CALL time; compose lazily only behind the pipeline walker's
+    hit-aware skip.
 
     ``collapse_exact=False`` is for callers that have ALREADY
     exact-collapsed their input (e.g. q_dedup_cluster_lsh, which needs
     the rep map itself and would otherwise pay the normalize+md5
     corpus pass twice); default behavior is unchanged."""
-    from pyspark.sql import Observation
-
     from pipetree_spark.ops.relational import fan_out
 
     df = fan_out(df)
-    obs = Observation()
     cand = (
         minhash_band_pairs(
             df, text_col, key_col, n, num_hashes, bands,
             collapse_exact=collapse_exact, max_bucket=max_bucket,
         )
         .select("id_a", "id_b")
-        .observe(obs, F.count(F.lit(1)).alias("n_cand"))
         .localCheckpoint(eager=True)
     )
-    n_cand = obs.get["n_cand"]
+    cand_bytes = _stored_bytes(cand)
     ids = (
         cand.select(F.col("id_a").alias(key_col))
         .union(cand.select(F.col("id_b").alias(key_col)))
         .distinct()
     )
-    if n_cand <= _CAND_BROADCAST_MAX_PAIRS:
+    if cand_bytes is not None and cand_bytes <= _CAND_BROADCAST_MAX_BYTES:
         ids = F.broadcast(ids)
     # r15 note: a lazy localCheckpoint on the SHINGLE frame instead (the
     # two verify branches join on DIFFERENT keys, so Catalyst cannot

@@ -2661,14 +2661,12 @@ def q_dedup_cluster_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized hash), and the re-attach reads the same checkpointed
     map. One md5 pass, and the exact collapse's full-text shuffle is
     replaced by an id semi-join (broadcast-hinted only while the
-    observed rep count is small — same gate rule as the LSH verify
-    prefilter)."""
-    from pyspark.sql import Observation
-
+    materialized rep map stays small — the same zero-job stored-bytes
+    gate as the LSH verify prefilter)."""
     from pipetree_spark.ops.graph import connected_components
+    from pipetree_spark.ops.text import _CAND_BROADCAST_MAX_BYTES, _stored_bytes
 
     d = load_table(spark, sf_dir, "documents")
-    obs = Observation()
     m = (
         d.select("doc_id", "n_chars", TX.text_hash("text").alias("__nh"))
         .select(
@@ -2676,16 +2674,14 @@ def q_dedup_cluster_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
             F.min("doc_id").over(Window.partitionBy("__nh")).alias("rep_id"),
         )
-        .observe(
-            obs,
-            F.sum((F.col("doc_id") == F.col("rep_id")).cast("int")).alias("n_reps"),
-        )
         .localCheckpoint(eager=True)
     )
     rep_ids = m.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id")
-    if (obs.get["n_reps"] or 0) <= (1 << 21):
-        # ≤ 2M rep ids — tens of MB as a hash relation; beyond that the
-        # hint would gamble driver memory on a corpus-proportional set
+    m_bytes = _stored_bytes(m)
+    if m_bytes is not None and m_bytes <= _CAND_BROADCAST_MAX_BYTES:
+        # rep ids are a subset of the slim stored map; beyond the gate
+        # the hint would gamble driver memory on a corpus-proportional
+        # set — fall through and let AQE pick from runtime sizes
         rep_ids = F.broadcast(rep_ids)
     pairs = TX.near_dup_pairs_lsh(
         d.join(rep_ids, "doc_id", "left_semi"),

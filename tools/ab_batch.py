@@ -26,41 +26,59 @@ from pipetree_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-#: module-global function names the batching wave touched; patching
-#: these on the LIVE modules routes compositions through the old code
+#: module-global function names the r16 waves touched; patching these
+#: on the LIVE modules routes compositions through the old code
 PATCH = {
     "pipetree_spark.ops.vector": [
         "kmeans_portable_fit", "pq_fit_portable", "_probe_cells",
         "_pq_adc_dist", "_pq_quantize", "ivf_multiprobe_assign",
     ],
     "pipetree_spark.ops.graph": ["connected_components"],
+    "pipetree_spark.ops.bloom": ["bloom_build"],
+    "pipetree_spark.ops.text": ["near_dup_pairs_lsh"],
 }
+#: module holding changed QUERY fns — old reps call the old module's
+#: fn directly (declare() stubbed at exec so nothing re-registers)
+QUERY_MODULE = "pipetree_spark.queries.llm_ops"
 
 
 def load_old(ref: str) -> dict[str, types.ModuleType]:
+    import pipetree_spark.queries as Q
+
     out = {}
-    for modname in PATCH:
-        relpath = modname.replace(".", "/") + ".py"
-        src = subprocess.run(
-            ["git", "show", f"{ref}:{relpath}"],
-            capture_output=True, check=True, cwd=Path(__file__).resolve().parent.parent,
-        ).stdout.decode()
-        mod = types.ModuleType(modname + "_OLD")
-        mod.__dict__["__name__"] = modname + "_OLD"
-        exec(compile(src, relpath + "@" + ref, "exec"), mod.__dict__)
-        out[modname] = mod
+    repo = Path(__file__).resolve().parent.parent
+    real_declare = Q.declare
+    Q.declare = lambda name, oracle=None, tags=(): (lambda fn: fn)
+    try:
+        for modname in list(PATCH) + [QUERY_MODULE]:
+            relpath = modname.replace(".", "/") + ".py"
+            src = subprocess.run(
+                ["git", "show", f"{ref}:{relpath}"],
+                capture_output=True, check=True, cwd=repo,
+            ).stdout.decode()
+            mod = types.ModuleType(modname + "_OLD")
+            mod.__dict__["__name__"] = modname + "_OLD"
+            exec(compile(src, relpath + "@" + ref, "exec"), mod.__dict__)
+            out[modname] = mod
+    finally:
+        Q.declare = real_declare
     return out
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     ref = "HEAD"
     cycles = 4
-    for i, a in enumerate(sys.argv):
+    args, skip = [], False
+    for i, a in enumerate(sys.argv[1:], 1):
+        if skip:
+            skip = False
+            continue
         if a == "--ref":
-            ref = sys.argv[i + 1]
-        if a == "--cycles":
-            cycles = int(sys.argv[i + 1])
+            ref, skip = sys.argv[i + 1], True
+        elif a == "--cycles":
+            cycles, skip = int(sys.argv[i + 1]), True
+        else:
+            args.append(a)
     import importlib
 
     live = {m: importlib.import_module(m) for m in PATCH}
@@ -77,15 +95,18 @@ def main() -> None:
     spark = get_spark("pipetree-spark-ab-batch")
     results: dict[str, dict[str, list[float]]] = {}
     for metric in args:
-        fn = registry[BENCH_QUERIES.get(metric, metric)].fn
+        qname = BENCH_QUERIES.get(metric, metric)
+        fn = registry[qname].fn
+        old_query_fn = getattr(old_mods[QUERY_MODULE], qname, None)
         fn(spark, SF_DIR).collect()  # warm-up (new impl)
         times = {"old": [], "new": []}
         for c in range(cycles):
             for label, fns in (("old", old_fns), ("new", new_fns)):
                 apply(fns)
+                run = fn if label == "new" or old_query_fn is None else old_query_fn
                 spark.sparkContext.setJobDescription(f"ab:{metric}:{label}:{c}")
                 t0 = time.perf_counter()
-                fn(spark, SF_DIR).collect()
+                run(spark, SF_DIR).collect()
                 times[label].append(round(time.perf_counter() - t0, 4))
         apply(new_fns)
         results[metric] = times

@@ -33,7 +33,7 @@ def explain_formatted(df) -> str:
 def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     only = set(sys.argv[2:])
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r15"
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r16"
     out_dir.mkdir(parents=True, exist_ok=True)
     registry = load_registry()
     spark = get_spark("pipetree-spark-plans")
