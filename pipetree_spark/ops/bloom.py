@@ -113,11 +113,10 @@ def bloom_build(
                 f" i -> coalesce(__kv[i], {zero})) AS bloom_bits"
             )
         )
-    if n_words % chunk_words:
-        raise ValueError(
-            f"num_bits/64 = {n_words} must be a multiple of chunk_words={chunk_words}"
-        )
-    n_chunks = n_words // chunk_words
+    # ceil-divide: the last chunk may be short — the flatten below is
+    # built at full chunk width and sliced back to n_words, so any
+    # num_bits (multiple of 64) works, not just chunk multiples
+    n_chunks = -(-n_words // chunk_words)
     # level 1 (parallel): per-chunk dense arrays, keyed by chunk id
     chunks = (
         sparse.groupBy(F.expr(f"__w div {chunk_words}").cast("int").alias("__g"))
@@ -141,9 +140,9 @@ def bloom_build(
     )
     return gk.select(
         F.expr(
-            f"flatten(transform(sequence(0, {n_chunks - 1}),"
-            f" g -> coalesce(__gk[g], array_repeat({zero}, {chunk_words}))))"
-            " AS bloom_bits"
+            f"slice(flatten(transform(sequence(0, {n_chunks - 1}),"
+            f" g -> coalesce(__gk[g], array_repeat({zero}, {chunk_words})))),"
+            f" 1, {n_words}) AS bloom_bits"
         )
     )
 

@@ -311,6 +311,48 @@ def fan_out(df: DataFrame, multiple: int = 1) -> DataFrame:
     return df.repartition(target)
 
 
+#: Default stored-bytes ceiling for a broadcast HINT on a frame derived
+#: from a checkpointed relation: 64 MB of stored rows keeps the hinted
+#: hash relation safely inside any sane broadcast budget; past it the
+#: join is left unhinted and AQE picks the strategy from runtime sizes
+#: (r15 ADVICE, medium — an unconditional hint gambles driver memory on
+#: a data-proportional set).
+BROADCAST_HINT_MAX_BYTES = 64 << 20
+
+
+def stored_bytes(df: DataFrame) -> int | None:
+    """Driver-side stored size (mem+disk bytes) of a ``localCheckpoint``-ed
+    frame — read from the block manager's RDD storage info, so a gate on
+    it costs ZERO jobs (a ``DataFrame.observe`` metric or a ``count()``
+    each measured ~0.1 s of extra job + blocking per query at sf0.1).
+    Returns None when the backing RDD cannot be found (callers treat
+    that as too-big)."""
+    try:
+        jrdd = df._jdf.queryExecution().analyzed().rdd()
+        rid = jrdd.id()
+        for info in df.sparkSession._jsc.sc().getRDDStorageInfo():
+            if info.id() == rid:
+                return int(info.memSize()) + int(info.diskSize())
+    except Exception:
+        pass
+    return None
+
+
+def broadcast_if_small(
+    df: DataFrame,
+    stored: DataFrame,
+    max_bytes: int = BROADCAST_HINT_MAX_BYTES,
+) -> DataFrame:
+    """Broadcast-hint ``df`` only while ``stored`` (the checkpointed
+    frame ``df`` derives from and is bounded by) materialized at ≤
+    ``max_bytes`` — the shared zero-job gate behind the LSH candidate-id
+    and cluster-dedup rep-id semi-joins."""
+    size = stored_bytes(stored)
+    if size is not None and size <= max_bytes:
+        return F.broadcast(df)
+    return df
+
+
 def release_checkpoint(df: DataFrame) -> bool:
     """Release the executor-pinned RDD behind a ``localCheckpoint``-ed
     frame. ``Dataset.unpersist()`` is a SILENT NO-OP for checkpoint

@@ -1159,35 +1159,6 @@ def minhash_band_pairs(
     return pairs
 
 
-#: Materialized candidate-pair bytes above which near_dup_pairs_lsh
-#: stops FORCING a broadcast of the candidate-id set and lets the
-#: planner choose the semi-join strategy (AQE can still broadcast from
-#: runtime sizes). The distinct-id relation is bounded by the pair
-#: frame it derives from; 64 MB of stored pairs keeps the hint safely
-#: inside any sane broadcast budget, while a near-dup-heavy 100 TB
-#: corpus can push candidate ids far past driver memory — which is why
-#: the hint must be size-gated rather than unconditional (r15 ADVICE,
-#: medium).
-_CAND_BROADCAST_MAX_BYTES = 64 << 20
-
-
-def _stored_bytes(df: DataFrame) -> int | None:
-    """Driver-side stored size (mem+disk bytes) of a localCheckpoint'd
-    frame — read from the block manager's RDD storage info, so the
-    gate costs ZERO jobs (an observe metric or a count() both measured
-    ~0.1 s of extra job + blocking per query at sf0.1). Returns None
-    when the backing RDD cannot be found (treat as too-big)."""
-    try:
-        jrdd = df._jdf.queryExecution().analyzed().rdd()
-        rid = jrdd.id()
-        for info in df.sparkSession._jsc.sc().getRDDStorageInfo():
-            if info.id() == rid:
-                return int(info.memSize()) + int(info.diskSize())
-    except Exception:
-        pass
-    return None
-
-
 def near_dup_pairs_lsh(
     df: DataFrame,
     text_col: str = "text",
@@ -1239,11 +1210,12 @@ def near_dup_pairs_lsh(
     come from cand).
 
     r16 (r15 ADVICE, medium): the broadcast of the candidate-id set is
-    HINTED only when the materialized pair frame's stored size (block-
-    manager storage info — zero extra jobs) is ≤
-    ``_CAND_BROADCAST_MAX_BYTES``; a near-dup-heavy corpus whose
-    candidate ids outgrow driver memory falls through to an unhinted
-    semi join and AQE picks the strategy from runtime sizes. The
+    HINTED only while the materialized pair frame's stored size stays
+    under :func:`~pipetree_spark.ops.relational.broadcast_if_small`'s
+    ceiling (block-manager storage info — zero extra jobs); a
+    near-dup-heavy corpus whose candidate ids outgrow driver memory
+    falls through to an unhinted semi join and AQE picks the strategy
+    from runtime sizes. The
     checkpoint is eager — under AQE ``eager=False`` materialized every
     upstream stage at construction anyway (the ``.rdd`` plan
     finalization, r15 wave-2 finding 2), so eagerness costs nothing.
@@ -1255,7 +1227,7 @@ def near_dup_pairs_lsh(
     exact-collapsed their input (e.g. q_dedup_cluster_lsh, which needs
     the rep map itself and would otherwise pay the normalize+md5
     corpus pass twice); default behavior is unchanged."""
-    from pipetree_spark.ops.relational import fan_out
+    from pipetree_spark.ops.relational import broadcast_if_small, fan_out
 
     df = fan_out(df)
     cand = (
@@ -1266,14 +1238,12 @@ def near_dup_pairs_lsh(
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)
     )
-    cand_bytes = _stored_bytes(cand)
-    ids = (
+    ids = broadcast_if_small(
         cand.select(F.col("id_a").alias(key_col))
         .union(cand.select(F.col("id_b").alias(key_col)))
-        .distinct()
+        .distinct(),
+        stored=cand,
     )
-    if cand_bytes is not None and cand_bytes <= _CAND_BROADCAST_MAX_BYTES:
-        ids = F.broadcast(ids)
     # r15 note: a lazy localCheckpoint on the SHINGLE frame instead (the
     # two verify branches join on DIFFERENT keys, so Catalyst cannot
     # share their scans) was measured a wash-to-slower in an alternating

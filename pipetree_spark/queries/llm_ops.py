@@ -2655,7 +2655,9 @@ def q_dedup_cluster_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     member re-attach (groupBy + join both re-derive ``__nh`` from the
     raw scan; Catalyst cannot share the pass across branches). Now the
     SLIM rep map (doc_id, n_chars, rep_id — never the text) is computed
-    once by a window over one md5 pass and checkpointed; the banding
+    from ONE checkpointed md5 pass — a map-side-combined rep groupBy +
+    AQE-skew-splittable enrich join, never a window (flood note below) —
+    and checkpointed; the banding
     path receives the rep docs by an id semi-join against the raw scan
     (``collapse_exact=False`` — identical rep rows: min doc_id per
     normalized hash), and the re-attach reads the same checkpointed
@@ -2664,25 +2666,33 @@ def q_dedup_cluster_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized rep map stays small — the same zero-job stored-bytes
     gate as the LSH verify prefilter)."""
     from pipetree_spark.ops.graph import connected_components
-    from pipetree_spark.ops.text import _CAND_BROADCAST_MAX_BYTES, _stored_bytes
+    from pipetree_spark.ops.relational import broadcast_if_small, release_checkpoint
 
     d = load_table(spark, sf_dir, "documents")
-    m = (
+    # flood discipline (r16 review): the rep selection must stay
+    # map-side-combinable — a window over __nh would ship every copy of
+    # a boilerplate flood's hot hash to ONE reducer (the shape
+    # exact_dedup measured 13× slower at 100k copies, and AQE cannot
+    # skew-split a window). The slim docs frame is checkpointed once
+    # (ONE md5 pass), the rep groupBy partial-aggregates before its
+    # exchange, and the enrich join back is AQE-skew-splittable.
+    docs = (
         d.select("doc_id", "n_chars", TX.text_hash("text").alias("__nh"))
-        .select(
-            "doc_id",
-            "n_chars",
-            F.min("doc_id").over(Window.partitionBy("__nh")).alias("rep_id"),
-        )
         .localCheckpoint(eager=True)
     )
-    rep_ids = m.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id")
-    m_bytes = _stored_bytes(m)
-    if m_bytes is not None and m_bytes <= _CAND_BROADCAST_MAX_BYTES:
-        # rep ids are a subset of the slim stored map; beyond the gate
-        # the hint would gamble driver memory on a corpus-proportional
-        # set — fall through and let AQE pick from runtime sizes
-        rep_ids = F.broadcast(rep_ids)
+    reps = docs.groupBy("__nh").agg(F.min("doc_id").alias("rep_id"))
+    m = (
+        docs.join(reps, "__nh")
+        .select("doc_id", "n_chars", "rep_id")
+        .localCheckpoint(eager=True)
+    )
+    release_checkpoint(docs)  # m is materialized; the md5 pass is done
+    # rep ids are a subset of the slim stored map; beyond the gate the
+    # hint would gamble driver memory on a corpus-proportional set —
+    # fall through and let AQE pick from runtime sizes
+    rep_ids = broadcast_if_small(
+        m.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"), stored=m
+    )
     pairs = TX.near_dup_pairs_lsh(
         d.join(rep_ids, "doc_id", "left_semi"),
         threshold=0.5, num_hashes=16, bands=8, collapse_exact=False,

@@ -2242,8 +2242,9 @@ def test_bloom_build_chunked_densify_matches_single_level(spark):
     empty = spark.range(0).select(F.col("id").cast("string").alias("g"))
     rows = BL.bloom_build(empty, "g", num_bits=1024, num_hashes=3, chunk_words=4).collect()
     assert len(rows) == 1 and all(x == 0 for x in rows[0].bloom_bits)
-    with pytest.raises(ValueError, match="multiple of chunk_words"):
-        BL.bloom_build(members, "g", num_bits=1024, num_hashes=3, chunk_words=5)
+    # n_words NOT a multiple of chunk_words: short last chunk sliced back
+    ragged = BL.bloom_build(members, "g", num_bits=1024, num_hashes=3, chunk_words=5)
+    assert ragged.collect()[0].bloom_bits == a
 
 
 def test_pagerank_exact_matches_float_reference_and_handles_dangling(spark):

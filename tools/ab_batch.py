@@ -66,19 +66,14 @@ def load_old(ref: str) -> dict[str, types.ModuleType]:
 
 
 def main() -> None:
-    ref = "HEAD"
-    cycles = 4
-    args, skip = [], False
-    for i, a in enumerate(sys.argv[1:], 1):
-        if skip:
-            skip = False
-            continue
-        if a == "--ref":
-            ref, skip = sys.argv[i + 1], True
-        elif a == "--cycles":
-            cycles, skip = int(sys.argv[i + 1]), True
-        else:
-            args.append(a)
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("metrics", nargs="+")
+    ap.add_argument("--ref", default="HEAD")
+    ap.add_argument("--cycles", type=int, default=4)
+    ns = ap.parse_args()
+    ref, cycles, args = ns.ref, ns.cycles, ns.metrics
     import importlib
 
     live = {m: importlib.import_module(m) for m in PATCH}

@@ -57,10 +57,14 @@ class _RpcCounter:
     """Counts py4j gateway round trips (r16, r15 verdict item 8): every
     send_command on the client-server connection is one cross-process
     RPC — the construction tax this sandbox pays at ~0.2-1.2 ms each.
-    Patch is process-wide and additive-only (no behavior change)."""
+    Patch is process-wide and additive-only (no behavior change).
+    ``on_rpc`` (optional) is invoked per RPC — tools/rpc_attrib.py hooks
+    its stack-walk attribution through it rather than re-implementing
+    the patch."""
 
-    def __init__(self) -> None:
+    def __init__(self, on_rpc=None) -> None:
         self.n = 0
+        self.on_rpc = on_rpc
         self._origs: list[tuple[type, object]] = []
 
     def install(self) -> None:
@@ -74,6 +78,8 @@ class _RpcCounter:
 
             def wrapped(slf, *a, _orig=orig, **kw):
                 counter.n += 1
+                if counter.on_rpc is not None:
+                    counter.on_rpc()
                 return _orig(slf, *a, **kw)
 
             self._origs.append((klass, orig))

@@ -29,24 +29,23 @@ sites: Counter = Counter()
 enabled = False
 
 
+def _attribute() -> None:
+    if not enabled:
+        return
+    site = "<other>"
+    for fr in reversed(traceback.extract_stack(limit=40)):
+        if fr.filename.startswith(REPO) and "/tools/" not in fr.filename:
+            site = f"{fr.filename[len(REPO) + 1:]}:{fr.lineno} {fr.name}"
+            break
+    sites[site] += 1
+
+
 def install() -> None:
-    import py4j.clientserver as cs
-    import py4j.java_gateway as jg
+    # reuse profile_stages' process-wide send_command patch — one
+    # implementation, attribution hooked through its on_rpc callback
+    from tools.profile_stages import _RpcCounter
 
-    for klass in (cs.ClientServerConnection, jg.GatewayConnection):
-        orig = klass.send_command
-
-        def wrapped(slf, *a, _orig=orig, **kw):
-            if enabled:
-                site = "<other>"
-                for fr in reversed(traceback.extract_stack(limit=40)):
-                    if fr.filename.startswith(REPO) and "/tools/" not in fr.filename:
-                        site = f"{fr.filename[len(REPO) + 1:]}:{fr.lineno} {fr.name}"
-                        break
-                sites[site] += 1
-            return _orig(slf, *a, **kw)
-
-        klass.send_command = wrapped
+    _RpcCounter(on_rpc=_attribute).install()
 
 
 def main() -> None:
